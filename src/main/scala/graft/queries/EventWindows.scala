@@ -1,0 +1,134 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+
+/** Event-time windowing over the `events` table — the batch expression of
+  * ssp's streaming surface (SURVEY.md §2.1 O8/O10, §2.2 "Streaming
+  * semantics"): tumbling and sliding fixed windows, gap-based sessions,
+  * and the per-record running aggregate that is ssp's signature output
+  * shape. The same logic runs incrementally under Structured Streaming in
+  * `graft.streaming` — here it is verified against the DuckDB oracle.
+  *
+  * All event-time arithmetic is done on `ts_ms` (millisecond epoch,
+  * `Tables.events`) so Spark and DuckDB compute on identical integers
+  * regardless of each engine's timestamp precision.
+  */
+object EventWindows {
+
+  // q26 — tumbling window (5 min) per event type: ssp's NewWindowedNode
+  // with size == slide (window.go:83-100), as a plain hash aggregation on
+  // the truncated epoch. One shuffle on (window, type); partial aggs
+  // map-side. Spark's native window() produces the same assignment; the
+  // integer form keeps the oracle engine-neutral.
+  private def q26(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("win_start", (col("ts_ms") / 300000).cast("long") * 300000L)
+      .groupBy(col("win_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(14, 2))).cast("double").as("sum_value"))
+      .orderBy(col("win_start"), col("event_type"))
+
+  private val q26Sql =
+    """SELECT (epoch_ms(ts) // 300000) * 300000 AS win_start, event_type,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY win_start, event_type""".stripMargin
+
+  // q27 — sliding window (size 10 min, slide 5 min) per event type.
+  // Spark side uses the native window() generator (each record lands in
+  // size/slide = 2 windows); the oracle expands the same assignment as a
+  // UNION ALL of two shifted tumbling windows.
+  private def q27(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(window(col("ts"), "600 seconds", "300 seconds"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(14, 2))).cast("double").as("sum_value"))
+      .select(unix_millis(col("window.start")).as("win_start"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy(col("win_start"), col("event_type"))
+
+  private val q27Sql =
+    """WITH assigned AS (
+      |  SELECT (epoch_ms(ts) // 300000) * 300000 AS win_start, event_type, value FROM events
+      |  UNION ALL
+      |  SELECT (epoch_ms(ts) // 300000) * 300000 - 300000 AS win_start, event_type, value FROM events)
+      |SELECT win_start, event_type, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+      |FROM assigned
+      |GROUP BY 1, 2
+      |ORDER BY win_start, event_type""".stripMargin
+
+  // q28 — session windows: per-user sessions split on >30 min inactivity
+  // gaps (the lag + cumulative-flag sessionization; Spark streaming has
+  // native session_window — the batch form keeps it oracle-checkable).
+  private def q28(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    val cum = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .withColumn("prev_ms", lag(col("ts_ms"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ms").isNull || col("ts_ms") - col("prev_ms") > 1800000L, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(cum))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_ms")).as("session_start"),
+        (max(col("ts_ms")) - min(col("ts_ms"))).as("duration_ms"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  private val q28Sql =
+    """WITH t AS (
+      |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+      |    lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_ms(ts), event_id) AS prev_ms
+      |  FROM events),
+      |flagged AS (
+      |  SELECT user_id, event_id, ts_ms,
+      |    CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms > 1800000 THEN 1 ELSE 0 END AS new_session
+      |  FROM t),
+      |sess AS (
+      |  SELECT user_id, ts_ms,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged)
+      |SELECT user_id, session_id, count(*) AS n_events,
+      |  min(ts_ms) AS session_start, max(ts_ms) - min(ts_ms) AS duration_ms
+      |FROM sess
+      |GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
+  // q29 — running per-key event count: the word-count pattern of the
+  // reference (FIXTURES.md F1 / engine_test.go:157-222) on real data —
+  // one output row per input record carrying the count so far.
+  private def q29(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts_ms"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .withColumn("running_n", count(lit(1)).over(w))
+      .select(col("user_id"), col("event_type"), col("event_id"), col("running_n"))
+      .orderBy(col("user_id"), col("event_type"), col("running_n"), col("event_id"))
+  }
+
+  private val q29Sql =
+    """SELECT user_id, event_type, event_id,
+      |  count(*) OVER (PARTITION BY user_id, event_type
+      |    ORDER BY epoch_ms(ts), event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n
+      |FROM events
+      |ORDER BY user_id, event_type, running_n, event_id""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("q26_tumbling_window", q26, Some(q26Sql)),
+    Q("q27_sliding_window", q27, Some(q27Sql)),
+    Q("q28_session_window", q28, Some(q28Sql)),
+    Q("q29_running_count", q29, Some(q29Sql)),
+  )
+}
