@@ -13,7 +13,7 @@ object SparkEntry {
 
   /** All registered query packs. */
   def packs: Seq[Q] =
-    Relational.all ++ EventWindows.all
+    Relational.all ++ EventWindows.all ++ TextAnalysis.all ++ Dedup.all ++ Similarity.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

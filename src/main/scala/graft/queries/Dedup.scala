@@ -1,0 +1,200 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.TextFns._
+
+/** Deduplication operators over `documents` — the workhorse stage of a
+  * training-data pipeline at 100 TB:
+  *
+  *  - exact dedup: hash-groupBy on the raw text (one shuffle on the
+  *    64-bit fingerprint, never on the full text — at scale the text
+  *    column stays columnar and only the 8-byte hash shuffles);
+  *  - normalized dedup: same, after lowercase/strip/collapse;
+  *  - MinHash + LSH: word-shingle signatures, banded into buckets so
+  *    candidate generation is a groupBy on (band, bandKey) — NO O(n²)
+  *    cross join ever materializes. Costs: one scan to build
+  *    signatures, one shuffle of (band,key,doc) pairs, one shuffle to
+  *    pair within buckets. This is the standard scale-out architecture
+  *    (same shape as Spark MLlib's MinHashLSH, reimplemented with
+  *    portable arithmetic so DuckDB can verify it bit-for-bit);
+  *  - n-gram Jaccard verification on the candidate pairs (exact
+  *    similarity only for pairs that share a band — the LSH prefilter
+  *    bounds the quadratic term by bucket size).
+  *
+  * MinHash math (portable across engines): token 3-shingles hashed with
+  * the md5-derived 60-bit hash ([[graft.functions.TextFns.hash60]]),
+  * reduced mod p = 2^31-1; permutation j is
+  * h_j(x) = ((2j+1)·x + 12345j + 6789) mod p, so every product stays
+  * < 2^62 and the whole signature is exact 64-bit integer arithmetic in
+  * both Spark and DuckDB. ssp has no dedup operator of any kind
+  * (SURVEY.md §2.2) — this is part of the beyond-reference surface.
+  */
+object Dedup {
+
+  val P: Long = 2147483647L // 2^31 - 1
+  val NumHashes = 32
+  val Bands = 8 // 4 rows per band
+
+  // q30 — exact dedup: representative (min doc_id) + cardinality per
+  // distinct text, via the 60-bit fingerprint so the shuffle key is 8
+  // bytes. Collision probability at 10^12 docs ~ 4e-7 (birthday, 60
+  // bits); production path would carry a 128-bit hash.
+  private def q30(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .groupBy(hash60(col("text")).as("fingerprint"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("keep_doc_id"))
+
+  private val q30Sql =
+    s"""SELECT ${hash60Sql("text")} AS fingerprint,
+      |  min(doc_id) AS keep_doc_id, count(*) AS n_copies
+      |FROM documents
+      |GROUP BY 1
+      |ORDER BY keep_doc_id""".stripMargin
+
+  // q31 — normalized dedup + survivor rate per (lang, source) cell.
+  private def q31(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("fp", hash60(normalize(col("text"))))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("fp")).as("n_unique"))
+      .orderBy(col("lang"), col("source"))
+
+  private val q31Sql =
+    s"""SELECT lang, source, count(*) AS n_docs,
+      |  count(DISTINCT ${hash60Sql(normalizeSql("text"))}) AS n_unique
+      |FROM documents
+      |GROUP BY lang, source
+      |ORDER BY lang, source""".stripMargin
+
+  /** 0..n-1 index array, empty when n <= 0 (Spark's sequence() would
+    * count DOWN for a negative upper bound, so guard explicitly).
+    */
+  private def indices(n: Column): Column =
+    when(n > 0, sequence(lit(0), n - 1)).otherwise(array().cast("array<int>"))
+
+  /** Column: list of word 3-shingle hashes (mod p) for `text`. */
+  private def shingleHashes(text: Column): Column = {
+    val toks = tokens(text)
+    val shingles = transform(
+      indices(size(toks) - 2),
+      i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3)))
+    transform(shingles, sh => pmod(hash60(sh), lit(P)))
+  }
+
+  private val shingleHashesSql = {
+    val toks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+    s"""list_transform(
+       |    list_transform(range(greatest(len($toks) - 2, 0)),
+       |      i -> $toks[i+1] || ' ' || $toks[i+2] || ' ' || $toks[i+3]),
+       |    sh -> ${hash60Sql("sh")} % $P)""".stripMargin
+  }
+
+  /** Column: MinHash signature (array of NumHashes longs). Docs with no
+    * shingles get p as every component (max sentinel).
+    */
+  private def signature(hashes: Column): Column =
+    transform(sequence(lit(0), lit(NumHashes - 1)), j =>
+      coalesce(
+        array_min(transform(hashes, x =>
+          pmod((lit(2L) * j + 1L) * x + lit(12345L) * j + lit(6789L), lit(P)))),
+        lit(P)))
+
+  private val signatureSql =
+    s"""list_transform(range(${NumHashes}),
+       |    j -> coalesce(list_min(list_transform(shashes,
+       |      x -> ((2*j+1)*x + 12345*j + 6789) % $P)), $P))""".stripMargin
+
+  // q32 — MinHash LSH candidate pairs: signatures → Bands bands of 4 →
+  // explode (band, bandKey=4 sig values) → groupBy bucket → pairs, with
+  // the estimated Jaccard (matching signature fraction) per pair.
+  private def q32(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+      .select(col("doc_id"), signature(shingleHashes(col("text"))).as("sig"))
+    val rows = NumHashes / Bands
+    val banded = docs.select(
+      col("doc_id"), col("sig"),
+      explode(transform(sequence(lit(0), lit(Bands - 1)), b =>
+        struct(b.as("band"),
+          concat_ws(",", transform(slice(col("sig"), b * rows + 1, lit(rows)),
+            _.cast("string"))).as("bkey")))).as("bb"))
+      .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bkey"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
+        && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y),
+          v => v)).cast("double") / NumHashes).as("est_jaccard"))
+      .distinct()
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val q32Sql = {
+    val rows = NumHashes / Bands
+    s"""WITH sigs AS (
+      |  SELECT doc_id, $signatureSql AS sig
+      |  FROM (SELECT doc_id, $shingleHashesSql AS shashes FROM documents) t),
+      |banded AS (
+      |  SELECT doc_id, sig, b.band AS band,
+      |    array_to_string(sig[b.band*$rows+1 : b.band*$rows+$rows], ',') AS bkey
+      |  FROM sigs, (SELECT unnest(range($Bands)) AS band) b)
+      |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(len(list_filter(list_transform(range($NumHashes),
+      |    i -> a.sig[i+1] = b.sig[i+1]), x -> x)) AS DOUBLE) / $NumHashes AS est_jaccard
+      |FROM banded a JOIN banded b
+      |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+      |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // q33 — exact n-gram (word bigram) Jaccard similarity, restricted to
+  // blocked candidate pairs (same lang, adjacent length bucket) so the
+  // quadratic term stays bounded at scale; emits pairs above 0.2.
+  private def q33(s: SparkSession, d: String): DataFrame = {
+    val grams = {
+      val toks = tokens(col("text"))
+      array_distinct(transform(
+        indices(size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2))))
+    }
+    val docs = documents(s, d).select(col("doc_id"), col("lang"),
+      floor(tokenCount(col("text")) / 50L).cast("long").as("lbucket"), grams.as("grams"))
+    val a = docs.as("a")
+    val b = docs.as("b")
+    a.join(b, col("a.lang") === col("b.lang")
+        && col("a.lbucket") === col("b.lbucket")
+        && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (size(array_intersect(col("a.grams"), col("b.grams"))).cast("double") /
+          size(array_union(col("a.grams"), col("b.grams")))).as("jaccard"))
+      .filter(col("jaccard") > 0.2)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val q33Sql = {
+    val toks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+    s"""WITH docs AS (
+      |  SELECT doc_id, lang, len($toks) // 50 AS lbucket,
+      |    list_distinct(list_transform(range(greatest(len($toks) - 1, 0)),
+      |      i -> $toks[i+1] || ' ' || $toks[i+2])) AS grams
+      |  FROM documents)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+      |    len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
+      |FROM docs a JOIN docs b
+      |  ON a.lang = b.lang AND a.lbucket = b.lbucket AND a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+      |    len(list_distinct(list_concat(a.grams, b.grams))) > 0.2
+      |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("q30_dedup_exact", q30, Some(q30Sql)),
+    Q("q31_dedup_norm", q31, Some(q31Sql)),
+    Q("q32_minhash_lsh", q32, Some(q32Sql)),
+    Q("q33_ngram_jaccard", q33, Some(q33Sql)),
+  )
+}

@@ -1,0 +1,148 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+import graft.functions.GraftFunctions
+
+/** Similarity search over the `embeddings` table (64-dim float
+  * vectors): brute-force cosine top-k as the exactness baseline, an
+  * IVF-style partitioned variant as the 100 TB scale path, and
+  * per-vector nearest-neighbor as the embedding-dedup primitive.
+  *
+  * Scale design: the brute-force path broadcasts the (tiny) query set
+  * against the full table — one scan, no shuffle of the big side, cost
+  * O(N·Q·dim) spread across executors, with the distance computed by the
+  * codegen'd native [[graft.functions.CosineSimilarity]] expression.
+  * The IVF path (q41) first clusters vectors into coarse cells
+  * (elementwise-mean centroids), then probes only the closest cells —
+  * the standard inverted-file ANN layout where each cell is a Spark
+  * partition-pruned subset.
+  *
+  * Oracle bit-exactness: cosine = ordered-fold double arithmetic —
+  * identical in DuckDB's `list_reduce` form (see CosineSimilarity
+  * scaladoc) — so no rounding is applied anywhere.
+  */
+object Similarity {
+
+  /** DuckDB fragment: cosine over two list<float> columns, same
+    * arithmetic order as CosineSimilarity.
+    */
+  private def cosSql(a: String, b: String): String = {
+    def dot(u: String, v: String) =
+      s"list_reduce(list_transform(range(64), i -> CAST($u[i+1] AS DOUBLE) * CAST($v[i+1] AS DOUBLE)), (x, y) -> x + y)"
+    s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
+  }
+
+  // q40 — brute-force cosine top-5 for query vectors vec_id 0..4
+  // against the whole table (self excluded). Exact k-NN baseline.
+  private def q40(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val e = embeddings(s, d)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos", expr("cosine_sim(qvec, embedding)"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("query_id"), col("rk"), col("vec_id"), col("cos"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  private val q40Sql =
+    s"""SELECT query_id, rk, vec_id, cos FROM (
+      |  SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+      |    ${cosSql("q.embedding", "e.embedding")} AS cos,
+      |    row_number() OVER (PARTITION BY q.vec_id
+      |      ORDER BY ${cosSql("q.embedding", "e.embedding")} DESC, e.vec_id) AS rk
+      |  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+      |  WHERE q.vec_id < 5) t
+      |WHERE rk <= 5
+      |ORDER BY query_id, rk""".stripMargin
+
+  // q34 — embedding-level near-duplicate detection: each vector's
+  // nearest neighbor within its label block (blocked to bound the
+  // pair count, the same blocking trick as Dedup.q33), with the flag
+  // used to drop near-dups above a threshold.
+  private def q34(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val e = embeddings(s, d)
+    val a = e.select(col("vec_id").as("id_a"), col("label"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("id_b"), col("label"), col("embedding").as("vb"))
+    val w = Window.partitionBy(col("id_a")).orderBy(col("cos").desc, col("id_b"))
+    a.join(b, Seq("label"))
+      .filter(col("id_a") =!= col("id_b"))
+      .withColumn("cos", expr("cosine_sim(va, vb)"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("id_a").as("vec_id"), col("label"), col("id_b").as("nn_id"),
+        col("cos").as("nn_cos"),
+        when(col("cos") > 0.35, 1).otherwise(0).as("near_dup"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val q34Sql =
+    s"""SELECT vec_id, label, nn_id, nn_cos,
+      |  CASE WHEN nn_cos > 0.35 THEN 1 ELSE 0 END AS near_dup
+      |FROM (
+      |  SELECT a.vec_id AS vec_id, a.label AS label, b.vec_id AS nn_id,
+      |    ${cosSql("a.embedding", "b.embedding")} AS nn_cos,
+      |    row_number() OVER (PARTITION BY a.vec_id
+      |      ORDER BY ${cosSql("a.embedding", "b.embedding")} DESC, b.vec_id) AS rk
+      |  FROM embeddings a JOIN embeddings b
+      |    ON a.label = b.label AND a.vec_id <> b.vec_id) t
+      |WHERE rk = 1
+      |ORDER BY vec_id""".stripMargin
+
+  // q41 — IVF-style ANN: coarse-quantize into cells (elementwise-mean
+  // centroid per label as the deterministic codebook), assign every
+  // vector to its nearest cell, then answer the same 5 queries probing
+  // only the nprobe=3 closest cells. No oracle (centroid means are
+  // FP-order-dependent); recall vs q40 is asserted in ScalaTest.
+  private def q41(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val e = embeddings(s, d)
+    // codebook: elementwise mean per label (tiny: nLabels × dim)
+    val centroids = e
+      .select(col("label").as("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(avg(col("v")).as("m"))
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cell"), transform(col("pm"), p => p.getField("m").cast("float")).as("cvec"))
+    // assign vectors to nearest cell
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cell"))
+    val assigned = e.join(broadcast(centroids))
+      .withColumn("ccos", expr("cosine_sim(embedding, cvec)"))
+      .withColumn("crk", row_number().over(wAssign))
+      .filter(col("crk") === 1)
+      .select(col("vec_id"), col("cell"), col("embedding"))
+    // queries probe the 3 nearest cells
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("qcos").desc, col("cell"))
+    val probed = q.join(broadcast(centroids))
+      .withColumn("qcos", expr("cosine_sim(qvec, cvec)"))
+      .withColumn("prk", row_number().over(wProbe))
+      .filter(col("prk") <= 3)
+      .select(col("query_id"), col("qvec"), col("cell"))
+    // search only within probed cells
+    val wTop = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    assigned.join(broadcast(probed), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", expr("cosine_sim(qvec, embedding)"))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= 5)
+      .select(col("query_id"), col("rk"), col("vec_id"), col("cos"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("q34_embed_neardup", q34, Some(q34Sql)),
+    Q("q40_knn_brute", q40, Some(q40Sql)),
+    Q("q41_knn_ivf", q41, None),
+  )
+}

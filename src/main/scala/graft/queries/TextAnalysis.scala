@@ -1,0 +1,152 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.TextFns._
+
+/** Text-analysis operators over the `documents` table: token statistics,
+  * language ID, quality scoring, and content fingerprinting — the
+  * per-document feature extraction stage of a training-data pipeline.
+  * Everything is a single scan with codegen'd expressions (no UDFs, no
+  * shuffle except final aggregations), so throughput is IO-bound at
+  * 100 TB.
+  *
+  * Determinism: ratios are emitted as raw doubles (identical int inputs
+  * → identical IEEE division results in both engines); no rounding.
+  */
+object TextAnalysis {
+
+  // q50 — token statistics per document: whitespace-token and
+  // regex-token counts, char counts, average token length, distinct
+  // ratio (type-token ratio).
+  private def q50(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_measured"),
+        tokenCount(col("text")).as("n_tokens"),
+        size(array_distinct(tokens(col("text")))).cast("long").as("n_distinct"),
+        (size(col("toks")).cast("double") / greatest(length(col("text")), lit(1))).as("token_density"),
+        (aggregate(transform(col("toks"), t => length(t)), lit(0),
+          (acc, x) => acc + x).cast("double") /
+          greatest(size(col("toks")), lit(1))).as("avg_token_len"))
+      .orderBy(col("doc_id"))
+
+  private val q50Sql =
+    """SELECT doc_id,
+      |  length(text) AS n_chars_measured,
+      |  len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens,
+      |  len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS n_distinct,
+      |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS DOUBLE)
+      |    / greatest(length(text), 1) AS token_density,
+      |  CAST(list_reduce(list_prepend(0, list_transform(
+      |      regexp_extract_all(lower(text), '[a-z0-9]+'), t -> length(t))),
+      |      (acc, x) -> acc + x) AS DOUBLE)
+      |    / greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')), 1) AS avg_token_len
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  // q51 — language identification by stopword-marker scoring: argmax
+  // over per-language marker hit counts, deterministic tie-break by
+  // score then language code; 'und' when nothing matches.
+  private def q51(s: SparkSession, d: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val scored = documents(s, d)
+      .withColumn("toks", toks)
+      .select(col("doc_id") +: col("lang").as("lang_label") +:
+        LangMarkers.map { case (code, words) =>
+          markerHits(col("toks"), words).as(s"score_$code")
+        }: _*)
+    // argmax via greatest + chained when: deterministic order en,es,de,fr
+    val maxScore = greatest(LangMarkers.map { case (c, _) => col(s"score_$c") }: _*)
+    val pred = LangMarkers.foldRight(lit("und")) { case ((c, _), els) =>
+      when(col(s"score_$c") === maxScore && maxScore > 0, lit(c)).otherwise(els)
+    }
+    scored
+      .withColumn("lang_pred", pred)
+      .select((Seq(col("doc_id"), col("lang_label"), col("lang_pred")) ++
+        LangMarkers.map { case (c, _) => col(s"score_$c") }): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  private val q51Sql = {
+    val toks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+    val scores = LangMarkers.map { case (c, words) =>
+      s"${markerHitsSql(toks, words)} AS score_$c"
+    }.mkString(",\n      |  ")
+    val maxExpr = LangMarkers.map { case (c, _) => s"score_$c" }.mkString("greatest(", ", ", ")")
+    val pred = LangMarkers.foldRight("'und'") { case ((c, _), els) =>
+      s"CASE WHEN score_$c = $maxExpr AND $maxExpr > 0 THEN '$c' ELSE $els END"
+    }
+    s"""SELECT doc_id, lang_label, $pred AS lang_pred,
+      |  ${LangMarkers.map { case (c, _) => s"score_$c" }.mkString(", ")}
+      |FROM (
+      |  SELECT doc_id, lang AS lang_label,
+      |  $scores
+      |  FROM documents) t
+      |ORDER BY doc_id""".stripMargin
+  }
+
+  // q52 — quality scoring: stopword ratio, type-token ratio, length and
+  // repetition features combined into a single filterable score.
+  private def q52(s: SparkSession, d: String): DataFrame = {
+    val toks = tokens(col("text"))
+    documents(s, d)
+      .withColumn("toks", toks)
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+      .withColumn("sw_hits", markerHits(col("toks"), Stopwords))
+      .withColumn("n_distinct", size(array_distinct(col("toks"))).cast("long"))
+      .select(
+        col("doc_id"),
+        col("n_toks"),
+        (col("sw_hits").cast("double") / greatest(col("n_toks"), lit(1L))).as("stopword_ratio"),
+        (col("n_distinct").cast("double") / greatest(col("n_toks"), lit(1L))).as("ttr"),
+        when(col("n_toks") >= 20 && col("n_toks") <= 1000, 1.0).otherwise(0.0).as("len_ok"),
+        ((col("n_distinct").cast("double") / greatest(col("n_toks"), lit(1L))) *
+          when(col("n_toks") >= 20 && col("n_toks") <= 1000, 1.0).otherwise(0.0)).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q52Sql = {
+    val toks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+    val sw = markerHitsSql("toks", Stopwords)
+    s"""SELECT doc_id, n_toks,
+      |  CAST(sw_hits AS DOUBLE) / greatest(n_toks, 1) AS stopword_ratio,
+      |  CAST(n_distinct AS DOUBLE) / greatest(n_toks, 1) AS ttr,
+      |  CASE WHEN n_toks BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.0 END AS len_ok,
+      |  (CAST(n_distinct AS DOUBLE) / greatest(n_toks, 1)) *
+      |    (CASE WHEN n_toks BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.0 END) AS quality
+      |FROM (
+      |  SELECT doc_id, len(toks) AS n_toks, $sw AS sw_hits,
+      |    len(list_distinct(toks)) AS n_distinct
+      |  FROM (SELECT doc_id, $toks AS toks FROM documents) t1) t2
+      |ORDER BY doc_id""".stripMargin
+  }
+
+  // q53 — content fingerprinting: portable 60-bit hash of the
+  // normalized text (md5-derived, identical in both engines) plus the
+  // group size per fingerprint — the first stage of exact dedup.
+  private def q53(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), hash60(normalize(col("text"))).as("fingerprint"))
+      .withColumn("n_same", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("fingerprint"))))
+      .orderBy(col("doc_id"))
+
+  private val q53Sql =
+    s"""SELECT doc_id, fingerprint,
+      |  count(*) OVER (PARTITION BY fingerprint) AS n_same
+      |FROM (SELECT doc_id,
+      |  ${hash60Sql(normalizeSql("text"))} AS fingerprint
+      |  FROM documents) t
+      |ORDER BY doc_id""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("q50_token_stats", q50, Some(q50Sql)),
+    Q("q51_lang_id", q51, Some(q51Sql)),
+    Q("q52_quality_score", q52, Some(q52Sql)),
+    Q("q53_fingerprint", q53, Some(q53Sql)),
+  )
+}
