@@ -1,0 +1,133 @@
+package graft.core
+
+import org.apache.spark.sql.{Dataset, Encoder, SparkSession}
+
+/** A record carrying ssp's metadata decorators as plain columns
+  * (SURVEY.md §1.3→§1.5): `seq` replaces channel-FIFO arrival order,
+  * `source` the multi-input tag, `ts`/`wm` the event-time decorators.
+  */
+final case class Tagged[T](seq: Long, source: Int, value: T)
+final case class Stamped[T](seq: Long, ts: Long, wm: Long, value: T)
+
+/** Typed dataflow veneer over `Dataset` — the Spark-native re-expression
+  * of the reference's fluent DAG builder
+  * (`NewNode(...).Out().KeyBy(ks).Connect(ctx, next)`,
+  * reference node.go:57-105, topology.gen.go:103-150). There is no
+  * engine here: the Dataset lineage IS the dataflow graph, Catalyst is
+  * the planner, and Spark tasks replace the per-operator goroutines
+  * (SURVEY.md §3 "Spark lifecycle mapping").
+  *
+  * Each element carries an arrival sequence number standing in for the
+  * reference's channel FIFO ordering — the observable contract its
+  * stateful operators depend on (running aggregates emit one output per
+  * input, in arrival order; reference engine_test.go:123-222). Keyed
+  * state is processed per key in `seq` order, which is exactly the
+  * per-key view an ssp operator clone sees (engine.go:239-261).
+  *
+  * Operator mapping (SURVEY.md §2.1): map/flatMap/filter = O1,
+  * fromSeq = O2, keyBy = O4, mapState = O3 (batch form; streaming form
+  * in graft.streaming), assignTimestamps = O8, window = O10,
+  * unionTagged = O6, collectOrdered/toDF = O11/O12. Parallelism (O5)
+  * is Spark-native: shuffle partitions, not a per-node knob.
+  */
+final class GStream[T](val ds: Dataset[(Long, T)]) {
+
+  /** O1: per-record transform (flatMap/map/filter fuse into one
+    * WholeStageCodegen stage — no per-operator thread anywhere).
+    * Outputs inherit the input's seq; multi-output records sub-order by
+    * emission index in the low bits.
+    */
+  def map[U](f: T => U)(implicit e: Encoder[(Long, U)]): GStream[U] =
+    new GStream(ds.map { case (s, v) => (s, f(v)) })
+
+  def flatMap[U](f: T => IterableOnce[U])(implicit e: Encoder[(Long, U)]): GStream[U] =
+    new GStream(ds.flatMap { case (s, v) =>
+      f(v).iterator.zipWithIndex.map { case (u, i) => (s * GStream.FanOut + i, u) }
+    })
+
+  def filter(p: T => Boolean): GStream[T] =
+    new GStream(ds.filter((sv: (Long, T)) => p(sv._2)))
+
+  /** O4: semantic keying. The key selector runs once per record; Spark
+    * hash-partitions on the key (the reference's FNV-mod-par routing,
+    * engine.go:374-386, is not observable in results and not replicated).
+    */
+  def keyBy[K](f: T => K)(implicit ek: Encoder[K], ekv: Encoder[(K, (Long, T))]): KeyedGStream[K, T] =
+    new KeyedGStream(ds.map((sv: (Long, T)) => (f(sv._2), sv)))
+
+  /** O6: source-tagged union — each side keeps its arrival order and
+    * gains the reference's `Source` decorator (engine.go:85-121).
+    */
+  def unionTagged(other: GStream[T])(implicit e: Encoder[Tagged[T]]): Dataset[Tagged[T]] = {
+    val a = ds.map((sv: (Long, T)) => Tagged(sv._1, 0, sv._2))
+    val b = other.ds.map((sv: (Long, T)) => Tagged(sv._1, 1, sv._2))
+    a.unionByName(b)
+  }
+
+  /** O8: event-time assignment. `f` returns (ts, wm) like the
+    * reference's TimestampExtractor (time.go:7-19); the watermark is
+    * then made monotone in arrival order — the reference's engine
+    * watermarker (engine.go:123-171) — before any keyed windowing, so
+    * every record carries the operator-level watermark in force when it
+    * arrived. Sequential by construction (it IS a prefix max), so this
+    * parity path materializes on one partition; the scalable windowing
+    * surface is the native one (graft.queries.EventWindows).
+    */
+  def assignTimestamps(f: T => (Long, Long))(implicit e: Encoder[Stamped[T]]): Dataset[Stamped[T]] = {
+    val stamped = ds.map { case (s, v) =>
+      val (ts, wm) = f(v)
+      Stamped(s, ts, wm, v)
+    }
+    stamped.orderBy("seq").coalesce(1).mapPartitions { it =>
+      var wm = Long.MinValue
+      it.map { r =>
+        if (r.wm > wm) wm = r.wm
+        r.copy(wm = wm)
+      }
+    }
+  }
+
+  /** O11: ordered materialization (the reference's LogSink + sorted
+    * compare; node.go:107-114).
+    */
+  def collectOrdered(): Seq[T] =
+    ds.orderBy("_1").collect().toSeq.map(_._2)
+}
+
+object GStream {
+  val FanOut = 1024L // max emissions per record in seq sub-ordering
+
+  /** O2: bounded source (the reference's NewStreamFromElements,
+    * datastream.go:28-32).
+    */
+  def fromSeq[T](spark: SparkSession, xs: Seq[T])(implicit e: Encoder[(Long, T)]): GStream[T] =
+    new GStream(spark.createDataset(xs.zipWithIndex.map { case (v, i) => (i.toLong, v) }))
+}
+
+/** Keyed stream: the target of O3 (stateful per-key flatMap) and O10
+  * (windowed aggregate) in their batch forms.
+  */
+final class KeyedGStream[K, T](val ds: Dataset[(K, (Long, T))]) {
+
+  /** O3: keyed stateful flatMap (reference NewStatefulNode,
+    * node.go:66-105): per-key state threaded through the key's records
+    * in arrival order, 0..N outputs per record, one state per key (the
+    * reference clones the node per key — engine.go:239-244; here it is
+    * a fold inside flatMapGroups). Streaming form:
+    * graft.streaming.StatefulStreams.statefulByKey.
+    */
+  def mapState[S, U](init: S)(f: (S, T) => (S, Seq[U]))(
+      implicit ek: Encoder[K], e: Encoder[(Long, U)]): GStream[U] = {
+    val out = ds.groupByKey(_._1)
+      .flatMapGroups { (_: K, it: Iterator[(K, (Long, T))]) =>
+        val sorted = it.map(_._2).toIndexedSeq.sortBy(_._1)
+        var state = init
+        sorted.iterator.flatMap { case (seq, v) =>
+          val (s2, outs) = f(state, v)
+          state = s2
+          outs.iterator.zipWithIndex.map { case (u, i) => (seq * GStream.FanOut + i, u) }
+        }
+      }
+    new GStream(out)
+  }
+}

@@ -100,8 +100,11 @@ object Similarity {
   // q41 — IVF-style ANN: coarse-quantize into cells (elementwise-mean
   // centroid per label as the deterministic codebook), assign every
   // vector to its nearest cell, then answer the same 5 queries probing
-  // only the nprobe=3 closest cells. No oracle (centroid means are
-  // FP-order-dependent); recall vs q40 is asserted in ScalaTest.
+  // only the nprobe=5 closest cells (the testdata embeddings are only
+  // weakly clustered, so recall/probe tradeoff is flat: measured
+  // recall@5 is .44/.64/.80 at nprobe 3/5/6). No oracle (centroid
+  // means are FP-order-dependent); recall vs q40 is asserted in
+  // ScalaTest.
   private def q41(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
     val e = embeddings(s, d)
@@ -127,7 +130,7 @@ object Similarity {
     val probed = q.join(broadcast(centroids))
       .withColumn("qcos", expr("cosine_sim(qvec, cvec)"))
       .withColumn("prk", row_number().over(wProbe))
-      .filter(col("prk") <= 3)
+      .filter(col("prk") <= 5)
       .select(col("query_id"), col("qvec"), col("cell"))
     // search only within probed cells
     val wTop = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))

