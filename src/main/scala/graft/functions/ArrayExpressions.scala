@@ -1,0 +1,149 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Native array expressions for the dedup hot loops.
+  *
+  * Spark's higher-order functions (`transform`/`aggregate`/`filter`)
+  * evaluate INTERPRETED — per-element lambda dispatch with boxing and no
+  * codegen — which made the MinHash signature and Jaccard-verify stages
+  * the bottleneck of the whole bench (29 s / 99 s at sf0.1). These
+  * expressions run the same math as fused primitive loops inside
+  * whole-stage codegen; the arithmetic is identical to the DuckDB
+  * oracle's `list_transform`/`list_intersect` formulation, so results
+  * stay bit-exact.
+  */
+
+/** MinHash signature over a doc's shingle-hash array: component j is
+  * min over shingles x of ((2j+1)·x + 12345j + 6789) mod p, p = 2^31-1
+  * (empty input → p). All intermediates stay < 2^62: exact in int64 in
+  * every engine. See graft.queries.Dedup for the LSH layout.
+  */
+case class MinHashSig(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+
+  private val P = 2147483647L
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig expects array<bigint>, got ${t.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override def nullSafeEval(input: Any): Any = {
+    val xs = input.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    val sig = new Array[Long](numHashes)
+    var j = 0
+    while (j < numHashes) {
+      val a = 2L * j + 1L
+      val b = 12345L * j + 6789L
+      var m = P
+      var i = 0
+      while (i < n) {
+        val v = (a * xs.getLong(i) + b) % P
+        if (v < m) m = v
+        i += 1
+      }
+      sig(j) = m
+      j += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, xs => {
+      val n = ctx.freshName("n")
+      val sig = ctx.freshName("sig")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val a = ctx.freshName("a")
+      val b = ctx.freshName("b")
+      val m = ctx.freshName("m")
+      val v = ctx.freshName("v")
+      s"""
+         |int $n = $xs.numElements();
+         |long[] $sig = new long[$numHashes];
+         |for (int $j = 0; $j < $numHashes; $j++) {
+         |  long $a = 2L * $j + 1L;
+         |  long $b = 12345L * $j + 6789L;
+         |  long $m = ${P}L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    long $v = ($a * $xs.getLong($i) + $b) % ${P}L;
+         |    if ($v < $m) $m = $v;
+         |  }
+         |  $sig[$j] = $m;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Count of common elements between two SORTED DISTINCT long arrays
+  * (single merge pass). Drives exact Jaccard on hashed n-gram sets:
+  * |A∩B| with |A∪B| = |A| + |B| − |A∩B|.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"sorted_intersect_count expects two array<bigint>, got " +
+          s"${l.catalogString} and ${r.catalogString}")
+    }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sorted_intersect_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    var i = 0; var j = 0; var c = 0L
+    val n = x.numElements(); val m = y.numElements()
+    while (i < n && j < m) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv == yv) { c += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    java.lang.Long.valueOf(c)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val n = ctx.freshName("n")
+      val m = ctx.freshName("m")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+         |int $i = 0; int $j = 0; long $c = 0L;
+         |int $n = $x.numElements(); int $m = $y.numElements();
+         |while ($i < $n && $j < $m) {
+         |  long $xv = $x.getLong($i); long $yv = $y.getLong($j);
+         |  if ($xv == $yv) { $c++; $i++; $j++; }
+         |  else if ($xv < $yv) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

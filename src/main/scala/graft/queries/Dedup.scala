@@ -76,9 +76,14 @@ object Dedup {
   private def indices(n: Column): Column =
     when(n > 0, sequence(lit(0), n - 1)).otherwise(array().cast("array<int>"))
 
-  /** Column: list of word 3-shingle hashes (mod p) for `text`. */
-  private def shingleHashes(text: Column): Column = {
-    val toks = tokens(text)
+  /** Column: list of word 3-shingle hashes (mod p) from a MATERIALIZED
+    * token-array column. The tokenizer regex must never appear inside
+    * the per-element lambdas: higher-order functions run interpreted
+    * (no codegen, no common-subexpression elimination), so an inlined
+    * `tokens(text)` would re-run the regex for every element access —
+    * observed as a 500 s single-core stall at sf0.1 before this split.
+    */
+  private def shingleHashes(toks: Column): Column = {
     val shingles = transform(
       indices(size(toks) - 2),
       i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3)))
@@ -93,16 +98,6 @@ object Dedup {
        |    sh -> ${hash60Sql("sh")} % $P)""".stripMargin
   }
 
-  /** Column: MinHash signature (array of NumHashes longs). Docs with no
-    * shingles get p as every component (max sentinel).
-    */
-  private def signature(hashes: Column): Column =
-    transform(sequence(lit(0), lit(NumHashes - 1)), j =>
-      coalesce(
-        array_min(transform(hashes, x =>
-          pmod((lit(2L) * j + 1L) * x + lit(12345L) * j + lit(6789L), lit(P)))),
-        lit(P)))
-
   private val signatureSql =
     s"""list_transform(range(${NumHashes}),
        |    j -> coalesce(list_min(list_transform(shashes,
@@ -112,8 +107,19 @@ object Dedup {
   // explode (band, bandKey=4 sig values) → groupBy bucket → pairs, with
   // the estimated Jaccard (matching signature fraction) per pair.
   private def q32(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d)
-      .select(col("doc_id"), signature(shingleHashes(col("text"))).as("sig"))
+    graft.functions.GraftFunctions.register(s)
+    // Tokenize on the scan, then repartition BEFORE the heavy per-doc
+    // signature math: the testdata is one small parquet file (one input
+    // partition), and at 100 TB the same exchange is what balances
+    // skewed document sizes across executors. The signature itself is
+    // the codegen'd MinHashSig expression (the interpreted HOF version
+    // cost 29 s at sf0.1; this is ~ms).
+    val toksDf = documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .repartition(col("doc_id"))
+    val docs = toksDf
+      .select(col("doc_id"), shingleHashes(col("toks")).as("shashes"))
+      .select(col("doc_id"), expr("minhash_sig(shashes)").as("sig"))
     val rows = NumHashes / Bands
     val banded = docs.select(
       col("doc_id"), col("sig"),
@@ -154,40 +160,48 @@ object Dedup {
   // blocked candidate pairs (same lang, adjacent length bucket) so the
   // quadratic term stays bounded at scale; emits pairs above 0.2.
   private def q33(s: SparkSession, d: String): DataFrame = {
-    val grams = {
-      val toks = tokens(col("text"))
-      array_distinct(transform(
-        indices(size(toks) - 1),
-        i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2))))
-    }
-    val docs = documents(s, d).select(col("doc_id"), col("lang"),
-      floor(tokenCount(col("text")) / 50L).cast("long").as("lbucket"), grams.as("grams"))
-    val a = docs.as("a")
-    val b = docs.as("b")
-    a.join(b, col("a.lang") === col("b.lang")
-        && col("a.lbucket") === col("b.lbucket")
-        && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        (size(array_intersect(col("a.grams"), col("b.grams"))).cast("double") /
-          size(array_union(col("a.grams"), col("b.grams")))).as("jaccard"))
+    graft.functions.GraftFunctions.register(s)
+    // Gram sets are SORTED DISTINCT 60-bit hashes, so the pairwise
+    // Jaccard verify is one codegen'd merge pass per pair
+    // (SortedIntersectCount) instead of interpreted string-set
+    // intersection (99 s -> ~1 s at sf0.1). |A∪B| = |A|+|B|−|A∩B|.
+    val toksDf = documents(s, d)
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
+      .repartition(col("doc_id"))
+    val grams = array_sort(array_distinct(transform(
+      indices(size(col("toks")) - 1),
+      i => hash60(concat_ws(" ", element_at(col("toks"), i + 1), element_at(col("toks"), i + 2))))))
+    val docs = toksDf.select(col("doc_id"), col("lang"),
+      floor(size(col("toks")) / 50L).cast("long").as("lbucket"), grams.as("grams"))
+    val a = docs.select(col("doc_id").as("doc_a"), col("lang"), col("lbucket"), col("grams").as("ga"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("lang"), col("lbucket"), col("grams").as("gb"))
+    a.join(b, Seq("lang", "lbucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("inter", expr("sorted_intersect_count(ga, gb)"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (size(col("ga")) + size(col("gb")) - col("inter")))
       .filter(col("jaccard") > 0.2)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
   private val q33Sql = {
     val toks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
     s"""WITH docs AS (
-      |  SELECT doc_id, lang, len($toks) // 50 AS lbucket,
-      |    list_distinct(list_transform(range(greatest(len($toks) - 1, 0)),
-      |      i -> $toks[i+1] || ' ' || $toks[i+2])) AS grams
-      |  FROM documents)
-      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |  CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
-      |    len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
-      |FROM docs a JOIN docs b
-      |  ON a.lang = b.lang AND a.lbucket = b.lbucket AND a.doc_id < b.doc_id
-      |WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
-      |    len(list_distinct(list_concat(a.grams, b.grams))) > 0.2
+      |  SELECT doc_id, lang, len(toks) // 50 AS lbucket,
+      |    list_sort(list_distinct(list_transform(range(greatest(len(toks) - 1, 0)),
+      |      i -> ${hash60Sql("toks[i+1] || ' ' || toks[i+2]")}))) AS grams
+      |  FROM (SELECT doc_id, lang, $toks AS toks FROM documents) t),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    len(list_intersect(a.grams, b.grams)) AS inter,
+      |    len(a.grams) AS na, len(b.grams) AS nb
+      |  FROM docs a JOIN docs b
+      |    ON a.lang = b.lang AND a.lbucket = b.lbucket AND a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b,
+      |  CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+      |FROM pairs
+      |WHERE CAST(inter AS DOUBLE) / (na + nb - inter) > 0.2
       |ORDER BY doc_a, doc_b""".stripMargin
   }
 

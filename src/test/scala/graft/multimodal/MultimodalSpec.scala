@@ -1,0 +1,44 @@
+package graft.multimodal
+
+import graft.SparkSpec
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+  import Multimodal._
+
+  test("decode stub is deterministic and batch-shape independent") {
+    val recs = (0L until 150L).map(i =>
+      MediaRecord(i, Seq("image", "audio", "video")(i.toInt % 3),
+        Array.tabulate[Byte]((i % 40).toInt + 1)(j => (i + j).toByte)))
+    val oneByOne = recs.flatMap(r => decodeBatch(Seq(r)))
+    val batched = recs.grouped(64).flatMap(decodeBatch).toSeq
+    assert(oneByOne == batched)
+  }
+
+  test("extractFeatures runs distributed and matches local decode") {
+    val recs = (0L until 100L).map(i =>
+      MediaRecord(i, "image", Array.tabulate[Byte](10)(j => (i * 7 + j).toByte)))
+    val ds = spark.createDataset(recs).repartition(5)
+    val got = extractFeatures(ds).collect().sortBy(_.media_id).toSeq
+    val want = decodeBatch(recs).sortBy(_.media_id)
+    assert(got == want)
+  }
+
+  test("frame sampling strides through video chunks only") {
+    val video = MediaRecord(1, "video", Array.fill[Byte](300)(7))
+    val audio = MediaRecord(2, "audio", Array.fill[Byte](300)(7))
+    val ds = spark.createDataset(Seq(video, audio))
+    val frames = sampleFrames(ds, stride = 2).collect().toSeq
+    assert(frames.map(_._1).distinct == Seq(1L))
+    assert(frames.map(_._2) == Seq(0, 2, 4)) // 300 bytes -> 5 chunks, stride 2
+  }
+
+  test("media features query over documents produces full coverage") {
+    val df = mediaFeaturesQuery(spark, "/root/testdata/sf0.001")
+    val rows = df.collect()
+    assert(rows.length == 500)
+    assert(df.columns.toSeq ==
+      Seq("media_id", "kind", "byte_len", "checksum", "width", "height", "n_frames"))
+    assert(rows.forall(_.getLong(2) > 0))
+  }
+}
