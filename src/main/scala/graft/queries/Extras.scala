@@ -1,0 +1,134 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+import graft.functions.TextFns.{hash60, hash60Sql}
+
+/** Additional relational surface: pivot-style conditional aggregation,
+  * deterministic sampling, quantile bucketing, AS-OF joins, and ordered
+  * list aggregation.
+  */
+object Extras {
+
+  // q42 — pivot via conditional aggregation (the shuffle-free form of
+  // PIVOT: one pass, one agg per cell, identical SQL in any engine).
+  private def q42(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(when(col("o_orderstatus") === "F", 1)).as("n_f"),
+        count(when(col("o_orderstatus") === "O", 1)).as("n_o"),
+        count(when(col("o_orderstatus") === "P", 1)).as("n_p"),
+        sum(when(col("o_orderstatus") === "F", col("o_totalprice"))
+          .otherwise(lit(0.0)).cast("decimal(14,2)")).cast("double").as("total_f"))
+      .orderBy(col("o_orderpriority"))
+
+  private val q42Sql =
+    """SELECT o_orderpriority,
+      |  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+      |  count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+      |  count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p,
+      |  CAST(sum(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END
+      |    AS DECIMAL(14,2))) AS DOUBLE) AS total_f
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  // q43 — deterministic hash sampling: a ~10% sample that is identical
+  // on every engine and every run (portable md5-derived hash mod 100) —
+  // the repeatable-sampling primitive a data pipeline needs (Bernoulli
+  // sampling by hash, not by RNG).
+  private def q43(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .filter(pmod(hash60(col("text")), lit(100L)) < 10)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  private val q43Sql =
+    s"""SELECT doc_id, lang, n_chars
+      |FROM documents
+      |WHERE ${hash60Sql("text")} % 100 < 10
+      |ORDER BY doc_id""".stripMargin
+
+  // q44 — quantile bucketing with ntile over a total order.
+  private def q44(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+    orders(s, d)
+      .withColumn("bucket", ntile(4).over(w))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
+      .orderBy(col("bucket"))
+  }
+
+  private val q44Sql =
+    """SELECT bucket, count(*) AS n, min(o_totalprice) AS lo, max(o_totalprice) AS hi
+      |FROM (
+      |  SELECT o_totalprice,
+      |    ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+      |  FROM orders) t
+      |GROUP BY bucket
+      |ORDER BY bucket""".stripMargin
+
+  // q45 — AS-OF join: for every click event, the most recent signup of
+  // the same user at-or-before it. Spark has no asof-join operator; the
+  // scalable composition is a source-tagged union + running
+  // last_value(ignoreNulls) over event time — ONE shuffle on user_id,
+  // no range cross-product (the reference lacks joins entirely;
+  // SURVEY.md §2.2). The oracle is DuckDB's native ASOF LEFT JOIN.
+  private def q45(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_ms"), col("event_id"), lit(1).as("tag"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts_ms"), col("event_id"), lit(0).as("tag"))
+    // signup sorts before click at equal ts (tag 0 < 1) => '<=' semantics
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"), col("tag"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(signups)
+      .withColumn("last_signup_ms",
+        last(when(col("tag") === 0, col("ts_ms")), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("event_id"), col("user_id"), col("ts_ms"), col("last_signup_ms"))
+      .orderBy(col("event_id"))
+  }
+
+  private val q45Sql =
+    """SELECT c.event_id, c.user_id, c.ts_ms, s.ts_ms AS last_signup_ms
+      |FROM (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms FROM events
+      |      WHERE event_type = 'click') c
+      |ASOF LEFT JOIN
+      |     (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events
+      |      WHERE event_type = 'signup') s
+      |  ON c.user_id = s.user_id AND c.ts_ms >= s.ts_ms
+      |ORDER BY event_id""".stripMargin
+
+  // q46 — ordered list aggregation: nation names per region as a
+  // deterministic sorted CSV (collect_list order is nondeterministic;
+  // array_sort pins it — same contract as DuckDB's ORDER BY inside
+  // string_agg).
+  private def q46(s: SparkSession, d: String): DataFrame =
+    nation(s, d).join(broadcast(region(s, d)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"),
+        count(lit(1)).as("n"))
+      .orderBy(col("r_name"))
+
+  private val q46Sql =
+    """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations, count(*) AS n
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name
+      |ORDER BY r_name""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("q42_pivot_case", q42, Some(q42Sql)),
+    Q("q43_sample_hash", q43, Some(q43Sql)),
+    Q("q44_ntile", q44, Some(q44Sql)),
+    Q("q45_asof_join", q45, Some(q45Sql)),
+    Q("q46_listagg", q46, Some(q46Sql)),
+  )
+}
