@@ -75,4 +75,27 @@ object StatefulStreams {
       .groupBy(window(col(tsCol), size, slide), col(keyCol))
       .agg(count(lit(1)).as("n"))
       .select(col(s"window.start").as("win_start"), col(keyCol), col("n"))
+
+  /** Native session windows (gap-based), beyond the reference's fixed
+    * windows (SURVEY.md §2.2 notes sessions are absent there). Batch
+    * oracle equivalent: graft.queries.EventWindows.q28.
+    */
+  def sessionCounts(df: DataFrame, tsCol: String, keyCol: String,
+      gap: String, delay: String): DataFrame =
+    df.withWatermark(tsCol, delay)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("session_start"), col(keyCol), col("n"))
+
+  /** O7 (broadcast fan-out, engine.go:196-211) for streams: one source
+    * micro-batch delivered to N sinks via foreachBatch. The batch
+    * DataFrame is persisted so the plan is computed once per epoch, not
+    * once per sink — the micro-batch-consistent multi-sink pattern.
+    */
+  def fanOutSinks(df: DataFrame, sinks: Seq[DataFrame => Unit]): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      batch.persist()
+      try sinks.foreach(sink => sink(batch))
+      finally { batch.unpersist(); () }
+    }
 }

@@ -1,0 +1,45 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import graft.SparkSpec
+
+class StreamingExtrasSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native session windows split on gap") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String)]
+    in.addData(Seq(
+      (java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), "u1"),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:00:30"), "u1"),
+      (java.sql.Timestamp.valueOf("2024-01-01 01:00:00"), "u1"), // new session
+      (java.sql.Timestamp.valueOf("2024-01-01 02:00:00"), "u1"))) // watermark driver
+    val out = StatefulStreams.sessionCounts(
+      in.toDF().toDF("ts", "user"), "ts", "user", "5 minutes", "1 second")
+    val q = out.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.table("sessions")
+      .select("session_start", "n").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1))).toSeq.sorted
+    // first session has 2 events, second 1 (third still open -> not emitted)
+    assert(rows == Seq(("2024-01-01 00:00:01.0", 2L), ("2024-01-01 01:00:00.0", 1L)))
+  }
+
+  test("foreachBatch fan-out delivers each micro-batch to every sink") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[Int]
+    in.addData(1 to 10)
+    val got1 = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val got2 = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val sinks: Seq[DataFrame => Unit] = Seq(
+      df => got1.synchronized { got1 += df.count() },
+      df => got2.synchronized { got2 += df.count() })
+    val q = StatefulStreams.fanOutSinks(in.toDF(), sinks)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(got1.sum == 10 && got2.sum == 10)
+  }
+}
