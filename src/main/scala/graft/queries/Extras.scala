@@ -124,11 +124,31 @@ object Extras {
       |GROUP BY r_name
       |ORDER BY r_name""".stripMargin
 
+  // q47 — JSON extraction from the events.props payload column:
+  // parse-free path extraction (get_json_object) + typed cast + agg.
+  private def q47(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(get_json_object(col("props"), "$.k").cast("long").as("k"),
+        col("event_type"))
+      .groupBy(pmod(col("k"), lit(10L)).as("k_bucket"))
+      .agg(count(lit(1)).as("n"), min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy(col("k_bucket"))
+
+  private val q47Sql =
+    """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+      |  count(*) AS n,
+      |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+      |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY k_bucket""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q42_pivot_case", q42, Some(q42Sql)),
     Q("q43_sample_hash", q43, Some(q43Sql)),
     Q("q44_ntile", q44, Some(q44Sql)),
     Q("q45_asof_join", q45, Some(q45Sql)),
     Q("q46_listagg", q46, Some(q46Sql)),
+    Q("q47_json_extract", q47, Some(q47Sql)),
   )
 }
