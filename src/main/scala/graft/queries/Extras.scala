@@ -143,6 +143,40 @@ object Extras {
       |GROUP BY 1
       |ORDER BY k_bucket""".stripMargin
 
+  // q48 — KMV distinct-count sketch (custom typed Aggregator,
+  // graft.functions.KmvSketch) per language: the k-th smallest distinct
+  // hash + the cardinality estimate, next to the exact count. The
+  // sketch is hash-deterministic, so unlike HLL the oracle verifies it
+  // EXACTLY: DuckDB reproduces the same k-th min via row_number over
+  // sorted distinct hashes.
+  private def q48(s: SparkSession, d: String): DataFrame = {
+    val k = 64
+    documents(s, d)
+      .select(col("lang"), hash60(col("text")).as("h"))
+      .groupBy(col("lang"))
+      .agg(
+        countDistinct(col("h")).as("exact_distinct"),
+        graft.functions.KmvSketch.kthMinHash(col("h"), k).as("kth_min"))
+      // sentinel -1 (fewer than k distinct) -> NULL, matching the oracle
+      .withColumn("kth_min",
+        when(col("kth_min") === -1L, lit(null)).otherwise(col("kth_min")))
+      .withColumn("est",
+        lit((k - 1).toDouble) * lit(1152921504606846976.0) / col("kth_min"))
+      .orderBy(col("lang"))
+  }
+
+  private val q48Sql =
+    s"""SELECT lang, exact_distinct, kth_min,
+      |  CAST(63 AS DOUBLE) * 1152921504606846976 / kth_min AS est
+      |FROM (
+      |  SELECT lang, count(DISTINCT h) AS exact_distinct,
+      |    min(CASE WHEN rn = 64 THEN h END) AS kth_min
+      |  FROM (
+      |    SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+      |    FROM (SELECT DISTINCT lang, ${hash60Sql("text")} AS h FROM documents) d1) d2
+      |  GROUP BY lang) d3
+      |ORDER BY lang""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q42_pivot_case", q42, Some(q42Sql)),
     Q("q43_sample_hash", q43, Some(q43Sql)),
@@ -150,5 +184,6 @@ object Extras {
     Q("q45_asof_join", q45, Some(q45Sql)),
     Q("q46_listagg", q46, Some(q46Sql)),
     Q("q47_json_extract", q47, Some(q47Sql)),
+    Q("q48_kmv_sketch", q48, Some(q48Sql)),
   )
 }

@@ -8,6 +8,16 @@ class BucketingSpec extends SparkSpec {
   import spark.implicits._
 
   test("join of co-bucketed tables runs without a shuffle exchange") {
+    // a previous JVM's managed-table files survive in spark-warehouse/
+    // while the in-memory catalog starts empty -> clear both
+    Seq("bkt_left", "bkt_right").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val dir = new java.io.File(s"spark-warehouse/$t")
+      if (dir.exists()) {
+        dir.listFiles().foreach(_.delete())
+        dir.delete()
+      }
+    }
     val left = (1L to 1000L).map(i => (i % 100, i)).toDF("k", "v")
     val right = (1L to 500L).map(i => (i % 100, s"r$i")).toDF("k", "w")
     Bucketing.writeBucketed(left, "bkt_left", "k", 8)
