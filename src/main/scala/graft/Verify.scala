@@ -34,8 +34,20 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Rewrite bare table references to absolute parquet paths so each
+    // oracle statement is self-contained in DuckDB regardless of which
+    // views the harness pre-registers (documents/embeddings are not in
+    // TESTDATA.md's table list). DuckDB reads '<path>.parquet' in FROM
+    // position directly and auto-aliases the scan by file basename, so
+    // both bare references and explicitly aliased ones keep working.
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    val pattern = ("(?i)\\b(FROM|JOIN)\\s+(" + tables.mkString("|") + ")\\b").r
+    def inline(sql: String): String =
+      pattern.replaceAllIn(sql, m =>
+        s"${m.group(1)} '$sfDir/${m.group(2).toLowerCase}.parquet'")
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(inline(v))}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }
