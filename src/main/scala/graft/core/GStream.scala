@@ -87,11 +87,24 @@ final class GStream[T](val ds: Dataset[(Long, T)]) {
     }
   }
 
+  /** O5 (SetParallelism, node.go:13): physical-only repartitioning —
+    * the reference's round-robin default keying (key.go:33-55) is load
+    * balancing, never semantic (SURVEY.md §7.4), which is exactly
+    * Spark's RoundRobinPartitioning.
+    */
+  def parallelism(n: Int): GStream[T] = new GStream(ds.repartition(n))
+
   /** O11: ordered materialization (the reference's LogSink + sorted
     * compare; node.go:107-114).
     */
   def collectOrdered(): Seq[T] =
     ds.orderBy("_1").collect().toSeq.map(_._2)
+
+  /** O12: terminal sink — run `f` per record, discard output
+    * (the reference's discard sink, bench/wordcount_test.go:38-41).
+    */
+  def foreachSink(f: T => Unit): Unit =
+    ds.foreach((sv: (Long, T)) => f(sv._2))
 }
 
 object GStream {
