@@ -177,6 +177,32 @@ object Extras {
       |  GROUP BY lang) d3
       |ORDER BY lang""".stripMargin
 
+  // q49 — range join, binned (graft.ops.RangeJoins): for each error
+  // event, how many clicks the same user made in the preceding 5
+  // minutes. The oracle states the naive non-equi range join; the
+  // Spark side runs the linear-shuffle binned equi-join.
+  private def q49(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts_ms"), col("event_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_ms"))
+    graft.ops.RangeJoins.countPreceding(
+        errors, clicks, "user_id", "ts_ms", "event_id", 300000L)
+      .orderBy(col("event_id"))
+  }
+
+  private val q49Sql =
+    """SELECT e.event_id, count(c.ts_ms) AS n_preceding
+      |FROM (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms FROM events
+      |      WHERE event_type = 'error') e
+      |LEFT JOIN (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events
+      |      WHERE event_type = 'click') c
+      |  ON e.user_id = c.user_id
+      |  AND c.ts_ms >= e.ts_ms - 300000 AND c.ts_ms < e.ts_ms
+      |GROUP BY e.event_id
+      |ORDER BY event_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q42_pivot_case", q42, Some(q42Sql)),
     Q("q43_sample_hash", q43, Some(q43Sql)),
@@ -185,5 +211,6 @@ object Extras {
     Q("q46_listagg", q46, Some(q46Sql)),
     Q("q47_json_extract", q47, Some(q47Sql)),
     Q("q48_kmv_sketch", q48, Some(q48Sql)),
+    Q("q49_range_join", q49, Some(q49Sql)),
   )
 }
