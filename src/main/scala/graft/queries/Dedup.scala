@@ -175,7 +175,13 @@ object Dedup {
       floor(size(col("toks")) / 50L).cast("long").as("lbucket"), grams.as("grams"))
     val a = docs.select(col("doc_id").as("doc_a"), col("lang"), col("lbucket"), col("grams").as("ga"))
     val b = docs.select(col("doc_id").as("doc_b"), col("lang"), col("lbucket"), col("grams").as("gb"))
-    a.join(b, Seq("lang", "lbucket"))
+    // Broadcast the build side explicitly: the blocked join has only
+    // O(#langs × #buckets) distinct keys, so a shuffled join would put
+    // each block on ONE task (skew); with a broadcast, the probe side
+    // keeps its 32-way doc_id partitioning and pair generation stays
+    // balanced. (At 100 TB the build side is the deduped gram-set
+    // table — still orders of magnitude below the corpus.)
+    a.join(broadcast(b), Seq("lang", "lbucket"))
       .filter(col("doc_a") < col("doc_b"))
       .withColumn("inter", expr("sorted_intersect_count(ga, gb)"))
       .withColumn("jaccard",

@@ -31,6 +31,21 @@ class QueryPackSpec extends SparkSpec {
     assert(recall >= 0.55, s"IVF recall $recall too low")
   }
 
+  test("approximate aggregates track exact values (HLL, quantile sketch)") {
+    import org.apache.spark.sql.functions._
+    val li = graft.Tables.lineitem(spark, sf)
+    val row = li.agg(
+      countDistinct(col("l_partkey")).as("exact"),
+      approx_count_distinct(col("l_partkey"), 0.02).as("approx"),
+      expr("percentile_approx(l_extendedprice, 0.5, 10000)").as("p50_approx"),
+      expr("percentile(l_extendedprice, 0.5)").as("p50_exact")).head()
+    val (exact, approx) = (row.getLong(0), row.getLong(1))
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"HLL estimate $approx vs exact $exact")
+    val (pa, pe) = (row.getDouble(2), row.getDouble(3))
+    assert(math.abs(pa - pe) / pe < 0.05, s"quantile sketch $pa vs exact $pe")
+  }
+
   test("minhash est_jaccard correlates with exact ngram jaccard on found pairs") {
     val mh = SparkEntry.queries("q32_minhash_lsh")(spark, sf).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
