@@ -75,6 +75,24 @@ class GStreamSpec extends SparkSpec {
     assert(got == Seq(2, 4, 6, 8, 10))
   }
 
+  test("parallelism is physical-only: results unchanged by repartition") {
+    val got = GStream.fromSeq(spark, (1 to 100).toSeq)
+      .parallelism(7)
+      .keyBy(_ % 3)
+      .mapState(0L) { (acc: Long, v: Int) => (acc + v, Seq(acc + v)) }
+      .collectOrdered()
+    val want = (0 until 3).flatMap { k =>
+      (1 to 100).filter(_ % 3 == k).scanLeft(0L)(_ + _).drop(1)
+    }
+    assert(got.sorted == want.sorted)
+  }
+
+  test("foreachSink visits every record") {
+    val acc = spark.sparkContext.longAccumulator("sum")
+    GStream.fromSeq(spark, (1 to 500).toSeq).foreachSink(v => acc.add(v))
+    assert(acc.value == (1 to 500).sum)
+  }
+
   test("flatMap emits 0..N per record and filter drops") {
     val got = GStream.fromSeq(spark, Seq("a b", "", "c"))
       .flatMap(_.split(" ").toSeq.filter(_.nonEmpty))

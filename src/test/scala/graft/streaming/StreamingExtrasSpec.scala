@@ -28,6 +28,23 @@ class StreamingExtrasSpec extends SparkSpec {
     assert(rows == Seq(("2024-01-01 00:00:01.0", 2L), ("2024-01-01 01:00:00.0", 1L)))
   }
 
+  test("update-mode streaming aggregation revises counts per micro-batch") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[String]
+    in.addData(Seq("a", "b", "a"))
+    in.addData(Seq("a", "c"))
+    val counts = in.toDF().toDF("w").groupBy("w").count()
+    val q = counts.writeStream.format("memory").queryName("upd")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // update mode emits one revision row per changed key per batch;
+    // the LAST revision per key must equal the true totals
+    val last = spark.table("upd").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+    assert(last == Map("a" -> 3L, "b" -> 1L, "c" -> 1L))
+  }
+
   test("foreachBatch fan-out delivers each micro-batch to every sink") {
     implicit val sql = spark.sqlContext
     val in = MemoryStream[Int]
