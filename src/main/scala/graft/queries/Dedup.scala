@@ -103,10 +103,11 @@ object Dedup {
        |    j -> coalesce(list_min(list_transform(shashes,
        |      x -> ((2*j+1)*x + 12345*j + 6789) % $P)), $P))""".stripMargin
 
-  // q32 — MinHash LSH candidate pairs: signatures → Bands bands of 4 →
+  // MinHash LSH candidate pairs: signatures → Bands bands of 4 →
   // explode (band, bandKey=4 sig values) → groupBy bucket → pairs, with
   // the estimated Jaccard (matching signature fraction) per pair.
-  private def q32(s: SparkSession, d: String): DataFrame = {
+  // Shared by q32 (the pair list) and q35 (clusters over the pairs).
+  private def candidatePairs(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     // Tokenize on the scan, then repartition BEFORE the heavy per-doc
     // signature math: the testdata is one small parquet file (one input
@@ -136,25 +137,66 @@ object Dedup {
         (size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y),
           v => v)).cast("double") / NumHashes).as("est_jaccard"))
       .distinct()
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  private val q32Sql = {
+  private def q32(s: SparkSession, d: String): DataFrame =
+    candidatePairs(s, d).orderBy(col("doc_a"), col("doc_b"))
+
+  /** DuckDB CTE list producing `pairs(doc_a, doc_b, est_jaccard)` —
+    * shared by the q32 and q35 oracles.
+    */
+  private val pairsCteSql = {
     val rows = NumHashes / Bands
-    s"""WITH sigs AS (
+    s"""sigs AS (
       |  SELECT doc_id, $signatureSql AS sig
       |  FROM (SELECT doc_id, $shingleHashesSql AS shashes FROM documents) t),
       |banded AS (
       |  SELECT doc_id, sig, b.band AS band,
       |    array_to_string(sig[b.band*$rows+1 : b.band*$rows+$rows], ',') AS bkey
-      |  FROM sigs, (SELECT unnest(range($Bands)) AS band) b)
-      |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |  CAST(len(list_filter(list_transform(range($NumHashes),
-      |    i -> a.sig[i+1] = b.sig[i+1]), x -> x)) AS DOUBLE) / $NumHashes AS est_jaccard
-      |FROM banded a JOIN banded b
-      |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-      |ORDER BY doc_a, doc_b""".stripMargin
+      |  FROM sigs, (SELECT unnest(range($Bands)) AS band) b),
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(len(list_filter(list_transform(range($NumHashes),
+      |      i -> a.sig[i+1] = b.sig[i+1]), x -> x)) AS DOUBLE) / $NumHashes AS est_jaccard
+      |  FROM banded a JOIN banded b
+      |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)""".stripMargin
   }
+
+  private val q32Sql =
+    s"""WITH $pairsCteSql
+      |SELECT doc_a, doc_b, est_jaccard FROM pairs
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  // q35 — duplicate clusters: connected components over the LSH
+  // candidate pairs (graft.ops.ConnectedComponents min-label
+  // propagation); cluster id = min doc_id in the component — i.e. the
+  // representative a dedup pipeline keeps. Oracle: recursive-CTE
+  // transitive closure over the same pairs.
+  private def q35(s: SparkSession, d: String): DataFrame = {
+    val edges = candidatePairs(s, d)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val comp = graft.ops.ConnectedComponents.minLabel(edges)
+    comp
+      .withColumn("cluster_size", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("comp"))))
+      .select(col("id").as("doc_id"), col("comp").as("cluster_id"), col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q35Sql =
+    s"""WITH RECURSIVE $pairsCteSql,
+      |undirected(a, b) AS (
+      |  SELECT doc_a, doc_b FROM pairs UNION SELECT doc_b, doc_a FROM pairs
+      |  UNION SELECT doc_a, doc_a FROM pairs UNION SELECT doc_b, doc_b FROM pairs),
+      |reach(a, b) AS (
+      |  SELECT a, b FROM undirected
+      |  UNION
+      |  SELECT r.a, u.b FROM reach r JOIN undirected u ON r.b = u.a),
+      |comp AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a)
+      |SELECT doc_id, cluster_id,
+      |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+      |FROM comp
+      |ORDER BY doc_id""".stripMargin
 
   // q33 — exact n-gram (word bigram) Jaccard similarity, restricted to
   // blocked candidate pairs (same lang, adjacent length bucket) so the
@@ -216,5 +258,6 @@ object Dedup {
     Q("q31_dedup_norm", q31, Some(q31Sql)),
     Q("q32_minhash_lsh", q32, Some(q32Sql)),
     Q("q33_ngram_jaccard", q33, Some(q33Sql)),
+    Q("q35_dedup_clusters", q35, Some(q35Sql)),
   )
 }

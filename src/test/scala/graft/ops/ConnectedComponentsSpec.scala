@@ -1,0 +1,37 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class ConnectedComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  test("min-label propagation equals union-find on a random graph") {
+    val rnd = new scala.util.Random(17)
+    val edges = (1 to 200).map(_ => (rnd.nextInt(150).toLong, rnd.nextInt(150).toLong))
+      .filter { case (a, b) => a != b }
+    val got = ConnectedComponents.minLabel(edges.toDF("a", "b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val want = unionFind(edges)
+    assert(got == want)
+  }
+
+  test("chain graph converges (worst-case diameter)") {
+    val edges = (1L until 15L).map(i => (i, i + 1))
+    val got = ConnectedComponents.minLabel(edges.toDF("a", "b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == (1L to 15L).map(_ -> 1L).toMap)
+  }
+}
