@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{CosineSimilarity, MinHashSig, SortedIntersectCount}
+import graft.functions.{CosineSimilarity, MinHashSig, SimHash60, SortedIntersectCount}
 
 /** Session-extension entry point: makes graft's native expressions
   * available in ANY session via config, no code changes —
@@ -30,5 +30,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("sorted_intersect_count"),
       new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
       exprs => SortedIntersectCount(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("simhash60"),
+      new ExpressionInfo(classOf[SimHash60].getName, "simhash60"),
+      exprs => SimHash60(exprs.head)))
   }
 }

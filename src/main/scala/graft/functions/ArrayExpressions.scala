@@ -89,6 +89,77 @@ case class MinHashSig(child: Expression, numHashes: Int)
     copy(child = newChild)
 }
 
+/** 60-bit SimHash over an array of (60-bit) token hashes WITH
+  * multiplicity: bit i of the signature is set iff the majority of
+  * token hashes have bit i set (strictly positive vote sum; ties
+  * clear the bit — matching the oracle's `> 0`). Near-duplicate
+  * documents differ in few tokens, so their signatures differ in few
+  * bits; candidate pairs come from pigeonhole banding over 4×15-bit
+  * chunks (hamming ≤ 3 ⇒ at least one chunk equal).
+  */
+case class SimHash60(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"simhash60 expects array<bigint>, got ${t.catalogString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash60"
+
+  override def nullSafeEval(input: Any): Any = {
+    val xs = input.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    val acc = new Array[Int](60)
+    var i = 0
+    while (i < n) {
+      val h = xs.getLong(i)
+      var b = 0
+      while (b < 60) {
+        if (((h >> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 60) {
+      if (acc(b) > 0) sig |= 1L << b
+      b += 1
+    }
+    java.lang.Long.valueOf(sig)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, xs => {
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val h = ctx.freshName("h")
+      val sig = ctx.freshName("sig")
+      s"""
+         |int $n = $xs.numElements();
+         |int[] $acc = new int[60];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $h = $xs.getLong($i);
+         |  for (int $b = 0; $b < 60; $b++) {
+         |    if ((($h >> $b) & 1L) == 1L) $acc[$b]++; else $acc[$b]--;
+         |  }
+         |}
+         |long $sig = 0L;
+         |for (int $b = 0; $b < 60; $b++) {
+         |  if ($acc[$b] > 0) $sig |= 1L << $b;
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Count of common elements between two SORTED DISTINCT long arrays
   * (single merge pass). Drives exact Jaccard on hashed n-gram sets:
   * |A∩B| with |A∪B| = |A| + |B| − |A∩B|.

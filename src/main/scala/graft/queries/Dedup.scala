@@ -253,11 +253,63 @@ object Dedup {
       |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // q36 — SimHash near-dup pairs: 60-bit majority-vote signature per
+  // doc (codegen'd SimHash60 over the token hashes), candidates via
+  // pigeonhole banding (4 chunks of 15 bits: hamming <= 3 implies at
+  // least one equal chunk), verified by exact hamming distance.
+  private def q36(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val toksDf = documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .repartition(col("doc_id"))
+    val sigs = toksDf
+      .select(col("doc_id"),
+        transform(col("toks"), t => hash60(t)).as("hs"))
+      .select(col("doc_id"), expr("simhash60(hs)").as("sig"))
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      explode(array((0 until 4).map(c =>
+        struct(lit(c).as("c"),
+          pmod(shiftright(col("sig"), 15 * c), lit(32768L)).as("chunk"))): _*)).as("x"))
+      .select(col("doc_id"), col("sig"), col("x.c"), col("x.chunk"))
+    val a = banded.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"), col("c"), col("chunk"))
+    val b = banded.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"), col("c"), col("chunk"))
+    a.join(broadcast(b), Seq("c", "chunk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(sig_a ^ sig_b)").cast("long").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .distinct()
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val q36Sql = {
+    val toks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+    val simhash =
+      s"""list_reduce(list_transform(range(60), bit ->
+         |      CASE WHEN list_sum(list_transform(hs,
+         |        h -> CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+         |      THEN 1::BIGINT << bit ELSE 0::BIGINT END), (a, b) -> a + b)""".stripMargin
+    s"""WITH sigs AS (
+      |  SELECT doc_id, $simhash AS sig
+      |  FROM (SELECT doc_id, list_transform($toks, t -> ${hash60Sql("t")}) AS hs
+      |        FROM documents) t),
+      |banded AS (
+      |  SELECT doc_id, sig, cc.c AS c, (sig >> (15 * cc.c)) & 32767 AS chunk
+      |  FROM sigs, (SELECT unnest(range(4)) AS c) cc)
+      |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+      |FROM banded a JOIN banded b
+      |  ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+      |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q30_dedup_exact", q30, Some(q30Sql)),
     Q("q31_dedup_norm", q31, Some(q31Sql)),
     Q("q32_minhash_lsh", q32, Some(q32Sql)),
     Q("q33_ngram_jaccard", q33, Some(q33Sql)),
     Q("q35_dedup_clusters", q35, Some(q35Sql)),
+    Q("q36_simhash", q36, Some(q36Sql)),
   )
 }

@@ -28,6 +28,24 @@ class ArrayExprSpec extends SparkSpec {
     assert(got == Seq.fill(graft.queries.Dedup.NumHashes)(P))
   }
 
+  test("simhash60 matches the majority-vote reference formula") {
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(19)
+    val rows = (1 to 30).map(_ => Seq.fill(rnd.nextInt(50) + 1)(rnd.nextLong().abs % (1L << 60)))
+    val got = rows.toDF("hs").select(expr("simhash60(hs)")).as[Long].collect().toSeq
+    val want = rows.map { hs =>
+      (0 until 60).map { b =>
+        val votes = hs.map(h => if (((h >> b) & 1L) == 1L) 1 else -1).sum
+        if (votes > 0) 1L << b else 0L
+      }.sum
+    }
+    assert(got == want)
+    // known example from the oracle probe: [5, 12, 5] -> 5
+    val known = Seq(Seq(5L, 12L, 5L)).toDF("hs")
+      .select(expr("simhash60(hs)")).as[Long].head()
+    assert(known == 5L)
+  }
+
   test("sorted_intersect_count equals set intersection size") {
     GraftFunctions.register(spark)
     val rnd = new scala.util.Random(13)
