@@ -4,7 +4,8 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native array expressions for the dedup hot loops.
   *
@@ -82,6 +83,88 @@ case class MinHashSig(child: Expression, numHashes: Int)
          |  $sig[$j] = $m;
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Rabin–Karp rolling hash: polynomial hash (base 257, mod 2^31−1)
+  * of every `window`-byte substring of an ASCII string, computed with
+  * O(1) work per shift — h' = (h·B − c_out·B^w + c_in) mod p — i.e. the
+  * document-fingerprinting primitive (winnowing selects minima from
+  * this array). The per-window value equals the direct formula
+  * Σ c_j·B^(w−1−j) mod p, which is what the DuckDB oracle evaluates
+  * independently per window (O(n·w), same numbers).
+  * Empty array when the input is shorter than the window.
+  */
+case class RollingHashes(child: Expression, window: Int)
+    extends UnaryExpression {
+
+  private val P = 2147483647L
+  private val B = 257L
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"rolling_hashes expects string, got ${t.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "rolling_hashes"
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val n = bytes.length
+    if (n < window) return new GenericArrayData(Array.emptyLongArray)
+    // B^(w-1) mod p
+    var bw = 1L
+    var e = 0
+    while (e < window - 1) { bw = bw * B % P; e += 1 }
+    val out = new Array[Long](n - window + 1)
+    var h = 0L
+    var i = 0
+    while (i < window) { h = (h * B + (bytes(i) & 0xffL)) % P; i += 1 }
+    out(0) = h
+    while (i < n) {
+      h = ((h - (bytes(i - window) & 0xffL) * bw % P + P) % P * B + (bytes(i) & 0xffL)) % P
+      out(i - window + 1) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val bytes = ctx.freshName("bytes")
+      val n = ctx.freshName("n")
+      val bw = ctx.freshName("bw")
+      val e = ctx.freshName("e")
+      val out = ctx.freshName("out")
+      val h = ctx.freshName("h")
+      val i = ctx.freshName("i")
+      s"""
+         |byte[] $bytes = $s.getBytes();
+         |int $n = $bytes.length;
+         |long[] $out;
+         |if ($n < $window) {
+         |  $out = new long[0];
+         |} else {
+         |  $out = new long[$n - $window + 1];
+         |  long $bw = 1L;
+         |  for (int $e = 0; $e < $window - 1; $e++) $bw = $bw * ${B}L % ${P}L;
+         |  long $h = 0L;
+         |  int $i = 0;
+         |  for (; $i < $window; $i++) $h = ($h * ${B}L + ($bytes[$i] & 0xffL)) % ${P}L;
+         |  $out[0] = $h;
+         |  for (; $i < $n; $i++) {
+         |    $h = (($h - ($bytes[$i - $window] & 0xffL) * $bw % ${P}L + ${P}L) % ${P}L
+         |          * ${B}L + ($bytes[$i] & 0xffL)) % ${P}L;
+         |    $out[$i - $window + 1] = $h;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin
     })
 

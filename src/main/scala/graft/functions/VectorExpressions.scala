@@ -106,5 +106,8 @@ object GraftFunctions {
       exprs => SortedIntersectCount(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "simhash60", exprs => SimHash60(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "rolling_hashes", exprs => RollingHashes(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
   }
 }

@@ -143,10 +143,44 @@ object TextAnalysis {
       |  FROM documents) t
       |ORDER BY doc_id""".stripMargin
 
+  // q54 — Rabin–Karp rolling-hash fingerprints: polynomial hash of
+  // every 16-byte window of the normalized text, O(1) per shift in the
+  // codegen'd RollingHashes expression; summary stats per doc. The
+  // oracle evaluates the direct Horner formula per window (O(n·w)) —
+  // identical values, so the rolling optimization is itself verified.
+  private def q54(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    documents(s, d)
+      .select(col("doc_id"), normalize(col("text")).as("norm"))
+      .select(col("doc_id"), expr("rolling_hashes(norm, 16)").as("rh"))
+      .select(
+        col("doc_id"),
+        size(col("rh")).cast("long").as("n_windows"),
+        array_min(col("rh")).as("min_fp"),
+        array_max(col("rh")).as("max_fp"),
+        size(array_distinct(col("rh"))).cast("long").as("distinct_fps"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q54Sql = {
+    val norm = normalizeSql("text")
+    s"""SELECT doc_id, len(rh) AS n_windows, list_min(rh) AS min_fp,
+      |  list_max(rh) AS max_fp, len(list_distinct(rh)) AS distinct_fps
+      |FROM (
+      |  SELECT doc_id,
+      |    list_transform(range(greatest(length(norm) - 15, 0)), i ->
+      |      list_reduce(list_transform(range(16),
+      |        j -> CAST(ascii(substr(norm, i + j + 1, 1)) AS BIGINT)),
+      |        (acc, c) -> (acc * 257 + c) % 2147483647)) AS rh
+      |  FROM (SELECT doc_id, $norm AS norm FROM documents) t1) t2
+      |ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q50_token_stats", q50, Some(q50Sql)),
     Q("q51_lang_id", q51, Some(q51Sql)),
     Q("q52_quality_score", q52, Some(q52Sql)),
     Q("q53_fingerprint", q53, Some(q53Sql)),
+    Q("q54_rolling_fingerprint", q54, Some(q54Sql)),
   )
 }

@@ -46,6 +46,27 @@ class ArrayExprSpec extends SparkSpec {
     assert(known == 5L)
   }
 
+  test("rolling_hashes: rolling update equals direct Horner formula") {
+    GraftFunctions.register(spark)
+    val P = 2147483647L
+    def direct(s: String, w: Int): Seq[Long] = {
+      val b = s.getBytes("UTF-8")
+      if (b.length < w) Seq.empty
+      else (0 to b.length - w).map { i =>
+        (i until i + w).foldLeft(0L)((acc, j) => (acc * 257 + (b(j) & 0xff)) % P)
+      }
+    }
+    val rnd = new scala.util.Random(23)
+    val strs = (1 to 20).map(_ =>
+      (0 until rnd.nextInt(80)).map(_ => ('a' + rnd.nextInt(27)).toChar).mkString)
+    val got = strs.toDF("s").select(expr("rolling_hashes(s, 16)"))
+      .as[Seq[Long]].collect().toSeq
+    assert(got.map(_.toSeq) == strs.map(direct(_, 16)))
+    // short input -> empty
+    assert(Seq("abc").toDF("s").select(expr("rolling_hashes(s, 16)"))
+      .as[Seq[Long]].head().isEmpty)
+  }
+
   test("sorted_intersect_count equals set intersection size") {
     GraftFunctions.register(spark)
     val rnd = new scala.util.Random(13)
