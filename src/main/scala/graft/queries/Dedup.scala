@@ -107,7 +107,7 @@ object Dedup {
   // explode (band, bandKey=4 sig values) → groupBy bucket → pairs, with
   // the estimated Jaccard (matching signature fraction) per pair.
   // Shared by q32 (the pair list) and q35 (clusters over the pairs).
-  private def candidatePairs(s: SparkSession, d: String): DataFrame = {
+  private[queries] def candidatePairs(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     // Tokenize on the scan, then repartition BEFORE the heavy per-doc
     // signature math: the testdata is one small parquet file (one input
@@ -145,7 +145,7 @@ object Dedup {
   /** DuckDB CTE list producing `pairs(doc_a, doc_b, est_jaccard)` —
     * shared by the q32 and q35 oracles.
     */
-  private val pairsCteSql = {
+  private[queries] val pairsCteSql = {
     val rows = NumHashes / Bands
     s"""sigs AS (
       |  SELECT doc_id, $signatureSql AS sig

@@ -45,4 +45,31 @@ class CheckpointRecoverySpec extends SparkSpec {
     assert(received.toArray(Array.empty[String]).sorted.toSeq ==
       Seq("a:1", "a:2", "a:3", "b:1", "b:2"))
   }
+
+  test("stateful streaming runs on the RocksDB state store") {
+    // the at-scale state backend (bounded executor memory, state
+    // spills to local RocksDB instances) — same operator, one config
+    implicit val sql = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[String]
+      in.addData(Seq("x", "y", "x"))
+      in.addData(Seq("x"))
+      val counts = StatefulStreams.statefulByKey(in.toDS(), (w: String) => w, 0) {
+        (n: Int, w: String) => (n + 1, Seq(s"$w:${n + 1}"))
+      }
+      val q = counts.writeStream.format("memory").queryName("rocks_out")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val got = spark.table("rocks_out").as[String].collect().toSeq.sorted
+      assert(got == Seq("x:1", "x:2", "x:3", "y:1"))
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
