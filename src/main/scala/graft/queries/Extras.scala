@@ -203,6 +203,60 @@ object Extras {
       |GROUP BY e.event_id
       |ORDER BY event_id""".stripMargin
 
+  // q56 — the rest of the analytic-window family: first/last/nth value
+  // over ordered frames, percent_rank, cume_dist, dense_rank.
+  private def q56(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    orders(s, d)
+      .withColumn("first_price", first(col("o_totalprice")).over(wFull))
+      .withColumn("last_price", last(col("o_totalprice")).over(wFull))
+      .withColumn("second_price", nth_value(col("o_totalprice"), 2).over(wFull))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .withColumn("dr", dense_rank().over(w))
+      .select(col("o_custkey"), col("o_orderkey"), col("first_price"), col("last_price"),
+        col("second_price"), col("pr"), col("cd"), col("dr"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  private val q56Sql =
+    """SELECT o_custkey, o_orderkey,
+      |  first_value(o_totalprice) OVER wf AS first_price,
+      |  last_value(o_totalprice) OVER wf AS last_price,
+      |  nth_value(o_totalprice, 2) OVER wf AS second_price,
+      |  percent_rank() OVER w AS pr,
+      |  cume_dist() OVER w AS cd,
+      |  dense_rank() OVER w AS dr
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+      |  wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  // q57 — exact interpolated quantiles per group: Spark `percentile`
+  // and DuckDB `quantile_cont` share the (1−g)·x_i + g·x_{i+1}
+  // definition on the sorted values, so results are raw-double exact.
+  private def q57(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        expr("percentile(o_totalprice, 0.5)").as("median_price"),
+        expr("percentile(o_totalprice, 0.25)").as("q1_price"),
+        expr("percentile(o_totalprice, 0.9)").as("p90_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+
+  private val q57Sql =
+    """SELECT o_orderpriority,
+      |  quantile_cont(o_totalprice, 0.5) AS median_price,
+      |  quantile_cont(o_totalprice, 0.25) AS q1_price,
+      |  quantile_cont(o_totalprice, 0.9) AS p90_price,
+      |  count(*) AS n
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q42_pivot_case", q42, Some(q42Sql)),
     Q("q43_sample_hash", q43, Some(q43Sql)),
@@ -212,5 +266,7 @@ object Extras {
     Q("q47_json_extract", q47, Some(q47Sql)),
     Q("q48_kmv_sketch", q48, Some(q48Sql)),
     Q("q49_range_join", q49, Some(q49Sql)),
+    Q("q56_analytic_funcs", q56, Some(q56Sql)),
+    Q("q57_quantiles", q57, Some(q57Sql)),
   )
 }

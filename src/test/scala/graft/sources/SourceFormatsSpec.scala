@@ -1,0 +1,52 @@
+package graft.sources
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.SparkSpec
+
+/** Source/sink format coverage beyond parquet (the reference has no
+  * file IO at all — SURVEY.md §2.2 Scans): CSV and JSON round-trips
+  * with explicit schemas, plus schema-on-read JSON lines.
+  */
+class SourceFormatsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("CSV round-trip preserves rows with an explicit schema") {
+    val dir = Files.createTempDirectory("graft_csv").toString
+    val src = graft.Tables.nation(spark, sf)
+    src.write.mode("overwrite").option("header", "true").csv(dir)
+    val schema = StructType(Seq(
+      StructField("n_nationkey", IntegerType),
+      StructField("n_name", StringType),
+      StructField("n_regionkey", IntegerType)))
+    val back = spark.read.schema(schema).option("header", "true").csv(dir)
+    assert(back.count() == src.count())
+    assert(back.orderBy("n_nationkey").collect().toSeq ==
+      src.orderBy("n_nationkey").collect().toSeq)
+  }
+
+  test("JSON-lines round-trip and schema-on-read") {
+    val dir = Files.createTempDirectory("graft_json").toString
+    val src = graft.Tables.region(spark, sf)
+    src.write.mode("overwrite").json(dir)
+    val back = spark.read.json(dir)
+    assert(back.count() == src.count())
+    // schema-on-read infers the columns (types may widen: int -> bigint)
+    assert(back.columns.sorted.toSeq == src.columns.sorted.toSeq)
+    val names = back.select("r_name").collect().map(_.getString(0)).sorted.toSeq
+    assert(names == src.select("r_name").collect().map(_.getString(0)).sorted.toSeq)
+  }
+
+  test("partitioned parquet write prunes partitions on read") {
+    val dir = Files.createTempDirectory("graft_part").toString
+    graft.Tables.documents(spark, sf)
+      .write.mode("overwrite").partitionBy("lang").parquet(dir)
+    val one = spark.read.parquet(dir).filter(col("lang") === "en")
+    val plan = one.queryExecution.executedPlan.toString
+    // partition filter must reach the scan, not a post-filter
+    assert(one.count() > 0)
+    assert(plan.contains("PartitionFilters: [isnotnull(lang"), plan.take(500))
+  }
+}
