@@ -257,6 +257,28 @@ object Extras {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  // q58 — SQL-text entry point: the engine also accepts ANSI SQL via
+  // spark.sql over registered views (the reference has no query
+  // language at all — SURVEY.md §3). Correlated scalar subquery,
+  // decorrelated by Catalyst into a join under the hood.
+  private def q58(s: SparkSession, d: String): DataFrame = {
+    customer(s, d).createOrReplaceTempView("customer_v")
+    nation(s, d).createOrReplaceTempView("nation_v")
+    s.sql(
+      """SELECT n.n_name, c.c_custkey, c.c_acctbal
+        |FROM customer_v c JOIN nation_v n ON c.c_nationkey = n.n_nationkey
+        |WHERE c.c_acctbal = (SELECT max(c2.c_acctbal) FROM customer_v c2
+        |                     WHERE c2.c_nationkey = c.c_nationkey)
+        |ORDER BY n.n_name, c.c_custkey""".stripMargin)
+  }
+
+  private val q58Sql =
+    """SELECT n.n_name, c.c_custkey, c.c_acctbal
+      |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |WHERE c.c_acctbal = (SELECT max(c2.c_acctbal) FROM customer c2
+      |                     WHERE c2.c_nationkey = c.c_nationkey)
+      |ORDER BY n.n_name, c.c_custkey""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q42_pivot_case", q42, Some(q42Sql)),
     Q("q43_sample_hash", q43, Some(q43Sql)),
@@ -268,5 +290,6 @@ object Extras {
     Q("q49_range_join", q49, Some(q49Sql)),
     Q("q56_analytic_funcs", q56, Some(q56Sql)),
     Q("q57_quantiles", q57, Some(q57Sql)),
+    Q("q58_sql_correlated", q58, Some(q58Sql)),
   )
 }
