@@ -58,8 +58,22 @@ def main(sf_dir, out_dir):
             continue
         gc, gr = canon(got)
         wc, wr = canon(want)
+        # Kind check: DuckDB sum(int) yields HUGEINT -> pandas float64,
+        # which the driver stringifies as "3.0" vs Spark's BIGINT "3" and
+        # hash-mismatches even though %.17g formatting hides it here
+        # (bit us on q28 in round 1). Compare dtype *kinds* so int-vs-float
+        # (and datetime-vs-anything) skew is caught, while int32-vs-int64
+        # width differences stay tolerated.
+        gk = {c: got.dtypes[c].kind for c in got.columns}
+        wk = {c: want.dtypes[c].kind for c in want.columns}
+        grp = lambda k: "i" if k in "iu" else k
+        kind_diff = {c: (gk[c], wk[c]) for c in gk
+                     if c in wk and grp(gk[c]) != grp(wk[c])}
         if gc != wc:
             print(f"FAIL {name}: columns differ spark={gc} duck={wc}")
+            n_fail += 1
+        elif kind_diff:
+            print(f"FAIL {name}: dtype kinds differ {kind_diff}")
             n_fail += 1
         elif gr != wr:
             diffs = [(a, b) for a, b in zip(gr, wr) if a != b][:3]

@@ -95,8 +95,8 @@ object EventWindows {
       |  FROM t),
       |sess AS (
       |  SELECT user_id, ts_ms,
-      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       |  FROM flagged)
       |SELECT user_id, session_id, count(*) AS n_events,
       |  min(ts_ms) AS session_start, max(ts_ms) - min(ts_ms) AS duration_ms
