@@ -14,7 +14,7 @@ object SparkEntry {
   /** All registered query packs. */
   def packs: Seq[Q] =
     Relational.all ++ EventWindows.all ++ TextAnalysis.all ++ Dedup.all ++ Similarity.all ++
-      Extras.all ++ Pipeline.all ++
+      Extras.all ++ Extras2.all ++ Pipeline.all ++
       Seq(Q("q70_media_features", graft.multimodal.Multimodal.mediaFeaturesQuery, None))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
