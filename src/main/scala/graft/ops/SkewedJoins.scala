@@ -38,4 +38,28 @@ object SkewedJoins {
         bigKey === smallKey && salted("__salt") === replicated("__salt"), joinType)
       .drop("__salt")
   }
+
+  /** Multi-key `USING`-style variant: inner join on `keys` with the big
+    * side salted and the small side replicated `saltFactor`×. Use when
+    * the equi-join has FEW distinct key values (a blocked self-join, a
+    * low-cardinality dimension): a plain shuffle would put each key on
+    * one task, a broadcast would ship the whole small side to every
+    * executor (O(N) driver/executor memory — the 100 TB failure mode).
+    * Salting keeps the shuffle but spreads each key over `saltFactor`
+    * tasks at a bounded `saltFactor`× replication cost of the small
+    * side's shuffle volume — size `saltFactor` ≈ cluster parallelism /
+    * distinct-key count.
+    */
+  def saltedEquiJoinUsing(
+      big: DataFrame,
+      small: DataFrame,
+      keys: Seq[String],
+      saltFactor: Int = 16): DataFrame = {
+    require(saltFactor > 0)
+    val salted = big.withColumn("__salt",
+      pmod(hash(struct(big.columns.map(col).toIndexedSeq: _*)), lit(saltFactor)))
+    val replicated = small
+      .withColumn("__salt", explode(array((0 until saltFactor).map(lit): _*)))
+    salted.join(replicated, keys :+ "__salt").drop("__salt")
+  }
 }

@@ -37,6 +37,11 @@ object Dedup {
   val NumHashes = 32
   val Bands = 8 // 4 rows per band
 
+  /** LSH buckets larger than this are triangle-split across tasks. */
+  val HotBucketThreshold = 256
+  /** Row-group fan-out for triangle-split hot buckets. */
+  val TriangleSplit = 8
+
   // q30 — exact dedup: representative (min doc_id) + cardinality per
   // distinct text, via the 60-bit fingerprint so the shuffle key is 8
   // bytes. Collision probability at 10^12 docs ~ 4e-7 (birthday, 60
@@ -129,12 +134,40 @@ object Dedup {
           concat_ws(",", transform(slice(col("sig"), b * rows + 1, lit(rows)),
             _.cast("string"))).as("bkey")))).as("bb"))
       .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bkey"))
-    val a = banded.as("a")
-    val b = banded.as("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
-        && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        (size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y),
+    // Hot-bucket insurance: a degenerate band key (e.g. a duplicate-
+    // heavy corpus where thousands of docs share one signature) makes a
+    // bucket's pair generation quadratic ON ONE TASK. The pair OUTPUT
+    // is inherently C(m,2) — but the work can be spread: buckets above
+    // HotBucketThreshold are "triangle split" into R row-groups, and
+    // the join key is extended with the group pair (p, q), p <= q, so
+    // the C(m,2) pairs generate across R(R+1)/2 tasks of ~(m/R)^2 pairs
+    // each. Replication cost <= (R+1)/2 per hot row; cold buckets (the
+    // common case) keep replication 1 and degenerate to exactly the
+    // original single-block self-join. The hot-bucket list itself is a
+    // map-side-combined count — never skewed — and broadcast (tiny:
+    // only buckets over the threshold).
+    val hot = banded.groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") > HotBucketThreshold)
+      .select(col("band"), col("bkey"), lit(true).as("__hot"))
+    val graded = banded.join(broadcast(hot), Seq("band", "bkey"), "left")
+      .withColumn("__r", when(col("__hot"), lit(TriangleSplit)).otherwise(lit(1)))
+      .withColumn("__g", pmod(hash(col("doc_id")), col("__r")))
+    // row with group g: "low" member of blocks (g, q>=g), "high" member
+    // of blocks (p<=g, g) — every pair lands in exactly one block.
+    val a = graded
+      .withColumn("__q", explode(sequence(col("__g"), col("__r") - 1)))
+      .select(col("doc_id").as("ida"), col("sig").as("siga"),
+        col("band"), col("bkey"), col("__g").as("__p"), col("__q"))
+    val b = graded
+      .withColumn("__p", explode(sequence(lit(0), col("__g"))))
+      .select(col("doc_id").as("idb"), col("sig").as("sigb"),
+        col("band"), col("bkey"), col("__p"), col("__g").as("__q"))
+    a.join(b, Seq("band", "bkey", "__p", "__q"))
+      .filter(col("__p") =!= col("__q") || col("ida") < col("idb"))
+      .select(least(col("ida"), col("idb")).as("doc_a"),
+        greatest(col("ida"), col("idb")).as("doc_b"),
+        (size(filter(zip_with(col("siga"), col("sigb"), (x, y) => x === y),
           v => v)).cast("double") / NumHashes).as("est_jaccard"))
       .distinct()
   }
@@ -217,13 +250,14 @@ object Dedup {
       floor(size(col("toks")) / 50L).cast("long").as("lbucket"), grams.as("grams"))
     val a = docs.select(col("doc_id").as("doc_a"), col("lang"), col("lbucket"), col("grams").as("ga"))
     val b = docs.select(col("doc_id").as("doc_b"), col("lang"), col("lbucket"), col("grams").as("gb"))
-    // Broadcast the build side explicitly: the blocked join has only
-    // O(#langs × #buckets) distinct keys, so a shuffled join would put
-    // each block on ONE task (skew); with a broadcast, the probe side
-    // keeps its 32-way doc_id partitioning and pair generation stays
-    // balanced. (At 100 TB the build side is the deduped gram-set
-    // table — still orders of magnitude below the corpus.)
-    a.join(broadcast(b), Seq("lang", "lbucket"))
+    // The blocked self-join has only O(#langs × #buckets) distinct keys,
+    // so a plain shuffle would put each block on ONE task (skew) — but a
+    // broadcast of `b` ships EVERY document's gram set to every
+    // executor: O(corpus) memory, the 100 TB failure mode. The salted
+    // shuffled join is the scale-safe middle: each (lang, lbucket)
+    // block spreads over `saltFactor` tasks and the replication cost is
+    // bounded at saltFactor× of the gram-set shuffle volume.
+    graft.ops.SkewedJoins.saltedEquiJoinUsing(a, b, Seq("lang", "lbucket"), saltFactor = 8)
       .filter(col("doc_a") < col("doc_b"))
       .withColumn("inter", expr("sorted_intersect_count(ga, gb)"))
       .withColumn("jaccard",
@@ -273,7 +307,12 @@ object Dedup {
       .select(col("doc_id"), col("sig"), col("x.c"), col("x.chunk"))
     val a = banded.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"), col("c"), col("chunk"))
     val b = banded.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"), col("c"), col("chunk"))
-    a.join(broadcast(b), Seq("c", "chunk"))
+    // Same scale rule as q33: never broadcast a corpus-sized side. The
+    // (c, chunk) key space is 4×2^15 — wide enough for a plain shuffle
+    // in the typical case — but degenerate chunks (e.g. every empty doc
+    // hashes to sig 0) concentrate; the salt spreads any such hot chunk
+    // over 8 tasks at 8× replication of the 16-byte banded rows.
+    graft.ops.SkewedJoins.saltedEquiJoinUsing(a, b, Seq("c", "chunk"), saltFactor = 8)
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         expr("bit_count(sig_a ^ sig_b)").cast("long").as("hamming"))

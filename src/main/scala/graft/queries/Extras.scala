@@ -52,11 +52,44 @@ object Extras {
       |WHERE ${hash60Sql("text")} % 100 < 10
       |ORDER BY doc_id""".stripMargin
 
-  // q44 — quantile bucketing with ntile over a total order.
+  // q44 — quantile bucketing over a total order, WITHOUT the global
+  // single-partition ntile window (which funnels the whole table
+  // through one task's sort — the 100 TB failure mode). Distributed
+  // exact equivalent: range-repartition on the sort key, rank within
+  // each range partition, then add per-partition offsets (a ≤#partition
+  // row aggregate — bounded by cluster size, not data) to get the exact
+  // global rank, and apply ntile's remainder-first bucket formula
+  // directly. Output is bit-identical to ntile(4) OVER (ORDER BY ...).
   private def q44(s: SparkSession, d: String): DataFrame = {
-    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-    orders(s, d)
-      .withColumn("bucket", ntile(4).over(w))
+    val nb = 4
+    val o = orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+      .repartitionByRange(32, col("o_totalprice"), col("o_orderkey"))
+      .withColumn("pid", spark_partition_id())
+    val wLocal = Window.partitionBy(col("pid"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val local = o.withColumn("lrk", row_number().over(wLocal))
+    // per-partition counts -> exclusive prefix offsets; <=32 rows, so
+    // the unpartitioned window here is O(#partitions), not O(data)
+    val wOff = Window.orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(sum(col("cnt")).over(wOff), lit(0L)))
+      .select(col("pid"), col("off"))
+    val tot = local.groupBy().agg(count(lit(1)).as("n_total"))
+    // ntile semantics: q = n/nb, r = n%nb; first r buckets get q+1 rows.
+    // Integer `div` throughout — double division would lose exactness
+    // past 2^53 rows.
+    local.join(broadcast(offsets), "pid")
+      .crossJoin(broadcast(tot))
+      .withColumn("rk", col("off") + col("lrk"))
+      .withColumn("q", expr(s"n_total div $nb"))
+      .withColumn("r", col("n_total") % nb)
+      .withColumn("bucket",
+        when(col("rk") <= col("r") * (col("q") + 1),
+          expr("(rk + q) div (q + 1)"))
+          .otherwise(col("r") +
+            expr("(rk - r * (q + 1) + greatest(q, 1L) - 1) div greatest(q, 1L)"))
+        .cast("int"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"),
         min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))

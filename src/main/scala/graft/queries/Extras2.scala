@@ -101,7 +101,11 @@ object Extras2 {
       .withColumn("k", col("kstr").cast("long"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), min(col("k")).as("min_k"),
-        max(col("k")).as("max_k"), sum(col("k")).as("sum_k"))
+        max(col("k")).as("max_k"),
+        // decimal-exact sum: a LONG sum would ANSI-overflow at extreme
+        // scale where DuckDB's HUGEINT would not (oracle-determinism
+        // rule, same as the monetary sums)
+        sum(col("k").cast(DecimalType(38, 0))).cast("long").as("sum_k"))
       .orderBy(col("event_type"))
 
   private val q62Sql =
@@ -115,16 +119,19 @@ object Extras2 {
       |ORDER BY event_type""".stripMargin
 
   // q63 — time-series gap-fill: a dense (event_type × hour) grid over
-  // the observed span, zero-filled where no events landed. The grid is
-  // generated distributively (sequence+explode), never collected to the
-  // driver; the hourly counts aggregate down before the join so both
-  // join sides are tiny regardless of input scale.
+  // the observed span, zero-filled where no events landed. The hour
+  // axis comes from spark.range — generated in parallel across tasks —
+  // rather than sequence()+explode, which would build the entire span
+  // as one in-memory array inside a single task. The (lo, hi) bounds
+  // are a 2-value aggregate collected once (constant-size, not a data
+  // collect); the hourly counts aggregate down before the join so both
+  // join sides stay tiny regardless of input scale.
   private def q63(s: SparkSession, d: String): DataFrame = {
     val ev = events(s, d)
       .select(col("event_type"), expr("ts_ms div 3600000").as("hr"))
     val counts = ev.groupBy(col("event_type"), col("hr")).agg(count(lit(1)).as("n"))
-    val grid = ev.agg(min(col("hr")).as("lo"), max(col("hr")).as("hi"))
-      .select(explode(sequence(col("lo"), col("hi"))).as("hr"))
+    val bounds = ev.agg(min(col("hr")).as("lo"), max(col("hr")).as("hi")).head()
+    val grid = s.range(bounds.getLong(0), bounds.getLong(1) + 1).toDF("hr")
       .crossJoin(ev.select(col("event_type")).distinct())
     grid.join(counts, Seq("event_type", "hr"), "left")
       .select(col("event_type"), col("hr"), coalesce(col("n"), lit(0L)).as("n"))

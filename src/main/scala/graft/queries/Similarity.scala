@@ -63,19 +63,41 @@ object Similarity {
       |WHERE rk <= 5
       |ORDER BY query_id, rk""".stripMargin
 
+  /** q34 pivot count / probed cells per vector. */
+  val NearDupPivots = 16
+  val NearDupProbe = 2
+
   // q34 — embedding-level near-duplicate detection: each vector's
-  // nearest neighbor within its label block (blocked to bound the
-  // pair count, the same blocking trick as Dedup.q33), with the flag
-  // used to drop near-dups above a threshold.
+  // nearest CANDIDATE neighbor, where candidates share the label AND a
+  // coarse-quantizer cell (nearest-of-NearDupPivots pivot vectors,
+  // multi-probed to the top NearDupProbe cells). Label-only blocking is
+  // all-pairs within each label — quadratic in corpus size per label;
+  // the cell sub-block bounds the expected pair count per (label, cell)
+  // bucket at (probe·N / (labels·pivots))², and PivotCount scales as
+  // √(N/labels) at 100 TB so total pairs stay ~linear per label. The
+  // quantizer is deterministic and SQL-expressible (pivots = vec_id <
+  // NearDupPivots, assignment = argmax ordered-fold cosine, ties to the
+  // smaller pivot id), so DuckDB computes the identical blocked
+  // semantics — bit-exact, no recall gap in the gate.
   private def q34(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
     val e = embeddings(s, d)
-    val a = e.select(col("vec_id").as("id_a"), col("label"), col("embedding").as("va"))
-    val b = e.select(col("vec_id").as("id_b"), col("label"), col("embedding").as("vb"))
+    val pivots = e.filter(col("vec_id") < NearDupPivots)
+      .select(col("vec_id").as("pivot_id"), col("embedding").as("pvec"))
+    val wCell = Window.partitionBy(col("vec_id")).orderBy(col("pcos").desc, col("pivot_id"))
+    val assigned = e.join(broadcast(pivots))
+      .withColumn("pcos", expr("cosine_sim(embedding, pvec)"))
+      .withColumn("prk", row_number().over(wCell))
+      .filter(col("prk") <= NearDupProbe)
+      .select(col("vec_id"), col("label"), col("embedding"), col("pivot_id").as("cell"))
+    val a = assigned.select(col("vec_id").as("id_a"), col("label"), col("cell"), col("embedding").as("va"))
+    val b = assigned.select(col("vec_id").as("id_b"), col("label"), col("cell"), col("embedding").as("vb"))
     val w = Window.partitionBy(col("id_a")).orderBy(col("cos").desc, col("id_b"))
-    a.join(b, Seq("label"))
+    a.join(b, Seq("label", "cell"))
       .filter(col("id_a") =!= col("id_b"))
       .withColumn("cos", expr("cosine_sim(va, vb)"))
+      .select(col("id_a"), col("label"), col("id_b"), col("cos"))
+      .distinct() // a pair can co-occur in both probed cells
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
       .select(col("id_a").as("vec_id"), col("label"), col("id_b").as("nn_id"),
@@ -85,15 +107,24 @@ object Similarity {
   }
 
   private val q34Sql =
-    s"""SELECT vec_id, label, nn_id, nn_cos,
+    s"""WITH assigned AS (
+      |  SELECT vec_id, label, embedding, cell FROM (
+      |    SELECT e.vec_id, e.label, e.embedding, p.vec_id AS cell,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY ${cosSql("e.embedding", "p.embedding")} DESC, p.vec_id) AS prk
+      |    FROM embeddings e JOIN embeddings p ON p.vec_id < $NearDupPivots) t
+      |  WHERE prk <= $NearDupProbe),
+      |pairs AS (
+      |  SELECT DISTINCT a.vec_id AS id_a, a.label AS label, b.vec_id AS id_b,
+      |    ${cosSql("a.embedding", "b.embedding")} AS cos
+      |  FROM assigned a JOIN assigned b
+      |    ON a.label = b.label AND a.cell = b.cell AND a.vec_id <> b.vec_id)
+      |SELECT vec_id, label, nn_id, nn_cos,
       |  CASE WHEN nn_cos > 0.35 THEN 1 ELSE 0 END AS near_dup
       |FROM (
-      |  SELECT a.vec_id AS vec_id, a.label AS label, b.vec_id AS nn_id,
-      |    ${cosSql("a.embedding", "b.embedding")} AS nn_cos,
-      |    row_number() OVER (PARTITION BY a.vec_id
-      |      ORDER BY ${cosSql("a.embedding", "b.embedding")} DESC, b.vec_id) AS rk
-      |  FROM embeddings a JOIN embeddings b
-      |    ON a.label = b.label AND a.vec_id <> b.vec_id) t
+      |  SELECT id_a AS vec_id, label, id_b AS nn_id, cos AS nn_cos,
+      |    row_number() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b) AS rk
+      |  FROM pairs) t
       |WHERE rk = 1
       |ORDER BY vec_id""".stripMargin
 
