@@ -112,15 +112,22 @@ object Dedup {
   // explode (band, bandKey=4 sig values) → groupBy bucket → pairs, with
   // the estimated Jaccard (matching signature fraction) per pair.
   // Shared by q32 (the pair list) and q35 (clusters over the pairs).
-  private[queries] def candidatePairs(s: SparkSession, d: String): DataFrame = {
-    graft.functions.GraftFunctions.register(s)
+  private[queries] def candidatePairs(s: SparkSession, d: String): DataFrame =
+    candidatePairsFrom(documents(s, d))
+
+  /** The LSH pair pipeline over any (doc_id, text, ...) frame —
+    * split out so specs can feed adversarial corpora (e.g. thousands of
+    * identical documents) through the exact production path.
+    */
+  private[graft] def candidatePairsFrom(documentsDf: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(documentsDf.sparkSession)
     // Tokenize on the scan, then repartition BEFORE the heavy per-doc
     // signature math: the testdata is one small parquet file (one input
     // partition), and at 100 TB the same exchange is what balances
     // skewed document sizes across executors. The signature itself is
     // the codegen'd MinHashSig expression (the interpreted HOF version
     // cost 29 s at sf0.1; this is ~ms).
-    val toksDf = documents(s, d)
+    val toksDf = documentsDf
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .repartition(col("doc_id"))
     val docs = toksDf

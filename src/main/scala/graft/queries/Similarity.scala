@@ -128,42 +128,77 @@ object Similarity {
       |WHERE rk = 1
       |ORDER BY vec_id""".stripMargin
 
-  // q41 — IVF-style ANN: coarse-quantize into cells (elementwise-mean
-  // centroid per label as the deterministic codebook), assign every
-  // vector to its nearest cell, then answer the same 5 queries probing
-  // only the nprobe=5 closest cells (the testdata embeddings are only
-  // weakly clustered, so recall/probe tradeoff is flat: measured
-  // recall@5 is .44/.64/.80 at nprobe 3/5/6). No oracle (centroid
-  // means are FP-order-dependent); recall vs q40 is asserted in
-  // ScalaTest.
+  /** q41 codebook size / Lloyd iterations / probed cells. */
+  val IvfCells = 16
+  val IvfIters = 3
+  val IvfProbe = 6
+  /** Fixed-point scale (2^20) for portable, order-independent centroid
+    * sums — see q41 scaladoc.
+    */
+  val FixScale = 1048576L
+
+  // q41 — IVF ANN with a REAL (iterated Lloyd/k-means) codebook that is
+  // nonetheless bit-reproducible across engines, so the whole query has
+  // a hash-exact DuckDB oracle:
+  //  - init: the embeddings of vec_id 0..IvfCells-1 (k-means++-style
+  //    seeding replaced by fixed seeds for determinism);
+  //  - each iteration assigns every vector to its max-cosine cell (ties
+  //    to the smaller cell id) and recomputes centroids as elementwise
+  //    means of the vectors QUANTIZED to 2^20 fixed-point longs: the
+  //    per-dimension sum is exact 64-bit integer arithmetic —
+  //    order-independent, so Spark's partial aggregation order cannot
+  //    perturb it — and sum/count/2^20 is a single deterministic double
+  //    division identical in DuckDB. (A plain float mean would be
+  //    FP-order-dependent and unverifiable, which is what kept the old
+  //    q41 oracle-less.) round() ties resolve away-from-zero in both
+  //    engines; ×2^20 is exponent-exact.
+  //  - queries probe the IvfProbe nearest cells, exact top-5 within.
+  // Scale: every centroid structure is O(IvfCells × dim) — broadcast;
+  // the corpus is scanned once per iteration and once for the final
+  // assignment, all shuffle-free except the tiny per-cell aggregates.
+  // Recall/probe is the standard IVF knob (QueryPackSpec pins >= 0.9
+  // vs q40 at IvfProbe=6 of 16 cells).
   private def q41(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
     val e = embeddings(s, d)
-    // codebook: elementwise mean per label (tiny: nLabels × dim)
-    val centroids = e
-      .select(col("label").as("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .groupBy(col("cell"), col("pos"))
-      .agg(avg(col("v")).as("m"))
-      .groupBy(col("cell"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-      .select(col("cell"), transform(col("pm"), p => p.getField("m").cast("float")).as("cvec"))
-    // assign vectors to nearest cell
+    val eq = e.select(col("vec_id"), col("embedding"),
+      transform(col("embedding"),
+        x => round(x.cast("double") * FixScale).cast("long")).as("qv"))
+    var centroids = eq.filter(col("vec_id") < IvfCells)
+      .select(col("vec_id").cast("int").as("cell"),
+        transform(col("qv"),
+          q => (q.cast("double") / FixScale.toDouble).cast("float")).as("cvec"))
+    for (_ <- 1 to IvfIters) {
+      val wA = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cell"))
+      val assigned = eq.join(broadcast(centroids))
+        .withColumn("ccos", expr("cosine_sim(embedding, cvec)"))
+        .withColumn("crk", row_number().over(wA))
+        .filter(col("crk") === 1)
+        .select(col("cell"), col("qv"))
+      centroids = assigned
+        .select(col("cell"), posexplode(col("qv")).as(Seq("pos", "q")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("q")).as("sq"), count(lit(1)).as("cnt"))
+        .withColumn("m", (col("sq").cast("double") /
+          (col("cnt").cast("double") * FixScale.toDouble)).cast("float"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell"), transform(col("pm"), p => p.getField("m")).as("cvec"))
+    }
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cell"))
     val assigned = e.join(broadcast(centroids))
       .withColumn("ccos", expr("cosine_sim(embedding, cvec)"))
       .withColumn("crk", row_number().over(wAssign))
       .filter(col("crk") === 1)
       .select(col("vec_id"), col("cell"), col("embedding"))
-    // queries probe the 3 nearest cells
     val q = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
     val wProbe = Window.partitionBy(col("query_id")).orderBy(col("qcos").desc, col("cell"))
     val probed = q.join(broadcast(centroids))
       .withColumn("qcos", expr("cosine_sim(qvec, cvec)"))
       .withColumn("prk", row_number().over(wProbe))
-      .filter(col("prk") <= 5)
+      .filter(col("prk") <= IvfProbe)
       .select(col("query_id"), col("qvec"), col("cell"))
-    // search only within probed cells
     val wTop = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
     assigned.join(broadcast(probed), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
@@ -174,9 +209,71 @@ object Similarity {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** DuckDB mirror of one Lloyd iteration: assign to `prevC`, update
+    * into centroid CTE pair (aName, cName).
+    */
+  private def kmIterSql(prevC: String, aName: String, cName: String): String =
+    s"""$aName AS (
+      |  SELECT cell, qv FROM (
+      |    SELECT e.vec_id, c.cell, e.qv,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY ${cosSql("e.embedding", "c.cvec")} DESC, c.cell) AS crk
+      |    FROM eq e CROSS JOIN $prevC c) t
+      |  WHERE crk = 1),
+      |$cName AS (
+      |  SELECT cell, list(m ORDER BY pos) AS cvec FROM (
+      |    SELECT cell, pos,
+      |      CAST(CAST(sum(q) AS DOUBLE) /
+      |        (CAST(count(*) AS DOUBLE) * $FixScale.0) AS REAL) AS m
+      |    FROM (SELECT cell, r.i AS pos, qv[r.i + 1] AS q
+      |          FROM $aName, range(64) r(i)) x
+      |    GROUP BY cell, pos) y
+      |  GROUP BY cell)""".stripMargin
+
+  private val q41Sql = {
+    val iters = (1 to IvfIters)
+      .map(k => kmIterSql(s"c${k - 1}", s"a$k", s"c$k"))
+      .mkString(",\n")
+    val cFin = s"c$IvfIters"
+    s"""WITH eq AS (
+      |  SELECT vec_id, embedding,
+      |    list_transform(embedding,
+      |      x -> CAST(round(CAST(x AS DOUBLE) * $FixScale) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |c0 AS (
+      |  SELECT CAST(vec_id AS INT) AS cell,
+      |    list_transform(qv,
+      |      q -> CAST(CAST(q AS DOUBLE) / $FixScale.0 AS REAL)) AS cvec
+      |  FROM eq WHERE vec_id < $IvfCells),
+      |$iters,
+      |assigned AS (
+      |  SELECT vec_id, cell, embedding FROM (
+      |    SELECT e.vec_id, c.cell, e.embedding,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY ${cosSql("e.embedding", "c.cvec")} DESC, c.cell) AS crk
+      |    FROM embeddings e CROSS JOIN $cFin c) t
+      |  WHERE crk = 1),
+      |probed AS (
+      |  SELECT query_id, qvec, cell FROM (
+      |    SELECT q.vec_id AS query_id, q.embedding AS qvec, c.cell,
+      |      row_number() OVER (PARTITION BY q.vec_id
+      |        ORDER BY ${cosSql("q.embedding", "c.cvec")} DESC, c.cell) AS prk
+      |    FROM embeddings q CROSS JOIN $cFin c
+      |    WHERE q.vec_id < 5) t
+      |  WHERE prk <= $IvfProbe)
+      |SELECT query_id, rk, vec_id, cos FROM (
+      |  SELECT p.query_id, a.vec_id, ${cosSql("p.qvec", "a.embedding")} AS cos,
+      |    row_number() OVER (PARTITION BY p.query_id
+      |      ORDER BY ${cosSql("p.qvec", "a.embedding")} DESC, a.vec_id) AS rk
+      |  FROM assigned a JOIN probed p ON a.cell = p.cell
+      |  WHERE a.vec_id <> p.query_id) t
+      |WHERE rk <= 5
+      |ORDER BY query_id, rk""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q34_embed_neardup", q34, Some(q34Sql)),
     Q("q40_knn_brute", q40, Some(q40Sql)),
-    Q("q41_knn_ivf", q41, None),
+    Q("q41_knn_ivf", q41, Some(q41Sql)),
   )
 }

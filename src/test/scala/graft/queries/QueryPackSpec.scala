@@ -20,7 +20,7 @@ class QueryPackSpec extends SparkSpec {
     assert(SparkEntry.oracleSql.keySet.subsetOf(qs.keySet))
   }
 
-  test("q41 IVF ANN achieves recall >= 0.55 of brute-force top-5") {
+  test("q41 IVF ANN achieves recall >= 0.9 of brute-force top-5") {
     val brute = SparkEntry.queries("q40_knn_brute")(spark, sf)
       .select("query_id", "vec_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -28,7 +28,9 @@ class QueryPackSpec extends SparkSpec {
       .select("query_id", "vec_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (brute intersect ivf).size.toDouble / brute.size
-    assert(recall >= 0.55, s"IVF recall $recall too low")
+    // measured 0.96 at sf0.001 with the seeded-k-means codebook at
+    // IvfProbe=6 of IvfCells=16 (was 0.64 with label-mean centroids)
+    assert(recall >= 0.9, s"IVF recall $recall too low")
   }
 
   test("approximate aggregates track exact values (HLL, quantile sketch)") {
@@ -54,5 +56,41 @@ class QueryPackSpec extends SparkSpec {
     // minhashes; with 32 hashes that is overwhelming evidence)
     assert(mh.nonEmpty)
     mh.filter(_._2 >= 0.9).keys.foreach { case (a, b) => assert(a < b) }
+  }
+
+  test("LSH pair generation survives an adversarial duplicate-heavy corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 300 identical documents: every band bucket holds all 300 rows —
+    // far past HotBucketThreshold (256), so the triangle-split path
+    // engages — plus 40 unique docs exercising the cold path in the
+    // same run. All C(300,2) pairs must still come out exactly once.
+    val nDup = 300
+    val dups = (0 until nDup).map(i => (i.toLong, "the same exact document text repeated verbatim across the corpus"))
+    val uniques = (nDup until nDup + 40).map(i => (i.toLong, s"unique document number $i with words w${i}a w${i}b w${i}c w${i}d"))
+    val docs = (dups ++ uniques).toDF("doc_id", "text")
+    val pairs = Dedup.candidatePairsFrom(docs)
+      .filter(col("doc_a") < nDup && col("doc_b") < nDup)
+      .collect()
+    assert(pairs.length === nDup * (nDup - 1) / 2,
+      s"expected all-pairs of the duplicate block, got ${pairs.length}")
+    pairs.foreach(r => assert(r.getDouble(2) === 1.0))
+  }
+
+  test("q33/q36 corpus-side joins are not forced broadcasts") {
+    // With auto-broadcast disabled, the salted equi-join must plan as a
+    // shuffle join — proving nothing in the query FORCES a broadcast of
+    // the corpus-sized side (statistics may still pick one at tiny SF,
+    // which self-corrects at scale).
+    val s = spark
+    val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      for (q <- Seq("q33_ngram_jaccard", "q36_simhash")) {
+        val plan = SparkEntry.queries(q)(s, sf).queryExecution.executedPlan.toString
+        assert(!plan.contains("BroadcastHashJoin"), s"$q still broadcasts:\n$plan")
+        assert(plan.contains("__salt"), s"$q lost its salt key")
+      }
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 }
