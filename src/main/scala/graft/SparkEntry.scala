@@ -15,7 +15,8 @@ object SparkEntry {
   def packs: Seq[Q] =
     Relational.all ++ EventWindows.all ++ TextAnalysis.all ++ Dedup.all ++ Similarity.all ++
       Extras.all ++ Extras2.all ++ Pipeline.all ++
-      Seq(Q("q70_media_features", graft.multimodal.Multimodal.mediaFeaturesQuery, None))
+      Seq(Q("q70_media_features", graft.multimodal.Multimodal.mediaFeaturesQuery, None),
+        Q("q71_frame_samples", graft.multimodal.Multimodal.frameSamplesQuery, None))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

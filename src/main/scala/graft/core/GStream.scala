@@ -105,6 +105,42 @@ final class GStream[T](val ds: Dataset[(Long, T)]) {
     */
   def foreachSink(f: T => Unit): Unit =
     ds.foreach((sv: (Long, T)) => f(sv._2))
+
+  /** Topology introspection: the dataflow DAG as data, mirroring the
+    * reference's adjacency+roots topology (topology.gen.go:20-41) and
+    * deterministic walk (walk.go:12-31). Here the Dataset lineage IS
+    * the graph, so the walk runs over the analyzed logical plan:
+    * post-order (sources first, like the reference's root-to-sink
+    * walk), node ids assigned in walk order, one edge per
+    * child-to-parent data flow.
+    */
+  def topology: GTopology = {
+    val nodes = scala.collection.mutable.ArrayBuffer[(Int, String)]()
+    val edges = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+    def walk(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Int = {
+      val childIds = p.children.map(walk)
+      val id = nodes.length
+      nodes += ((id, p.nodeName))
+      childIds.foreach(c => edges += ((c, id)))
+      id
+    }
+    walk(ds.queryExecution.analyzed)
+    GTopology(nodes.toSeq, edges.toSeq)
+  }
+}
+
+/** A dataflow graph snapshot: `nodes` = (id, operator name) in
+  * deterministic walk order, `edges` = (from, to) in data-flow
+  * direction (source → sink).
+  */
+final case class GTopology(nodes: Seq[(Int, String)], edges: Seq[(Int, Int)]) {
+  /** One line per node: `id name -> downstreamIds` — the golden-string
+    * form the reference pins in topology_test.go:17-49.
+    */
+  def render: String = nodes.map { case (i, n) =>
+    val outs = edges.collect { case (f, t) if f == i => t }
+    s"$i $n" + (if (outs.nonEmpty) outs.mkString(" -> ", ",", "") else "")
+  }.mkString("\n")
 }
 
 object GStream {

@@ -108,4 +108,13 @@ object Multimodal {
       .toDF()
       .orderBy("media_id")
   }
+
+  /** Registered frame-sampling query (rows-only check, like
+    * [[mediaFeaturesQuery]]): every 2nd chunk-frame of each "video"
+    * payload, the explode-shaped stage of a video ingest pipeline.
+    */
+  def frameSamplesQuery(spark: SparkSession, sfDir: String): DataFrame =
+    sampleFrames(mediaFromDocuments(spark, sfDir), stride = 2)
+      .toDF("media_id", "frame_no", "frame")
+      .orderBy("media_id", "frame_no")
 }

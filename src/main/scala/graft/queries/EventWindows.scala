@@ -67,11 +67,21 @@ object EventWindows {
   // q28 — session windows: per-user sessions split on >30 min inactivity
   // gaps (the lag + cumulative-flag sessionization; Spark streaming has
   // native session_window — the batch form keeps it oracle-checkable).
-  private def q28(s: SparkSession, d: String): DataFrame = {
+  private def q28(s: SparkSession, d: String): DataFrame =
+    sessionize(events(s, d))
+
+  /** The hand-rolled sessionizer over any (user_id, ts_ms, event_id)
+    * frame. Boundary semantics: a gap STRICTLY GREATER than 30 min
+    * starts a new session — an event at exactly gap distance stays in
+    * the old session. Spark's native session_window (Extras2.q65) has
+    * the SAME boundary (touching windows merge); SessionBoundarySpec
+    * pins both on an exact-gap fixture.
+    */
+  private[graft] def sessionize(ev: DataFrame): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
     val cum = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    events(s, d)
+    ev
       .withColumn("prev_ms", lag(col("ts_ms"), 1).over(byUser))
       .withColumn("new_session",
         when(col("prev_ms").isNull || col("ts_ms") - col("prev_ms") > 1800000L, 1L).otherwise(0L))

@@ -154,10 +154,19 @@ object Extras2 {
   // counts per stage reached. Three chained min-over-partition windows
   // on the SAME partitioning = one shuffle on user_id, no sorts, no
   // self-joins (the oracle states it as the equivalent join cascade).
-  private def q64(s: SparkSession, d: String): DataFrame = {
+  private def q64(s: SparkSession, d: String): DataFrame =
+    funnelStages(events(s, d))
+
+  /** The funnel counter over any (user_id, event_type, ts_ms) frame —
+    * split out so FunnelFixtureSpec can cover all four stage buckets
+    * (the sf testdata lands every user in one stage, leaving the other
+    * CASE branches and null-propagation paths unexercised by the
+    * oracle).
+    */
+  private[graft] def funnelStages(ev: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    events(s, d)
+    ev
       .withColumn("v",
         min(when(col("event_type") === "view", col("ts_ms"))).over(w))
       .withColumn("c",
@@ -201,11 +210,23 @@ object Extras2 {
   // q65 — Spark's native session_window, run in BATCH mode (the same
   // operator graft.streaming.StatefulStreams.sessionCounts uses
   // incrementally). Native semantics: a session spans [first_ts,
-  // last_ts + gap); an event at exactly session-end starts a NEW
-  // session — hence the oracle's `>=` gap test (q28's hand-rolled
-  // sessionizer uses `>` by choice; both are exercised).
+  // last_ts + gap), and an event at EXACTLY session-end MERGES into
+  // the session (touching windows coalesce) — a new session needs a
+  // gap STRICTLY greater than 30 min, the same `>` boundary as q28's
+  // hand-rolled sessionizer. The oracle below therefore tests
+  // `> 1800000`; it previously said `>=`, a latent boundary bug that
+  // the sf testdata never exercised — SessionBoundarySpec now pins the
+  // exact-gap case on both sessionizers.
   private def q65(s: SparkSession, d: String): DataFrame =
-    events(s, d)
+    nativeSessions(events(s, d))
+
+  /** Native session_window sessionizer over any (user_id, ts, value)
+    * frame. Boundary semantics pinned by SessionBoundarySpec: merge at
+    * exactly-gap, split strictly past it — identical to
+    * EventWindows.sessionize; only the output shape differs.
+    */
+  private[graft] def nativeSessions(ev: DataFrame): DataFrame =
+    ev
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast(DecimalType(14, 2))).cast("double").as("sum_value"))
@@ -222,7 +243,7 @@ object Extras2 {
       |  FROM events),
       |flagged AS (
       |  SELECT user_id, value, ts_ms, event_id,
-      |    CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms >= 1800000 THEN 1 ELSE 0 END AS new_s
+      |    CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms > 1800000 THEN 1 ELSE 0 END AS new_s
       |  FROM t),
       |sess AS (
       |  SELECT user_id, value, ts_ms,

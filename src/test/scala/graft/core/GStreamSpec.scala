@@ -100,4 +100,27 @@ class GStreamSpec extends SparkSpec {
       .collectOrdered()
     assert(got == Seq("a", "c"))
   }
+
+  // The reference exposes its DAG as adjacency data with a deterministic
+  // walk and pins the rendering as a golden string
+  // (topology.gen.go:20-41, walk.go:12-31, topology_test.go:17-49).
+  test("topology walk renders a 3-node DAG as a golden string") {
+    val s = GStream.fromSeq(spark, Seq(1, 2, 3)).map(_ * 2).filter(_ > 2)
+    val want =
+      """0 LocalRelation -> 1
+        |1 DeserializeToObject -> 2
+        |2 MapElements -> 3
+        |3 SerializeFromObject -> 4
+        |4 TypedFilter""".stripMargin
+    assert(s.topology.render == want)
+  }
+
+  test("topology of a union DAG has two roots feeding one Union node") {
+    val u = GStream.fromSeq(spark, Seq("a")).unionTagged(GStream.fromSeq(spark, Seq("b")))
+    val topo = new GStream(u.map(t => (t.seq, t.value))).topology
+    val roots = topo.nodes.filter { case (i, _) => !topo.edges.exists(_._2 == i) }
+    assert(roots.map(_._2) == Seq("LocalRelation", "LocalRelation"))
+    val Seq((unionId, _)) = topo.nodes.filter(_._2 == "Union")
+    assert(topo.edges.count(_._2 == unionId) == 2)
+  }
 }
