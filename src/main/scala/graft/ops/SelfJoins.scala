@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed all-pairs-within-block self-joins.
+  *
+  * A blocked self-join (`a.join(b, blockKeys)` + `a.id < b.id`) puts
+  * every pair of a block on the ONE task owning that block's key — a
+  * single hot block is a straggler, and broadcasting one side instead
+  * is O(corpus) memory. The triangle decomposition fixes both: rows of
+  * a block are hashed into `split` row-groups, and the join key is
+  * extended with the group pair (p, q), p <= q, so a block's C(m,2)
+  * pairs spread over split·(split+1)/2 tasks of ~(m/split)² pairs each.
+  *
+  * Replication cost is (split+1)/2 per row — asymptotically √(2T) for
+  * T-way task spread, the known lower bound for distributing an
+  * all-pairs join (each of T tasks must hold 2m/split rows), and
+  * strictly better than key-salting, which pays T× replication for a
+  * T-way spread. Size `split` ≈ √(2 · target parallelism per block).
+  */
+object SelfJoins {
+
+  /** One output row per unordered pair of distinct rows sharing all
+    * `blockKeys`. Non-key columns come out twice, suffixed `_l` / `_r`;
+    * `idCol` must be pair-unique. Orientation is arbitrary for pairs
+    * spanning row-groups (canonicalize with least/greatest if needed);
+    * within a group it is id-ordered. `split` is evaluated per row
+    * (pass `lit(k)` for a fixed fan-out, or a conditional for adaptive
+    * splitting of hot blocks only — replication is 1 where it is 1).
+    * Columns named `__*` are treated as internal (available to `split`,
+    * excluded from the output).
+    */
+  def pairsWithinBlocks(
+      df: DataFrame,
+      blockKeys: Seq[String],
+      idCol: String,
+      split: Column): DataFrame = {
+    val payload = df.columns.toSeq
+      .filterNot(c => blockKeys.contains(c) || c == idCol || c.startsWith("__"))
+    val graded = df
+      .withColumn("__r", split)
+      .withColumn("__g", pmod(hash(col(idCol)), col("__r")))
+    def side(tag: String, prep: DataFrame => DataFrame) = {
+      val renamed = (Seq(idCol) ++ payload).map(c => col(c).as(s"${c}_$tag"))
+      prep(graded).select(
+        blockKeys.map(col) ++ Seq(col("__p"), col("__q")) ++ renamed: _*)
+    }
+    // row with group g: "low" member of blocks (g, q >= g), "high"
+    // member of blocks (p <= g, g) — every pair in exactly one block
+    val aSide = side("l",
+      _.withColumn("__q", explode(sequence(col("__g"), col("__r") - 1)))
+        .withColumn("__p", col("__g")))
+    val bSide = side("r",
+      _.withColumn("__p", explode(sequence(lit(0), col("__g"))))
+        .withColumn("__q", col("__g")))
+    aSide.join(bSide, blockKeys ++ Seq("__p", "__q"))
+      .filter(col("__p") =!= col("__q") || col(s"${idCol}_l") < col(s"${idCol}_r"))
+      .drop("__p", "__q")
+  }
+}

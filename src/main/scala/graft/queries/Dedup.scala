@@ -145,36 +145,25 @@ object Dedup {
     // heavy corpus where thousands of docs share one signature) makes a
     // bucket's pair generation quadratic ON ONE TASK. The pair OUTPUT
     // is inherently C(m,2) — but the work can be spread: buckets above
-    // HotBucketThreshold are "triangle split" into R row-groups, and
-    // the join key is extended with the group pair (p, q), p <= q, so
-    // the C(m,2) pairs generate across R(R+1)/2 tasks of ~(m/R)^2 pairs
-    // each. Replication cost <= (R+1)/2 per hot row; cold buckets (the
-    // common case) keep replication 1 and degenerate to exactly the
-    // original single-block self-join. The hot-bucket list itself is a
-    // map-side-combined count — never skewed — and broadcast (tiny:
-    // only buckets over the threshold).
+    // HotBucketThreshold get triangle-split (ops/SelfJoins) over
+    // TriangleSplit row-groups, while cold buckets (the common case —
+    // LSH buckets are near-unique by construction) keep replication 1
+    // and degenerate to the plain single-block self-join. The
+    // hot-bucket list is a map-side-combined count — never skewed —
+    // and broadcast (tiny: only buckets over the threshold; costs one
+    // extra corpus scan, cheaper at scale than the extra shuffle a
+    // count-window would need).
     val hot = banded.groupBy(col("band"), col("bkey"))
       .agg(count(lit(1)).as("__bn"))
       .filter(col("__bn") > HotBucketThreshold)
       .select(col("band"), col("bkey"), lit(true).as("__hot"))
     val graded = banded.join(broadcast(hot), Seq("band", "bkey"), "left")
-      .withColumn("__r", when(col("__hot"), lit(TriangleSplit)).otherwise(lit(1)))
-      .withColumn("__g", pmod(hash(col("doc_id")), col("__r")))
-    // row with group g: "low" member of blocks (g, q>=g), "high" member
-    // of blocks (p<=g, g) — every pair lands in exactly one block.
-    val a = graded
-      .withColumn("__q", explode(sequence(col("__g"), col("__r") - 1)))
-      .select(col("doc_id").as("ida"), col("sig").as("siga"),
-        col("band"), col("bkey"), col("__g").as("__p"), col("__q"))
-    val b = graded
-      .withColumn("__p", explode(sequence(lit(0), col("__g"))))
-      .select(col("doc_id").as("idb"), col("sig").as("sigb"),
-        col("band"), col("bkey"), col("__p"), col("__g").as("__q"))
-    a.join(b, Seq("band", "bkey", "__p", "__q"))
-      .filter(col("__p") =!= col("__q") || col("ida") < col("idb"))
-      .select(least(col("ida"), col("idb")).as("doc_a"),
-        greatest(col("ida"), col("idb")).as("doc_b"),
-        (size(filter(zip_with(col("siga"), col("sigb"), (x, y) => x === y),
+    graft.ops.SelfJoins
+      .pairsWithinBlocks(graded, Seq("band", "bkey"), "doc_id",
+        when(col("__hot"), lit(TriangleSplit)).otherwise(lit(1)))
+      .select(least(col("doc_id_l"), col("doc_id_r")).as("doc_a"),
+        greatest(col("doc_id_l"), col("doc_id_r")).as("doc_b"),
+        (size(filter(zip_with(col("sig_l"), col("sig_r"), (x, y) => x === y),
           v => v)).cast("double") / NumHashes).as("est_jaccard"))
       .distinct()
   }
@@ -255,17 +244,21 @@ object Dedup {
       i => hash60(concat_ws(" ", element_at(col("toks"), i + 1), element_at(col("toks"), i + 2))))))
     val docs = toksDf.select(col("doc_id"), col("lang"),
       floor(size(col("toks")) / 50L).cast("long").as("lbucket"), grams.as("grams"))
-    val a = docs.select(col("doc_id").as("doc_a"), col("lang"), col("lbucket"), col("grams").as("ga"))
-    val b = docs.select(col("doc_id").as("doc_b"), col("lang"), col("lbucket"), col("grams").as("gb"))
-    // The blocked self-join has only O(#langs × #buckets) distinct keys,
-    // so a plain shuffle would put each block on ONE task (skew) — but a
-    // broadcast of `b` ships EVERY document's gram set to every
-    // executor: O(corpus) memory, the 100 TB failure mode. The salted
-    // shuffled join is the scale-safe middle: each (lang, lbucket)
-    // block spreads over `saltFactor` tasks and the replication cost is
-    // bounded at saltFactor× of the gram-set shuffle volume.
-    graft.ops.SkewedJoins.saltedEquiJoinUsing(a, b, Seq("lang", "lbucket"), saltFactor = 8)
-      .filter(col("doc_a") < col("doc_b"))
+    // The blocked self-join has only O(#langs × #buckets) distinct keys
+    // and EVERY block is dense (all-pairs is the semantic), so a plain
+    // shuffle puts each block's C(m,2) pairs on one task, and a
+    // broadcast of one side ships the whole corpus's gram sets to every
+    // executor — O(corpus) memory, the 100 TB failure mode. The
+    // triangle decomposition (ops/SelfJoins) spreads each block over
+    // R(R+1)/2 tasks at (R+1)/2× replication — the √ lower bound for
+    // distributing an all-pairs join, and the balance that matters:
+    // the intersect work dominates this query, so wall time tracks the
+    // largest per-task pair count, (m/R)².
+    graft.ops.SelfJoins
+      .pairsWithinBlocks(docs, Seq("lang", "lbucket"), "doc_id", lit(TriangleSplit))
+      .select(least(col("doc_id_l"), col("doc_id_r")).as("doc_a"),
+        greatest(col("doc_id_l"), col("doc_id_r")).as("doc_b"),
+        col("grams_l").as("ga"), col("grams_r").as("gb"))
       .withColumn("inter", expr("sorted_intersect_count(ga, gb)"))
       .withColumn("jaccard",
         col("inter").cast("double") / (size(col("ga")) + size(col("gb")) - col("inter")))

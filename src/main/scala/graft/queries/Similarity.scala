@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables._
@@ -168,12 +168,19 @@ object Similarity {
       .select(col("vec_id").cast("int").as("cell"),
         transform(col("qv"),
           q => (q.cast("double") / FixScale.toDouble).cast("float")).as("cvec"))
+    // argmax by (cos desc, cell asc) via max_by on (ccos, -cell): a
+    // hash aggregate with map-side partial combine — one shuffle of N
+    // rows — instead of a row_number window's sort-shuffle of N×cells
+    // rows. Result identical (cell is unique per candidate, so the
+    // ordering key has no ties); the oracle states it as row_number.
+    def argmaxCell(scored: DataFrame, keep: Column*): DataFrame =
+      scored.groupBy(col("vec_id"))
+        .agg(max_by(col("cell"), struct(col("ccos"), (-col("cell")).as("nc"))).as("cell"),
+          keep.map(c => first(c).as(c.toString)): _*)
     for (_ <- 1 to IvfIters) {
-      val wA = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cell"))
-      val assigned = eq.join(broadcast(centroids))
-        .withColumn("ccos", expr("cosine_sim(embedding, cvec)"))
-        .withColumn("crk", row_number().over(wA))
-        .filter(col("crk") === 1)
+      val assigned = argmaxCell(
+        eq.join(broadcast(centroids))
+          .withColumn("ccos", expr("cosine_sim(embedding, cvec)")), col("qv"))
         .select(col("cell"), col("qv"))
       centroids = assigned
         .select(col("cell"), posexplode(col("qv")).as(Seq("pos", "q")))
@@ -185,11 +192,9 @@ object Similarity {
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cell"), transform(col("pm"), p => p.getField("m")).as("cvec"))
     }
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cell"))
-    val assigned = e.join(broadcast(centroids))
-      .withColumn("ccos", expr("cosine_sim(embedding, cvec)"))
-      .withColumn("crk", row_number().over(wAssign))
-      .filter(col("crk") === 1)
+    val assigned = argmaxCell(
+      e.join(broadcast(centroids))
+        .withColumn("ccos", expr("cosine_sim(embedding, cvec)")), col("embedding"))
       .select(col("vec_id"), col("cell"), col("embedding"))
     val q = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))

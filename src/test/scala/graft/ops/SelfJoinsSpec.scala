@@ -1,0 +1,34 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SelfJoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def expected(n: Int) =
+    (for { i <- 0 until n; j <- i + 1 until n; if i % 3 == j % 3 }
+      yield (i.toLong, j.toLong)).sorted
+
+  test("pairsWithinBlocks emits each unordered in-block pair exactly once") {
+    val df = (0 until 40).map(i => (i.toLong, s"b${i % 3}", s"v$i"))
+      .toDF("id", "blk", "payload")
+    for (split <- Seq(1, 3, 8)) {
+      val pairs = SelfJoins.pairsWithinBlocks(df, Seq("blk"), "id", lit(split))
+        .select(least(col("id_l"), col("id_r")).as("a"),
+          greatest(col("id_l"), col("id_r")).as("b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(pairs.length == pairs.distinct.length, s"split=$split emitted dup pairs")
+      assert(pairs.sorted == expected(40), s"split=$split pair set wrong")
+    }
+  }
+
+  test("payload columns ride through on both sides") {
+    val df = Seq((1L, "x", "p1"), (2L, "x", "p2")).toDF("id", "blk", "payload")
+    val row = SelfJoins.pairsWithinBlocks(df, Seq("blk"), "id", lit(2)).collect()
+    assert(row.length == 1)
+    val r = row.head
+    val got = Set(r.getAs[String]("payload_l"), r.getAs[String]("payload_r"))
+    assert(got == Set("p1", "p2"))
+  }
+}

@@ -86,10 +86,11 @@ class QueryPackSpec extends SparkSpec {
     val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
     s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      for (q <- Seq("q33_ngram_jaccard", "q36_simhash")) {
+      // q33 distributes via triangle row-group keys, q36 via salting
+      for ((q, key) <- Seq("q33_ngram_jaccard" -> "__p", "q36_simhash" -> "__salt")) {
         val plan = SparkEntry.queries(q)(s, sf).queryExecution.executedPlan.toString
         assert(!plan.contains("BroadcastHashJoin"), s"$q still broadcasts:\n$plan")
-        assert(plan.contains("__salt"), s"$q lost its salt key")
+        assert(plan.contains(key), s"$q lost its $key distribution key")
       }
     } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
