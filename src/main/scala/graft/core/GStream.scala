@@ -106,6 +106,25 @@ final class GStream[T](val ds: Dataset[(Long, T)]) {
   def foreachSink(f: T => Unit): Unit =
     ds.foreach((sv: (Long, T)) => f(sv._2))
 
+  /** Error-contract parity (reference engine.go:74-80, node_test.go:
+    * 19-49): the reference's Execute() joins every operator goroutine
+    * and returns the operator's error to the caller. Spark instead
+    * retries failed tasks and surfaces a SparkException wrapping the
+    * user lambda's original throwable — so the typed error a pipeline
+    * author threw is buried several causes deep. tryCollectOrdered
+    * materializes like collectOrdered but returns the ROOT cause on
+    * failure, restoring the reference's "the operator's own error
+    * reaches the driver" contract.
+    */
+  def tryCollectOrdered(): Either[Throwable, Seq[T]] =
+    try Right(collectOrdered())
+    catch {
+      case e: Throwable =>
+        var cause: Throwable = e
+        while (cause.getCause != null && (cause.getCause ne cause)) cause = cause.getCause
+        Left(cause)
+    }
+
   /** Topology introspection: the dataflow DAG as data, mirroring the
     * reference's adjacency+roots topology (topology.gen.go:20-41) and
     * deterministic walk (walk.go:12-31). Here the Dataset lineage IS

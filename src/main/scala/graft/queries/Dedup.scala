@@ -119,7 +119,14 @@ object Dedup {
     * split out so specs can feed adversarial corpora (e.g. thousands of
     * identical documents) through the exact production path.
     */
-  private[graft] def candidatePairsFrom(documentsDf: DataFrame): DataFrame = {
+  /** (doc_id, sig, band, bkey) banded MinHash signatures for any
+    * (doc_id, text, ...) frame — the shared front half of batch LSH
+    * (below) and streaming LSH
+    * (graft.streaming.StatefulStreams.streamingNearDupPairs): all
+    * narrow deterministic ops, so it runs identically over a streaming
+    * DataFrame.
+    */
+  private[graft] def bandedSignatures(documentsDf: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(documentsDf.sparkSession)
     // Tokenize on the scan, then repartition BEFORE the heavy per-doc
     // signature math: the testdata is one small parquet file (one input
@@ -134,13 +141,17 @@ object Dedup {
       .select(col("doc_id"), shingleHashes(col("toks")).as("shashes"))
       .select(col("doc_id"), expr("minhash_sig(shashes)").as("sig"))
     val rows = NumHashes / Bands
-    val banded = docs.select(
+    docs.select(
       col("doc_id"), col("sig"),
       explode(transform(sequence(lit(0), lit(Bands - 1)), b =>
         struct(b.as("band"),
           concat_ws(",", transform(slice(col("sig"), b * rows + 1, lit(rows)),
             _.cast("string"))).as("bkey")))).as("bb"))
       .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bkey"))
+  }
+
+  private[graft] def candidatePairsFrom(documentsDf: DataFrame): DataFrame = {
+    val banded = bandedSignatures(documentsDf)
     // Hot-bucket insurance: a degenerate band key (e.g. a duplicate-
     // heavy corpus where thousands of docs share one signature) makes a
     // bucket's pair generation quadratic ON ONE TASK. The pair OUTPUT

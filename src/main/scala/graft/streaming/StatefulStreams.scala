@@ -87,6 +87,55 @@ object StatefulStreams {
       .agg(count(lit(1)).as("n"))
       .select(col("session_window.start").as("session_start"), col(keyCol), col("n"))
 
+  /** Incremental MinHash-LSH near-duplicate detection — the streaming
+    * form of the batch dedup pillar's candidate generation
+    * (graft.queries.Dedup): arriving documents are signed and banded by
+    * the SAME codegen MinHash pipeline (Dedup.bandedSignatures), and
+    * each LSH bucket's GroupState holds the (doc_id, sig) members seen
+    * so far; a new arrival emits one candidate pair per stored member
+    * of its bucket, with the estimated Jaccard. Semantics:
+    *  - at-least-once pair emission (a pair sharing k bands is emitted
+    *    up to k times; follow with a watermarked dropDuplicates for
+    *    exactly-once) — in batch mode, `.distinct()` of the output
+    *    equals the batch q32 pair set (StreamingNearDupSpec pins this);
+    *  - state per bucket is capped at `maxPerBucket` members — the
+    *    degenerate-bucket insurance mirroring the batch triangle split:
+    *    arrivals past the cap still probe stored members (pairs against
+    *    the cap-set are found) but are not stored, bounding state at
+    *    O(buckets × maxPerBucket × sigBytes) regardless of how
+    *    duplicate-heavy the stream gets.
+    */
+  def streamingNearDupPairs(
+      docs: DataFrame, maxPerBucket: Int = 256): Dataset[(Long, Long, Double)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.queries.Dedup.bandedSignatures(docs)
+      .select(col("band"), col("bkey"), col("doc_id"), col("sig"))
+      .as[(Int, String, Long, Seq[Long])]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (Int, String), it: Iterator[(Int, String, Long, Seq[Long])],
+            gs: GroupState[List[(Long, Seq[Long])]]) =>
+          var members = gs.getOption.getOrElse(Nil)
+          val out = Vector.newBuilder[(Long, Long, Double)]
+          // doc_id order within the micro-batch for deterministic output
+          it.toIndexedSeq.sortBy(_._3).foreach { case (_, _, id, sig) =>
+            members.foreach { case (mid, msig) =>
+              if (mid != id) {
+                var eq = 0
+                var i = 0
+                while (i < sig.length) { if (sig(i) == msig(i)) eq += 1; i += 1 }
+                out += ((math.min(id, mid), math.max(id, mid),
+                  eq.toDouble / graft.queries.Dedup.NumHashes))
+              }
+            }
+            if (members.lengthCompare(maxPerBucket) < 0) members ::= (id, sig)
+          }
+          gs.update(members)
+          out.result().iterator
+      }
+  }
+
   /** O7 (broadcast fan-out, engine.go:196-211) for streams: one source
     * micro-batch delivered to N sinks via foreachBatch. The batch
     * DataFrame is persisted so the plan is computed once per epoch, not

@@ -115,6 +115,35 @@ class GStreamSpec extends SparkSpec {
     assert(s.topology.render == want)
   }
 
+  test("operator errors reach the driver as the original typed error") {
+    // reference contract (engine.go:74-80, node_test.go:19-49): an
+    // operator's own error surfaces to the caller, not a wrapped
+    // framework error
+    val got = GStream.fromSeq(spark, Seq(1, 2, 3))
+      .map { v => if (v == 2) throw new IllegalStateException("operator 2 failed") else v }
+      .tryCollectOrdered()
+    assert(got.isLeft)
+    val e = got.swap.toOption.get
+    assert(e.isInstanceOf[IllegalStateException])
+    assert(e.getMessage == "operator 2 failed")
+  }
+
+  test("typed nulls flow through operators; outer decorator re-set wins") {
+    // values parity (values_test.go:20-77): a typed null keeps flowing
+    // with its schema intact...
+    val nulls = GStream.fromSeq[String](spark, Seq("a", null, "c"))
+      .map(v => if (v == null) null else v.toUpperCase)
+      .collectOrdered()
+    assert(nulls == Seq("A", null, "C"))
+    // ...and re-applying a decorator replaces the inner value — the
+    // outermost assignment wins, like the reference's decorator chain
+    val restamped = GStream.fromSeq(spark, Seq("x"))
+      .assignTimestamps(_ => (5L, 5L))
+      .map(r => r.copy(ts = 9L, wm = 9L))
+      .collect().toSeq
+    assert(restamped.map(r => (r.ts, r.wm)) == Seq((9L, 9L)))
+  }
+
   test("topology of a union DAG has two roots feeding one Union node") {
     val u = GStream.fromSeq(spark, Seq("a")).unionTagged(GStream.fromSeq(spark, Seq("b")))
     val topo = new GStream(u.map(t => (t.seq, t.value))).topology

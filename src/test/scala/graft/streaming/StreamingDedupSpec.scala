@@ -45,4 +45,39 @@ class StreamingDedupSpec extends SparkSpec {
       .map(r => (r.getLong(0), Option(r.getString(1)))).toSeq.sortBy(_._1)
     assert(got == Seq((1L, Some("en")), (3L, Some("fr")), (9L, None)))
   }
+
+  test("streaming LSH near-dup finds pairs across micro-batches") {
+    implicit val sql = spark.sqlContext
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val in = MemoryStream[(Long, String)]
+    val pairs = StatefulStreams.streamingNearDupPairs(in.toDF().toDF("doc_id", "text"))
+      .toDF("doc_a", "doc_b", "est_jaccard")
+    val q = pairs.writeStream.format("memory").queryName("snear")
+      .outputMode("append").start()
+    try {
+      in.addData(Seq((1L, text), (2L, text), (10L, "a totally different unique sentence content")))
+      q.processAllAvailable()
+      val afterB1 = spark.table("snear").select("doc_a", "doc_b").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(afterB1 == Set((1L, 2L)), s"batch1: $afterB1")
+      // a near-dup arriving LATER must pair against state from batch 1
+      in.addData(Seq((3L, text)))
+      q.processAllAvailable()
+      val afterB2 = spark.table("snear").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(afterB2 == Set((1L, 2L, 1.0), (1L, 3L, 1.0), (2L, 3L, 1.0)), s"batch2: $afterB2")
+    } finally q.stop()
+  }
+
+  test("streaming near-dup operator in batch mode equals the batch LSH pair set (q32)") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, sf)
+    val streamingOp = StatefulStreams.streamingNearDupPairs(docs)
+      .toDF("doc_a", "doc_b", "est_jaccard").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = graft.SparkEntry.queries("q32_minhash_lsh")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamingOp == batch,
+      s"streaming!=batch: only-streaming=${streamingOp -- batch}, only-batch=${batch -- streamingOp}")
+  }
 }
