@@ -23,6 +23,31 @@ class SelfJoinsSpec extends SparkSpec {
     }
   }
 
+  test("property: pair set invariant under split factor and block shape") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    val gen = for {
+      n <- Gen.choose(0, 30)
+      nBlocks <- Gen.choose(1, 4)
+      blocks <- Gen.listOfN(n, Gen.choose(0, nBlocks - 1))
+      split <- Gen.choose(1, 6)
+    } yield (blocks, split)
+    val prop = Prop.forAll(gen) { case (blocks, split) =>
+      val df = blocks.zipWithIndex.map { case (b, i) => (i.toLong, s"b$b") }
+        .toDF("id", "blk")
+      val got = SelfJoins.pairsWithinBlocks(df, Seq("blk"), "id", lit(split))
+        .select(least(col("id_l"), col("id_r")), greatest(col("id_l"), col("id_r")))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val want = for {
+        i <- blocks.indices; j <- (i + 1) until blocks.length
+        if blocks(i) == blocks(j)
+      } yield (i.toLong, j.toLong)
+      got.sorted == want.sorted && got.distinct.length == got.length
+    }
+    val res = check(Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("payload columns ride through on both sides") {
     val df = Seq((1L, "x", "p1"), (2L, "x", "p2")).toDF("id", "blk", "payload")
     val row = SelfJoins.pairsWithinBlocks(df, Seq("blk"), "id", lit(2)).collect()

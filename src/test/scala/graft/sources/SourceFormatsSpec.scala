@@ -39,6 +39,23 @@ class SourceFormatsSpec extends SparkSpec {
     assert(names == src.select("r_name").collect().map(_.getString(0)).sorted.toSeq)
   }
 
+  test("DSv2 wordgen source: planned partitions, partition-count-invariant data") {
+    def read(parts: Int) = spark.read.format("graft.sources.WordGenSource")
+      .option("rows", "10000").option("partitions", parts.toString)
+      .option("seed", "42").load()
+    val df8 = read(8)
+    assert(df8.rdd.getNumPartitions == 8, "source must plan the requested partitions")
+    assert(df8.count() == 10000)
+    // word(i) is a pure function of the row id: same data at any
+    // generation parallelism (physical, never semantic — like O4b)
+    val a = df8.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val b = read(1).orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(a == b)
+    // corpus bound holds and the distribution is roughly uniform
+    val distinct = df8.select("word").distinct().count()
+    assert(distinct == 100, s"expected the full 100-word corpus, got $distinct")
+  }
+
   test("partitioned parquet write prunes partitions on read") {
     val dir = Files.createTempDirectory("graft_part").toString
     graft.Tables.documents(spark, sf)
