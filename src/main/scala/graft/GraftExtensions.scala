@@ -34,5 +34,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash60"),
       new ExpressionInfo(classOf[SimHash60].getName, "simhash60"),
       exprs => SimHash60(exprs.head)))
+    // whole-operator extension: plans graft.plans.TopKPerKeyNode as
+    // partial/final bounded-heap execs (no sort, map-side combine)
+    e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }

@@ -16,7 +16,8 @@ object SparkEntry {
     Relational.all ++ EventWindows.all ++ TextAnalysis.all ++ Dedup.all ++ Similarity.all ++
       Extras.all ++ Extras2.all ++ Pipeline.all ++
       Seq(Q("q70_media_features", graft.multimodal.Multimodal.mediaFeaturesQuery, None),
-        Q("q71_frame_samples", graft.multimodal.Multimodal.frameSamplesQuery, None))
+        Q("q71_frame_samples", graft.multimodal.Multimodal.frameSamplesQuery, None),
+        Q("q72_topk_native", graft.plans.TopK.q72, Some(graft.plans.TopK.q72Sql)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,140 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.graft.PlanOps
+
+/** Top-k-per-key as a WHOLE custom operator — logical node + planner
+  * strategy + partial/final physical operators, the (c) rung of the
+  * custom-operator ladder (after composition and custom Expressions,
+  * before mapPartitions): the reference has no such operator, and
+  * Spark's built-in formulation (`row_number() OVER (PARTITION BY …
+  * ORDER BY …)` then `rk <= k`) SORTS every key's entire group under a
+  * window exchange.
+  *
+  * This operator never sorts: each task keeps a bounded k-element heap
+  * per key, the partial stage reduces every input partition to ≤ k rows
+  * per key BEFORE the shuffle (the map-side-combine shape of a partial
+  * aggregate — shuffle volume is min(input, keys × k), not input), and
+  * the final stage merges heaps after an EnsureRequirements-inserted
+  * exchange on the keys. Cost O(n log k) vs the window's O(n log n),
+  * with O(keysPerPartition × k) memory (production hardening would add
+  * a spill fallback, like ObjectHashAggregate's).
+  *
+  * "Top" = the first k rows of each key under `order` — pass a total
+  * order (include a tiebreaker) for deterministic results.
+  */
+case class TopKPerKeyNode(
+    keys: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    child: LogicalPlan) extends UnaryNode {
+  require(k > 0, s"k must be positive, got $k")
+  override def output: Seq[Attribute] = child.output
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyNode =
+    copy(child = newChild)
+}
+
+case class TopKPerKeyExec(
+    keys: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    partial: Boolean,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) Seq(UnspecifiedDistribution) else Seq(ClusteredDistribution(keys))
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
+    copy(child = newChild)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val (keyExprs, ord, kk, childOutput) = (keys, order, k, child.output)
+    child.execute().mapPartitions { it =>
+      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      val cmp = GenerateOrdering.generate(ord, childOutput)
+      // per key, a max-heap of the current k best: the head is the
+      // WORST kept row, evicted when a better one arrives
+      val worstFirst = new java.util.Comparator[InternalRow] {
+        override def compare(a: InternalRow, b: InternalRow): Int = cmp.compare(b, a)
+      }
+      val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+      it.foreach { row =>
+        val key = keyProj(row)
+        var heap = heaps.get(key)
+        if (heap == null) {
+          heap = new java.util.PriorityQueue[InternalRow](kk + 1, worstFirst)
+          heaps.put(key.copy(), heap)
+        }
+        if (heap.size < kk) heap.add(row.copy())
+        else if (cmp.compare(row, heap.peek()) < 0) {
+          heap.poll()
+          heap.add(row.copy())
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      heaps.values.asScala.iterator.flatMap(_.iterator().asScala)
+    }
+  }
+}
+
+/** Plans the logical node as final(exchange(partial(child))) — the
+  * exchange comes from EnsureRequirements satisfying the final stage's
+  * ClusteredDistribution, exactly how partial/final aggregates plan.
+  */
+object TopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKeyNode(keys, order, k, child) =>
+      TopKPerKeyExec(keys, order, k, partial = false,
+        TopKPerKeyExec(keys, order, k, partial = true, planLater(child))) :: Nil
+    case _ => Nil
+  }
+}
+
+object TopK {
+
+  /** q72 — the custom operator as a registered, oracle-checked query:
+    * top-3 orders by price per priority class, bit-exact against
+    * DuckDB's row_number formulation of the same semantics.
+    */
+  def q72(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    perKey(
+      graft.Tables.orders(s, d)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice")),
+      Seq("o_orderpriority"),
+      Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)
+      .orderBy(col("o_orderpriority"), col("o_totalprice").desc, col("o_orderkey"))
+  }
+
+  val q72Sql: String =
+    """SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      |  FROM orders) t
+      |WHERE rk <= 3
+      |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""".stripMargin
+
+  /** Top-k rows per key under `orderBy` (first-k in that order). */
+  def perKey(df: DataFrame, keyCols: Seq[String], orderBy: Seq[Column], k: Int): DataFrame = {
+    val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.contains(TopKStrategy)) {
+      spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ TopKStrategy
+    }
+    val keys = keyCols.map(c => PlanOps.expression(df.col(c)))
+    val order = orderBy.map(c => PlanOps.expression(c) match {
+      case so: SortOrder => so
+      case e => SortOrder(e, Ascending)
+    })
+    PlanOps.ofRows(spark, TopKPerKeyNode(keys, order, k, PlanOps.analyzed(df)))
+  }
+}
