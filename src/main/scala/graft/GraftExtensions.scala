@@ -37,5 +37,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // whole-operator extension: plans graft.plans.TopKPerKeyNode as
     // partial/final bounded-heap execs (no sort, map-side combine)
     e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+    // optimizer extension: window top-n written the plain DataFrame way
+    // rewrites to the operator above automatically
+    e.injectOptimizerRule(_ => graft.plans.RankFilterToTopK)
   }
 }

@@ -34,6 +34,40 @@ class TopKSpec extends SparkSpec {
     assert(shuffled.length == 5 * o.select("o_orderpriority").distinct().count())
   }
 
+  test("optimizer rule rewrites plain window rank filters to TopK automatically") {
+    // the session has GraftExtensions: a query written the ordinary
+    // DataFrame way must plan through the bounded-heap operator with
+    // the rank recomputed over only keys x k pruned rows
+    val o = graft.Tables.orders(spark, sf)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val df = o.withColumn("rk", row_number().over(w)).filter(col("rk") <= 2)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("TopKPerKey \\[".r.findAllIn(plan).size == 2, s"rewrite did not fire:\n$plan")
+    val got = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val want = o.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+        rows.toSeq.sortBy(t => (-t._3, t._2)).take(2).zipWithIndex
+          .map { case ((p, k2, v), i) => (p, k2, v, i + 1) }
+      }.toSet
+    assert(got == want)
+    // a whole-partition aggregate alongside the rank must still see
+    // EVERY row of the key — prove the sums are the full-partition ones
+    val mixed = o.withColumn("rk", row_number().over(w))
+      .withColumn("total", sum(col("o_totalprice")).over(
+        Window.partitionBy(col("o_orderpriority"))))
+      .filter(col("rk") <= 2)
+      .collect().map(r => (r.getString(0), r.getDouble(4))).toMap
+    val fullSums = o.groupBy("o_orderpriority").agg(sum("o_totalprice"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    mixed.foreach { case (p, total) =>
+      assert(math.abs(total - fullSums(p)) < 1e-6,
+        s"$p: pruned sum $total vs full ${fullSums(p)}")
+    }
+  }
+
   test("heap eviction keeps the k best under a total order with duplicates") {
     import spark.implicits._
     // many duplicate order keys: deterministic thanks to the tiebreaker
