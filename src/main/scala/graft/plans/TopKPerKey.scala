@@ -34,7 +34,8 @@ case class TopKPerKeyNode(
     keys: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
-    child: LogicalPlan) extends UnaryNode {
+    child: LogicalPlan,
+    partialFlushKeys: Int = TopK.DefaultPartialFlushKeys) extends UnaryNode {
   require(k > 0, s"k must be positive, got $k")
   override def output: Seq[Attribute] = child.output
   override def maxRows: Option[Long] = child.maxRows
@@ -47,7 +48,8 @@ case class TopKPerKeyExec(
     order: Seq[SortOrder],
     k: Int,
     partial: Boolean,
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan,
+    partialFlushKeys: Int = TopK.DefaultPartialFlushKeys) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning: Partitioning = child.outputPartitioning
@@ -58,6 +60,7 @@ case class TopKPerKeyExec(
 
   override protected def doExecute(): RDD[InternalRow] = {
     val (keyExprs, ord, kk, childOutput) = (keys, order, k, child.output)
+    val (isPartial, flushKeys) = (partial, partialFlushKeys)
     child.execute().mapPartitions { it =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val cmp = GenerateOrdering.generate(ord, childOutput)
@@ -66,9 +69,25 @@ case class TopKPerKeyExec(
       val worstFirst = new java.util.Comparator[InternalRow] {
         override def compare(a: InternalRow, b: InternalRow): Int = cmp.compare(b, a)
       }
-      val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
-      it.foreach { row =>
+      import scala.jdk.CollectionConverters._
+      var heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+      // Memory bound: the PARTIAL stage may see unboundedly many keys
+      // per partition, so past `flushKeys` distinct keys the whole map
+      // is emitted and reset — correct because partial output per key
+      // only needs to CONTAIN its partition's top-k; the final stage
+      // re-reduces however many partial heaps a key produced. The final
+      // stage holds exactly its own keys × k rows (the operator's
+      // output), which is the same residency any hash aggregation has.
+      def drain(): Iterator[InternalRow] = {
+        val out = heaps
+        heaps = new java.util.HashMap()
+        out.values.asScala.iterator.flatMap(_.iterator().asScala)
+      }
+      val fed: Iterator[InternalRow] = it.flatMap { row =>
         val key = keyProj(row)
+        val flushed: Iterator[InternalRow] =
+          if (isPartial && heaps.get(key) == null && heaps.size >= flushKeys) drain()
+          else Iterator.empty
         var heap = heaps.get(key)
         if (heap == null) {
           heap = new java.util.PriorityQueue[InternalRow](kk + 1, worstFirst)
@@ -79,9 +98,9 @@ case class TopKPerKeyExec(
           heap.poll()
           heap.add(row.copy())
         }
+        flushed
       }
-      import scala.jdk.CollectionConverters._
-      heaps.values.asScala.iterator.flatMap(_.iterator().asScala)
+      fed ++ drain()
     }
   }
 }
@@ -92,14 +111,18 @@ case class TopKPerKeyExec(
   */
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKeyNode(keys, order, k, child) =>
+    case TopKPerKeyNode(keys, order, k, child, flushKeys) =>
       TopKPerKeyExec(keys, order, k, partial = false,
-        TopKPerKeyExec(keys, order, k, partial = true, planLater(child))) :: Nil
+        TopKPerKeyExec(keys, order, k, partial = true, planLater(child), flushKeys),
+        flushKeys) :: Nil
     case _ => Nil
   }
 }
 
 object TopK {
+
+  /** Distinct keys a PARTIAL task holds before flush-and-reset. */
+  val DefaultPartialFlushKeys: Int = 1 << 16
 
   /** q72 — the custom operator as a registered, oracle-checked query:
     * top-3 orders by price per priority class, bit-exact against
@@ -125,7 +148,12 @@ object TopK {
       |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""".stripMargin
 
   /** Top-k rows per key under `orderBy` (first-k in that order). */
-  def perKey(df: DataFrame, keyCols: Seq[String], orderBy: Seq[Column], k: Int): DataFrame = {
+  def perKey(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderBy: Seq[Column],
+      k: Int,
+      partialFlushKeys: Int = DefaultPartialFlushKeys): DataFrame = {
     val spark = df.sparkSession
     if (!spark.experimental.extraStrategies.contains(TopKStrategy)) {
       spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ TopKStrategy
@@ -135,6 +163,7 @@ object TopK {
       case so: SortOrder => so
       case e => SortOrder(e, Ascending)
     })
-    PlanOps.ofRows(spark, TopKPerKeyNode(keys, order, k, PlanOps.analyzed(df)))
+    PlanOps.ofRows(spark,
+      TopKPerKeyNode(keys, order, k, PlanOps.analyzed(df), partialFlushKeys))
   }
 }

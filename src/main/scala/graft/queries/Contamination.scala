@@ -36,27 +36,31 @@ object Contamination {
     contaminationOf(documents(s, d))
 
   private[graft] def contaminationOf(documentsDf: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(documentsDf.sparkSession)
     val toksDf = documentsDf
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .repartition(col("doc_id"))
-    val grams = array_distinct(transform(
+    // sorted distinct gram hashes per doc, so the overlap against the
+    // benchmark set is one codegen'd merge pass (sorted_intersect_count,
+    // the q33 trick). NO explode anywhere: exploding a computed array
+    // makes Spark's Generate re-evaluate the md5-per-gram expression
+    // once per OUTPUT row (measured 17 s vs 1 s at sf0.1).
+    val grams = array_sort(array_distinct(transform(
       indices(size(col("toks")) - (GramLen - 1)),
       i => hash60(concat_ws(" ",
-        (0 until GramLen).map(j => element_at(col("toks"), i + j + 1)): _*))))
+        (0 until GramLen).map(j => element_at(col("toks"), i + j + 1)): _*)))))
     val gdf = toksDf.select(col("doc_id"), grams.as("gs"))
-    val bench = gdf.filter(col("doc_id") % BenchMod === 0)
-      .select(explode(col("gs")).as("g")).distinct()
-    val corpus = gdf.filter(col("doc_id") % BenchMod =!= 0)
-    val hits = corpus.select(col("doc_id"), explode(col("gs")).as("g"))
-      .join(broadcast(bench), Seq("g"))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("hit"))
-    corpus.select(col("doc_id"), size(col("gs")).cast("long").as("n_grams"))
-      .join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_grams"),
-        coalesce(col("hit"), lit(0L)).as("n_hit"),
-        when(col("n_grams") > 0 &&
-          coalesce(col("hit"), lit(0L)) * 2 >= col("n_grams"), 1).otherwise(0)
-          .as("contaminated"))
+    // the benchmark side is fixed-size (an eval suite): one sorted
+    // deduped hash array, broadcast to every task — the corpus streams
+    // through in a single scan with zero shuffle
+    val benchArr = gdf.filter(col("doc_id") % BenchMod === 0)
+      .agg(array_sort(array_distinct(flatten(collect_list(col("gs"))))).as("bg"))
+    gdf.filter(col("doc_id") % BenchMod =!= 0)
+      .crossJoin(broadcast(benchArr))
+      .select(col("doc_id"), size(col("gs")).cast("long").as("n_grams"),
+        expr("sorted_intersect_count(gs, bg)").as("n_hit"))
+      .withColumn("contaminated",
+        when(col("n_grams") > 0 && col("n_hit") * 2 >= col("n_grams"), 1).otherwise(0))
       .orderBy(col("doc_id"))
   }
 
@@ -64,24 +68,20 @@ object Contamination {
     val toks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
     val gram = (0 until GramLen).map(j => s"t[i+${j + 1}]").mkString(" || ' ' || ")
     s"""WITH grams AS (
-      |  SELECT doc_id, list_distinct(list_transform(
+      |  SELECT doc_id, list_sort(list_distinct(list_transform(
       |    range(greatest(len(t) - ${GramLen - 1}, 0)),
-      |    i -> ${hash60Sql(gram)})) AS gs
+      |    i -> ${hash60Sql(gram)}))) AS gs
       |  FROM (SELECT doc_id, $toks AS t FROM documents) x),
       |bench AS (
-      |  SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % $BenchMod = 0),
-      |corpus AS (SELECT doc_id, gs FROM grams WHERE doc_id % $BenchMod <> 0),
-      |hits AS (
-      |  SELECT c.doc_id, count(*) AS hit
-      |  FROM (SELECT doc_id, unnest(gs) AS g FROM corpus) c
-      |  JOIN bench b ON c.g = b.g
-      |  GROUP BY c.doc_id)
-      |SELECT c.doc_id, CAST(len(c.gs) AS BIGINT) AS n_grams,
-      |  coalesce(h.hit, 0) AS n_hit,
-      |  CASE WHEN len(c.gs) > 0 AND coalesce(h.hit, 0) * 2 >= len(c.gs)
+      |  SELECT list_sort(list_distinct(flatten(list(gs)))) AS bg
+      |  FROM grams WHERE doc_id % $BenchMod = 0)
+      |SELECT g.doc_id, CAST(len(g.gs) AS BIGINT) AS n_grams,
+      |  CAST(len(list_intersect(g.gs, b.bg)) AS BIGINT) AS n_hit,
+      |  CASE WHEN len(g.gs) > 0 AND len(list_intersect(g.gs, b.bg)) * 2 >= len(g.gs)
       |       THEN 1 ELSE 0 END AS contaminated
-      |FROM corpus c LEFT JOIN hits h USING (doc_id)
-      |ORDER BY doc_id""".stripMargin
+      |FROM grams g, bench b
+      |WHERE g.doc_id % $BenchMod <> 0
+      |ORDER BY g.doc_id""".stripMargin
   }
 
   val all: Seq[Q] = Seq(

@@ -18,6 +18,15 @@ class ConnectedComponentsSpec extends SparkSpec {
     parent.keys.map(k => k -> find(k)).toMap
   }
 
+  test("pointer jumping converges on a 500-node chain within 20 iterations") {
+    // plain min-label propagation would need ~500 rounds here; the
+    // label-of-label jump halves path lengths per round -> ~9 rounds
+    val edges = (0L until 499L).map(i => (i, i + 1))
+    val got = ConnectedComponents.minLabel(edges.toDF("a", "b")).collect()
+    assert(got.length == 500)
+    assert(got.forall(_.getLong(1) == 0L), "chain did not fully converge")
+  }
+
   test("min-label propagation equals union-find on a random graph") {
     val rnd = new scala.util.Random(17)
     val edges = (1 to 200).map(_ => (rnd.nextInt(150).toLong, rnd.nextInt(150).toLong))

@@ -68,6 +68,20 @@ class TopKSpec extends SparkSpec {
     }
   }
 
+  test("partial-stage flush bound preserves exactness under memory pressure") {
+    import spark.implicits._
+    // flush after every 2 distinct keys in the partial stage: many
+    // partial heap fragments per key, which the final stage re-reduces
+    val df = (0 until 2000).map(i => (i % 37, i % 13, i.toLong)).toDF("key", "score", "tie")
+    val got = TopK.perKey(df, Seq("key"),
+      Seq(col("score").desc, col("tie").asc), 3, partialFlushKeys = 2)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+    val w = Window.partitionBy(col("key")).orderBy(col("score").desc, col("tie").asc)
+    val want = df.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3).drop("rk")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == want)
+  }
+
   test("heap eviction keeps the k best under a total order with duplicates") {
     import spark.implicits._
     // many duplicate order keys: deterministic thanks to the tiebreaker
