@@ -276,9 +276,57 @@ object Similarity {
       |ORDER BY query_id, rk""".stripMargin
   }
 
+  // q74 — int8 scalar quantization round-trip: per-vector absmax scale,
+  // quantize to [-127, 127], dequantize, and measure retained cosine —
+  // the embedding-compression step of a vector pipeline (4× smaller
+  // than float32 at ~1e-2 cosine loss), single scan, no shuffle, no
+  // explode. Portability: round() ties resolve away-from-zero in both
+  // engines, the divide/multiply chains are written in identical
+  // association order, and the retained cosine reuses the ordered-fold
+  // cosine_sim parity.
+  private def q74(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        array_max(transform(col("embedding"), x => abs(x.cast("double")))).as("scale"))
+      .select(col("vec_id"), col("embedding"), col("scale"),
+        transform(col("embedding"), x =>
+          when(col("scale") === 0d, lit(0L))
+            .otherwise(round(x.cast("double") / col("scale") * 127).cast("long"))).as("qv"))
+      .select(col("vec_id"), col("embedding"), col("scale"), col("qv"),
+        transform(col("qv"), q =>
+          (q.cast("double") * col("scale") / 127d).cast("float")).as("deq"))
+      .select(col("vec_id"), col("scale"), col("qv"),
+        expr("cosine_sim(embedding, deq)").as("cos_keep"))
+      .select(col("vec_id"), col("scale"),
+        array_min(col("qv")).as("q_min"), array_max(col("qv")).as("q_max"),
+        col("cos_keep"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val q74Sql =
+    s"""WITH q AS (
+      |  SELECT vec_id, embedding,
+      |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
+      |  FROM embeddings),
+      |qq AS (
+      |  SELECT vec_id, scale, embedding,
+      |    list_transform(embedding, x -> CASE WHEN scale = 0 THEN 0
+      |      ELSE CAST(round(CAST(x AS DOUBLE) / scale * 127) AS BIGINT) END) AS qv
+      |  FROM q),
+      |dq AS (
+      |  SELECT vec_id, scale, qv, embedding,
+      |    list_transform(qv, v -> CAST(CAST(v AS DOUBLE) * scale / 127 AS REAL)) AS deq
+      |  FROM qq)
+      |SELECT vec_id, scale, list_min(qv) AS q_min, list_max(qv) AS q_max,
+      |  ${cosSql("embedding", "deq")} AS cos_keep
+      |FROM dq
+      |ORDER BY vec_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q34_embed_neardup", q34, Some(q34Sql)),
     Q("q40_knn_brute", q40, Some(q40Sql)),
     Q("q41_knn_ivf", q41, Some(q41Sql)),
+    Q("q74_embed_quant", q74, Some(q74Sql)),
   )
 }
