@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 import org.apache.spark.sql.graft.PlanOps
 
 /** Top-k-per-key as a WHOLE custom operator — logical node + planner
@@ -58,9 +59,15 @@ case class TopKPerKeyExec(
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
     copy(child = newChild)
 
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numHeapFlushes" -> SQLMetrics.createMetric(sparkContext, "partial heap-map flushes"))
+
   override protected def doExecute(): RDD[InternalRow] = {
     val (keyExprs, ord, kk, childOutput) = (keys, order, k, child.output)
     val (isPartial, flushKeys) = (partial, partialFlushKeys)
+    val outputRows = longMetric("numOutputRows")
+    val heapFlushes = longMetric("numHeapFlushes")
     child.execute().mapPartitions { it =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val cmp = GenerateOrdering.generate(ord, childOutput)
@@ -82,12 +89,15 @@ case class TopKPerKeyExec(
         val out = heaps
         heaps = new java.util.HashMap()
         out.values.asScala.iterator.flatMap(_.iterator().asScala)
+          .map { r => outputRows += 1; r }
       }
       val fed: Iterator[InternalRow] = it.flatMap { row =>
         val key = keyProj(row)
         val flushed: Iterator[InternalRow] =
-          if (isPartial && heaps.get(key) == null && heaps.size >= flushKeys) drain()
-          else Iterator.empty
+          if (isPartial && heaps.get(key) == null && heaps.size >= flushKeys) {
+            heapFlushes += 1
+            drain()
+          } else Iterator.empty
         var heap = heaps.get(key)
         if (heap == null) {
           heap = new java.util.PriorityQueue[InternalRow](kk + 1, worstFirst)

@@ -35,34 +35,52 @@ object Contamination {
   private def q73(s: SparkSession, d: String): DataFrame =
     contaminationOf(documents(s, d))
 
-  private[graft] def contaminationOf(documentsDf: DataFrame): DataFrame = {
-    graft.functions.GraftFunctions.register(documentsDf.sparkSession)
-    val toksDf = documentsDf
+  /** (doc_id, gs): sorted distinct gram-hash array per document, so the
+    * overlap against the benchmark set is one codegen'd merge pass
+    * (sorted_intersect_count, the q33 trick). NO explode anywhere:
+    * exploding a computed array makes Spark's Generate re-evaluate the
+    * md5-per-gram expression once per OUTPUT row (measured 17 s vs 1 s
+    * at sf0.1). All narrow deterministic ops — runs identically over a
+    * streaming frame.
+    */
+  private def gramSets(docsDf: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docsDf.sparkSession)
+    val toksDf = docsDf
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .repartition(col("doc_id"))
-    // sorted distinct gram hashes per doc, so the overlap against the
-    // benchmark set is one codegen'd merge pass (sorted_intersect_count,
-    // the q33 trick). NO explode anywhere: exploding a computed array
-    // makes Spark's Generate re-evaluate the md5-per-gram expression
-    // once per OUTPUT row (measured 17 s vs 1 s at sf0.1).
     val grams = array_sort(array_distinct(transform(
       indices(size(col("toks")) - (GramLen - 1)),
       i => hash60(concat_ws(" ",
         (0 until GramLen).map(j => element_at(col("toks"), i + j + 1)): _*)))))
-    val gdf = toksDf.select(col("doc_id"), grams.as("gs"))
-    // the benchmark side is fixed-size (an eval suite): one sorted
-    // deduped hash array, broadcast to every task — the corpus streams
-    // through in a single scan with zero shuffle
-    val benchArr = gdf.filter(col("doc_id") % BenchMod === 0)
+    toksDf.select(col("doc_id"), grams.as("gs"))
+  }
+
+  /** The benchmark side is fixed-size (an eval suite): one sorted
+    * deduped hash array, broadcast to every task — the corpus streams
+    * through in a single scan with zero shuffle.
+    */
+  private def overlap(corpusGrams: DataFrame, benchmark: DataFrame): DataFrame = {
+    val benchArr = gramSets(benchmark)
       .agg(array_sort(array_distinct(flatten(collect_list(col("gs"))))).as("bg"))
-    gdf.filter(col("doc_id") % BenchMod =!= 0)
-      .crossJoin(broadcast(benchArr))
+    corpusGrams.crossJoin(broadcast(benchArr))
       .select(col("doc_id"), size(col("gs")).cast("long").as("n_grams"),
         expr("sorted_intersect_count(gs, bg)").as("n_hit"))
       .withColumn("contaminated",
         when(col("n_grams") > 0 && col("n_hit") * 2 >= col("n_grams"), 1).otherwise(0))
-      .orderBy(col("doc_id"))
   }
+
+  private[graft] def contaminationOf(documentsDf: DataFrame): DataFrame =
+    overlap(
+      gramSets(documentsDf).filter(col("doc_id") % BenchMod =!= 0),
+      documentsDf.filter(col("doc_id") % BenchMod === 0))
+      .orderBy(col("doc_id"))
+
+  /** Streaming form: each micro-batch of candidate documents flows
+    * through the same single-scan overlap plan against the static
+    * benchmark (stream-static broadcast join — no streaming state).
+    */
+  def contaminationStream(stream: DataFrame, benchmark: DataFrame): DataFrame =
+    overlap(gramSets(stream), benchmark)
 
   private val q73Sql = {
     val toks = "regexp_extract_all(lower(text), '[a-z0-9]+')"

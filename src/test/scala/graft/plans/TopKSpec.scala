@@ -73,13 +73,25 @@ class TopKSpec extends SparkSpec {
     // flush after every 2 distinct keys in the partial stage: many
     // partial heap fragments per key, which the final stage re-reduces
     val df = (0 until 2000).map(i => (i % 37, i % 13, i.toLong)).toDF("key", "score", "tie")
-    val got = TopK.perKey(df, Seq("key"),
-      Seq(col("score").desc, col("tie").asc), 3, partialFlushKeys = 2)
-      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
-    val w = Window.partitionBy(col("key")).orderBy(col("score").desc, col("tie").asc)
-    val want = df.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3).drop("rk")
-      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
-    assert(got == want)
+    // AQE off so the metrics are readable from a flat executed plan
+    // (AQE hides stage subtrees behind QueryStageExec leaves)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val topk = TopK.perKey(df, Seq("key"),
+        Seq(col("score").desc, col("tie").asc), 3, partialFlushKeys = 2)
+      val got = topk.collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+      // operator metrics: flushes really happened, and the final stage
+      // emitted exactly keys x k rows
+      val execs = topk.queryExecution.executedPlan.collect { case t: TopKPerKeyExec => t }
+      assert(execs.map(_.partial).sorted == Seq(false, true))
+      assert(execs.find(_.partial).get.metrics("numHeapFlushes").value > 0)
+      assert(execs.find(!_.partial).get.metrics("numOutputRows").value == 37 * 3)
+      val w = Window.partitionBy(col("key")).orderBy(col("score").desc, col("tie").asc)
+      val want = df.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3).drop("rk")
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+      assert(got == want)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
   test("heap eviction keeps the k best under a total order with duplicates") {

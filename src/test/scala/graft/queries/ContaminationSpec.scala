@@ -22,4 +22,25 @@ class ContaminationSpec extends SparkSpec {
     assert(byId(2L)._3 == 0 && byId(2L)._4 == 0)
     assert(byId(3L)._2 == 0L && byId(3L)._4 == 0)
   }
+
+  test("the contamination gate runs unchanged as a streaming filter") {
+    // stream-static form: the benchmark gram array is computed from a
+    // static frame, and each micro-batch of candidate docs streams
+    // through the same single-scan overlap plan
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    val benchText = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val static = Seq((0L, benchText)).toDF("doc_id", "text")
+    val in = MemoryStream[(Long, String)]
+    val out = Contamination.contaminationStream(in.toDF().toDF("doc_id", "text"), static)
+    val q = out.writeStream.format("memory").queryName("contam")
+      .outputMode("append").start()
+    try {
+      in.addData(Seq((1L, benchText + " slightly extended"), (2L, "nothing in common at all here friends")))
+      q.processAllAvailable()
+      val got = spark.table("contam").collect()
+        .map(r => (r.getLong(0), r.getInt(3))).toMap
+      assert(got == Map(1L -> 1, 2L -> 0), s"got $got")
+    } finally q.stop()
+  }
 }
