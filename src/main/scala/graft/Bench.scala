@@ -38,17 +38,29 @@ object Bench {
       SparkEntry.queries(n)(spark, sfDir).write.format("noop").mode("overwrite").save()
     }
 
-    // Two timed passes per query, report the min: absorbs GC pauses,
+    // Min over INTERLEAVED passes, report the min: absorbs GC pauses,
     // page-cache misses and other host interference observed to inflate
-    // single measurements 5-10x on this shared box.
+    // single measurements 5-10x on this shared box. The passes run as
+    // full sweeps (all queries, then all again) so a multi-second
+    // interference window cannot land on both samples of one query —
+    // consecutive per-query repeats did exactly that (observed: an
+    // untouched 0.8 s query measured 5.3 s on both back-to-back runs).
+    // Queries whose two samples still disagree by >1.5x get a third.
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> math.min(timeOnce(name, fn), timeOnce(name, fn))
+    val named = SparkEntry.queries.toSeq.sortBy(_._1)
+    val pass1 = named.map { case (n, fn) => n -> timeOnce(n, fn) }.toMap
+    val pass2 = named.map { case (n, fn) => n -> timeOnce(n, fn) }.toMap
+    val results = named.map { case (name, fn) =>
+      val (a, b) = (pass1(name), pass2(name))
+      val best = math.min(a, b)
+      name -> (if (math.max(a, b) > best * 1.5 && math.max(a, b) - best > 0.3)
+        math.min(best, timeOnce(name, fn))
+      else best)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
