@@ -176,11 +176,56 @@ object TextAnalysis {
       |ORDER BY doc_id""".stripMargin
   }
 
+  // q75 — TF-IDF keyword extraction: each document's top-3 terms by
+  // term-frequency × inverse-document-frequency. The IDF is the LINEAR
+  // form N/df (not log-damped): score = (tf·N)/df computes as an exact
+  // integer product followed by ONE IEEE division — bit-identical
+  // across engines, where ln() would be at the mercy of libm ulp
+  // differences. Ranking goes through the ordinary row_number window,
+  // which the RankFilterToTopK optimizer rule rewrites into the
+  // bounded-heap TopK operator at plan time — this query is the
+  // end-to-end demonstration that the rewrite holds under the oracle.
+  private def q75(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("word"))
+    val words = documents(s, d)
+      .select(col("doc_id"), explode(split(lower(col("text")), "[^a-z0-9]+")).as("word"))
+      .filter(col("word") =!= "")
+    val tf = words.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val n = documents(s, d).agg(count(lit(1)).as("n_docs"))
+    tf.join(df, Seq("word"))
+      .crossJoin(broadcast(n))
+      .withColumn("score", (col("tf") * col("n_docs")).cast("double") / col("df"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("word"), col("tf"), col("df"), col("score"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
+  private val q75Sql =
+    """WITH words AS (
+      |  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS word
+      |  FROM documents),
+      |tf AS (SELECT doc_id, word, count(*) AS tf FROM words WHERE word <> ''
+      |       GROUP BY doc_id, word),
+      |df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+      |n AS (SELECT count(*) AS n_docs FROM documents)
+      |SELECT doc_id, rk, word, tf, df, score FROM (
+      |  SELECT tf.doc_id, tf.word, tf.tf, df.df,
+      |    CAST(tf.tf * n.n_docs AS DOUBLE) / df.df AS score,
+      |    row_number() OVER (PARTITION BY tf.doc_id
+      |      ORDER BY CAST(tf.tf * n.n_docs AS DOUBLE) / df.df DESC, tf.word) AS rk
+      |  FROM tf JOIN df USING (word), n) t
+      |WHERE rk <= 3
+      |ORDER BY doc_id, rk""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q50_token_stats", q50, Some(q50Sql)),
     Q("q51_lang_id", q51, Some(q51Sql)),
     Q("q52_quality_score", q52, Some(q52Sql)),
     Q("q53_fingerprint", q53, Some(q53Sql)),
     Q("q54_rolling_fingerprint", q54, Some(q54Sql)),
+    Q("q75_tfidf_keywords", q75, Some(q75Sql)),
   )
 }
