@@ -62,8 +62,9 @@ object Extras {
   // directly. Output is bit-identical to ntile(4) OVER (ORDER BY ...).
   private def q44(s: SparkSession, d: String): DataFrame = {
     val nb = 4
+    val nParts = s.conf.get("spark.sql.shuffle.partitions").toInt
     val o = orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
-      .repartitionByRange(32, col("o_totalprice"), col("o_orderkey"))
+      .repartitionByRange(nParts, col("o_totalprice"), col("o_orderkey"))
       .withColumn("pid", spark_partition_id())
     val wLocal = Window.partitionBy(col("pid"))
       .orderBy(col("o_totalprice"), col("o_orderkey"))

@@ -69,6 +69,20 @@ class StreamingDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("near-dup bucket cap: over-cap arrivals still probe stored members") {
+    // maxPerBucket=2 on 4 identical docs: docs 1,2 get stored; docs 3,4
+    // are not stored but still pair against the stored cap-set — only
+    // pairs AMONG over-cap arrivals (3,4) are lost, the documented
+    // bound on what capping can drop
+    val docs = (1L to 4L)
+      .map(i => (i, "same words repeated enough times to form shingles here"))
+      .toDF("doc_id", "text")
+    val pairs = StatefulStreams.streamingNearDupPairs(docs, maxPerBucket = 2)
+      .toDF("a", "b", "est").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L)), s"got $pairs")
+  }
+
   test("streaming near-dup operator in batch mode equals the batch LSH pair set (q32)") {
     val sf = "/root/testdata/sf0.001"
     val docs = graft.Tables.documents(spark, sf)
