@@ -45,6 +45,27 @@ class StreamingExtrasSpec extends SparkSpec {
     assert(last == Map("a" -> 3L, "b" -> 1L, "c" -> 1L))
   }
 
+  test("rate-micro-batch source: the unbounded generator analog") {
+    // the reference's only unbounded source is its infinite generator
+    // stream (datastream.go:15-27); Spark's built-in equivalent is the
+    // rate family — rate-micro-batch produces a DETERMINISTIC number of
+    // rows per batch, so the test is timing-independent
+    val df = spark.readStream.format("rate-micro-batch")
+      .option("rowsPerBatch", "25").option("numPartitions", "2").load()
+    val q = df.writeStream.format("memory").queryName("ratesrc")
+      .outputMode("append").start()
+    try {
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (spark.table("ratesrc").count() < 50 && System.nanoTime() < deadline) {
+        Thread.sleep(200)
+      }
+      val vals = spark.table("ratesrc").select("value")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(vals.length >= 50, s"rate source produced only ${vals.length} rows")
+      assert(vals.take(50) == (0L until 50L), "values must be the deterministic 0..n sequence")
+    } finally q.stop()
+  }
+
   test("foreachBatch fan-out delivers each micro-batch to every sink") {
     implicit val sql = spark.sqlContext
     val in = MemoryStream[Int]
