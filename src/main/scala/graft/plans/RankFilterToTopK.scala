@@ -20,6 +20,10 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * InferWindowGroupLimit from re-matching the shape. Windows with more
   * than one window expression (e.g. a sum over the whole partition
   * alongside the rank) are NOT rewritten — those need every row.
+  * An empty PARTITION BY (global top-n) rewrites too: the final stage
+  * declares AllTuples, so each input partition contributes at most k
+  * rows to a single-partition merge — strictly better than the window
+  * plan, which moves EVERY row to one partition before ranking.
   *
   * Spark 3.5+ ships WindowGroupLimit for this pattern, but its
   * physical form still sorts each group; this rewrite removes the sort
@@ -29,13 +33,19 @@ import org.apache.spark.sql.catalyst.rules.Rule
   */
 object RankFilterToTopK extends Rule[LogicalPlan] with PredicateHelper {
 
+  // Limits are computed in Long so `rn < Int.MinValue` cannot wrap to
+  // Int.MaxValue; non-positive k yields None, leaving the (always-false)
+  // filter in place untouched.
+  private def fit(k: Long): Option[Int] =
+    if (k >= 1 && k <= Int.MaxValue) Some(k.toInt) else None
+
   private def limit(cond: Expression, rn: AttributeReference): Option[Int] = cond match {
-    case LessThanOrEqual(a: AttributeReference, IntegerLiteral(k)) if a.exprId == rn.exprId => Some(k)
-    case LessThan(a: AttributeReference, IntegerLiteral(k)) if a.exprId == rn.exprId => Some(k - 1)
+    case LessThanOrEqual(a: AttributeReference, IntegerLiteral(k)) if a.exprId == rn.exprId => fit(k.toLong)
+    case LessThan(a: AttributeReference, IntegerLiteral(k)) if a.exprId == rn.exprId => fit(k.toLong - 1)
     case EqualTo(a: AttributeReference, IntegerLiteral(k)) if a.exprId == rn.exprId && k == 1 => Some(1)
     case EqualTo(IntegerLiteral(k), a: AttributeReference) if a.exprId == rn.exprId && k == 1 => Some(1)
-    case GreaterThanOrEqual(IntegerLiteral(k), a: AttributeReference) if a.exprId == rn.exprId => Some(k)
-    case GreaterThan(IntegerLiteral(k), a: AttributeReference) if a.exprId == rn.exprId => Some(k - 1)
+    case GreaterThanOrEqual(IntegerLiteral(k), a: AttributeReference) if a.exprId == rn.exprId => fit(k.toLong)
+    case GreaterThan(IntegerLiteral(k), a: AttributeReference) if a.exprId == rn.exprId => fit(k.toLong - 1)
     case _ => None
   }
 
@@ -48,7 +58,7 @@ object RankFilterToTopK extends Rule[LogicalPlan] with PredicateHelper {
       val (rankConds, others) = splitConjunctivePredicates(cond)
         .partition(c => limit(c, rn).isDefined)
       val ks = rankConds.flatMap(c => limit(c, rn))
-      if (ks.isEmpty || ks.min <= 0 || others.exists(_.references.contains(rn))) f
+      if (ks.isEmpty || others.exists(_.references.contains(rn))) f
       else {
         val pruned = w.copy(child = TopKPerKeyNode(part, order, ks.min, child))
         others.reduceOption(And).map(Filter(_, pruned)).getOrElse(pruned)

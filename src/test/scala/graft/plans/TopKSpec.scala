@@ -94,6 +94,43 @@ class TopKSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("global top-n (no PARTITION BY) rewrites and plans AllTuples, not a crash") {
+    // regression: TopKPerKeyNode(Nil, ...) used to demand
+    // ClusteredDistribution(Nil), which Spark rejects at planning
+    val o = graft.Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val df = o.withColumn("rk", row_number().over(w)).filter(col("rk") <= 7)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("TopKPerKey \\[".r.findAllIn(plan).size == 2, s"rewrite did not fire:\n$plan")
+    assert(plan.contains("Exchange SinglePartition"), plan)
+    val got = df.collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq.sortBy(_._3)
+    val want = o.collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy(t => (-t._2, t._1)).take(7).zipWithIndex
+      .map { case ((k2, v), i) => (k2, v, i + 1) }.toSeq
+    assert(got == want)
+    // the Scala API route works with empty keys too
+    val api = TopK.perKey(o, Nil, Seq(col("o_totalprice").desc, col("o_orderkey").asc), 7)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(api == want.map(t => (t._1, t._2)).toSet)
+  }
+
+  test("pathological rank bounds do not rewrite or overflow") {
+    val o = graft.Tables.orders(spark, sf)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    // rn < Int.MinValue must NOT wrap to top-Int.MaxValue: always-false
+    // filter, zero rows, no TopK in the plan
+    val df = o.withColumn("rk", row_number().over(w)).filter(col("rk") < Int.MinValue)
+    assert(!df.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+    assert(df.count() == 0)
+    // rn <= 0 likewise stays an ordinary (empty) filter
+    val z = o.withColumn("rk", row_number().over(w)).filter(col("rk") <= 0)
+    assert(!z.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+    assert(z.count() == 0)
+  }
+
   test("heap eviction keeps the k best under a total order with duplicates") {
     import spark.implicits._
     // many duplicate order keys: deterministic thanks to the tiebreaker
