@@ -63,9 +63,17 @@ object Similarity {
       |WHERE rk <= 5
       |ORDER BY query_id, rk""".stripMargin
 
-  /** q34 pivot count / probed cells per vector. */
+  /** q34 pivot count / probed cells per vector — DEFAULTS; override per
+    * session via `graft.neardup.pivots` / `graft.neardup.probe` (the
+    * oracle SQL is templated from the defaults, so Verify runs
+    * unconfigured sessions). PivotCount should scale as √(N/labels):
+    * at 100× data, set the conf instead of recompiling.
+    */
   val NearDupPivots = 16
   val NearDupProbe = 2
+
+  private def confInt(s: SparkSession, key: String, default: Int): Int =
+    s.conf.getOption(key).map(_.trim.toInt).getOrElse(default)
 
   // q34 — embedding-level near-duplicate detection: each vector's
   // nearest CANDIDATE neighbor, where candidates share the label AND a
@@ -79,24 +87,36 @@ object Similarity {
   // NearDupPivots, assignment = argmax ordered-fold cosine, ties to the
   // smaller pivot id), so DuckDB computes the identical blocked
   // semantics — bit-exact, no recall gap in the gate.
-  private def q34(s: SparkSession, d: String): DataFrame = {
-    GraftFunctions.register(s)
-    val e = embeddings(s, d)
-    val pivots = e.filter(col("vec_id") < NearDupPivots)
-      .select(col("vec_id").as("pivot_id"), col("embedding").as("pvec"))
-    val wCell = Window.partitionBy(col("vec_id")).orderBy(col("pcos").desc, col("pivot_id"))
-    val assigned = e.join(broadcast(pivots))
-      .withColumn("pcos", expr("cosine_sim(embedding, pvec)"))
-      .withColumn("prk", row_number().over(wCell))
-      .filter(col("prk") <= NearDupProbe)
-      .select(col("vec_id"), col("label"), col("embedding"), col("pivot_id").as("cell"))
-    val a = assigned.select(col("vec_id").as("id_a"), col("label"), col("cell"), col("embedding").as("va"))
-    val b = assigned.select(col("vec_id").as("id_b"), col("label"), col("cell"), col("embedding").as("vb"))
+  /** The candidate-pair + nearest-neighbor back half of q34, factored
+    * so the adversarial spec can drive it with a degenerate frame.
+    * `assigned` must have columns (vec_id, label, embedding, cell).
+    *
+    * Skew design: a plain `a.join(b, Seq("label","cell"))` lands each
+    * (label, cell) block's all-pairs work on ONE task — and a
+    * near-dup-heavy cell (many near-identical vectors, exactly what
+    * this query exists to find) is the degenerate case. So blocks above
+    * [[Dedup.HotBucketThreshold]] rows get triangle-split
+    * (ops/SelfJoins) over [[Dedup.TriangleSplit]] row-groups while cold
+    * blocks keep replication 1 — the q32 hot-bucket pattern. The
+    * nearest-NEIGHBOR relation is directional, so each unordered pair
+    * feeds both orientations; cosine is bit-exactly commutative (the
+    * per-element products and the fold order are identical either way),
+    * so one evaluation serves both.
+    */
+  private[graft] def nearestWithinBlocks(assigned: DataFrame): DataFrame = {
+    val hot = assigned.groupBy(col("label"), col("cell"))
+      .agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") > Dedup.HotBucketThreshold)
+      .select(col("label"), col("cell"), lit(true).as("__hot"))
+    val graded = assigned.join(broadcast(hot), Seq("label", "cell"), "left")
+    val pairs = graft.ops.SelfJoins
+      .pairsWithinBlocks(graded, Seq("label", "cell"), "vec_id",
+        when(col("__hot"), lit(Dedup.TriangleSplit)).otherwise(lit(1)))
+      .withColumn("cos", expr("cosine_sim(embedding_l, embedding_r)"))
+      .select(col("vec_id_l"), col("vec_id_r"), col("label"), col("cos"))
     val w = Window.partitionBy(col("id_a")).orderBy(col("cos").desc, col("id_b"))
-    a.join(b, Seq("label", "cell"))
-      .filter(col("id_a") =!= col("id_b"))
-      .withColumn("cos", expr("cosine_sim(va, vb)"))
-      .select(col("id_a"), col("label"), col("id_b"), col("cos"))
+    pairs.select(col("vec_id_l").as("id_a"), col("label"), col("vec_id_r").as("id_b"), col("cos"))
+      .unionAll(pairs.select(col("vec_id_r").as("id_a"), col("label"), col("vec_id_l").as("id_b"), col("cos")))
       .distinct() // a pair can co-occur in both probed cells
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
@@ -104,6 +124,22 @@ object Similarity {
         col("cos").as("nn_cos"),
         when(col("cos") > 0.35, 1).otherwise(0).as("near_dup"))
       .orderBy(col("vec_id"))
+  }
+
+  private def q34(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val pivotN = confInt(s, "graft.neardup.pivots", NearDupPivots)
+    val probeN = confInt(s, "graft.neardup.probe", NearDupProbe)
+    val e = embeddings(s, d)
+    val pivots = e.filter(col("vec_id") < pivotN)
+      .select(col("vec_id").as("pivot_id"), col("embedding").as("pvec"))
+    val wCell = Window.partitionBy(col("vec_id")).orderBy(col("pcos").desc, col("pivot_id"))
+    val assigned = e.join(broadcast(pivots))
+      .withColumn("pcos", expr("cosine_sim(embedding, pvec)"))
+      .withColumn("prk", row_number().over(wCell))
+      .filter(col("prk") <= probeN)
+      .select(col("vec_id"), col("label"), col("embedding"), col("pivot_id").as("cell"))
+    nearestWithinBlocks(assigned)
   }
 
   private val q34Sql =
@@ -128,7 +164,12 @@ object Similarity {
       |WHERE rk = 1
       |ORDER BY vec_id""".stripMargin
 
-  /** q41 codebook size / Lloyd iterations / probed cells. */
+  /** q41 codebook size / Lloyd iterations / probed cells — DEFAULTS;
+    * override per session via `graft.ivf.cells` / `graft.ivf.iters` /
+    * `graft.ivf.probe` (cells should scale as √N at 100× data — set
+    * the conf, don't recompile; the oracle SQL is templated from the
+    * defaults).
+    */
   val IvfCells = 16
   val IvfIters = 3
   val IvfProbe = 6
@@ -160,11 +201,14 @@ object Similarity {
   // vs q40 at IvfProbe=6 of 16 cells).
   private def q41(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
+    val cellsN = confInt(s, "graft.ivf.cells", IvfCells)
+    val itersN = confInt(s, "graft.ivf.iters", IvfIters)
+    val probeN = confInt(s, "graft.ivf.probe", IvfProbe)
     val e = embeddings(s, d)
     val eq = e.select(col("vec_id"), col("embedding"),
       transform(col("embedding"),
         x => round(x.cast("double") * FixScale).cast("long")).as("qv"))
-    var centroids = eq.filter(col("vec_id") < IvfCells)
+    var centroids = eq.filter(col("vec_id") < cellsN)
       .select(col("vec_id").cast("int").as("cell"),
         transform(col("qv"),
           q => (q.cast("double") / FixScale.toDouble).cast("float")).as("cvec"))
@@ -177,7 +221,7 @@ object Similarity {
       scored.groupBy(col("vec_id"))
         .agg(max_by(col("cell"), struct(col("ccos"), (-col("cell")).as("nc"))).as("cell"),
           keep.map(c => first(c).as(c.toString)): _*)
-    for (_ <- 1 to IvfIters) {
+    for (_ <- 1 to itersN) {
       val assigned = argmaxCell(
         eq.join(broadcast(centroids))
           .withColumn("ccos", expr("cosine_sim(embedding, cvec)")), col("qv"))
@@ -202,7 +246,7 @@ object Similarity {
     val probed = q.join(broadcast(centroids))
       .withColumn("qcos", expr("cosine_sim(qvec, cvec)"))
       .withColumn("prk", row_number().over(wProbe))
-      .filter(col("prk") <= IvfProbe)
+      .filter(col("prk") <= probeN)
       .select(col("query_id"), col("qvec"), col("cell"))
     val wTop = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
     assigned.join(broadcast(probed), Seq("cell"))

@@ -77,6 +77,65 @@ class QueryPackSpec extends SparkSpec {
     pairs.foreach(r => assert(r.getDouble(2) === 1.0))
   }
 
+  test("IVF/near-dup knobs are session-configurable") {
+    // probing EVERY cell makes IVF an exhaustive search: top-5 must
+    // equal brute force exactly, proving the conf is read (defaults
+    // probe 6 of 16 give ~0.96 recall, not 1.0)
+    spark.conf.set("graft.ivf.probe", "16")
+    try {
+      val brute = SparkEntry.queries("q40_knn_brute")(spark, sf)
+        .select("query_id", "rk", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      val ivf = SparkEntry.queries("q41_knn_ivf")(spark, sf)
+        .select("query_id", "rk", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(ivf === brute, "probe=cells must be exhaustive search")
+    } finally spark.conf.unset("graft.ivf.probe")
+    // near-dup blocking knobs: a coarser quantizer (4 pivots, 1 probe)
+    // still yields a well-formed NN per non-singleton block
+    spark.conf.set("graft.neardup.pivots", "4")
+    spark.conf.set("graft.neardup.probe", "1")
+    try {
+      val out = SparkEntry.queries("q34_embed_neardup")(spark, sf)
+      assert(out.count() > 0)
+    } finally {
+      spark.conf.unset("graft.neardup.pivots")
+      spark.conf.unset("graft.neardup.probe")
+    }
+  }
+
+  test("q34 embedding NN survives an adversarial identical-vector cell") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    graft.functions.GraftFunctions.register(spark)
+    // 300 near-identical vectors in ONE (label, cell) block — past
+    // HotBucketThreshold (256), so the triangle-split path engages and
+    // the block's C(300,2) pair work spreads across row-group tasks —
+    // plus a 3-vector cold block exercising the replication-1 path in
+    // the same run. Every vector must still get its true in-block NN.
+    val nDup = 300
+    val base = Array.tabulate(64)(i => 1.0f + (i % 7) * 0.25f)
+    val dups = (0 until nDup).map(i => (i.toLong, 0L, base))
+    def spiked(axis: Int) = Array.tabulate(64)(i => if (i == axis) 1.0f else 0.1f)
+    val cold = (0 until 3).map(i => ((1000 + i).toLong, 1L, spiked(i * 10)))
+    val assigned = (dups ++ cold).toDF("vec_id", "label", "embedding")
+      .withColumn("cell", col("label"))
+      .select(col("vec_id"), col("label"), col("embedding"), col("cell"))
+    val out = Similarity.nearestWithinBlocks(assigned).collect()
+    val dupRows = out.filter(_.getLong(0) < nDup)
+    assert(dupRows.length === nDup)
+    dupRows.foreach { r =>
+      val (id, nn) = (r.getLong(0), r.getLong(2))
+      // all in-block cosines are the identical value, so the id_b
+      // tiebreaker must pick the smallest other id
+      assert(nn === (if (id == 0L) 1L else 0L), s"vec $id got nn $nn")
+      assert(r.getInt(4) === 1, s"vec $id not flagged near-dup")
+    }
+    val coldRows = out.filter(_.getLong(0) >= 1000)
+    assert(coldRows.length === 3)
+    coldRows.foreach(r => assert(r.getLong(2) >= 1000L, s"cold NN leaked across blocks: $r"))
+  }
+
   test("q33/q36 corpus-side joins are not forced broadcasts") {
     // With auto-broadcast disabled, the salted equi-join must plan as a
     // shuffle join — proving nothing in the query FORCES a broadcast of
