@@ -1,15 +1,18 @@
 package graft.plans
 
+import org.apache.spark.SparkEnv
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
-import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode, UnsafeExternalRowSorter}
 import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 import org.apache.spark.sql.graft.PlanOps
+import org.apache.spark.sql.types.{StructField, StructType}
+import org.apache.spark.util.collection.unsafe.sort.PrefixComparators
 
 /** Top-k-per-key as a WHOLE custom operator — logical node + planner
   * strategy + partial/final physical operators, the (c) rung of the
@@ -25,8 +28,9 @@ import org.apache.spark.sql.graft.PlanOps
   * aggregate — shuffle volume is min(input, keys × k), not input), and
   * the final stage merges heaps after an EnsureRequirements-inserted
   * exchange on the keys. Cost O(n log k) vs the window's O(n log n),
-  * with O(keysPerPartition × k) memory (production hardening would add
-  * a spill fallback, like ObjectHashAggregate's).
+  * with O(keysPerPartition × k) memory — bounded: past `finalSpillKeys`
+  * distinct keys the final stage degrades to a disk-spilling external
+  * sort (see doExecute), mirroring ObjectHashAggregate's fallback.
   *
   * "Top" = the first k rows of each key under `order` — pass a total
   * order (include a tiebreaker) for deterministic results.
@@ -36,7 +40,8 @@ case class TopKPerKeyNode(
     order: Seq[SortOrder],
     k: Int,
     child: LogicalPlan,
-    partialFlushKeys: Int = TopK.DefaultPartialFlushKeys) extends UnaryNode {
+    partialFlushKeys: Int = TopK.DefaultPartialFlushKeys,
+    finalSpillKeys: Int = TopK.DefaultFinalSpillKeys) extends UnaryNode {
   require(k > 0, s"k must be positive, got $k")
   override def output: Seq[Attribute] = child.output
   override def maxRows: Option[Long] = child.maxRows
@@ -50,7 +55,8 @@ case class TopKPerKeyExec(
     k: Int,
     partial: Boolean,
     child: SparkPlan,
-    partialFlushKeys: Int = TopK.DefaultPartialFlushKeys) extends UnaryExecNode {
+    partialFlushKeys: Int = TopK.DefaultPartialFlushKeys,
+    finalSpillKeys: Int = TopK.DefaultFinalSpillKeys) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning: Partitioning = child.outputPartitioning
@@ -67,13 +73,15 @@ case class TopKPerKeyExec(
 
   override lazy val metrics: Map[String, SQLMetric] = Map(
     "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
-    "numHeapFlushes" -> SQLMetrics.createMetric(sparkContext, "partial heap-map flushes"))
+    "numHeapFlushes" -> SQLMetrics.createMetric(sparkContext, "partial heap-map flushes"),
+    "numSpillFallbacks" -> SQLMetrics.createMetric(sparkContext, "final-stage sort-spill fallbacks"))
 
   override protected def doExecute(): RDD[InternalRow] = {
     val (keyExprs, ord, kk, childOutput) = (keys, order, k, child.output)
-    val (isPartial, flushKeys) = (partial, partialFlushKeys)
+    val (isPartial, flushKeys, spillKeys) = (partial, partialFlushKeys, finalSpillKeys)
     val outputRows = longMetric("numOutputRows")
     val heapFlushes = longMetric("numHeapFlushes")
+    val spillFallbacks = longMetric("numSpillFallbacks")
     child.execute().mapPartitions { it =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val cmp = GenerateOrdering.generate(ord, childOutput)
@@ -88,22 +96,14 @@ case class TopKPerKeyExec(
       // per partition, so past `flushKeys` distinct keys the whole map
       // is emitted and reset — correct because partial output per key
       // only needs to CONTAIN its partition's top-k; the final stage
-      // re-reduces however many partial heaps a key produced. The final
-      // stage holds exactly its own keys × k rows (the operator's
-      // output), which is the same residency any hash aggregation has.
+      // re-reduces however many partial heaps a key produced.
       def drain(): Iterator[InternalRow] = {
         val out = heaps
         heaps = new java.util.HashMap()
         out.values.asScala.iterator.flatMap(_.iterator().asScala)
           .map { r => outputRows += 1; r }
       }
-      val fed: Iterator[InternalRow] = it.flatMap { row =>
-        val key = keyProj(row)
-        val flushed: Iterator[InternalRow] =
-          if (isPartial && heaps.get(key) == null && heaps.size >= flushKeys) {
-            heapFlushes += 1
-            drain()
-          } else Iterator.empty
+      def insert(row: InternalRow, key: UnsafeRow): Unit = {
         var heap = heaps.get(key)
         if (heap == null) {
           heap = new java.util.PriorityQueue[InternalRow](kk + 1, worstFirst)
@@ -114,9 +114,74 @@ case class TopKPerKeyExec(
           heap.poll()
           heap.add(row.copy())
         }
-        flushed
       }
-      fed ++ drain()
+      // The FINAL stage's residency is its keys × k rows (the
+      // operator's output) — fine until one task owns millions of
+      // keys. Past `spillKeys` distinct keys it degrades to a
+      // disk-spilling external sort on (keys, order): draining the
+      // live heaps into the sorter is sufficient because each heap
+      // holds its key's best k of the prefix, so every discarded row
+      // is dominated by k rows that ARE in the sorter; the sorted run
+      // then yields each key's rows best-first and the first k per
+      // key byte-distinct group are exactly the top-k. This mirrors
+      // ObjectHashAggregate's sort-based fallback. Requires orderable
+      // key types (always true for anything a window PARTITION BY
+      // accepts); non-orderable keys keep the hash map.
+      def spillPath(cur: InternalRow, rest: Iterator[InternalRow]): Iterator[InternalRow] = {
+        val spillOrder = keyExprs.map(SortOrder(_, Ascending)) ++ ord
+        val fullCmp = GenerateOrdering.generate(spillOrder, childOutput)
+        val schema = StructType(childOutput.map(a =>
+          StructField(a.name, a.dataType, a.nullable, a.metadata)))
+        // constant prefix: every comparison falls through to the full
+        // record comparator — no radix/prefix acceleration, which is
+        // fine for a rare fallback path
+        val prefixComputer = new UnsafeExternalRowSorter.PrefixComputer {
+          private val result = new UnsafeExternalRowSorter.PrefixComputer.Prefix
+          override def computePrefix(row: InternalRow): UnsafeExternalRowSorter.PrefixComputer.Prefix = {
+            result.isNull = false; result.value = 0L; result
+          }
+        }
+        val sorter = UnsafeExternalRowSorter.create(
+          schema, fullCmp, PrefixComparators.LONG, prefixComputer,
+          SparkEnv.get.memoryManager.pageSizeBytes, false)
+        val fed = heaps.values.asScala.iterator.flatMap(_.iterator().asScala) ++
+          Iterator(cur) ++ rest
+        val sorted = sorter.sort(fed.asInstanceOf[Iterator[UnsafeRow]])
+        heaps = new java.util.HashMap() // rows now owned by the sorter
+        var curKey: UnsafeRow = null
+        var n = 0
+        sorted.filter { r =>
+          val key = keyProj(r)
+          if (curKey == null || key != curKey) { curKey = key.copy(); n = 0 }
+          n += 1
+          if (n <= kk) { outputRows += 1; true } else false
+        }
+      }
+      if (isPartial) {
+        val fed: Iterator[InternalRow] = it.flatMap { row =>
+          val key = keyProj(row)
+          val flushed: Iterator[InternalRow] =
+            if (heaps.get(key) == null && heaps.size >= flushKeys) {
+              heapFlushes += 1
+              drain()
+            } else Iterator.empty
+          insert(row, key)
+          flushed
+        }
+        fed ++ drain()
+      } else {
+        val spillable = keyExprs.forall(e => RowOrdering.isOrderable(e.dataType))
+        var spilled: Iterator[InternalRow] = null
+        while (it.hasNext && spilled == null) {
+          val row = it.next()
+          val key = keyProj(row)
+          if (spillable && heaps.get(key) == null && heaps.size >= spillKeys) {
+            spillFallbacks += 1
+            spilled = spillPath(row, it)
+          } else insert(row, key)
+        }
+        if (spilled == null) drain() else spilled
+      }
     }
   }
 }
@@ -127,10 +192,10 @@ case class TopKPerKeyExec(
   */
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKeyNode(keys, order, k, child, flushKeys) =>
+    case TopKPerKeyNode(keys, order, k, child, flushKeys, spillKeys) =>
       TopKPerKeyExec(keys, order, k, partial = false,
         TopKPerKeyExec(keys, order, k, partial = true, planLater(child), flushKeys),
-        flushKeys) :: Nil
+        flushKeys, spillKeys) :: Nil
     case _ => Nil
   }
 }
@@ -139,6 +204,11 @@ object TopK {
 
   /** Distinct keys a PARTIAL task holds before flush-and-reset. */
   val DefaultPartialFlushKeys: Int = 1 << 16
+
+  /** Distinct keys a FINAL task holds before degrading to the
+    * disk-spilling external-sort path.
+    */
+  val DefaultFinalSpillKeys: Int = 1 << 16
 
   /** q72 — the custom operator as a registered, oracle-checked query:
     * top-3 orders by price per priority class, bit-exact against
@@ -169,7 +239,8 @@ object TopK {
       keyCols: Seq[String],
       orderBy: Seq[Column],
       k: Int,
-      partialFlushKeys: Int = DefaultPartialFlushKeys): DataFrame = {
+      partialFlushKeys: Int = DefaultPartialFlushKeys,
+      finalSpillKeys: Int = DefaultFinalSpillKeys): DataFrame = {
     val spark = df.sparkSession
     if (!spark.experimental.extraStrategies.contains(TopKStrategy)) {
       spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ TopKStrategy
@@ -180,6 +251,6 @@ object TopK {
       case e => SortOrder(e, Ascending)
     })
     PlanOps.ofRows(spark,
-      TopKPerKeyNode(keys, order, k, PlanOps.analyzed(df), partialFlushKeys))
+      TopKPerKeyNode(keys, order, k, PlanOps.analyzed(df), partialFlushKeys, finalSpillKeys))
   }
 }

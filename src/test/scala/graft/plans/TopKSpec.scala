@@ -131,6 +131,38 @@ class TopKSpec extends SparkSpec {
     assert(z.count() == 0)
   }
 
+  test("final-stage sort-spill fallback is exact (q72 shape, forced threshold)") {
+    import org.apache.spark.sql.functions.col
+    // force the final stage past its key budget immediately: every
+    // final task with > 2 distinct keys must degrade to the external
+    // sort, and the output must still equal the window formulation of
+    // q72's semantics
+    val o = graft.Tables.orders(spark, sf)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevPart = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // one final task so it owns all 5 priority keys > the threshold of 2
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    try {
+      val topk = TopK.perKey(o, Seq("o_orderpriority"),
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3, finalSpillKeys = 2)
+      val got = topk.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      val execs = topk.queryExecution.executedPlan.collect { case t: TopKPerKeyExec => t }
+      assert(execs.find(!_.partial).get.metrics("numSpillFallbacks").value > 0,
+        "fallback did not engage")
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      val want = o.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3).drop("rk")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == want)
+      assert(got.size == 15) // 5 priorities x 3
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.shuffle.partitions", prevPart)
+    }
+  }
+
   test("heap eviction keeps the k best under a total order with duplicates") {
     import spark.implicits._
     // many duplicate order keys: deterministic thanks to the tiebreaker
