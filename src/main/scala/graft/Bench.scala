@@ -55,17 +55,25 @@ object Bench {
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
     val pass1 = named.map { case (n, fn) => n -> timeOnce(n, fn) }.toMap
     val pass2 = named.map { case (n, fn) => n -> timeOnce(n, fn) }.toMap
-    val results = named.map { case (name, fn) =>
-      val (a, b) = (pass1(name), pass2(name))
-      val best = math.min(a, b)
-      name -> (if (math.max(a, b) > best * 1.5 && math.max(a, b) - best > 0.3)
-        math.min(best, timeOnce(name, fn))
-      else best)
+    val samples = named.map { case (name, fn) =>
+      val two = List(pass1(name), pass2(name))
+      val best = two.min
+      name -> (if (two.max > best * 1.5 && two.max - best > 0.3)
+        timeOnce(name, fn) :: two
+      else two)
     }
+    val results = samples.map { case (n, ss) => n -> ss.min }
+    // Per-query dispersion (max/min across the interleaved samples):
+    // the artifact itself shows which numbers are host noise — a query
+    // whose spread is 3x did not get slower, its box did.
+    val spreads = samples.map { case (n, ss) => n -> ss.max / math.max(ss.min, 1e-9) }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    val sp = spreads.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val maxSpread = spreads.map(_._2).max
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$sp,"max_spread":$maxSpread%.2f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -18,7 +18,8 @@ object SparkEntry {
       Extras.all ++ Extras2.all ++ Pipeline.all ++
       Seq(Q("q70_media_features", graft.multimodal.Multimodal.mediaFeaturesQuery, None),
         Q("q71_frame_samples", graft.multimodal.Multimodal.frameSamplesQuery, None),
-        Q("q72_topk_native", graft.plans.TopK.q72, Some(graft.plans.TopK.q72Sql)))
+        Q("q72_topk_native", graft.plans.TopK.q72, Some(graft.plans.TopK.q72Sql)),
+        Q("q76_topk_sql", graft.plans.TopK.q76, Some(graft.plans.TopK.q72Sql)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

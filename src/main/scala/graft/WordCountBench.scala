@@ -13,8 +13,10 @@ import org.apache.spark.sql.expressions.Window
   * Differences, both deliberate:
   *  - the corpus is generated from a seeded RNG rather than copying the
     *  reference's lorem list (distribution parity is what matters —
-    *  FIXTURES.md F8); generation happens distributed (hash of the row
-    *  id picks the word), not on the driver;
+    *  FIXTURES.md F8); generation is the PLANNED DSv2 source
+    *  (sources/WordGenSource) — N input partitions each producing
+    *  their slice independently, bit-identical at any parallelism —
+    *  not a driver-side loop feeding a channel like the reference;
   *  - two implementations are timed: the analytic-window form (codegen,
     *  the scalable path) and the graft.core stateful-operator form
     *  (the reference's actual operator semantics).
@@ -35,19 +37,18 @@ object WordCountBench {
     import spark.implicits._
 
     // 100 deterministic pseudo-words, avg length ~6.4 chars (like the
-    // reference's lorem corpus); ~10 MiB of them.
-    val rnd = new scala.util.Random(0)
-    val corpus = (0 until 100).map { _ =>
-      val len = 3 + rnd.nextInt(8)
-      (0 until len).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
-    }
-    val avgLen = corpus.map(_.length + 1).sum / 100.0
+    // reference's lorem corpus); ~10 MiB of them, planned end-to-end by
+    // the DSv2 generator source (12 input partitions, like the
+    // reference's parallelism-12 run).
+    val avgLen = graft.sources.WordGenSource.corpus(0L).map(_.length + 1).sum / 100.0
     val bytesIn = 10L * 1024 * 1024
     val nWords = (bytesIn / avgLen).toLong
 
-    val corpusCol = array(corpus.map(lit): _*)
-    val words = spark.range(nWords).repartition(12)
-      .select(col("id"), element_at(corpusCol, (pmod(hash(col("id")), lit(100)) + 1).cast("int")).as("word"))
+    val words = spark.read.format("graft.sources.WordGenSource")
+      .option("rows", nWords.toString)
+      .option("partitions", "12")
+      .option("seed", "0")
+      .load()
 
     // (a) analytic-window running count (whole-stage codegen)
     val t0 = System.nanoTime()

@@ -12,20 +12,39 @@ import org.apache.spark.sql.functions._
   * jump — every node re-labels to its LABEL'S label. Plain propagation
   * needs O(diameter) rounds (a 10^6-node chain would need 10^6
   * shuffles); the jump makes label paths halve each round, so
-  * convergence is O(log diameter) — the same round complexity as the
-  * alternating small-star/large-star algorithm, with a simpler
+  * convergence is O(log diameter).
+  *
+  * Extreme-diameter escape hatch: past `escalateAfter` un-converged
+  * rounds the jump count doubles each round (capped at 8 per round) —
+  * label paths then shrink by 2^jumps per round, so a graph that is
+  * still converging after the first rounds (the deep-chain regime)
+  * finishes in fewer TOTAL rounds, and each avoided round also avoids
+  * its neighbor-min join shuffle and driver convergence check. This is
+  * the same round-count reduction the alternating small-star/large-star
+  * algorithm buys past ~10^9-edge components, kept on the simpler
   * invariant: a node's label is always a node id inside its own
-  * component and only ever decreases, so the fixpoint is exactly the
-  * component minimum. `localCheckpoint` after each step cuts the
-  * exponentially growing loop lineage; the per-iteration driver round
-  * trip is the convergence check (inherent to any fixpoint loop).
+  * component and only ever decreases (the jump map is monotone:
+  * comp(x) <= x), so any number of extra jumps is safe and the fixpoint
+  * is exactly the component minimum. `localCheckpoint` after each round
+  * cuts the exponentially growing loop lineage; the per-iteration
+  * driver round trip is the convergence check (inherent to any fixpoint
+  * loop).
   */
 object ConnectedComponents {
 
   /** @param edges two Long columns `a`, `b` (undirected pairs)
     * @return (id, comp): every vertex mapped to the min id reachable
     */
-  def minLabel(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  def minLabel(edges: DataFrame, maxIter: Int = 20, escalateAfter: Int = 4): DataFrame =
+    minLabelWithRounds(edges, maxIter, escalateAfter)._1
+
+  /** As [[minLabel]], also returning the rounds taken to converge —
+    * observable for the escalation specs.
+    */
+  def minLabelWithRounds(
+      edges: DataFrame,
+      maxIter: Int = 20,
+      escalateAfter: Int = 4): (DataFrame, Int) = {
     val und = edges.select(col("a"), col("b"))
       .union(edges.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint(true)
@@ -40,18 +59,24 @@ object ConnectedComponents {
         .agg(min(col("comp")).as("ncomp"))
       val stepped = labels.join(neigh, labels("id") === neigh("nid"), "left_outer")
         .select(col("id"), col("comp").as("pcomp"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("c1"))
-      // pointer jump: comp := comp(comp). Every c1 value is itself a
-      // node id carrying a c1 row (labels are always node ids), so the
-      // self-join is total; jcomp <= c1 keeps monotonicity.
-      val jump = stepped.select(col("id").as("jid"), col("c1").as("jcomp"))
-      val jumped = stepped.join(jump, stepped("c1") === jump("jid"))
-        .select(col("id"), col("pcomp"), col("jcomp").as("comp"))
-        .localCheckpoint(true)
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+      // pointer jump: comp := comp(comp), repeated `jumps` times. Every
+      // comp value is itself a node id carrying a row (labels are
+      // always node ids), so the self-join is total; comp(x) <= x keeps
+      // monotonicity through any number of applications.
+      val jumps = if (i < escalateAfter) 1
+        else math.min(1 << (i - escalateAfter + 1), 8)
+      var cur = stepped
+      for (_ <- 1 to jumps) {
+        val jump = cur.select(col("id").as("jid"), col("comp").as("jcomp"))
+        cur = cur.join(jump, cur("comp") === jump("jid"))
+          .select(cur("id"), cur("pcomp"), col("jcomp").as("comp"))
+      }
+      val jumped = cur.localCheckpoint(true)
       converged = jumped.filter(col("comp") < col("pcomp")).isEmpty
       labels = jumped.select(col("id"), col("comp"))
       i += 1
     }
-    labels
+    (labels, i)
   }
 }

@@ -30,17 +30,37 @@ object SelfJoins {
     * splitting of hot blocks only — replication is 1 where it is 1).
     * Columns named `__*` are treated as internal (available to `split`,
     * excluded from the output).
+    *
+    * CONTRACT: `split` must be functionally dependent on `blockKeys` —
+    * if two rows of one block evaluate to different values, the (p, q)
+    * tilings disagree and pairs are SILENTLY lost. `lit(k)` and
+    * broadcast-joined per-block flags (the hot-block pattern) satisfy
+    * this by construction; anything row-dependent does not. Pass
+    * `validateSplit = true` to enforce the contract with a pre-pass
+    * aggregation that fails fast on a violating block (costs one extra
+    * scan + job — a debug/CI mode, not for the hot path).
     */
   def pairsWithinBlocks(
       df: DataFrame,
       blockKeys: Seq[String],
       idCol: String,
-      split: Column): DataFrame = {
+      split: Column,
+      validateSplit: Boolean = false): DataFrame = {
     val payload = df.columns.toSeq
       .filterNot(c => blockKeys.contains(c) || c == idCol || c.startsWith("__"))
     val graded = df
       .withColumn("__r", split)
       .withColumn("__g", pmod(hash(col(idCol)), col("__r")))
+    if (validateSplit) {
+      val bad = graded.groupBy(blockKeys.map(col): _*)
+        .agg(countDistinct(col("__r")).as("__nr"))
+        .filter(col("__nr") > 1)
+        .limit(1).collect()
+      require(bad.isEmpty,
+        s"pairsWithinBlocks: split is not functionally dependent on block keys " +
+          s"(${blockKeys.mkString(", ")}) — block ${bad.headOption.orNull} evaluates to " +
+          "multiple __r values; pairs would be silently lost")
+    }
     def side(tag: String, prep: DataFrame => DataFrame) = {
       val renamed = (Seq(idCol) ++ payload).map(c => col(c).as(s"${c}_$tag"))
       prep(graded).select(

@@ -233,6 +233,20 @@ object TopK {
       |WHERE rk <= 3
       |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""".stripMargin
 
+  /** q76 — the same top-k semantics entered as SQL TEXT: proof the
+    * parser route reaches the bounded-heap operator with no DataFrame
+    * API involved. Predicate pushdown lands the rank filter directly on
+    * the Window, RankFilterToTopK (session-injected via
+    * GraftExtensions) rewrites it, and column pruning then removes the
+    * Window itself because rk is unused downstream — the executed plan
+    * is partial TopK → exchange → final TopK, nothing else
+    * (plan-asserted in TopKSpec). Oracle: identical statement.
+    */
+  def q76(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    graft.Tables.orders(s, d).createOrReplaceTempView("orders_v")
+    s.sql(q72Sql.replace("FROM orders", "FROM orders_v"))
+  }
+
   /** Top-k rows per key under `orderBy` (first-k in that order). */
   def perKey(
       df: DataFrame,

@@ -27,6 +27,24 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(got.forall(_.getLong(1) == 0L), "chain did not fully converge")
   }
 
+  test("escalating jumps converge a deep chain in fewer rounds") {
+    // 2000-node chain: the extreme-diameter regime. With escalation
+    // disabled (escalateAfter past maxIter) pointer jumping needs its
+    // full ~log2(d) rounds; with the escape hatch the jump count
+    // doubles per round past round 4, so label paths shrink by 2^jumps
+    // per round and the loop converges strictly earlier. Labels must be
+    // identical either way.
+    val edges = (0L until 1999L).map(i => (i, i + 1)).toDF("a", "b")
+    val (plainDf, plainRounds) =
+      ConnectedComponents.minLabelWithRounds(edges, maxIter = 30, escalateAfter = 1000)
+    val (escDf, escRounds) =
+      ConnectedComponents.minLabelWithRounds(edges, maxIter = 30, escalateAfter = 4)
+    assert(plainDf.collect().forall(_.getLong(1) == 0L))
+    assert(escDf.collect().forall(_.getLong(1) == 0L))
+    assert(escRounds < plainRounds,
+      s"escalation did not reduce rounds: $escRounds vs $plainRounds")
+  }
+
   test("min-label propagation equals union-find on a random graph") {
     val rnd = new scala.util.Random(17)
     val edges = (1 to 200).map(_ => (rnd.nextInt(150).toLong, rnd.nextInt(150).toLong))

@@ -48,6 +48,25 @@ class SelfJoinsSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("validateSplit rejects a split that is not per-block constant") {
+    // a row-dependent split silently loses pairs (the (p,q) tilings of
+    // the two rows disagree) — the validation mode must fail fast
+    val df = (0 until 10).map(i => (i.toLong, "b0")).toDF("id", "blk")
+    val rowDependent = (pmod(col("id"), lit(2)) + 1).cast("int")
+    val e = intercept[IllegalArgumentException] {
+      SelfJoins.pairsWithinBlocks(df, Seq("blk"), "id", rowDependent,
+        validateSplit = true).collect()
+    }
+    assert(e.getMessage.contains("functionally dependent"))
+    // the legitimate shapes pass validation unchanged
+    val ok = SelfJoins.pairsWithinBlocks(df, Seq("blk"), "id", lit(3),
+      validateSplit = true)
+      .select(least(col("id_l"), col("id_r")), greatest(col("id_l"), col("id_r")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(ok.sorted == (for { i <- 0 until 10; j <- i + 1 until 10 }
+      yield (i.toLong, j.toLong)).sorted)
+  }
+
   test("payload columns ride through on both sides") {
     val df = Seq((1L, "x", "p1"), (2L, "x", "p2")).toDF("id", "blk", "payload")
     val row = SelfJoins.pairsWithinBlocks(df, Seq("blk"), "id", lit(2)).collect()

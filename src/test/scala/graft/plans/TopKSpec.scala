@@ -131,6 +131,18 @@ class TopKSpec extends SparkSpec {
     assert(z.count() == 0)
   }
 
+  test("SQL-text top-n (q76) plans through the bounded-heap operator") {
+    val df = TopK.q76(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("TopKPerKey \\[".r.findAllIn(plan).size == 2,
+      s"SQL text did not reach the operator:\n$plan")
+    // same rows as the Scala-API q72 (both gate on the same oracle)
+    val sql = df.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    val api = TopK.q72(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(sql == api)
+  }
+
   test("final-stage sort-spill fallback is exact (q72 shape, forced threshold)") {
     import org.apache.spark.sql.functions.col
     // force the final stage past its key budget immediately: every
