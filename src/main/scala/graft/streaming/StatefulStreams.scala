@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoder}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import graft.core.{FixedWindowManager, Stamped}
 
 /** Structured Streaming forms of the reference's stateful operators —
@@ -135,6 +136,54 @@ object StatefulStreams {
           out.result().iterator
       }
   }
+
+  /** First-occurrence-only processor behind [[ttlDedup]]: one boolean
+    * ValueState per key with a TTL — Spark evicts the entry `ttl` after
+    * its last write, so a key re-arriving past the horizon is emitted
+    * again. State is managed by the state store (RocksDB-backable),
+    * never an unbounded in-JVM map.
+    */
+  private class FirstSeenProcessor[K, T](ttl: java.time.Duration)
+      extends StatefulProcessor[K, T, T] {
+    @transient private var seen: ValueState[Boolean] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getValueState[Boolean]("seen", Encoders.scalaBoolean,
+        TTLConfig(ttl))
+    override def handleInputRows(
+        key: K, rows: Iterator[T], timers: TimerValues): Iterator[T] =
+      if (seen.exists()) Iterator.empty
+      else { seen.update(true); rows.take(1) }
+  }
+
+  /** Exact streaming deduplication over a rolling TTL horizon, on
+    * Spark 4's transformWithState (the arbitrary-stateful-processing
+    * v2 API): the first arrival of each key is emitted, repeats are
+    * dropped while the key's state entry lives, and the entry expires
+    * `ttl` after it was written — so state size is bounded by
+    * (distinct-key arrival rate × ttl), not by the lifetime of the
+    * stream. This is the streaming form of the batch exact-dedup pillar
+    * (graft.queries.Dedup q30) for the continuous-ingest case where
+    * "seen before" only matters within a freshness window.
+    *
+    * Requires the RocksDB state store provider (Spark rejects
+    * transformWithState on the HDFS-backed provider) and, in this
+    * container, a nofork:// checkpoint location ([[NoForkFileSystem]])
+    * — the per-micro-batch state schema/metadata file churn through
+    * stock RawLocalFileSystem forks `ls`/`chmod` per file, which is
+    * pathologically slow here.
+    *
+    * Operational note: in ProcessingTime time mode the engine always
+    * has another batch to run (processing time must advance for TTL
+    * expiry), so the query triggers even with no new data — set a real
+    * `Trigger.ProcessingTime(interval)` (never the default 0 ms, which
+    * spins back-to-back empty batches) and drive tests by polling the
+    * sink, not `processAllAvailable()` (which would never return).
+    */
+  def ttlDedup[K, T](ds: Dataset[T], key: T => K, ttl: java.time.Duration)(
+      implicit ek: Encoder[K], et: Encoder[T]): Dataset[T] =
+    ds.groupByKey(key)
+      .transformWithState(new FirstSeenProcessor[K, T](ttl),
+        TimeMode.ProcessingTime(), OutputMode.Append())
 
   /** O7 (broadcast fan-out, engine.go:196-211) for streams: one source
     * micro-batch delivered to N sinks via foreachBatch. The batch
