@@ -1,0 +1,94 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.TextFns._
+
+/** Corpus-composition sampling operators — the "data mixing" stage of a
+  * training pipeline, where the kept fraction of each slice of the
+  * corpus is a policy decision, not a fixed rate. Both queries are
+  * deterministic (hash-driven, no RNG — the q43 principle: re-running
+  * the pipeline reproduces the sample bit-for-bit) and shuffle nothing
+  * data-sized: q78 runs through the bounded-heap TopK operator (partial
+  * heaps map-side, keys-only exchange), q79 is one corpus scan plus a
+  * broadcast of a per-language rate table that is at most
+  * |languages| rows.
+  */
+object Sampling {
+
+  // q78 — deterministic reservoir sample, m docs per language: rank
+  // every document by a seeded content-independent hash draw and keep
+  // the m smallest per stratum. Equivalent to a uniform random sample
+  // without replacement per language, reproducible across runs and
+  // cluster sizes. Ranking is the custom TopKPerKeyExec (no per-stratum
+  // sort at 100 TB — partial bounded heaps combine map-side, only
+  // survivors reach the exchange).
+  private val ReservoirK = 5
+
+  private def q78(s: SparkSession, d: String): DataFrame = {
+    val drawn = documents(s, d).select(
+      col("doc_id"), col("lang"),
+      hash60(concat(lit("rsv"), col("doc_id").cast("string"))).as("draw"))
+    graft.plans.TopK.perKey(drawn, Seq("lang"),
+      Seq(col("draw").asc, col("doc_id").asc), ReservoirK)
+      .select(col("doc_id"), col("lang"), col("draw"))
+      .orderBy(col("lang"), col("draw"), col("doc_id"))
+  }
+
+  private val q78Sql =
+    s"""SELECT doc_id, lang, draw FROM (
+      |  SELECT doc_id, lang, draw,
+      |    row_number() OVER (PARTITION BY lang ORDER BY draw, doc_id) AS rk
+      |  FROM (SELECT doc_id, lang,
+      |    ${hash60Sql("'rsv' || CAST(doc_id AS VARCHAR)")} AS draw
+      |    FROM documents) t) t2
+      |WHERE rk <= $ReservoirK
+      |ORDER BY lang, draw, doc_id""".stripMargin
+
+  // q79 — temperature-scaled mixture sampling: per-language keep rate
+  // proportional to sqrt(N_lang) (temperature T=2 rebalancing — small
+  // languages are up-weighted relative to their share, the standard
+  // multilingual-mixing move), largest language kept in full. sqrt is
+  // IEEE-correctly-rounded in both engines, so the integer thresholds
+  // — floor(10000·sqrt(N_l)/sqrt(N_max)) — and therefore the kept set
+  // are bit-reproducible. Per-doc membership is a hash draw against the
+  // language's threshold: one corpus scan, one tiny two-level
+  // aggregation, one broadcast join; nothing data-sized shuffles.
+  private def q79(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    val maxN = counts.agg(max(col("n_lang")).as("n_max"))
+    val rates = counts.crossJoin(broadcast(maxN))
+      .withColumn("threshold",
+        floor(lit(10000) * sqrt(col("n_lang").cast("double")) /
+          sqrt(col("n_max").cast("double"))).cast("long"))
+      .select(col("lang"), col("n_lang"), col("threshold"))
+    docs
+      .withColumn("u", hash60(concat(lit("mix"), col("doc_id").cast("string"))) % 10000)
+      .join(broadcast(rates), Seq("lang"))
+      .filter(col("u") < col("threshold"))
+      .select(col("doc_id"), col("lang"), col("n_lang"), col("threshold"), col("u"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q79Sql =
+    s"""WITH counts AS (
+      |  SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),
+      |mx AS (SELECT max(n_lang) AS n_max FROM counts),
+      |rates AS (
+      |  SELECT lang, n_lang,
+      |    CAST(floor(10000 * sqrt(CAST(n_lang AS DOUBLE)) /
+      |      sqrt(CAST(n_max AS DOUBLE))) AS BIGINT) AS threshold
+      |  FROM counts, mx)
+      |SELECT doc_id, d.lang AS lang, n_lang, threshold,
+      |  ${hash60Sql("'mix' || CAST(doc_id AS VARCHAR)")} % 10000 AS u
+      |FROM documents d JOIN rates USING (lang)
+      |WHERE ${hash60Sql("'mix' || CAST(doc_id AS VARCHAR)")} % 10000 < threshold
+      |ORDER BY doc_id""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("q78_reservoir_stratified", q78, Some(q78Sql)),
+    Q("q79_mixture_sample", q79, Some(q79Sql)),
+  )
+}

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
 import graft.functions.TextFns._
@@ -220,6 +220,76 @@ object TextAnalysis {
       |WHERE rk <= 3
       |ORDER BY doc_id, rk""".stripMargin
 
+  // q77 — repetition-based quality filter (the Gopher/MassiveText-style
+  // heuristics): per-document duplicate-2-gram and duplicate-3-gram
+  // fractions plus the top-word mass fraction, combined into a keep
+  // flag. A document whose text loops ("spam spam spam ...") has few
+  // distinct n-grams relative to total and one dominant token — both
+  // signals fall out of a SINGLE scan with array expressions, no
+  // shuffle at all, so the filter is IO-bound at 100 TB. Ratios are one
+  // IEEE division each (identical in both engines, no rounding).
+  private def q77(s: SparkSession, d: String): DataFrame = {
+    def grams(n: Int, t: Column): Column =
+      when(size(t) >= n,
+        transform(sequence(lit(1), size(t) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j)): _*)))
+        .otherwise(array().cast("array<string>"))
+    def dupFrac(g: Column): Column =
+      when(size(g) > 0,
+        lit(1.0) - size(array_distinct(g)).cast("double") / size(g))
+        .otherwise(lit(0.0))
+    documents(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("g2", grams(2, col("toks")))
+      .withColumn("g3", grams(3, col("toks")))
+      .withColumn("dup_2gram_frac", dupFrac(col("g2")))
+      .withColumn("dup_3gram_frac", dupFrac(col("g3")))
+      .withColumn("top_word_frac",
+        when(size(col("toks")) > 0,
+          array_max(transform(array_distinct(col("toks")),
+            w => size(filter(col("toks"), t => t === w)))).cast("double") /
+            size(col("toks")))
+          .otherwise(lit(0.0)))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_toks"),
+        col("dup_2gram_frac"), col("dup_3gram_frac"), col("top_word_frac"),
+        when(col("dup_2gram_frac") <= 0.2 && col("dup_3gram_frac") <= 0.18 &&
+          col("top_word_frac") <= 0.3, 1L).otherwise(0L).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q77Sql =
+    """WITH t AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, toks,
+      |    list_transform(range(greatest(len(toks) - 1, 0)),
+      |      i -> toks[i+1] || ' ' || toks[i+2]) AS g2,
+      |    list_transform(range(greatest(len(toks) - 2, 0)),
+      |      i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) AS g3
+      |  FROM t),
+      |f AS (
+      |  SELECT doc_id, len(toks) AS n_toks,
+      |    CASE WHEN len(g2) > 0
+      |      THEN 1 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2)
+      |      ELSE 0 END AS dup_2gram_frac,
+      |    CASE WHEN len(g3) > 0
+      |      THEN 1 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3)
+      |      ELSE 0 END AS dup_3gram_frac,
+      |    CASE WHEN len(toks) > 0
+      |      THEN CAST(list_max(list_transform(list_distinct(toks),
+      |        w -> len(list_filter(toks, t -> t = w)))) AS DOUBLE) / len(toks)
+      |      ELSE 0 END AS top_word_frac
+      |  FROM g)
+      |SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+      |  dup_2gram_frac, dup_3gram_frac, top_word_frac,
+      |  CAST(CASE WHEN dup_2gram_frac <= 0.2 AND dup_3gram_frac <= 0.18
+      |    AND top_word_frac <= 0.3 THEN 1 ELSE 0 END AS BIGINT) AS keep
+      |FROM f
+      |ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q50_token_stats", q50, Some(q50Sql)),
     Q("q51_lang_id", q51, Some(q51Sql)),
@@ -227,5 +297,6 @@ object TextAnalysis {
     Q("q53_fingerprint", q53, Some(q53Sql)),
     Q("q54_rolling_fingerprint", q54, Some(q54Sql)),
     Q("q75_tfidf_keywords", q75, Some(q75Sql)),
+    Q("q77_repetition_filter", q77, Some(q77Sql)),
   )
 }
