@@ -87,8 +87,54 @@ object Sampling {
       |WHERE ${hash60Sql("'mix' || CAST(doc_id AS VARCHAR)")} % 10000 < threshold
       |ORDER BY doc_id""".stripMargin
 
+  // q80 — sequence packing (concat-then-chunk): each shard's document
+  // stream is conceptually concatenated in doc_id order and chopped
+  // into fixed token-budget chunks; every document gets the chunk index
+  // and intra-chunk offset where it starts. This is the packing stage
+  // that turns a filtered corpus into fixed-length training sequences.
+  // The running sum is windowed PER SHARD (a deterministic hash shard,
+  // not a global order), so the window is partitioned and the plan
+  // scales — a global running sum would serialize onto one task at
+  // 100 TB, and real packers shard exactly like this (each worker packs
+  // its own stream). Integer `div`/`%` throughout — exact at any
+  // cumulative-sum magnitude, where double division would round past
+  // 2^53 tokens.
+  private val PackBudget = 2048
+  private val PackShards = 16
+
+  private def q80(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("doc_id"))
+    documents(s, d)
+      .select(col("doc_id"),
+        (hash60(concat(lit("pk"), col("doc_id").cast("string"))) % PackShards).as("shard"),
+        tokenCount(col("text")).as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("bin", expr(s"(cum_tokens - n_tokens) div $PackBudget"))
+      .withColumn("bin_offset", expr(s"(cum_tokens - n_tokens) % $PackBudget"))
+      .select(col("doc_id"), col("shard"), col("n_tokens"), col("cum_tokens"),
+        col("bin"), col("bin_offset"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q80Sql =
+    s"""SELECT doc_id, shard, n_tokens, cum_tokens,
+      |  (cum_tokens - n_tokens) // $PackBudget AS bin,
+      |  (cum_tokens - n_tokens) % $PackBudget AS bin_offset
+      |FROM (
+      |  SELECT doc_id, shard, n_tokens,
+      |    CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+      |      AS BIGINT) AS cum_tokens
+      |  FROM (
+      |    SELECT doc_id,
+      |      ${hash60Sql("'pk' || CAST(doc_id AS VARCHAR)")} % $PackShards AS shard,
+      |      len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens
+      |    FROM documents) t) t2
+      |ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q78_reservoir_stratified", q78, Some(q78Sql)),
     Q("q79_mixture_sample", q79, Some(q79Sql)),
+    Q("q80_sequence_packing", q80, Some(q80Sql)),
   )
 }
