@@ -48,6 +48,14 @@ class QueryPackSpec extends SparkSpec {
     assert(math.abs(pa - pe) / pe < 0.05, s"quantile sketch $pa vs exact $pe")
   }
 
+  test("q78 reservoir sample plans through the bounded-heap TopK operator") {
+    val plan = SparkEntry.queries("q78_reservoir_stratified")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("TopKPerKey \\[".r.findAllIn(plan).size == 2,
+      s"q78 did not plan partial+final TopKPerKeyExec:\n$plan")
+    assert(!plan.contains("WindowExec"), "q78 fell back to a window sort")
+  }
+
   test("minhash est_jaccard correlates with exact ngram jaccard on found pairs") {
     val mh = SparkEntry.queries("q32_minhash_lsh")(spark, sf).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
