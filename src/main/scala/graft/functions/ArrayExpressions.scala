@@ -301,3 +301,111 @@ case class SortedIntersectCount(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+/** One-pass repetition statistics over a document's token array:
+  * `[distinct 2-gram count, distinct 3-gram count, max single-token
+  * count]`. Exact set semantics with NO reliance on hash uniqueness:
+  * tokens are interned to dense ids via an open-addressing table that
+  * falls back to full byte comparison on probe, and an n-gram is the
+  * id-tuple itself (packed into two longs — injective for any id
+  * range), so the distinct counts equal distinct-of-joined-strings
+  * exactly (the join separator cannot occur inside a token). Replaces
+  * three interpreted HOF pipelines (transform + concat_ws +
+  * array_distinct ×2 + a nested per-distinct-token filter scan) that
+  * dominated q77's runtime. The hot loop lives in
+  * [[RepetitionStats.compute]], called from both the interpreted and
+  * the generated path (one static call per row inside
+  * whole-stage codegen).
+  */
+case class RepetitionStats(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"repetition_stats expects array<string>, got ${t.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "repetition_stats"
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(RepetitionStats.compute(input.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, xs =>
+      s"""
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.RepetitionStats.compute($xs));
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object RepetitionStats {
+
+  /** Smallest power of two >= 2·n (load factor <= 0.5). */
+  private def tableCap(n: Int): Int =
+    java.lang.Integer.highestOneBit(math.max(4, 2 * n - 1)) * 2
+
+  def compute(xs: ArrayData): Array[Long] = {
+    val n = xs.numElements()
+    if (n == 0) return Array(0L, 0L, 0L)
+    // intern tokens to dense ids; count occurrences per id
+    val cap = tableCap(n)
+    val mask = cap - 1
+    val keys = new Array[UTF8String](cap)
+    val slotId = new Array[Int](cap)
+    val tokId = new Array[Int](n)
+    val counts = new Array[Int](n)
+    var nid = 0
+    var i = 0
+    while (i < n) {
+      val s = xs.getUTF8String(i)
+      var h = s.hashCode & mask
+      var id = -1
+      while (id < 0) {
+        val k = keys(h)
+        if (k == null) { keys(h) = s; slotId(h) = nid; id = nid; nid += 1 }
+        else if (k.equals(s)) id = slotId(h)
+        else h = (h + 1) & mask
+      }
+      tokId(i) = id
+      counts(id) += 1
+      i += 1
+    }
+    var top = 0L
+    var j = 0
+    while (j < nid) { if (counts(j) > top) top = counts(j); j += 1 }
+
+    // distinct n-grams: the gram IS its id-tuple, packed exactly into
+    // (hi, lo); hi == -1 marks an empty slot (ids are non-negative)
+    def distinctGrams(order: Int): Long = {
+      val m = n - (order - 1)
+      if (m <= 0) return 0L
+      val c = tableCap(m)
+      val msk = c - 1
+      val his = new Array[Long](c)
+      val los = new Array[Long](c)
+      java.util.Arrays.fill(his, -1L)
+      var cnt = 0L
+      var p = 0
+      while (p < m) {
+        val hi = if (order == 2) tokId(p).toLong
+          else (tokId(p).toLong << 32) | tokId(p + 1).toLong
+        val lo = tokId(p + order - 1).toLong
+        var h = (java.lang.Long.hashCode(
+          (hi * 31 + lo) * -7046029254386353131L)) & msk
+        var done = false
+        while (!done) {
+          if (his(h) == -1L) { his(h) = hi; los(h) = lo; cnt += 1; done = true }
+          else if (his(h) == hi && los(h) == lo) done = true
+          else h = (h + 1) & msk
+        }
+        p += 1
+      }
+      cnt
+    }
+    Array(distinctGrams(2), distinctGrams(3), top)
+  }
+}

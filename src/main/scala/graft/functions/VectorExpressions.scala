@@ -109,5 +109,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "rolling_hashes", exprs => RollingHashes(exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
+    reg.createOrReplaceTempFunction(
+      "repetition_stats", exprs => RepetitionStats(exprs.head), "built-in")
   }
 }
