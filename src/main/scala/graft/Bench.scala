@@ -73,7 +73,11 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val maxSpread = spreads.map(_._2).max
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$sp,"max_spread":$maxSpread%.2f,"sf":"$sfDir"}""")
+    // Dispersion diagnostics go to stderr: the stdout metric line must
+    // stay one short parseable JSON line (adding the spread map inlined
+    // pushed it past the consumer's line buffer and it failed to parse).
+    System.err.println(f"""[bench] spread=$sp max_spread=$maxSpread%.2f""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
