@@ -64,8 +64,11 @@ object ConnectedComponents {
       // comp value is itself a node id carrying a row (labels are
       // always node ids), so the self-join is total; comp(x) <= x keeps
       // monotonicity through any number of applications.
+      // clamp the EXPONENT, not the result: a raw `1 << n` wraps (and a
+      // min over it picks the negative) once n reaches 31, which a
+      // caller with large maxIter / small escalateAfter can hit
       val jumps = if (i < escalateAfter) 1
-        else math.min(1 << (i - escalateAfter + 1), 8)
+        else 1 << math.min(i - escalateAfter + 1, 3)
       var cur = stepped
       for (_ <- 1 to jumps) {
         val jump = cur.select(col("id").as("jid"), col("comp").as("jcomp"))

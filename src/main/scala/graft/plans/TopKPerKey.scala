@@ -123,7 +123,9 @@ case class TopKPerKeyExec(
       // holds its key's best k of the prefix, so every discarded row
       // is dominated by k rows that ARE in the sorter; the sorted run
       // then yields each key's rows best-first and the first k per
-      // key byte-distinct group are exactly the top-k. This mirrors
+      // key byte-distinct group are exactly the top-k. Byte-distinct ==
+      // ordering-distinct here because TopKStrategy normalized the key
+      // expressions (no -0.0/NaN-payload splits). This mirrors
       // ObjectHashAggregate's sort-based fallback. Requires orderable
       // key types (always true for anything a window PARTITION BY
       // accepts); non-orderable keys keep the hash map.
@@ -193,8 +195,16 @@ case class TopKPerKeyExec(
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKeyNode(keys, order, k, child, flushKeys, spillKeys) =>
-      TopKPerKeyExec(keys, order, k, partial = false,
-        TopKPerKeyExec(keys, order, k, partial = true, planLater(child), flushKeys),
+      // Canonicalize float/double keys HERE, at the single point both
+      // entry routes (TopK.perKey and the RankFilterToTopK rewrite)
+      // funnel through: the exchange then hashes canonical bytes and
+      // the hash-map/spill paths byte-compare canonical bytes, so
+      // ordering-equal keys (0.0 vs -0.0, NaN payload variants) land in
+      // one partition and one group — the same semantics Spark's own
+      // NormalizeFloatingNumbers rule gives window PARTITION BY keys.
+      val nkeys = keys.map(PlanOps.normalizeFloats)
+      TopKPerKeyExec(nkeys, order, k, partial = false,
+        TopKPerKeyExec(nkeys, order, k, partial = true, planLater(child), flushKeys),
         flushKeys, spillKeys) :: Nil
     case _ => Nil
   }

@@ -115,8 +115,21 @@ object Similarity {
       .withColumn("cos", expr("cosine_sim(embedding_l, embedding_r)"))
       .select(col("vec_id_l"), col("vec_id_r"), col("label"), col("cos"))
     val w = Window.partitionBy(col("id_a")).orderBy(col("cos").desc, col("id_b"))
-    pairs.select(col("vec_id_l").as("id_a"), col("label"), col("vec_id_r").as("id_b"), col("cos"))
-      .unionAll(pairs.select(col("vec_id_r").as("id_a"), col("label"), col("vec_id_l").as("id_b"), col("cos")))
+    // both orientations from ONE pass: exploding a constant 2-flag
+    // array keeps the join subtree (hot-count + triangle split + cosine
+    // eval) planned once — a unionAll of two selects over `pairs` would
+    // plan and EXECUTE the whole subtree twice. The generator is below
+    // the orientation projection, so cosine_sim still evaluates once
+    // per unordered pair; Generate cannot collapse with the projection
+    // above it.
+    pairs
+      .select(col("vec_id_l"), col("vec_id_r"), col("label"), col("cos"),
+        explode(array(lit(true), lit(false))).as("fwd"))
+      .select(
+        when(col("fwd"), col("vec_id_l")).otherwise(col("vec_id_r")).as("id_a"),
+        col("label"),
+        when(col("fwd"), col("vec_id_r")).otherwise(col("vec_id_l")).as("id_b"),
+        col("cos"))
       .distinct() // a pair can co-occur in both probed cells
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)

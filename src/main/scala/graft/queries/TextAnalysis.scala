@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
+import graft.functions.GraftFunctions
 import graft.functions.TextFns._
 
 /** Text-analysis operators over the `documents` table: token statistics,
@@ -224,35 +225,33 @@ object TextAnalysis {
   // heuristics): per-document duplicate-2-gram and duplicate-3-gram
   // fractions plus the top-word mass fraction, combined into a keep
   // flag. A document whose text loops ("spam spam spam ...") has few
-  // distinct n-grams relative to total and one dominant token — both
-  // signals fall out of a SINGLE scan with array expressions, no
-  // shuffle at all, so the filter is IO-bound at 100 TB. Ratios are one
-  // IEEE division each (identical in both engines, no rounding).
+  // distinct n-grams relative to total and one dominant token — all
+  // three counts fall out of ONE pass of the codegen `repetition_stats`
+  // expression (functions/ArrayExpressions.scala), so the filter is a
+  // single scan, no shuffle, IO-bound at 100 TB. The interpreted HOF
+  // formulation (transform + concat_ws + array_distinct ×2 + a nested
+  // per-distinct-token filter scan) survives only as the DuckDB oracle:
+  // the counts are exact integers either way (distinct joined-string
+  // n-grams == distinct token-id tuples — tokens cannot contain the
+  // separator), so the ratio divisions see identical inputs. Ratios are
+  // one IEEE division each (identical in both engines, no rounding).
   private def q77(s: SparkSession, d: String): DataFrame = {
-    def grams(n: Int, t: Column): Column =
-      when(size(t) >= n,
-        transform(sequence(lit(1), size(t) - (n - 1)),
-          i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j)): _*)))
-        .otherwise(array().cast("array<string>"))
-    def dupFrac(g: Column): Column =
-      when(size(g) > 0,
-        lit(1.0) - size(array_distinct(g)).cast("double") / size(g))
+    GraftFunctions.register(s)
+    val n = size(col("toks"))
+    def frac(distinct: Column, total: Column): Column =
+      when(total > 0, lit(1.0) - distinct.cast("double") / total)
         .otherwise(lit(0.0))
     documents(s, d)
       .withColumn("toks", tokens(col("text")))
-      .withColumn("g2", grams(2, col("toks")))
-      .withColumn("g3", grams(3, col("toks")))
-      .withColumn("dup_2gram_frac", dupFrac(col("g2")))
-      .withColumn("dup_3gram_frac", dupFrac(col("g3")))
+      .withColumn("st", expr("repetition_stats(toks)"))
+      .withColumn("dup_2gram_frac", frac(element_at(col("st"), 1), n - 1))
+      .withColumn("dup_3gram_frac", frac(element_at(col("st"), 2), n - 2))
       .withColumn("top_word_frac",
-        when(size(col("toks")) > 0,
-          array_max(transform(array_distinct(col("toks")),
-            w => size(filter(col("toks"), t => t === w)))).cast("double") /
-            size(col("toks")))
+        when(n > 0, element_at(col("st"), 3).cast("double") / n)
           .otherwise(lit(0.0)))
       .select(
         col("doc_id"),
-        size(col("toks")).cast("long").as("n_toks"),
+        n.cast("long").as("n_toks"),
         col("dup_2gram_frac"), col("dup_3gram_frac"), col("top_word_frac"),
         when(col("dup_2gram_frac") <= 0.2 && col("dup_3gram_frac") <= 0.18 &&
           col("top_word_frac") <= 0.3, 1L).otherwise(0L).as("keep"))

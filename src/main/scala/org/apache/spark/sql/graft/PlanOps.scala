@@ -24,4 +24,14 @@ object PlanOps {
 
   def analyzed(df: DataFrame): LogicalPlan =
     df.queryExecution.analyzed
+
+  /** Canonicalize float/double (-0.0 → 0.0, NaN payloads → one NaN)
+    * inside `e`, recursively through structs/arrays/maps; identity for
+    * types that need no normalization. The same canonicalization Spark
+    * applies to groupBy/join/window keys — custom operators that hash
+    * or byte-compare grouping keys need it too, or ordering-equal keys
+    * split across partitions/groups.
+    */
+  def normalizeFloats(e: Expression): Expression =
+    org.apache.spark.sql.catalyst.optimizer.NormalizeFloatingNumbers.normalize(e)
 }

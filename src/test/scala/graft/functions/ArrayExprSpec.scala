@@ -67,6 +67,36 @@ class ArrayExprSpec extends SparkSpec {
       .as[Seq[Long]].head().isEmpty)
   }
 
+  test("repetition_stats equals the HOF formulation on adversarial token arrays") {
+    GraftFunctions.register(spark)
+    // reference semantics = the interpreted pipeline q77 used to run:
+    // distinct joined-string n-grams and the max single-token count
+    def ref(toks: Seq[String]): Seq[Long] = {
+      def grams(n: Int): Seq[String] =
+        if (toks.length < n) Seq.empty else toks.sliding(n).map(_.mkString(" ")).toSeq
+      val top = if (toks.isEmpty) 0L
+        else toks.groupBy(identity).values.map(_.size).max.toLong
+      Seq(grams(2).distinct.size.toLong, grams(3).distinct.size.toLong, top)
+    }
+    // probe-path stress: two DISTINCT tokens whose UTF8String hashes
+    // collide under the n=2 table mask (cap 8), so interning must fall
+    // through to the byte comparison to keep them apart
+    import org.apache.spark.unsafe.types.UTF8String
+    def mh(s: String): Int = UTF8String.fromString(s).hashCode & 7
+    val pool = (0 until 200).map(i => s"t$i")
+    val (ca, cb) = pool.flatMap(a => pool.find(b => b != a && mh(b) == mh(a)).map((a, _))).head
+    val rnd = new scala.util.Random(41)
+    val tinyVocab = Vector("a", "b", "c") // dense repeats + masked collisions
+    val rows: Seq[Seq[String]] =
+      Seq(Seq.empty[String], Seq("x"), Seq("x", "x"), Seq("x", "y"),
+        Seq(ca, cb, ca), Seq(ca, cb, ca, cb, ca)) ++
+        (1 to 40).map(_ => Seq.fill(rnd.nextInt(30))(tinyVocab(rnd.nextInt(3)))) ++
+        (1 to 20).map(_ => Seq.fill(rnd.nextInt(50) + 1)(pool(rnd.nextInt(200))))
+    val got = rows.toDF("toks").select(expr("repetition_stats(toks)"))
+      .as[Seq[Long]].collect().toSeq
+    assert(got.map(_.toSeq) == rows.map(ref))
+  }
+
   test("sorted_intersect_count equals set intersection size") {
     GraftFunctions.register(spark)
     val rnd = new scala.util.Random(13)

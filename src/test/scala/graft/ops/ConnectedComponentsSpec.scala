@@ -45,6 +45,18 @@ class ConnectedComponentsSpec extends SparkSpec {
       s"escalation did not reduce rounds: $escRounds vs $plainRounds")
   }
 
+  test("escalation from round 0 is exponent-clamped, not shift-wrapped") {
+    // escalateAfter = 0 drives the jump-count formula hardest: the
+    // exponent i+1 must clamp at 3 (8 jumps) instead of feeding a raw
+    // Int shift that goes negative/wraps past i = 30 — labels must
+    // still be exactly the component minimum
+    val edges = (0L until 299L).map(i => (i, i + 1)).toDF("a", "b")
+    val (df, rounds) =
+      ConnectedComponents.minLabelWithRounds(edges, maxIter = 40, escalateAfter = 0)
+    assert(df.collect().forall(_.getLong(1) == 0L))
+    assert(rounds <= 5, s"8-jump rounds should converge a 300-chain fast, took $rounds")
+  }
+
   test("min-label propagation equals union-find on a random graph") {
     val rnd = new scala.util.Random(17)
     val edges = (1 to 200).map(_ => (rnd.nextInt(150).toLong, rnd.nextInt(150).toLong))

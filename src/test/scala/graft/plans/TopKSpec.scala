@@ -175,6 +175,40 @@ class TopKSpec extends SparkSpec {
     }
   }
 
+  test("float keys canonicalize: -0.0/0.0 and NaN payload variants are ONE group, both paths") {
+    import spark.implicits._
+    // Spark's window PARTITION BY normalizes float keys (-0.0 == 0.0,
+    // all NaNs equal); TopKStrategy must give the direct API the same
+    // semantics on the hash-map path AND the sort-spill path — without
+    // normalization the byte-distinct variants split into separate
+    // groups (hash path) or reset the spill path's group counter
+    val nan1 = java.lang.Double.longBitsToDouble(0x7ff8000000000000L)
+    val nan2 = java.lang.Double.longBitsToDouble(0x7ff8000000000001L)
+    val df = Seq((0.0, 1L), (-0.0, 2L), (0.0, 3L), (-0.0, 4L),
+      (nan1, 5L), (nan2, 6L), (1.5, 7L)).toDF("k", "v")
+    def values(rows: Array[org.apache.spark.sql.Row]): Set[Long] =
+      rows.map(_.getLong(1)).toSet
+    val hm = TopK.perKey(df, Seq("k"), Seq(col("v").asc), 2)
+    assert(values(hm.collect()) == Set(1L, 2L, 5L, 6L, 7L),
+      "hash-map path: expected 3 ordering-distinct key groups")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevPart = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    try {
+      val sp = TopK.perKey(df, Seq("k"), Seq(col("v").asc), 2, finalSpillKeys = 1)
+      val execs = sp.queryExecution.executedPlan.collect { case t: TopKPerKeyExec => t }
+      val got = values(sp.collect())
+      assert(execs.find(!_.partial).get.metrics("numSpillFallbacks").value > 0,
+        "fallback did not engage")
+      assert(got == Set(1L, 2L, 5L, 6L, 7L),
+        "spill path must group ordering-equal float keys like the hash path")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.shuffle.partitions", prevPart)
+    }
+  }
+
   test("heap eviction keeps the k best under a total order with duplicates") {
     import spark.implicits._
     // many duplicate order keys: deterministic thanks to the tiebreaker
