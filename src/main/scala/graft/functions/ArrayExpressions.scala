@@ -344,14 +344,20 @@ case class RepetitionStats(child: Expression) extends UnaryExpression {
 
 object RepetitionStats {
 
-  /** Smallest power of two >= 2·n (load factor <= 0.5). */
-  private def tableCap(n: Int): Int =
+  /** Smallest power of two >= 2·n (load factor <= 0.5).
+    * Package-visible so specs can derive probe-collision masks from the
+    * real sizing instead of hardcoding it. */
+  private[functions] def tableCap(n: Int): Int =
     java.lang.Integer.highestOneBit(math.max(4, 2 * n - 1)) * 2
 
   def compute(xs: ArrayData): Array[Long] = {
     val n = xs.numElements()
     if (n == 0) return Array(0L, 0L, 0L)
-    // intern tokens to dense ids; count occurrences per id
+    // intern tokens to dense ids; count occurrences per id. A null
+    // element (the input array type may carry containsNull=true) interns
+    // to one dedicated sentinel id — distinct from every real token,
+    // equal to every other null — so user-facing SQL calls like
+    // repetition_stats(array('a', NULL)) are total, not a crash.
     val cap = tableCap(n)
     val mask = cap - 1
     val keys = new Array[UTF8String](cap)
@@ -359,16 +365,22 @@ object RepetitionStats {
     val tokId = new Array[Int](n)
     val counts = new Array[Int](n)
     var nid = 0
+    var nullId = -1
     var i = 0
     while (i < n) {
       val s = xs.getUTF8String(i)
-      var h = s.hashCode & mask
       var id = -1
-      while (id < 0) {
-        val k = keys(h)
-        if (k == null) { keys(h) = s; slotId(h) = nid; id = nid; nid += 1 }
-        else if (k.equals(s)) id = slotId(h)
-        else h = (h + 1) & mask
+      if (s == null) {
+        if (nullId < 0) { nullId = nid; nid += 1 }
+        id = nullId
+      } else {
+        var h = s.hashCode & mask
+        while (id < 0) {
+          val k = keys(h)
+          if (k == null) { keys(h) = s; slotId(h) = nid; id = nid; nid += 1 }
+          else if (k.equals(s)) id = slotId(h)
+          else h = (h + 1) & mask
+        }
       }
       tokId(i) = id
       counts(id) += 1

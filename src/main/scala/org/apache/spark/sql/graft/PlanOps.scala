@@ -26,12 +26,19 @@ object PlanOps {
     df.queryExecution.analyzed
 
   /** Canonicalize float/double (-0.0 → 0.0, NaN payloads → one NaN)
-    * inside `e`, recursively through structs/arrays/maps; identity for
+    * inside `e`, recursively through structs and arrays; identity for
     * types that need no normalization. The same canonicalization Spark
     * applies to groupBy/join/window keys — custom operators that hash
     * or byte-compare grouping keys need it too, or ordering-equal keys
-    * split across partitions/groups.
+    * split across partitions/groups. Map-typed expressions are returned
+    * unchanged: NormalizeFloatingNumbers.needNormalize throws for
+    * MapType (maps are not orderable), and map keys take the
+    * hash-map grouping path downstream, which never byte-compares.
     */
-  def normalizeFloats(e: Expression): Expression =
-    org.apache.spark.sql.catalyst.optimizer.NormalizeFloatingNumbers.normalize(e)
+  def normalizeFloats(e: Expression): Expression = {
+    val hasMap = e.dataType.existsRecursively(
+      _.isInstanceOf[org.apache.spark.sql.types.MapType])
+    if (hasMap) e
+    else org.apache.spark.sql.catalyst.optimizer.NormalizeFloatingNumbers.normalize(e)
+  }
 }

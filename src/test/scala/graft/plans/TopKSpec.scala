@@ -209,6 +209,29 @@ class TopKSpec extends SparkSpec {
     }
   }
 
+  test("map-typed keys plan and group correctly (normalizeFloats skips MapType)") {
+    // regression: normalizeFloats delegated to NormalizeFloatingNumbers,
+    // whose needNormalize throws IllegalStateException for MapType; a
+    // map key must instead pass through untouched and take the
+    // hash-map grouping path TopKPerKeyExec promises for
+    // non-orderable types
+    val o = graft.Tables.orders(spark, sf)
+      .select(map(col("o_orderpriority"), lit(1)).as("kmap"),
+        col("o_orderkey"), col("o_totalprice"))
+    val topk = TopK.perKey(o, Seq("kmap"),
+      Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)
+      .select(element_at(map_keys(col("kmap")), 1).as("prio"),
+        col("o_orderkey"), col("o_totalprice"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val base = graft.Tables.orders(spark, sf)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val want = base.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3).drop("rk")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(topk == want)
+  }
+
   test("heap eviction keeps the k best under a total order with duplicates") {
     import spark.implicits._
     // many duplicate order keys: deterministic thanks to the tiebreaker
