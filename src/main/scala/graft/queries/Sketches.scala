@@ -1,0 +1,151 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables._
+import graft.functions.TextFns._
+
+/** Sketch-backed operators: Count-Min heavy-hitter estimation over the
+  * corpus n-gram stream and a Bloom-prefiltered semi-join. Both follow
+  * the KMV/q48 principle — every hash is portable mod-p affine
+  * arithmetic over the md5-based hash60, so the ENTIRE sketch state is
+  * bit-reproducible in DuckDB SQL and the oracle checks the sketch
+  * itself, not just a derived answer.
+  */
+object Sketches {
+
+  // ---- q83: Count-Min sketch heavy hitters ------------------------------
+
+  /** Sketch shape: depth×width cells. Width is deliberately far below
+    * the ~16k distinct trigrams so collisions (and therefore the
+    * overestimates the CMS ε-δ bound describes) actually occur at test
+    * scale; at 100 TB width scales with the ε target, never with the
+    * stream length — that independence is the point of the sketch.
+    */
+  val CmsDepth = 4
+  val CmsWidth = 256
+  val CmsTop = 20
+  val P = 2147483647L
+
+  /** Row-j bucket of a 60-bit key hash: affine mod-p, then mod width.
+    * (2j+1) ≤ 7 times a 60-bit value stays under 2^63 — no overflow in
+    * either engine.
+    */
+  private def cmsBucket(keyHash: Column, j: Column): Column =
+    ((lit(2L) * j + 1L) * keyHash + lit(9176L) * j) % P % CmsWidth
+
+  /** Corpus-wide trigram counts (with multiplicity — this is the
+    * frequency stream the sketch summarizes, not the q81 document
+    * frequency). Vocabulary-sized output: ~16k rows at any SF.
+    */
+  private def gramCounts(s: SparkSession, d: String): DataFrame =
+    Corpus.docGrams(s, d)
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("n"))
+
+  // q83 — build the CMS from the AGGREGATED vocabulary (so the sketch
+  // construction shuffles vocab-sized, not corpus-sized, data: the
+  // corpus-sized work is the same map-side-combined gram count every
+  // frequency query needs), then report the top-20 exact heavy hitters
+  // next to their CMS estimates. estimate = min over depth rows of the
+  // cell sum; the CMS invariant estimate >= exact holds by
+  // construction and is additionally pinned by SketchesSpec.
+  private def q83(s: SparkSession, d: String): DataFrame = {
+    val counts = gramCounts(s, d)
+    val js = sequence(lit(0L), lit((CmsDepth - 1).toLong))
+    val cells = counts
+      .select(col("gram"), col("n"), explode(js).as("j"))
+      .select(col("n"), col("j"), cmsBucket(hash60(col("gram")), col("j")).as("bucket"))
+      .groupBy(col("j"), col("bucket"))
+      .agg(sum(col("n")).as("cell_n"))
+    val top = counts.orderBy(col("n").desc, col("gram")).limit(CmsTop)
+    top
+      .select(col("gram"), col("n"), explode(js).as("j"))
+      .withColumn("bucket", cmsBucket(hash60(col("gram")), col("j")))
+      .join(broadcast(cells), Seq("j", "bucket"))
+      .groupBy(col("gram"), col("n"))
+      .agg(min(col("cell_n")).as("n_cms"))
+      .select(col("gram"), col("n").as("n_exact"), col("n_cms"))
+      .orderBy(col("n_exact").desc, col("gram"))
+  }
+
+  private val q83Sql = {
+    val gram = (0 until Corpus.GramLen).map(j => s"toks[i+${j + 1}]").mkString(" || ' ' || ")
+    def bucket(h: String, j: String) =
+      s"(((2*$j+1)*$h + 9176*$j) % $P) % $CmsWidth"
+    s"""WITH t AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      |           FROM documents),
+      |g AS (SELECT unnest(list_transform(
+      |        range(greatest(len(toks) - ${Corpus.GramLen - 1}, 0)), i -> $gram)) AS gram
+      |      FROM t),
+      |counts AS (SELECT gram, count(*) AS n FROM g GROUP BY gram),
+      |hashed AS (SELECT gram, n, ${hash60Sql("gram")} AS h FROM counts),
+      |js AS (SELECT unnest([${(0 until CmsDepth).mkString(", ")}]) AS j),
+      |cells AS (SELECT j, ${bucket("h", "j")} AS bucket, CAST(sum(n) AS BIGINT) AS cell_n
+      |          FROM hashed CROSS JOIN js GROUP BY 1, 2),
+      |top AS (SELECT gram, n, h FROM hashed ORDER BY n DESC, gram LIMIT $CmsTop)
+      |SELECT top.gram, top.n AS n_exact, CAST(min(c.cell_n) AS BIGINT) AS n_cms
+      |FROM top CROSS JOIN js
+      |JOIN cells c ON c.j = js.j AND c.bucket = ${bucket("top.h", "js.j")}
+      |GROUP BY top.gram, top.n
+      |ORDER BY n_exact DESC, top.gram""".stripMargin
+  }
+
+  // ---- q84: Bloom-prefiltered semi-join ----------------------------------
+
+  /** Small bitset on purpose: at sf0.01 the build side sets ~20% of the
+    * bits, so false positives occur and the exact verify stage is
+    * load-bearing (SketchesSpec counts them). Production sizing is
+    * m ≈ 1.44·k·n for the target FP rate.
+    */
+  val BloomK = 3
+  val BloomM = 4096
+
+  private def dsum(c: Column): Column =
+    sum(c.cast(DecimalType(14, 2))).cast("double")
+
+  /** Bloom-hit orders (true AUTOMOBILE-customer orders plus FPs),
+    * exposed for the spec's pruning assertions.
+    */
+  private[queries] def bloomCandidates(s: SparkSession, d: String): DataFrame = {
+    val build = customer(s, d)
+      .filter(col("c_mktsegment") === "AUTOMOBILE")
+      .select(col("c_custkey"))
+    val bits = graft.ops.BloomPrefilter.bitset(
+      build, hash60(col("c_custkey").cast("string")), BloomK, BloomM)
+    graft.ops.BloomPrefilter.prefilter(
+      orders(s, d), hash60(col("o_custkey").cast("string")), bits, BloomK, BloomM)
+  }
+
+  // q84 — orders of AUTOMOBILE-segment customers via Bloom prefilter +
+  // exact verify semi-join, aggregated per priority. The result is
+  // byte-identical to the plain semi-join (the Bloom stage only
+  // prunes), so the oracle is the ordinary IN subquery; the exact
+  // verify join runs over only the Bloom survivors — at 100 TB that is
+  // the difference between shuffling the whole probe and shuffling the
+  // ~matching slice.
+  private def q84(s: SparkSession, d: String): DataFrame = {
+    val buildKeys = customer(s, d)
+      .filter(col("c_mktsegment") === "AUTOMOBILE")
+      .select(col("c_custkey"))
+    bloomCandidates(s, d)
+      .join(buildKeys, col("o_custkey") === col("c_custkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val q84Sql =
+    """SELECT o_orderpriority, count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_price
+      |FROM orders
+      |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("q83_cms_heavy_hitters", q83, Some(q83Sql)),
+    Q("q84_bloom_semi_join", q84, Some(q84Sql)),
+  )
+}
