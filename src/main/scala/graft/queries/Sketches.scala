@@ -48,24 +48,24 @@ object Sketches {
   // construction shuffles vocab-sized, not corpus-sized, data: the
   // corpus-sized work is the same map-side-combined gram count every
   // frequency query needs), then report the top-20 exact heavy hitters
-  // next to their CMS estimates. estimate = min over depth rows of the
-  // cell sum; the CMS invariant estimate >= exact holds by
-  // construction and is additionally pinned by SketchesSpec.
+  // next to their CMS estimates. The cell sums are whole-partition
+  // window aggregates over (row, bucket) — ONE linear plan off a single
+  // corpus scan; the earlier two-branch form (cells aggregate + top-20
+  // joined back) re-planned the scan+explode+count lineage per branch,
+  // i.e. read the corpus twice. estimate = min over depth rows of the
+  // cell sum; the CMS invariant estimate >= exact holds by construction
+  // and is additionally pinned by CorpusSketchesSpec.
   private def q83(s: SparkSession, d: String): DataFrame = {
-    val counts = gramCounts(s, d)
-    val js = sequence(lit(0L), lit((CmsDepth - 1).toLong))
-    val cells = counts
-      .select(col("gram"), col("n"), explode(js).as("j"))
-      .select(col("n"), col("j"), cmsBucket(hash60(col("gram")), col("j")).as("bucket"))
-      .groupBy(col("j"), col("bucket"))
-      .agg(sum(col("n")).as("cell_n"))
-    val top = counts.orderBy(col("n").desc, col("gram")).limit(CmsTop)
-    top
-      .select(col("gram"), col("n"), explode(js).as("j"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("j"), col("bucket"))
+    gramCounts(s, d)
+      .select(col("gram"), col("n"),
+        explode(sequence(lit(0L), lit((CmsDepth - 1).toLong))).as("j"))
       .withColumn("bucket", cmsBucket(hash60(col("gram")), col("j")))
-      .join(broadcast(cells), Seq("j", "bucket"))
+      .withColumn("cell_n", sum(col("n")).over(w))
       .groupBy(col("gram"), col("n"))
       .agg(min(col("cell_n")).as("n_cms"))
+      .orderBy(col("n").desc, col("gram"))
+      .limit(CmsTop)
       .select(col("gram"), col("n").as("n_exact"), col("n_cms"))
       .orderBy(col("n_exact").desc, col("gram"))
   }
@@ -121,10 +121,17 @@ object Sketches {
   // q84 — orders of AUTOMOBILE-segment customers via Bloom prefilter +
   // exact verify semi-join, aggregated per priority. The result is
   // byte-identical to the plain semi-join (the Bloom stage only
-  // prunes), so the oracle is the ordinary IN subquery; the exact
-  // verify join runs over only the Bloom survivors — at 100 TB that is
-  // the difference between shuffling the whole probe and shuffling the
-  // ~matching slice.
+  // prunes), so the oracle is the ordinary IN subquery. Plan note: in
+  // the composed query Catalyst's PushDownLeftSemiAntiJoin moves the
+  // verify semi-join BELOW the Bloom filter whenever it may — here the
+  // build side broadcasts, so verify-first is genuinely cheaper and
+  // the optimizer is right to collapse the pipeline. The stage order
+  // the operator exists for — Bloom cut first, expensive join over
+  // survivors only — applies when the build side is too big to
+  // broadcast; production pipelines materialize the prefiltered
+  // survivors between the stages (or get this exact push from Spark's
+  // own InjectRuntimeFilter), and the prefilter stage's plan shape is
+  // pinned by CorpusSketchesSpec.
   private def q84(s: SparkSession, d: String): DataFrame = {
     val buildKeys = customer(s, d)
       .filter(col("c_mktsegment") === "AUTOMOBILE")

@@ -80,7 +80,15 @@ class CorpusSketchesSpec extends SparkSpec {
       col("o_custkey") === col("c_custkey"), "left_semi")
     val nExact = exact.count()
     val nTotal = graft.Tables.orders(spark, sf01).count()
-    val nBloom = Sketches.bloomCandidates(spark, sf01).count()
+    val cand = Sketches.bloomCandidates(spark, sf01)
+    // prefilter stage plan: one scan, the codegen merge-intersect
+    // membership test, and ONLY the 1-row bitset broadcast (by-design
+    // BNLJ) — no shuffle, no data-sized broadcast
+    val candPlan = cand.queryExecution.executedPlan.toString
+    assert(candPlan.contains("sorted_intersect_count"), candPlan)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(candPlan).size == 1, candPlan)
+    assert(!candPlan.contains("Exchange hashpartitioning"), candPlan)
+    val nBloom = cand.count()
     assert(nBloom >= nExact, "bloom must never drop a true match")
     assert(nBloom > nExact, "expected false positives at this fill ratio")
     assert(nBloom < nTotal, "bloom stage must prune")
