@@ -50,22 +50,30 @@ object Corpus {
     * the regex collapsed into its per-output-row evaluation (measured
     * 17 s vs 1 s at sf0.1 on q73).
     */
-  private def toksDf(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
+  private def toksDfOf(docsDf: DataFrame): DataFrame =
+    docsDf
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .repartition(col("doc_id"))
 
+  private def toksDf(s: SparkSession, d: String): DataFrame =
+    toksDfOf(documents(s, d))
+
   /** One row per (doc_id, gram-string) occurrence. The explode carries
     * only the cheap index array; the gram concat runs once per output
-    * row against the materialized token attribute.
+    * row against the materialized token attribute. All narrow
+    * deterministic ops after the repartition, so the same plan runs
+    * over a streaming frame (used by the streaming CMS).
     */
-  private[queries] def docGrams(s: SparkSession, d: String): DataFrame =
-    toksDf(s, d)
+  private[graft] def docGramsOf(docsDf: DataFrame): DataFrame =
+    toksDfOf(docsDf)
       .select(col("doc_id"), col("toks"),
         explode(indices(size(col("toks")) - (GramLen - 1))).as("i"))
       .select(col("doc_id"),
         concat_ws(" ",
           (0 until GramLen).map(j => element_at(col("toks"), col("i") + j + 1)): _*).as("gram"))
+
+  private[queries] def docGrams(s: SparkSession, d: String): DataFrame =
+    docGramsOf(documents(s, d))
 
   // q81 — boilerplate n-gram mining: token 3-grams by document
   // frequency, kept when they appear in >= BoilerplateMinDf distinct

@@ -92,6 +92,24 @@ object Sketches {
       |ORDER BY n_exact DESC, top.gram""".stripMargin
   }
 
+  /** CMS cell table (j, bucket, cell_n) of a documents frame, as ONE
+    * aggregation over per-occurrence gram rows — each occurrence adds 1
+    * to its depth-many cells, so `count(*)` per (row, bucket) IS the
+    * cell sum. Works identically over a batch frame and a streaming
+    * frame (Structured Streaming allows a single aggregation: this is
+    * the incremental-sketch-maintenance form — state is exactly the
+    * depth×width cell table, never the stream), which is the defining
+    * property of the CMS. Batch output equals q83's windowed cell sums;
+    * CorpusSketchesSpec pins the batch/streaming equality.
+    */
+  def cmsCellsOf(docsDf: DataFrame): DataFrame =
+    Corpus.docGramsOf(docsDf)
+      .select(explode(sequence(lit(0L), lit((CmsDepth - 1).toLong))).as("j"),
+        hash60(col("gram")).as("h"))
+      .select(col("j"), cmsBucket(col("h"), col("j")).as("bucket"))
+      .groupBy(col("j"), col("bucket"))
+      .agg(count(lit(1)).as("cell_n"))
+
   // ---- q84: Bloom-prefiltered semi-join ----------------------------------
 
   /** Small bitset on purpose: at sf0.01 the build side sets ~20% of the

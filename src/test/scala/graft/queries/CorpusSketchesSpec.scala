@@ -73,6 +73,28 @@ class CorpusSketchesSpec extends SparkSpec {
       "no collision anywhere — sketch width too large for the test to mean anything")
   }
 
+  test("streaming CMS cells equal the batch cell table over the same documents") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").limit(60)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val batch = Sketches.cmsCellsOf(docs.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    // three micro-batches: the sketch must accumulate across them
+    docs.grouped((docs.size + 2) / 3).foreach(g => in.addData(g))
+    val q = Sketches.cmsCellsOf(in.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("scms")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("scms")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+    assert(batch.map(_._3).sum > 0)
+  }
+
   test("q84 bloom prefilter prunes, passes FPs, and the verify stage removes them") {
     // sf0.01: the build side sets ~20% of the bits, so FPs exist
     val exact = graft.Tables.orders(spark, sf01).join(
