@@ -262,44 +262,65 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "sorted_intersect_count"
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    var i = 0; var j = 0; var c = 0L
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Long.valueOf(SortedIntersectCount.compute(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) =>
+      s"${ev.value} = graft.functions.SortedIntersectCount.compute($x, $y);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedIntersectCount {
+
+  /** When one side is this many times smaller than the other, switch
+    * from the linear merge to per-element binary search of the big
+    * side — O(k·log m) instead of O(n+m). The crossover matters for
+    * membership-test workloads (q73's doc-vs-benchmark overlap, the
+    * Bloom prefilter's 3-position probe against a ~10^3-entry bitset),
+    * where the merge degenerates to scanning the whole big array per
+    * row.
+    */
+  private final val SearchRatio = 16
+
+  def compute(x: ArrayData, y: ArrayData): Long = {
     val n = x.numElements(); val m = y.numElements()
+    if (n == 0 || m == 0) return 0L
+    if (n.toLong * SearchRatio < m) return searched(x, n, y, m)
+    if (m.toLong * SearchRatio < n) return searched(y, m, x, n)
+    var i = 0; var j = 0; var c = 0L
     while (i < n && j < m) {
       val xv = x.getLong(i); val yv = y.getLong(j)
       if (xv == yv) { c += 1; i += 1; j += 1 }
       else if (xv < yv) i += 1
       else j += 1
     }
-    java.lang.Long.valueOf(c)
+    c
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (x, y) => {
-      val i = ctx.freshName("i")
-      val j = ctx.freshName("j")
-      val c = ctx.freshName("c")
-      val n = ctx.freshName("n")
-      val m = ctx.freshName("m")
-      val xv = ctx.freshName("xv")
-      val yv = ctx.freshName("yv")
-      s"""
-         |int $i = 0; int $j = 0; long $c = 0L;
-         |int $n = $x.numElements(); int $m = $y.numElements();
-         |while ($i < $n && $j < $m) {
-         |  long $xv = $x.getLong($i); long $yv = $y.getLong($j);
-         |  if ($xv == $yv) { $c++; $i++; $j++; }
-         |  else if ($xv < $yv) { $i++; } else { $j++; }
-         |}
-         |${ev.value} = $c;
-       """.stripMargin
-    })
-
-  override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): Expression =
-    copy(left = newLeft, right = newRight)
+  /** Binary-search each small-side element in the big side's remaining
+    * suffix (both sorted, so the window only shrinks). A match consumes
+    * one big element — identical multiset-min duplicate semantics to
+    * the merge path.
+    */
+  private def searched(small: ArrayData, sn: Int, big: ArrayData, bn: Int): Long = {
+    var c = 0L; var lo = 0; var i = 0
+    while (i < sn && lo < bn) {
+      val v = small.getLong(i)
+      var l = lo; var h = bn
+      while (l < h) {
+        val mid = (l + h) >>> 1
+        if (big.getLong(mid) < v) l = mid + 1 else h = mid
+      }
+      if (l < bn && big.getLong(l) == v) { c += 1; lo = l + 1 } else lo = l
+      i += 1
+    }
+    c
+  }
 }
 
 /** One-pass repetition statistics over a document's token array:
