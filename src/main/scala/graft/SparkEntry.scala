@@ -16,8 +16,10 @@ object SparkEntry {
     Relational.all ++ EventWindows.all ++ TextAnalysis.all ++ Dedup.all ++ Similarity.all ++
       Contamination.all ++ Sampling.all ++ Corpus.all ++ Sketches.all ++
       Extras.all ++ Extras2.all ++ Pipeline.all ++
-      Seq(Q("q70_media_features", graft.multimodal.Multimodal.mediaFeaturesQuery, None),
-        Q("q71_frame_samples", graft.multimodal.Multimodal.frameSamplesQuery, None),
+      Seq(Q("q70_media_features", graft.multimodal.Multimodal.mediaFeaturesQuery,
+          Some(graft.multimodal.Multimodal.q70Sql)),
+        Q("q71_frame_samples", graft.multimodal.Multimodal.frameSamplesQuery,
+          Some(graft.multimodal.Multimodal.q71Sql)),
         Q("q72_topk_native", graft.plans.TopK.q72, Some(graft.plans.TopK.q72Sql)),
         Q("q76_topk_sql", graft.plans.TopK.q76, Some(graft.plans.TopK.q72Sql)))
 

@@ -64,27 +64,78 @@ final class GStream[T](val ds: Dataset[(Long, T)]) {
     a.unionByName(b)
   }
 
+  /** The reference README's fan-out + align pattern (README.md:142-206,
+    * golden engine_test.go:530-614) as a named operator: zip this
+    * stream's i-th record with `other`'s i-th record, in arrival order
+    * per side, regardless of how the two sides interleave. Built from
+    * the same pieces the pattern composes by hand — a source-tagged
+    * merge ordered by (seq, side) and a constant-keyed [[KeyedGStream
+    * .mapState]] holding one FIFO per side. Positional alignment is a
+    * sequential contract, so the fold runs single-keyed; the
+    * bounded-memory mapState streams it without materializing either
+    * side.
+    */
+  def alignWith[U, V](other: GStream[U])(zip: (T, U) => V)(
+      implicit em: Encoder[(Long, (Option[T], Option[U]))],
+      ek: Encoder[Int],
+      ekv: Encoder[(Int, (Long, (Option[T], Option[U])))],
+      ev: Encoder[(Long, V)]): GStream[V] = {
+    val a = ds.map { case (s, v) => (s * 2, (Some(v): Option[T], Option.empty[U])) }
+    val b = other.ds.map { case (s, v) => (s * 2 + 1, (Option.empty[T], Some(v): Option[U])) }
+    new GStream(a.union(b))
+      .keyBy(_ => 0)
+      .mapState((Vector.empty[T], Vector.empty[U])) { case ((ls, rs), (lo, ro)) =>
+        val l2 = lo.fold(ls)(ls :+ _)
+        val r2 = ro.fold(rs)(rs :+ _)
+        if (l2.nonEmpty && r2.nonEmpty)
+          ((l2.tail, r2.tail), Seq(zip(l2.head, r2.head)))
+        else ((l2, r2), Seq.empty)
+      }
+  }
+
   /** O8: event-time assignment. `f` returns (ts, wm) like the
     * reference's TimestampExtractor (time.go:7-19); the watermark is
     * then made monotone in arrival order — the reference's engine
     * watermarker (engine.go:123-171) — before any keyed windowing, so
     * every record carries the operator-level watermark in force when it
-    * arrived. Sequential by construction (it IS a prefix max), so this
-    * parity path materializes on one partition; the scalable windowing
-    * surface is the native one (graft.queries.EventWindows).
+    * arrived.
+    *
+    * The prefix max is DISTRIBUTED (the q44 ntile pattern): range-
+    * partition on `seq`, running max within each partition, then add
+    * each partition's carry-in — the max over all earlier partitions,
+    * computed from a ≤#partitions-row aggregate (bounded by cluster
+    * size, not data; the only unpartitioned window runs over that tiny
+    * frame). One plan, so the range exchange is computed once and
+    * reused across the per-partition and carry subtrees. Output is
+    * bit-identical to the sequential fold over arrival order.
     */
   def assignTimestamps(f: T => (Long, Long))(implicit e: Encoder[Stamped[T]]): Dataset[Stamped[T]] = {
+    import org.apache.spark.sql.expressions.Window
+    // named imports: the functions._ wildcard would pull in functions.e
+    // (Euler's number), shadowing the implicit encoder parameter
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col, greatest, lit,
+      max, spark_partition_id}
     val stamped = ds.map { case (s, v) =>
       val (ts, wm) = f(v)
       Stamped(s, ts, wm, v)
     }
-    stamped.orderBy("seq").coalesce(1).mapPartitions { it =>
-      var wm = Long.MinValue
-      it.map { r =>
-        if (r.wm > wm) wm = r.wm
-        r.copy(wm = wm)
-      }
-    }
+    val nParts = ds.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val parted = stamped.toDF()
+      .repartitionByRange(nParts, col("seq"))
+      .withColumn("__pid", spark_partition_id())
+    val wLocal = Window.partitionBy(col("__pid")).orderBy(col("seq"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wCarry = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = parted.groupBy(col("__pid")).agg(max(col("wm")).as("__pmax"))
+      .withColumn("__carry", max(col("__pmax")).over(wCarry))
+      .select(col("__pid"), col("__carry"))
+    parted
+      .withColumn("__lmax", max(col("wm")).over(wLocal))
+      .join(broadcast(carry), "__pid")
+      .withColumn("wm", greatest(col("__lmax"), coalesce(col("__carry"), lit(Long.MinValue))))
+      .select(col("seq"), col("ts"), col("wm"), col("value"))
+      .as[Stamped[T]](e)
   }
 
   /** O5 (SetParallelism, node.go:13): physical-only repartitioning —
@@ -180,22 +231,36 @@ final class KeyedGStream[K, T](val ds: Dataset[(K, (Long, T))]) {
   /** O3: keyed stateful flatMap (reference NewStatefulNode,
     * node.go:66-105): per-key state threaded through the key's records
     * in arrival order, 0..N outputs per record, one state per key (the
-    * reference clones the node per key — engine.go:239-244; here it is
-    * a fold inside flatMapGroups). Streaming form:
-    * graft.streaming.StatefulStreams.statefulByKey.
+    * reference clones the node per key — engine.go:239-244). Streaming
+    * form: graft.streaming.StatefulStreams.statefulByKey.
+    *
+    * Memory is bounded per RECORD, not per key: instead of buffering a
+    * key's records to sort them (flatMapGroups + in-memory sort — a
+    * giant key OOMs a task), the records are hash-partitioned on the
+    * key and sorted (key, seq) WITHIN each partition — Spark's
+    * external sort, which spills — then streamed once, resetting the
+    * fold state at each key boundary. A billion-record key flows
+    * through without ever materializing.
     */
   def mapState[S, U](init: S)(f: (S, T) => (S, Seq[U]))(
       implicit ek: Encoder[K], e: Encoder[(Long, U)]): GStream[U] = {
-    val out = ds.groupByKey(_._1)
-      .flatMapGroups { (_: K, it: Iterator[(K, (Long, T))]) =>
-        val sorted = it.map(_._2).toIndexedSeq.sortBy(_._1)
-        var state = init
-        sorted.iterator.flatMap { case (seq, v) =>
-          val (s2, outs) = f(state, v)
-          state = s2
-          outs.iterator.zipWithIndex.map { case (u, i) => (seq * GStream.FanOut + i, u) }
+    import org.apache.spark.sql.functions.col
+    val sorted = ds.repartition(col("_1")).sortWithinPartitions(col("_1"), col("_2._1"))
+    val out = sorted.mapPartitions { it =>
+      var started = false
+      var curKey: K = null.asInstanceOf[K]
+      var state = init
+      it.flatMap { case (k, (seq, v)) =>
+        if (!started || k != curKey) {
+          started = true
+          curKey = k
+          state = init
         }
+        val (s2, outs) = f(state, v)
+        state = s2
+        outs.iterator.zipWithIndex.map { case (u, i) => (seq * GStream.FanOut + i, u) }
       }
+    }
     new GStream(out)
   }
 }

@@ -98,9 +98,12 @@ object Multimodal {
       }
   }
 
-  /** The registered query: metadata + features per media row (rows-only
-    * check — the stub codec is not SQL-expressible; semantics are
-    * pinned by MultimodalSpec instead).
+  /** The registered query: metadata + features per media row. The stub
+    * codec is pure byte arithmetic over the UTF-8 payload, so it IS
+    * SQL-expressible — [[q70Sql]] recomputes it in DuckDB by decoding
+    * the payload's hex dump byte-by-byte (DuckDB has no direct
+    * get-byte, but `hex(encode(text))` + per-pair strpos arithmetic is
+    * exact).
     */
   def mediaFeaturesQuery(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -109,12 +112,58 @@ object Multimodal {
       .orderBy("media_id")
   }
 
-  /** Registered frame-sampling query (rows-only check, like
-    * [[mediaFeaturesQuery]]): every 2nd chunk-frame of each "video"
-    * payload, the explode-shaped stage of a video ingest pipeline.
+  /** DuckDB oracle for [[mediaFeaturesQuery]]: byte values come from the
+    * hex dump — byte i = 16·hexval(2i+1) + hexval(2i+2) with
+    * hexval(c) = strpos('0123456789ABCDEF', c) − 1.
+    */
+  val q70Sql: String = {
+    // byte value at 0-based position `i` of the hex string `hx`
+    def byteAt(i: String): String =
+      s"((strpos('0123456789ABCDEF', substr(hx, 2*($i)+1, 1)) - 1) * 16" +
+        s" + strpos('0123456789ABCDEF', substr(hx, 2*($i)+2, 1)) - 1)"
+    s"""WITH m AS (
+      |  SELECT doc_id AS media_id,
+      |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+      |    hex(encode(text)) AS hx,
+      |    octet_length(encode(text)) AS len
+      |  FROM documents)
+      |SELECT media_id, kind, CAST(len AS BIGINT) AS byte_len,
+      |  CAST(coalesce(list_sum(list_transform(range(len), i -> ${byteAt("i")})), 0)
+      |    % 997 AS BIGINT) AS checksum,
+      |  CAST(CASE WHEN len > 0 THEN 16 + ${byteAt("0")} % 240 ELSE 0 END AS INT) AS width,
+      |  CAST(CASE WHEN len > 1 THEN 16 + ${byteAt("1")} % 240 ELSE 0 END AS INT) AS height,
+      |  CAST(CASE WHEN kind = 'video' THEN 1 + len % 24 ELSE 1 END AS INT) AS n_frames
+      |FROM m
+      |ORDER BY media_id""".stripMargin
+  }
+
+  /** Registered frame-sampling query: every 2nd chunk-frame of each
+    * "video" payload, the explode-shaped stage of a video ingest
+    * pipeline. The frame bytes are emitted hex-encoded so the DuckDB
+    * oracle ([[q71Sql]]) can reproduce them as substrings of the
+    * payload's hex dump — the chunk math and the bytes are both
+    * oracle-checked without relying on cross-engine binary hashing.
     */
   def frameSamplesQuery(spark: SparkSession, sfDir: String): DataFrame =
     sampleFrames(mediaFromDocuments(spark, sfDir), stride = 2)
       .toDF("media_id", "frame_no", "frame")
+      .select(col("media_id"), col("frame_no"), hex(col("frame")).as("frame_hex"))
       .orderBy("media_id", "frame_no")
+
+  /** DuckDB oracle for [[frameSamplesQuery]]: chunk i of the payload is
+    * hex positions [2·64·i+1, 2·64·(i+1)] (substr clamps the tail).
+    */
+  val q71Sql: String =
+    s"""WITH m AS (
+      |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+      |    octet_length(encode(text)) AS len
+      |  FROM documents WHERE doc_id % 3 = 2),
+      |f AS (
+      |  SELECT media_id, hx,
+      |    unnest(range(CAST(ceil(len / $DecodeBatchSize.0) AS BIGINT))) AS i
+      |  FROM m)
+      |SELECT media_id, CAST(i AS INT) AS frame_no,
+      |  substr(hx, CAST(2*$DecodeBatchSize*i + 1 AS INT), ${2 * DecodeBatchSize}) AS frame_hex
+      |FROM f WHERE i % 2 = 0
+      |ORDER BY media_id, frame_no""".stripMargin
 }

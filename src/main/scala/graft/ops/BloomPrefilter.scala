@@ -51,9 +51,18 @@ object BloomPrefilter {
   def prefilter(probe: DataFrame, keyHash: Column, bits: DataFrame,
       k: Int, m: Int): DataFrame = {
     graft.functions.GraftFunctions.register(probe.sparkSession)
-    probe.withColumn("__ppos", positions(keyHash, k, m))
-      .crossJoin(broadcast(bits))
-      .filter(expr("sorted_intersect_count(__ppos, bloom_bits)") === size(col("__ppos")))
-      .drop("__ppos", "bloom_bits")
+    // Working-column names must not collide with the probe's own schema
+    // (withColumn silently REPLACES an existing column, corrupting the
+    // output) — suffix until free.
+    def fresh(base: String, taken: Set[String]): String =
+      Iterator.from(0).map(i => if (i == 0) base else s"${base}_$i")
+        .find(n => !taken.contains(n)).get
+    val taken = probe.columns.toSet
+    val pposCol = fresh("__ppos", taken)
+    val bitsCol = fresh("__bloom_bits", taken + pposCol)
+    probe.withColumn(pposCol, positions(keyHash, k, m))
+      .crossJoin(broadcast(bits.select(col("bloom_bits").as(bitsCol))))
+      .filter(expr(s"sorted_intersect_count($pposCol, $bitsCol)") === size(col(pposCol)))
+      .drop(pposCol, bitsCol)
   }
 }

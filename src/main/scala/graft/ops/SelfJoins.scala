@@ -78,4 +78,33 @@ object SelfJoins {
       .filter(col("__p") =!= col("__q") || col(s"${idCol}_l") < col(s"${idCol}_r"))
       .drop("__p", "__q")
   }
+
+  /** [[pairsWithinBlocks]] with the split factor DERIVED per block from
+    * an exact count prepass instead of a caller-guessed constant: a
+    * block of m rows gets R = ceil(m / √pairsPerTask), so every task
+    * holds ≈ (m/R)² ≤ pairsPerTask pairs — big blocks spread wide,
+    * small blocks keep replication 1 — and R is block-constant by
+    * construction (it is a function of the broadcast-joined count).
+    * `maxSplit` caps replication at (maxSplit+1)/2 per row.
+    *
+    * The count frame is broadcast, so this fits LOW-cardinality block
+    * keys (language × length-bucket style blocking — bounded by schema,
+    * not data). High-cardinality keys (LSH buckets) should keep the
+    * hot-bucket pattern instead: broadcast only the few blocks over
+    * threshold (graft.queries.Dedup.candidatePairsFrom).
+    */
+  def adaptivePairsWithinBlocks(
+      df: DataFrame,
+      blockKeys: Seq[String],
+      idCol: String,
+      pairsPerTask: Long = 1L << 18,
+      maxSplit: Int = 64,
+      validateSplit: Boolean = false): DataFrame = {
+    val counts = df.groupBy(blockKeys.map(col): _*)
+      .agg(count(lit(1)).as("__m"))
+    val graded = df.join(broadcast(counts), blockKeys)
+    val split = least(lit(maxSplit),
+      greatest(lit(1), ceil(col("__m") / lit(math.sqrt(pairsPerTask.toDouble))))).cast("int")
+    pairsWithinBlocks(graded, blockKeys, idCol, split, validateSplit)
+  }
 }

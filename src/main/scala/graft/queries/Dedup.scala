@@ -39,8 +39,12 @@ object Dedup {
 
   /** LSH buckets larger than this are triangle-split across tasks. */
   val HotBucketThreshold = 256
-  /** Row-group fan-out for triangle-split hot buckets. */
+  /** Row-group fan-out for triangle-split hot LSH buckets. */
   val TriangleSplit = 8
+  /** Target pair count per task for adaptively-split dense blocks
+    * (q33): per-task work ≈ pairsPerTask × per-pair intersect cost.
+    */
+  val PairsPerTask: Long = 1L << 18
 
   // q30 — exact dedup: representative (min doc_id) + cardinality per
   // distinct text, via the 60-bit fingerprint so the shuffle key is 8
@@ -264,9 +268,13 @@ object Dedup {
     // R(R+1)/2 tasks at (R+1)/2× replication — the √ lower bound for
     // distributing an all-pairs join, and the balance that matters:
     // the intersect work dominates this query, so wall time tracks the
-    // largest per-task pair count, (m/R)².
+    // largest per-task pair count, (m/R)². R is sized PER BLOCK from an
+    // exact count prepass (R = ceil(m/√pairsPerTask)): a fixed factor
+    // over-replicates small blocks and under-splits big ones as block
+    // sizes vary with the corpus.
     graft.ops.SelfJoins
-      .pairsWithinBlocks(docs, Seq("lang", "lbucket"), "doc_id", lit(TriangleSplit))
+      .adaptivePairsWithinBlocks(docs, Seq("lang", "lbucket"), "doc_id",
+        pairsPerTask = PairsPerTask)
       .select(least(col("doc_id_l"), col("doc_id_r")).as("doc_a"),
         greatest(col("doc_id_l"), col("doc_id_r")).as("doc_b"),
         col("grams_l").as("ga"), col("grams_r").as("gb"))

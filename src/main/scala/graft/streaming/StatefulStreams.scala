@@ -2,8 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
-  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout,
+  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import graft.core.{FixedWindowManager, Stamped}
 
 /** Structured Streaming forms of the reference's stateful operators —
@@ -184,6 +184,64 @@ object StatefulStreams {
     ds.groupByKey(key)
       .transformWithState(new FirstSeenProcessor[K, T](ttl),
         TimeMode.ProcessingTime(), OutputMode.Append())
+
+  /** Event-time twin of [[FirstSeenProcessor]]: the horizon is anchored
+    * at the first occurrence's EVENT time and expired by a watermark-
+    * driven timer, so expiry is decided by the data, not the wall
+    * clock. State per live key: one Long (the expiry instant) plus one
+    * registered timer, both checkpointed.
+    */
+  private class FirstSeenEventTimeProcessor[K, T](ttlMs: Long, eventTimeMs: T => Long)
+      extends StatefulProcessor[K, T, T] {
+    @transient private var expiry: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      expiry = getHandle.getValueState[Long]("expiresAt", Encoders.scalaLong,
+        TTLConfig.NONE)
+    override def handleInputRows(
+        key: K, rows: Iterator[T], timers: TimerValues): Iterator[T] =
+      if (expiry.exists()) Iterator.empty
+      else {
+        // one streaming pass keeping the earliest-event-time row: batch
+        // iteration order is not deterministic, the event-time min is
+        var best: Option[T] = None
+        var bestTs = Long.MaxValue
+        rows.foreach { r =>
+          val t = eventTimeMs(r)
+          if (t < bestTs) { bestTs = t; best = Some(r) }
+        }
+        best match {
+          case Some(r) =>
+            val at = bestTs + ttlMs
+            expiry.update(at)
+            getHandle.registerTimer(at)
+            Iterator.single(r)
+          case None => Iterator.empty
+        }
+      }
+    override def handleExpiredTimer(
+        key: K, timers: TimerValues, info: ExpiredTimerInfo): Iterator[T] = {
+      if (expiry.exists() && expiry.get() <= info.getExpiryTimeInMs) expiry.clear()
+      Iterator.empty
+    }
+  }
+
+  /** Event-time variant of [[ttlDedup]]: a key's first occurrence is
+    * emitted and repeats are dropped until the WATERMARK passes
+    * (first occurrence's event time + ttl) — the horizon is data-
+    * determined, so replaying the same input (same batches, same
+    * watermarks from the checkpoint) reproduces the same output
+    * exactly, where the processing-time form's expiry depends on the
+    * wall clock of the run. `ds` must carry a watermark upstream
+    * (withWatermark on its event-time column) — TimeMode.EventTime
+    * requires it, and it is what advances the timers.
+    */
+  def ttlDedupEventTime[K, T](
+      ds: Dataset[T], key: T => K, eventTimeMs: T => Long, ttl: java.time.Duration)(
+      implicit ek: Encoder[K], et: Encoder[T]): Dataset[T] =
+    ds.groupByKey(key)
+      .transformWithState(
+        new FirstSeenEventTimeProcessor[K, T](ttl.toMillis, eventTimeMs),
+        TimeMode.EventTime(), OutputMode.Append())
 
   /** O7 (broadcast fan-out, engine.go:196-211) for streams: one source
     * micro-batch delivered to N sinks via foreachBatch. The batch

@@ -29,16 +29,49 @@ object PlanOps {
     * inside `e`, recursively through structs and arrays; identity for
     * types that need no normalization. The same canonicalization Spark
     * applies to groupBy/join/window keys — custom operators that hash
-    * or byte-compare grouping keys need it too, or ordering-equal keys
-    * split across partitions/groups. Map-typed expressions are returned
-    * unchanged: NormalizeFloatingNumbers.needNormalize throws for
-    * MapType (maps are not orderable), and map keys take the
-    * hash-map grouping path downstream, which never byte-compares.
+    * or byte-compare grouping keys need it too (TopKPerKeyExec's
+    * HashMap[UnsafeRow, _] equality IS a byte comparison), or
+    * ordering-equal keys (0.0 vs -0.0, NaN payloads) silently split
+    * into separate groups.
+    *
+    * Maps: NormalizeFloatingNumbers.normalize throws for any type
+    * containing a MapType, so map-bearing keys are handled here —
+    * float-free map subtrees pass through unchanged (their binary
+    * encoding is already canonical per value), the non-map siblings
+    * still get normalized (rebuilt field/element-wise, the same shape
+    * Spark's own struct/array normalization uses), and a map whose
+    * key/value types carry floats is REJECTED loudly at planning: its
+    * float payloads cannot be canonicalized without rebuilding the map
+    * (entry order is also unspecified), and letting it through would
+    * silently split ordering-equal keys.
     */
   def normalizeFloats(e: Expression): Expression = {
-    val hasMap = e.dataType.existsRecursively(
-      _.isInstanceOf[org.apache.spark.sql.types.MapType])
-    if (hasMap) e
-    else org.apache.spark.sql.catalyst.optimizer.NormalizeFloatingNumbers.normalize(e)
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types._
+    def hasMap(dt: DataType): Boolean = dt.existsRecursively(_.isInstanceOf[MapType])
+    def hasFloat(dt: DataType): Boolean =
+      dt.existsRecursively(t => t == FloatType || t == DoubleType)
+    if (!hasMap(e.dataType)) {
+      org.apache.spark.sql.catalyst.optimizer.NormalizeFloatingNumbers.normalize(e)
+    } else if (!hasFloat(e.dataType)) {
+      e
+    } else e.dataType match {
+      case m: MapType =>
+        throw new UnsupportedOperationException(
+          s"grouping key of type ${m.sql} carries floating-point values inside a map; " +
+            "byte-compared grouping cannot canonicalize -0.0/NaN map entries — " +
+            "restructure the key (e.g. map_entries + array_sort) before grouping")
+      case st: StructType =>
+        val fields = st.fields.zipWithIndex.flatMap { case (f, i) =>
+          Seq(Literal(f.name): Expression,
+            normalizeFloats(GetStructField(e, i, Some(f.name))))
+        }
+        val struct = CreateNamedStruct(fields.toSeq)
+        If(IsNull(e), Literal(null, struct.dataType), struct)
+      case ArrayType(et, containsNull) =>
+        val lv = NamedLambdaVariable("arg", et, containsNull)
+        ArrayTransform(e, LambdaFunction(normalizeFloats(lv), Seq(lv)))
+      case _ => e
+    }
   }
 }

@@ -48,25 +48,22 @@ class GStreamSpec extends SparkSpec {
   }
 
   // F3 — fan-out + align (engine_test.go:530-614): one source feeds an
-  // upper branch and a length branch; the merged stateful node zips
-  // them positionally using the source tag and two FIFO buffers.
+  // upper branch and a length branch; the library alignWith operator
+  // zips them positionally (source tag + two FIFO buffers inside).
   test("F3: fan-out + align zips branches positionally") {
     val src = GStream.fromSeq(spark, Seq("hello", "this", "is", "ssp"))
     val upper = src.map(_.toUpperCase)
     val lens = src.map(_.length.toString)
-    val merged = upper.unionTagged(lens)
-    // keyed by constant; state = (fifo of uppers, fifo of lens)
-    val got = new GStream(merged.map(t => (t.seq * 2 + t.source, t)))
-      .keyBy(_ => 0)
-      .mapState((Vector.empty[String], Vector.empty[String])) {
-        case ((ups, ls), Tagged(_, source, v)) =>
-          val (u2, l2) = if (source == 0) (ups :+ v, ls) else (ups, ls :+ v)
-          if (u2.nonEmpty && l2.nonEmpty)
-            ((u2.tail, l2.tail), Seq(s"${u2.head}: ${l2.head}"))
-          else ((u2, l2), Seq.empty)
-      }
-      .collectOrdered()
+    val got = upper.alignWith(lens)((u, l) => s"$u: $l").collectOrdered()
     assert(got.sorted == Seq("HELLO: 5", "IS: 2", "SSP: 3", "THIS: 4").sorted)
+  }
+
+  test("alignWith handles uneven interleavings and unequal lengths") {
+    // left runs ahead; only min(len) pairs emit, in positional order
+    val left = GStream.fromSeq(spark, Seq(1, 2, 3, 4, 5))
+    val right = GStream.fromSeq(spark, Seq("a", "b", "c"))
+    val got = left.alignWith(right)((n, s) => s"$n$s").collectOrdered()
+    assert(got == Seq("1a", "2b", "3c"))
   }
 
   // F7 — naive batch map (naive/execute_test.go:9-27): ints ×2.
@@ -85,6 +82,29 @@ class GStreamSpec extends SparkSpec {
       (1 to 100).filter(_ % 3 == k).scanLeft(0L)(_ + _).drop(1)
     }
     assert(got.sorted == want.sorted)
+  }
+
+  // The bounded-memory contract: one key owning ALL records must stream
+  // through the external sort, not materialize in a task (the old
+  // flatMapGroups form buffered the whole key; 200k records here is a
+  // correctness canary for the sorted-run path, where key boundaries
+  // and per-key arrival order both come from the partition sort).
+  test("mapState threads one huge key and many small keys correctly") {
+    val n = 200000
+    val huge = GStream.fromSeq(spark, (1 to n).toSeq)
+      .keyBy(_ => 0)
+      .mapState(0L) { (acc: Long, v: Int) => (acc + v, if (v == n) Seq(acc + v) else Seq.empty) }
+      .collectOrdered()
+    assert(huge == Seq((1 to n).map(_.toLong).sum))
+    // interleaved small keys still reset state at each boundary
+    val mixed = GStream.fromSeq(spark, (1 to 1000).toSeq)
+      .keyBy(_ % 97)
+      .mapState(0L) { (acc: Long, v: Int) => (acc + v, Seq(acc + v)) }
+      .collectOrdered()
+    val want = (0 until 97).flatMap { k =>
+      (1 to 1000).filter(_ % 97 == k).scanLeft(0L)(_ + _).drop(1)
+    }
+    assert(mixed.sorted == want.sorted)
   }
 
   test("foreachSink visits every record") {

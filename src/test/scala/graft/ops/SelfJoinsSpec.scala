@@ -67,6 +67,23 @@ class SelfJoinsSpec extends SparkSpec {
       yield (i.toLong, j.toLong)).sorted)
   }
 
+  test("adaptive split preserves the pair set across heterogeneous block sizes") {
+    // one tiny block (R must stay 1), one large block (R > 1 with a
+    // small pairsPerTask) — the derived split is block-constant by
+    // construction, so the tiling invariant holds per block
+    val df = ((0 until 5).map(i => (i.toLong, "small")) ++
+      (100 until 180).map(i => (i.toLong, "big")))
+      .toDF("id", "blk")
+    val got = SelfJoins.adaptivePairsWithinBlocks(df, Seq("blk"), "id",
+      pairsPerTask = 100, validateSplit = true)
+      .select(least(col("id_l"), col("id_r")), greatest(col("id_l"), col("id_r")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = (for { i <- 0 until 5; j <- i + 1 until 5 } yield (i.toLong, j.toLong)) ++
+      (for { i <- 100 until 180; j <- i + 1 until 180 } yield (i.toLong, j.toLong))
+    assert(got.length == got.distinct.length, "adaptive split emitted dup pairs")
+    assert(got.sorted == want.sorted)
+  }
+
   test("payload columns ride through on both sides") {
     val df = Seq((1L, "x", "p1"), (2L, "x", "p2")).toDF("id", "blk", "payload")
     val row = SelfJoins.pairsWithinBlocks(df, Seq("blk"), "id", lit(2)).collect()

@@ -209,11 +209,11 @@ class TopKSpec extends SparkSpec {
     }
   }
 
-  test("map-typed keys plan and group correctly (normalizeFloats skips MapType)") {
+  test("map-typed keys plan and group correctly (normalizeFloats passes float-free maps)") {
     // regression: normalizeFloats delegated to NormalizeFloatingNumbers,
     // whose needNormalize throws IllegalStateException for MapType; a
-    // map key must instead pass through untouched and take the
-    // hash-map grouping path TopKPerKeyExec promises for
+    // float-free map key must instead pass through untouched and take
+    // the hash-map grouping path TopKPerKeyExec promises for
     // non-orderable types
     val o = graft.Tables.orders(spark, sf)
       .select(map(col("o_orderpriority"), lit(1)).as("kmap"),
@@ -230,6 +230,37 @@ class TopKSpec extends SparkSpec {
     val want = base.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3).drop("rk")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
     assert(topk == want)
+  }
+
+  test("struct keys containing a map still normalize their float siblings") {
+    import spark.implicits._
+    // struct(map<string,int>, double): the map field passes through,
+    // but the double sibling MUST still canonicalize — before the
+    // subtree-wise rebuild, any map anywhere in the key type skipped
+    // normalization entirely and 0.0 / -0.0 split into two byte-
+    // distinct groups on TopKPerKeyExec's HashMap[UnsafeRow] path
+    val df = Seq((0.0, 1L), (-0.0, 2L), (0.0, 3L), (1.5, 4L))
+      .toDF("kf", "v")
+      .select(struct(map(lit("m"), lit(1)).as("m"), col("kf").as("f")).as("k"), col("v"))
+    val got = TopK.perKey(df, Seq("k"), Seq(col("v").asc), 2)
+      .collect().map(_.getLong(1)).toSet
+    assert(got == Set(1L, 2L, 4L),
+      "0.0 and -0.0 inside a struct-with-map key must be one group")
+  }
+
+  test("map keys carrying floats are rejected loudly at planning") {
+    import spark.implicits._
+    // a map<string,double> key cannot be canonicalized byte-wise; the
+    // old behavior silently split ordering-equal keys — it must throw
+    val df = Seq((0.0, 1L)).toDF("kf", "v")
+      .select(map(lit("m"), col("kf")).as("k"), col("v"))
+    val e = intercept[Exception] {
+      TopK.perKey(df, Seq("k"), Seq(col("v").asc), 2).collect()
+    }
+    def causes(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: causes(t.getCause)
+    assert(causes(e).exists(_.isInstanceOf[UnsupportedOperationException]),
+      s"expected UnsupportedOperationException in cause chain, got $e")
   }
 
   test("heap eviction keeps the k best under a total order with duplicates") {

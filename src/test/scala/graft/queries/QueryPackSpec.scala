@@ -153,12 +153,22 @@ class QueryPackSpec extends SparkSpec {
     val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
     s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      // q33 distributes via triangle row-group keys, q36 via salting
-      for ((q, key) <- Seq("q33_ngram_jaccard" -> "__p", "q36_simhash" -> "__salt")) {
-        val plan = SparkEntry.queries(q)(s, sf).queryExecution.executedPlan.toString
-        assert(!plan.contains("BroadcastHashJoin"), s"$q still broadcasts:\n$plan")
-        assert(plan.contains(key), s"$q lost its $key distribution key")
-      }
+      // q36 distributes via salting — nothing in it may broadcast
+      val p36 = SparkEntry.queries("q36_simhash")(s, sf).queryExecution.executedPlan.toString
+      assert(!p36.contains("BroadcastHashJoin"), s"q36 still broadcasts:\n$p36")
+      assert(p36.contains("__salt"), "q36 lost its __salt distribution key")
+      // q33 distributes via triangle row-group keys; its PAIR-FORMING
+      // join (on __p/__q) must be a shuffle join. The adaptive-split
+      // count prepass broadcasts a tiny per-block aggregate by design —
+      // that is the ONLY broadcast allowed in the plan.
+      val p33 = SparkEntry.queries("q33_ngram_jaccard")(s, sf).queryExecution.executedPlan.toString
+      assert("(?s)(SortMergeJoin|ShuffledHashJoin)[^\\n]*__p".r.findFirstIn(p33).isDefined,
+        s"q33 pair join is not a shuffle join on __p:\n$p33")
+      // the count broadcast feeds BOTH sides of the triangle self-join,
+      // so it shows up twice in the plan (runtime reuses the exchange)
+      val nBroadcast = "BroadcastHashJoin".r.findAllIn(p33).length
+      assert(nBroadcast <= 2, s"q33 has $nBroadcast broadcast joins (only the " +
+        s"per-block count prepass, once per self-join side, is allowed):\n$p33")
     } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 }

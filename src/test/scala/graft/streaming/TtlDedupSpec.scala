@@ -82,6 +82,95 @@ class TtlDedupSpec extends SparkSpec {
     assert(received.toArray(Array.empty[(Long, String)]).sorted.toSeq == expect)
   }
 
+  // ---- event-time variant (ttlDedupEventTime) ----
+  // rows are (key, event-time ms, payload); the horizon expires when
+  // the WATERMARK passes first-occurrence-ts + ttl, so expiry is a
+  // function of the data — processAllAvailable works here (event-time
+  // timers only advance on new data, unlike the processing-time mode).
+  private type Row3 = (Long, Long, String)
+  private type Row4 = (Long, Long, String, java.sql.Timestamp)
+
+  private def runEventTime(ttl: java.time.Duration)(
+      drive: (MemoryStream[Row3], () => Unit, ConcurrentLinkedQueue[Row3], String) => Unit): Unit =
+    withRocksDb {
+      implicit val sql = spark.sqlContext
+      val ckpt = NoForkFileSystem.install(
+        spark, Files.createTempDirectory("graft_tws_et").toString)
+      val in = MemoryStream[Row3]
+      def start(received: ConcurrentLinkedQueue[Row3]) = {
+        import org.apache.spark.sql.functions._
+        val wmarked = in.toDS()
+          .withColumn("ets", timestamp_millis(col("_2")))
+          .withWatermark("ets", "0 milliseconds")
+          .as[Row4]
+        StatefulStreams
+          .ttlDedupEventTime(wmarked, (r: Row4) => r._1, (r: Row4) => r._2, ttl)
+          .writeStream
+          .foreachBatch { (batch: Dataset[Row4], _: Long) =>
+            batch.collect().foreach(r => received.add((r._1, r._2, r._3)))
+          }
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .start()
+      }
+      val received = new ConcurrentLinkedQueue[Row3]()
+      var q = start(received)
+      def restart(): Unit = { q.stop(); q = start(received) }
+      try drive(in, () => restart(), received, ckpt)
+      finally q.stop()
+    }
+
+  private def sinkSorted(received: ConcurrentLinkedQueue[Row3]): Seq[Row3] =
+    received.toArray(Array.empty[Row3]).sorted.toSeq
+
+  test("event-time horizon expires on watermark, never on the wall clock") {
+    runEventTime(java.time.Duration.ofMillis(100)) { (in, _, received, _) =>
+      val q = () => spark.streams.active.foreach(_.processAllAvailable())
+      in.addData(Seq((1L, 1000L, "first"), (1L, 1500L, "dup-same-batch")))
+      q()
+      // wall-clock far past the 100 ms ttl — but the watermark (1000,
+      // one batch behind) has not passed 1000+100, so the repeat drops
+      Thread.sleep(500)
+      in.addData(Seq((1L, 1050L, "dup-wall-clock-later")))
+      q()
+      assert(sinkSorted(received) == Seq((1L, 1000L, "first")))
+      // advance the watermark past the expiry with an unrelated key...
+      in.addData(Seq((9L, 99999L, "advance")))
+      q()
+      // ...one more batch so the timer fires with watermark 99999
+      in.addData(Seq((8L, 100000L, "advance2")))
+      q()
+      // now key 1 re-arrives past its data-determined horizon
+      in.addData(Seq((1L, 100001L, "re-emit")))
+      q()
+      assert(sinkSorted(received) == Seq((1L, 1000L, "first"),
+        (1L, 100001L, "re-emit"), (8L, 100000L, "advance2"), (9L, 99999L, "advance")))
+    }
+  }
+
+  test("event-time dedup state and horizon survive a checkpoint restart") {
+    runEventTime(java.time.Duration.ofMillis(100)) { (in, restart, received, _) =>
+      val q = () => spark.streams.active.foreach(_.processAllAvailable())
+      in.addData(Seq((1L, 1000L, "first")))
+      q()
+      restart()
+      // restored state still suppresses the key: watermark (1000) has
+      // not passed 1100, replaying gives the same decision as a
+      // continuous run — the horizon is in the checkpoint, not the JVM
+      in.addData(Seq((1L, 1040L, "dup-after-restart")))
+      q()
+      assert(sinkSorted(received) == Seq((1L, 1000L, "first")))
+      in.addData(Seq((2L, 50000L, "advance")))
+      q()
+      in.addData(Seq((3L, 50001L, "advance2")))
+      q()
+      in.addData(Seq((1L, 50002L, "re-emit")))
+      q()
+      assert(sinkSorted(received) == Seq((1L, 1000L, "first"),
+        (1L, 50002L, "re-emit"), (2L, 50000L, "advance"), (3L, 50001L, "advance2")))
+    }
+  }
+
   test("first occurrence per key emitted; repeats within TTL dropped") {
     run(java.time.Duration.ofHours(1)) { (in, received) =>
       in.addData(Seq((1L, "a1"), (2L, "b1"), (1L, "a-dup-same-batch")))
