@@ -14,7 +14,7 @@ object SparkEntry {
   /** All registered query packs. */
   def packs: Seq[Q] =
     Relational.all ++ EventWindows.all ++ TextAnalysis.all ++ Dedup.all ++ Similarity.all ++
-      Contamination.all ++ Sampling.all ++ Corpus.all ++ Sketches.all ++
+      Contamination.all ++ Sampling.all ++ Corpus.all ++ Sketches.all ++ Retrieval.all ++
       Extras.all ++ Extras2.all ++ Pipeline.all ++
       Seq(Q("q70_media_features", graft.multimodal.Multimodal.mediaFeaturesQuery,
           Some(graft.multimodal.Multimodal.q70Sql)),

@@ -42,9 +42,11 @@ object Dedup {
   /** Row-group fan-out for triangle-split hot LSH buckets. */
   val TriangleSplit = 8
   /** Target pair count per task for adaptively-split dense blocks
-    * (q33): per-task work ≈ pairsPerTask × per-pair intersect cost.
+    * (q33): per-task work ≈ pairsPerTask × per-pair intersect cost
+    * (~µs each — a task lands in the hundreds of ms, fine-grained
+    * enough to saturate executors even when few blocks exist).
     */
-  val PairsPerTask: Long = 1L << 18
+  val PairsPerTask: Long = 1L << 16
 
   // q30 — exact dedup: representative (min doc_id) + cardinality per
   // distinct text, via the 60-bit fingerprint so the shuffle key is 8

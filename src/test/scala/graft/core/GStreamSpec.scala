@@ -84,6 +84,33 @@ class GStreamSpec extends SparkSpec {
     assert(got.sorted == want.sorted)
   }
 
+  // Scale shape of the watermarker: the data path must range-partition
+  // on seq, never funnel through one partition (the old coalesce(1)
+  // prefix-max). The only single-partition stage allowed is the carry
+  // window over the per-partition max aggregate — O(#partitions) rows,
+  // bounded by cluster size, not data (the q44 ntile pattern).
+  test("assignTimestamps plans distributed: no coalesce(1) on the data path") {
+    val st = GStream.fromSeq(spark, (1 to 100).map(_.toString))
+      .assignTimestamps(v => (v.toLong, v.toLong - 5))
+    val plan = st.queryExecution.executedPlan.toString
+    assert(!plan.contains("Coalesce 1"), s"data path funnels through coalesce(1):\n$plan")
+    assert(plan.contains("rangepartitioning(seq"),
+      s"expected a range exchange on seq:\n$plan")
+  }
+
+  // Distributed prefix-max still equals the sequential fold exactly,
+  // including across range-partition boundaries (regressing watermarks,
+  // duplicates of the running max, many partitions).
+  test("assignTimestamps watermark equals the sequential prefix max") {
+    val rnd = new scala.util.Random(7)
+    val wms = Seq.fill(5000)(rnd.nextLong(1000000) - 500000)
+    val got = GStream.fromSeq(spark, wms)
+      .assignTimestamps(v => (v, v))
+      .collect().toSeq.sortBy(_.seq).map(_.wm)
+    val want = wms.scanLeft(Long.MinValue)(math.max).drop(1)
+    assert(got == want)
+  }
+
   // The bounded-memory contract: one key owning ALL records must stream
   // through the external sort, not materialize in a task (the old
   // flatMapGroups form buffered the whole key; 200k records here is a
