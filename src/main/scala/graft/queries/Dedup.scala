@@ -364,6 +364,76 @@ object Dedup {
       |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** q86 — winnowing-style shared-substring near-dup: every 32-char
+    * window of the normalized text is Rabin–Karp-hashed (the codegen
+    * rolling_hashes expression, O(1)/shift), CONTENT-DEFINED sampled
+    * (keep h % 16 == 0 — both docs of a shared substring select the
+    * same windows, no alignment needed), and pairs sharing ≥ 2 sampled
+    * fingerprints emit with their shared count. This catches verbatim
+    * COPIED PASSAGES between otherwise-different documents — the case
+    * MinHash (whole-doc similarity, q32) dilutes away.
+    *
+    * Scale shape: one corpus scan; the shuffle carries ~n_chars/16
+    * 8-byte fingerprints per doc, not text; pair generation is the
+    * same hot-bucket-insured blocked self-join as q32 (a boilerplate
+    * substring shared by thousands of docs triangle-splits instead of
+    * pinning one task).
+    */
+  val SubstrWindow = 32
+  val SubstrSample = 16
+  val SubstrMinShared = 2
+
+  private def q86(s: SparkSession, d: String): DataFrame =
+    substringNearDupPairs(documents(s, d))
+
+  /** The q86 pipeline over any (doc_id, text, ...) frame — split out so
+    * specs can plant verbatim copied passages and drive the exact
+    * production path.
+    */
+  private[graft] def substringNearDupPairs(documentsDf: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(documentsDf.sparkSession)
+    val fps = documentsDf
+      .select(col("doc_id"), normalize(col("text")).as("norm"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), explode(array_distinct(
+        filter(expr(s"rolling_hashes(norm, $SubstrWindow)"),
+          h => h % SubstrSample === 0))).as("h"))
+    val hot = fps.groupBy(col("h"))
+      .agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") > HotBucketThreshold)
+      .select(col("h"), lit(true).as("__hot"))
+    val graded = fps.join(broadcast(hot), Seq("h"), "left")
+    graft.ops.SelfJoins
+      .pairsWithinBlocks(graded, Seq("h"), "doc_id",
+        when(col("__hot"), lit(TriangleSplit)).otherwise(lit(1)))
+      .select(least(col("doc_id_l"), col("doc_id_r")).as("doc_a"),
+        greatest(col("doc_id_l"), col("doc_id_r")).as("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= SubstrMinShared)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val q86Sql = {
+    val norm = normalizeSql("text")
+    s"""WITH n AS (SELECT doc_id, $norm AS norm FROM documents),
+      |rh AS (SELECT doc_id,
+      |  list_transform(range(greatest(length(norm) - ${SubstrWindow - 1}, 0)), i ->
+      |    list_reduce(list_transform(range($SubstrWindow),
+      |      j -> CAST(ascii(substr(norm, i + j + 1, 1)) AS BIGINT)),
+      |      (acc, c) -> (acc * 257 + c) % 2147483647)) AS rh
+      |  FROM n),
+      |fp AS (SELECT DISTINCT doc_id, h
+      |  FROM (SELECT doc_id, unnest(rh) AS h FROM rh)
+      |  WHERE h % $SubstrSample = 0),
+      |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+      |  FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, n_shared FROM pairs
+      |WHERE n_shared >= $SubstrMinShared
+      |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q30_dedup_exact", q30, Some(q30Sql)),
     Q("q31_dedup_norm", q31, Some(q31Sql)),
@@ -371,5 +441,6 @@ object Dedup {
     Q("q33_ngram_jaccard", q33, Some(q33Sql)),
     Q("q35_dedup_clusters", q35, Some(q35Sql)),
     Q("q36_simhash", q36, Some(q36Sql)),
+    Q("q86_substring_winnow", q86, Some(q86Sql)),
   )
 }
