@@ -380,10 +380,75 @@ object Similarity {
       |FROM dq
       |ORDER BY vec_id""".stripMargin
 
+  /** q87 — greedy k-center diversity selection: pick KCenter vectors
+    * that maximize pairwise spread (the farthest-point heuristic, a 2-
+    * approximation of the k-center objective) — the "select maximally
+    * diverse examples" stage of training-data curation. Seed = min
+    * vec_id; each round adds the vector whose HIGHEST cosine to the
+    * chosen set is lowest (tie → smaller vec_id).
+    *
+    * Scale shape: k−1 rounds; each round is ONE corpus scan with the
+    * chosen set inlined as literal vectors (O(k·dim) plan constants —
+    * no join, no shuffle) + a 1-row argmin collect. The driver loop is
+    * bounded by the constant k, the same per-iteration pattern as
+    * q41's k-means. Output is integer-only (step, vec_id); doubles
+    * drive the argmin internally and are bit-identical across engines
+    * (ordered-fold cosine, see CosineSimilarity scaladoc).
+    */
+  val KCenter = 8
+
+  private def q87(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+    def collectOne(df: DataFrame): (Long, Seq[Float]) = {
+      val r = df.limit(1).collect().head
+      (r.getLong(0), r.getSeq[Float](1))
+    }
+    var chosen = Vector(collectOne(e.orderBy(col("vec_id"))))
+    while (chosen.length < KCenter) {
+      val maxSim = chosen.map { case (_, vec) =>
+        call_function("cosine_sim", col("embedding"),
+          array(vec.map(lit): _*))
+      }.reduce(greatest(_, _))
+      chosen :+= collectOne(
+        e.filter(!col("vec_id").isin(chosen.map(_._1): _*))
+          .select(col("vec_id"), col("embedding"))
+          .orderBy(maxSim.asc, col("vec_id").asc))
+    }
+    import s.implicits._
+    chosen.map(_._1).zipWithIndex
+      .map { case (id, i) => (i + 1, id) }
+      .toDF("step", "vec_id")
+      .orderBy(col("step"))
+  }
+
+  // The candidate×chosen max runs as a join + GROUP BY (not a
+  // correlated scalar subquery): DuckDB cannot resolve a correlated
+  // column inside list_reduce's nested lambda, and the join form keeps
+  // both embedding columns bound in one FROM scope.
+  private val q87Sql =
+    s"""WITH RECURSIVE sel(step, ids) AS (
+      |  SELECT 1, [(SELECT min(vec_id) FROM embeddings)]
+      |  UNION ALL
+      |  SELECT s.step + 1, list_append(s.ids, (
+      |    SELECT m.vec_id FROM (
+      |      SELECT e.vec_id AS vec_id, max(${cosSql("e.embedding", "c.embedding")}) AS ms
+      |      FROM embeddings e, embeddings c
+      |      WHERE list_contains(s.ids, c.vec_id) AND NOT list_contains(s.ids, e.vec_id)
+      |      GROUP BY e.vec_id) m
+      |    ORDER BY m.ms ASC, m.vec_id ASC
+      |    LIMIT 1))
+      |  FROM sel s WHERE s.step < $KCenter)
+      |SELECT CAST(t.i AS INT) AS step, t.id AS vec_id
+      |FROM (SELECT unnest(ids) AS id, generate_subscripts(ids, 1) AS i
+      |      FROM sel WHERE step = $KCenter) t
+      |ORDER BY step""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q34_embed_neardup", q34, Some(q34Sql)),
     Q("q40_knn_brute", q40, Some(q40Sql)),
     Q("q41_knn_ivf", q41, Some(q41Sql)),
     Q("q74_embed_quant", q74, Some(q74Sql)),
+    Q("q87_kcenter_diversity", q87, Some(q87Sql)),
   )
 }

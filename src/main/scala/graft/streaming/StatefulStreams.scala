@@ -220,7 +220,7 @@ object StatefulStreams {
       }
     override def handleExpiredTimer(
         key: K, timers: TimerValues, info: ExpiredTimerInfo): Iterator[T] = {
-      if (expiry.exists() && expiry.get() <= info.getExpiryTimeInMs) expiry.clear()
+      if (expiry.exists() && expiry.get() <= info.getExpiryTimeInMs()) expiry.clear()
       Iterator.empty
     }
   }
