@@ -397,15 +397,23 @@ object Similarity {
     */
   val KCenter = 8
 
-  private def q87(s: SparkSession, d: String): DataFrame = {
+  private def q87(s: SparkSession, d: String): DataFrame =
+    kCenterSelect(embeddings(s, d), KCenter)
+
+  /** The q87 greedy over any (vec_id, embedding, ...) frame — split out
+    * so specs can drive constructed geometries through the production
+    * path.
+    */
+  private[graft] def kCenterSelect(embDf: DataFrame, k: Int): DataFrame = {
+    val s = embDf.sparkSession
     GraftFunctions.register(s)
-    val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val e = embDf.select(col("vec_id"), col("embedding"))
     def collectOne(df: DataFrame): (Long, Seq[Float]) = {
       val r = df.limit(1).collect().head
       (r.getLong(0), r.getSeq[Float](1))
     }
     var chosen = Vector(collectOne(e.orderBy(col("vec_id"))))
-    while (chosen.length < KCenter) {
+    while (chosen.length < k) {
       val maxSim = chosen.map { case (_, vec) =>
         call_function("cosine_sim", col("embedding"),
           array(vec.map(lit): _*))

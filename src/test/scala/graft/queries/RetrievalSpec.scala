@@ -45,6 +45,24 @@ class RetrievalSpec extends SparkSpec {
     assert(got == Seq((1L, 2L)))
   }
 
+  test("k-center greedy picks the farthest-point order on a known geometry") {
+    // unit vectors in the plane at 0°, 5°, 10°, 180°, 90°, 270°.
+    // From seed 0: the antipode (3) first, then the two orthogonals —
+    // 5 before 4 because cos(270°) rounds to a tiny NEGATIVE float
+    // where cos(90°) rounds tiny positive, so 5's max-cos is smaller —
+    // then 10° (2) before 5° (1): near-duplicates of the seed surface
+    // LAST, which is the curation point.
+    val vecs = Seq(0.0, 5.0, 10.0, 180.0, 90.0, 270.0).zipWithIndex.map {
+      case (deg, i) =>
+        val r = math.toRadians(deg)
+        (i.toLong, Seq(math.cos(r).toFloat, math.sin(r).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Similarity.kCenterSelect(df, 6)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(got == Seq((1, 0L), (2, 3L), (3, 5L), (4, 4L), (5, 2L), (6, 1L)))
+  }
+
   test("positional postings are per (term, doc) with sorted positions") {
     val docs = Seq((7L, "b a b")).toDF("doc_id", "text")
     val idx = Retrieval.positionalPostings(docs)
