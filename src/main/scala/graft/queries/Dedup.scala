@@ -390,14 +390,24 @@ object Dedup {
     * specs can plant verbatim copied passages and drive the exact
     * production path.
     */
-  private[graft] def substringNearDupPairs(documentsDf: DataFrame): DataFrame = {
+  /** (doc_id, h) content-defined sampled window fingerprints — the
+    * shared front half of batch q86 and the streaming form
+    * (graft.streaming.StatefulStreams.streamingSubstringPairs): all
+    * narrow deterministic ops, so it runs identically over a streaming
+    * DataFrame.
+    */
+  private[graft] def substringFingerprints(documentsDf: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(documentsDf.sparkSession)
-    val fps = documentsDf
+    documentsDf
       .select(col("doc_id"), normalize(col("text")).as("norm"))
-      .repartition(col("doc_id"))
       .select(col("doc_id"), explode(array_distinct(
         filter(expr(s"rolling_hashes(norm, $SubstrWindow)"),
           h => h % SubstrSample === 0))).as("h"))
+  }
+
+  private[graft] def substringNearDupPairs(documentsDf: DataFrame): DataFrame = {
+    val fps = substringFingerprints(
+      documentsDf.repartition(col("doc_id")))
     val hot = fps.groupBy(col("h"))
       .agg(count(lit(1)).as("__bn"))
       .filter(col("__bn") > HotBucketThreshold)

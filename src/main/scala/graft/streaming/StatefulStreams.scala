@@ -137,6 +137,43 @@ object StatefulStreams {
       }
   }
 
+  /** Incremental winnowing substring near-dup — the streaming form of
+    * batch q86 (graft.queries.Dedup.substringNearDupPairs): arriving
+    * documents are fingerprinted by the SAME content-defined sampled
+    * rolling-hash pipeline (Dedup.substringFingerprints), and each
+    * fingerprint bucket's GroupState holds the doc_ids seen so far; a
+    * new arrival emits one candidate pair per stored member of its
+    * bucket. Pair emission is once per SHARED FINGERPRINT (batch q86
+    * thresholds on that count; downstream can
+    * groupBy(pair).count >= k the same way), and per-bucket state is
+    * capped at `maxPerBucket` ids — over-cap arrivals still probe the
+    * stored cap-set, bounding state at O(buckets × maxPerBucket × 8 B)
+    * no matter how boilerplate-heavy the stream gets.
+    */
+  def streamingSubstringPairs(
+      docs: DataFrame, maxPerBucket: Int = 256): Dataset[(Long, Long)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.queries.Dedup.substringFingerprints(docs)
+      .select(col("doc_id"), col("h"))
+      .as[(Long, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, it: Iterator[(Long, Long)], gs: GroupState[List[Long]]) =>
+          var members = gs.getOption.getOrElse(Nil)
+          val out = Vector.newBuilder[(Long, Long)]
+          it.map(_._1).toIndexedSeq.sorted.foreach { id =>
+            members.foreach { mid =>
+              if (mid != id) out += ((math.min(id, mid), math.max(id, mid)))
+            }
+            if (members.lengthCompare(maxPerBucket) < 0 && !members.contains(id))
+              members ::= id
+          }
+          gs.update(members)
+          out.result().iterator
+      }
+  }
+
   /** First-occurrence-only processor behind [[ttlDedup]]: one boolean
     * ValueState per key with a TTL — Spark evicts the entry `ttl` after
     * its last write, so a key re-arriving past the horizon is emitted

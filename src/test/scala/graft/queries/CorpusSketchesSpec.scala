@@ -125,4 +125,21 @@ class CorpusSketchesSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(got == want)
   }
+
+  test("bloom prefilter survives probe columns named like its internals") {
+    // regression: prefilter used hardcoded __ppos / bloom_bits working
+    // names — a probe frame already carrying either column had it
+    // silently replaced-then-dropped; names must be collision-free
+    import spark.implicits._
+    val build = Seq(1L, 2L, 3L).toDF("k")
+    val bits = graft.ops.BloomPrefilter.bitset(build, col("k"), k = 3, m = 64)
+    val probe = Seq((1L, "keep-a", 10L), (4L, "keep-b", 20L), (2L, "keep-c", 30L))
+      .toDF("k", "__ppos", "bloom_bits")
+    val out = graft.ops.BloomPrefilter.prefilter(probe, col("k"), bits, k = 3, m = 64)
+    assert(out.columns.toSeq == Seq("k", "__ppos", "bloom_bits"),
+      "probe's own columns must survive the prefilter untouched")
+    val rows = out.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // true members 1 and 2 must pass with their original payloads
+    assert(Set((1L, "keep-a", 10L), (2L, "keep-c", 30L)).subsetOf(rows), rows.toString)
+  }
 }

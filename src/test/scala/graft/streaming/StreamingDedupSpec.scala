@@ -83,6 +83,45 @@ class StreamingDedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L)), s"got $pairs")
   }
 
+  test("streaming winnowing substring pairs find copied passages across micro-batches") {
+    implicit val sql = spark.sqlContext
+    val passage = ("the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep dark forest tonight") * 3
+    val in = MemoryStream[(Long, String)]
+    val pairs = StatefulStreams.streamingSubstringPairs(in.toDF().toDF("doc_id", "text"))
+      .toDF("doc_a", "doc_b")
+    val q = pairs.writeStream.format("memory").queryName("swinnow")
+      .outputMode("append").start()
+    try {
+      in.addData(Seq((1L, s"unrelated prefix words here $passage"),
+        (5L, "completely different content with no shared passage at all")))
+      q.processAllAvailable()
+      assert(spark.table("swinnow").count() == 0)
+      // the copy arrives a batch later and must pair against stored state
+      in.addData(Seq((2L, s"$passage and a different suffix entirely")))
+      q.processAllAvailable()
+      val got = spark.table("swinnow").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((1L, 2L)), s"got $got")
+    } finally q.stop()
+  }
+
+  test("streaming winnowing in batch mode matches q86's thresholded pairs") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, sf)
+    val streamed = StatefulStreams.streamingSubstringPairs(docs)
+      .toDF("doc_a", "doc_b")
+      .groupBy("doc_a", "doc_b").count()
+      .filter(col("count") >= graft.queries.Dedup.SubstrMinShared)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = graft.SparkEntry.queries("q86_substring_winnow")(spark, sf)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch,
+      s"streaming!=batch: only-streaming=${streamed -- batch}, only-batch=${batch -- streamed}")
+  }
+
   test("streaming near-dup operator in batch mode equals the batch LSH pair set (q32)") {
     val sf = "/root/testdata/sf0.001"
     val docs = graft.Tables.documents(spark, sf)
