@@ -244,6 +244,20 @@ object Dedup {
       |FROM comp
       |ORDER BY doc_id""".stripMargin
 
+  /** Sorted distinct word-bigram 60-bit hashes of a token array — the
+    * exact-verify gram set shared by q33 (Jaccard) and q88
+    * (containment); sorted so the pairwise intersect is one codegen'd
+    * merge pass (SortedIntersectCount).
+    */
+  private def gramSet(toks: Column): Column =
+    array_sort(array_distinct(transform(
+      indices(size(toks) - 1),
+      i => hash60(concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2))))))
+
+  private val gramSetSql =
+    s"""list_sort(list_distinct(list_transform(range(greatest(len(toks) - 1, 0)),
+       |      i -> ${hash60Sql("toks[i+1] || ' ' || toks[i+2]")})))""".stripMargin
+
   // q33 — exact n-gram (word bigram) Jaccard similarity, restricted to
   // blocked candidate pairs (same lang, adjacent length bucket) so the
   // quadratic term stays bounded at scale; emits pairs above 0.2.
@@ -256,11 +270,9 @@ object Dedup {
     val toksDf = documents(s, d)
       .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
       .repartition(col("doc_id"))
-    val grams = array_sort(array_distinct(transform(
-      indices(size(col("toks")) - 1),
-      i => hash60(concat_ws(" ", element_at(col("toks"), i + 1), element_at(col("toks"), i + 2))))))
     val docs = toksDf.select(col("doc_id"), col("lang"),
-      floor(size(col("toks")) / 50L).cast("long").as("lbucket"), grams.as("grams"))
+      floor(size(col("toks")) / 50L).cast("long").as("lbucket"),
+      gramSet(col("toks")).as("grams"))
     // The blocked self-join has only O(#langs × #buckets) distinct keys
     // and EVERY block is dense (all-pairs is the semantic), so a plain
     // shuffle puts each block's C(m,2) pairs on one task, and a
@@ -292,8 +304,7 @@ object Dedup {
     val toks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
     s"""WITH docs AS (
       |  SELECT doc_id, lang, len(toks) // 50 AS lbucket,
-      |    list_sort(list_distinct(list_transform(range(greatest(len(toks) - 1, 0)),
-      |      i -> ${hash60Sql("toks[i+1] || ' ' || toks[i+2]")}))) AS grams
+      |    $gramSetSql AS grams
       |  FROM (SELECT doc_id, lang, $toks AS toks FROM documents) t),
       |pairs AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -424,23 +435,103 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  private val q86Sql = {
+  /** DuckDB CTE list producing `wpairs(doc_a, doc_b, n_shared)` — the
+    * winnow candidate pairs, shared by the q86 and q88 oracles.
+    */
+  private val winnowPairsCteSql = {
     val norm = normalizeSql("text")
-    s"""WITH n AS (SELECT doc_id, $norm AS norm FROM documents),
-      |rh AS (SELECT doc_id,
+    s"""wn AS (SELECT doc_id, $norm AS norm FROM documents),
+      |wrh AS (SELECT doc_id,
       |  list_transform(range(greatest(length(norm) - ${SubstrWindow - 1}, 0)), i ->
       |    list_reduce(list_transform(range($SubstrWindow),
       |      j -> CAST(ascii(substr(norm, i + j + 1, 1)) AS BIGINT)),
       |      (acc, c) -> (acc * 257 + c) % 2147483647)) AS rh
-      |  FROM n),
-      |fp AS (SELECT DISTINCT doc_id, h
-      |  FROM (SELECT doc_id, unnest(rh) AS h FROM rh)
+      |  FROM wn),
+      |wfp AS (SELECT DISTINCT doc_id, h
+      |  FROM (SELECT doc_id, unnest(rh) AS h FROM wrh)
       |  WHERE h % $SubstrSample = 0),
-      |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
-      |  FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2)
-      |SELECT doc_a, doc_b, n_shared FROM pairs
+      |wpairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+      |  FROM wfp a JOIN wfp b ON a.h = b.h AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)""".stripMargin
+  }
+
+  private val q86Sql =
+    s"""WITH $winnowPairsCteSql
+      |SELECT doc_a, doc_b, n_shared FROM wpairs
       |WHERE n_shared >= $SubstrMinShared
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** q88 — containment verify: for each winnow candidate pair, the
+    * exact bigram-set containment in BOTH directions
+    * (|A∩B|/|A|, |A∩B|/|B|) — the superset-dedup primitive. A short
+    * doc pasted inside a long one has near-1.0 containment on the
+    * short side but LOW Jaccard, so q33's symmetric verify never
+    * surfaces it; the winnow candidates (content-defined window
+    * fingerprints) find such pairs regardless of the length ratio,
+    * where MinHash-LSH banding also would not.
+    *
+    * Scale shape: the expensive exact gram sets are built ONLY for
+    * documents appearing in a candidate pair — the pair set is
+    * materialized once (localCheckpoint; it is orders of magnitude
+    * smaller than the corpus) and its doc_ids broadcast-semi-join the
+    * corpus scan, so the verify stage touches candidate docs, never
+    * the full corpus. The containments themselves are one codegen
+    * merge-intersect per pair and two exact-integer divisions
+    * (bit-identical cross-engine).
+    */
+  val ContainmentThreshold = 0.5
+
+  private def q88(s: SparkSession, d: String): DataFrame =
+    containmentPairs(documents(s, d))
+
+  private[graft] def containmentPairs(documentsDf: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(documentsDf.sparkSession)
+    val cand = substringNearDupPairs(documentsDf)
+      .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint(true)
+    val ids = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id")))
+      .distinct()
+    // Candidate-doc gram sets are also materialized: they are reused
+    // across both join sides, and the interpreted gram transform would
+    // otherwise be re-inlined (and re-evaluated) at every downstream
+    // reference after project collapse.
+    val grams = documentsDf
+      .join(broadcast(ids), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), gramSet(col("toks")).as("grams"))
+      .localCheckpoint(true)
+    cand
+      .join(grams.select(col("doc_id").as("doc_a"), col("grams").as("ga")), Seq("doc_a"))
+      .join(grams.select(col("doc_id").as("doc_b"), col("grams").as("gb")), Seq("doc_b"))
+      .filter(size(col("ga")) > 0 && size(col("gb")) > 0)
+      .withColumn("inter", expr("sorted_intersect_count(ga, gb)"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") / size(col("ga"))).as("cont_a"),
+        (col("inter").cast("double") / size(col("gb"))).as("cont_b"))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= ContainmentThreshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val q88Sql = {
+    val toks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+    s"""WITH $winnowPairsCteSql,
+      |g AS (SELECT doc_id, $gramSetSql AS grams
+      |  FROM (SELECT doc_id, $toks AS toks FROM documents) t),
+      |j AS (SELECT p.doc_a, p.doc_b,
+      |    len(list_intersect(a.grams, b.grams)) AS inter,
+      |    len(a.grams) AS na, len(b.grams) AS nb
+      |  FROM (SELECT doc_a, doc_b FROM wpairs WHERE n_shared >= $SubstrMinShared) p
+      |  JOIN g a ON p.doc_a = a.doc_id
+      |  JOIN g b ON p.doc_b = b.doc_id
+      |  WHERE len(a.grams) > 0 AND len(b.grams) > 0)
+      |SELECT doc_a, doc_b,
+      |  CAST(inter AS DOUBLE) / na AS cont_a,
+      |  CAST(inter AS DOUBLE) / nb AS cont_b
+      |FROM j
+      |WHERE greatest(CAST(inter AS DOUBLE) / na, CAST(inter AS DOUBLE) / nb)
+      |  >= $ContainmentThreshold
       |ORDER BY doc_a, doc_b""".stripMargin
   }
 
@@ -452,5 +543,6 @@ object Dedup {
     Q("q35_dedup_clusters", q35, Some(q35Sql)),
     Q("q36_simhash", q36, Some(q36Sql)),
     Q("q86_substring_winnow", q86, Some(q86Sql)),
+    Q("q88_containment", q88, Some(q88Sql)),
   )
 }

@@ -45,6 +45,29 @@ class RetrievalSpec extends SparkSpec {
     assert(got == Seq((1L, 2L)))
   }
 
+  test("containment verify surfaces a short doc pasted inside a long one") {
+    // doc 2 IS a passage of doc 1: Jaccard is low (doc 1 has far more
+    // grams) but containment on doc 2's side must be ~1.0; doc 3 is
+    // unrelated and must not pair
+    val passage = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep dark forest tonight hunting rabbits " +
+      "until the morning light returns over the quiet hills"
+    val rnd = new scala.util.Random(13)
+    def noise(n: Int) =
+      (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar).grouped(7).map(_.mkString).mkString(" ")
+    val docs = Seq(
+      (1L, s"${noise(900)} $passage ${noise(900)}"),
+      (2L, passage),
+      (3L, noise(400)),
+    ).toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(out.map(t => (t._1, t._2)) == Seq((1L, 2L)))
+    val (_, _, contLong, contShort) = out.head
+    assert(contShort > 0.95, s"short-side containment should be ~1, got $contShort")
+    assert(contLong < 0.5, s"long-side containment should be small, got $contLong")
+  }
+
   test("k-center greedy picks the farthest-point order on a known geometry") {
     // unit vectors in the plane at 0°, 5°, 10°, 180°, 90°, 270°.
     // From seed 0: the antipode (3) first, then the two orthogonals —
