@@ -132,9 +132,42 @@ object Sampling {
       |    FROM documents) t) t2
       |ORDER BY doc_id""".stripMargin
 
+  // q89 — deterministic train/val/test split assignment: each document
+  // lands in a split by a content-independent seeded hash bucket
+  // (80/10/10), so the split is reproducible bit-for-bit across runs,
+  // engines, and cluster sizes, and adding documents never moves
+  // existing ones between splits (the property per-stratum exact
+  // quotas cannot give). One scan, shuffle of |langs × splits| rows.
+  private val SplitSeed = "sp8"
+
+  private def q89(s: SparkSession, d: String): DataFrame = {
+    val bucket = pmod(hash60(concat(lit(SplitSeed), col("doc_id").cast("string"))), lit(100L))
+    documents(s, d)
+      .select(col("lang"),
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").as("split"),
+        tokenCount(col("text")).as("n_toks"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+      .orderBy(col("lang"), col("split"))
+  }
+
+  private val q89Sql =
+    s"""SELECT lang,
+      |  CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
+      |    ELSE 'test' END AS split,
+      |  count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS n_tokens
+      |FROM (
+      |  SELECT lang,
+      |    ${hash60Sql(s"'$SplitSeed' || CAST(doc_id AS VARCHAR)")} % 100 AS bucket,
+      |    len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_toks
+      |  FROM documents) t
+      |GROUP BY 1, 2
+      |ORDER BY lang, split""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q78_reservoir_stratified", q78, Some(q78Sql)),
     Q("q79_mixture_sample", q79, Some(q79Sql)),
     Q("q80_sequence_packing", q80, Some(q80Sql)),
+    Q("q89_split_assign", q89, Some(q89Sql)),
   )
 }

@@ -66,6 +66,25 @@ class GStreamSpec extends SparkSpec {
     assert(got == Seq("1a", "2b", "3c"))
   }
 
+  test("property: alignWith equals Seq.zip for arbitrary lengths") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    val gen = for {
+      n <- Gen.choose(0, 25)
+      m <- Gen.choose(0, 25)
+      xs <- Gen.listOfN(n, Gen.choose(-100, 100))
+      ys <- Gen.listOfN(m, Gen.alphaStr.map(_.take(3)))
+    } yield (xs, ys)
+    val prop = Prop.forAll(gen) { case (xs, ys) =>
+      val got = GStream.fromSeq(spark, xs)
+        .alignWith(GStream.fromSeq(spark, ys))((a, b) => (a, b))
+        .collectOrdered()
+      got == xs.zip(ys)
+    }
+    val res = check(Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   // F7 — naive batch map (naive/execute_test.go:9-27): ints ×2.
   test("F7: naive batch map doubles ints") {
     val got = GStream.fromSeq(spark, Seq(1, 2, 3, 4, 5)).map(_ * 2).collectOrdered()
