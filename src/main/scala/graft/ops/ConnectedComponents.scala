@@ -45,8 +45,13 @@ object ConnectedComponents {
       edges: DataFrame,
       maxIter: Int = 20,
       escalateAfter: Int = 4): (DataFrame, Int) = {
-    val und = edges.select(col("a"), col("b"))
-      .union(edges.select(col("b").as("a"), col("a").as("b")))
+    // Materialize the edge list BEFORE mirroring it: the union
+    // references the (often expensive — LSH / winnow candidate
+    // generation) edge subtree once per side, and without the barrier
+    // Spark computes it twice.
+    val e0 = edges.select(col("a"), col("b")).localCheckpoint(true)
+    val und = e0
+      .union(e0.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint(true)
     var labels = und.select(col("a").as("id")).distinct()
       .withColumn("comp", col("id"))

@@ -438,7 +438,7 @@ object Dedup {
   /** DuckDB CTE list producing `wpairs(doc_a, doc_b, n_shared)` — the
     * winnow candidate pairs, shared by the q86 and q88 oracles.
     */
-  private val winnowPairsCteSql = {
+  private[queries] val winnowPairsCteSql = {
     val norm = normalizeSql("text")
     s"""wn AS (SELECT doc_id, $norm AS norm FROM documents),
       |wrh AS (SELECT doc_id,

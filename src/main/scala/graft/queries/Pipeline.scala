@@ -70,5 +70,79 @@ object Pipeline {
       |ORDER BY doc_id""".stripMargin
   }
 
-  val all: Seq[Q] = Seq(Q("q55_training_pipeline", q55, Some(q55Sql)))
+  /** q90 — the round-8 capstone: the NEW curation operators composed
+    * into one oracle-verified pipeline:
+    *
+    *   1. winnow-dup pruning — shared-substring pairs (q86) → connected
+    *      components → drop every non-representative cluster member;
+    *   2. contamination gate — drop documents containing the benchmark
+    *      phrase, found by the positional phrase search (q85);
+    *   3. split assignment — seeded-hash 80/10/10 buckets (q89) over
+    *      the survivors, reported per (lang, split).
+    *
+    * Every stage keeps its standalone scale shape (fingerprint-only
+    * shuffles, pointer-jumping CC, postings-pruned phrase scan, tiny
+    * final aggregate); the drop lists join in as left-antis on doc_id.
+    */
+  private def q90(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val dupDrop = graft.ops.ConnectedComponents
+      .minLabel(Dedup.substringNearDupPairs(docs)
+        .select(col("doc_a").as("a"), col("doc_b").as("b")))
+      .filter(col("id") =!= col("comp"))
+      .select(col("id").as("doc_id"))
+    val contaminated = Retrieval.phraseSearch(docs, Seq("hash", "join"))
+      .select(col("doc_id"))
+    val bucket = pmod(
+      hash60(concat(lit(Sampling.SplitSeed), col("doc_id").cast("string"))), lit(100L))
+    docs
+      .join(dupDrop, Seq("doc_id"), "left_anti")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .select(col("lang"),
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").as("split"),
+        tokenCount(col("text")).as("n_toks"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+      .orderBy(col("lang"), col("split"))
+  }
+
+  private val q90Sql = {
+    val toks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+    val hits =
+      s"len(list_filter(range(len(toks) - 1), i -> toks[i+1] = 'hash' AND toks[i+2] = 'join'))"
+    s"""WITH RECURSIVE ${Dedup.winnowPairsCteSql},
+      |wedges AS (
+      |  SELECT doc_a, doc_b FROM wpairs WHERE n_shared >= ${Dedup.SubstrMinShared}),
+      |wund(a, b) AS (
+      |  SELECT doc_a, doc_b FROM wedges UNION SELECT doc_b, doc_a FROM wedges),
+      |wreach(a, b) AS (
+      |  SELECT a, b FROM wund
+      |  UNION
+      |  SELECT r.a, u.b FROM wreach r JOIN wund u ON r.b = u.a),
+      |wdrops AS (
+      |  SELECT a AS drop_id FROM (
+      |    SELECT a, min(least(a, b)) AS comp FROM wreach GROUP BY a) t
+      |  WHERE a <> comp),
+      |contaminated AS (
+      |  SELECT doc_id FROM (SELECT doc_id, $toks AS toks FROM documents) t
+      |  WHERE $hits > 0)
+      |SELECT lang,
+      |  CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
+      |    ELSE 'test' END AS split,
+      |  count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS n_tokens
+      |FROM (
+      |  SELECT doc_id, lang,
+      |    ${hash60Sql(s"'${Sampling.SplitSeed}' || CAST(doc_id AS VARCHAR)")} % 100 AS bucket,
+      |    len($toks) AS n_toks
+      |  FROM documents) d
+      |WHERE doc_id NOT IN (SELECT drop_id FROM wdrops)
+      |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+      |GROUP BY 1, 2
+      |ORDER BY lang, split""".stripMargin
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("q55_training_pipeline", q55, Some(q55Sql)),
+    Q("q90_curation_pipeline", q90, Some(q90Sql)),
+  )
 }

@@ -138,7 +138,7 @@ object Sampling {
   // engines, and cluster sizes, and adding documents never moves
   // existing ones between splits (the property per-stratum exact
   // quotas cannot give). One scan, shuffle of |langs × splits| rows.
-  private val SplitSeed = "sp8"
+  private[queries] val SplitSeed = "sp8"
 
   private def q89(s: SparkSession, d: String): DataFrame = {
     val bucket = pmod(hash60(concat(lit(SplitSeed), col("doc_id").cast("string"))), lit(100L))
