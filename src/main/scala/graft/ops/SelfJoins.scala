@@ -74,7 +74,15 @@ object SelfJoins {
     val bSide = side("r",
       _.withColumn("__p", explode(sequence(lit(0), col("__g"))))
         .withColumn("__q", col("__g")))
-    aSide.join(bSide, blockKeys ++ Seq("__p", "__q"))
+    // SHUFFLE_HASH instead of the default sort-merge: pair rows carry
+    // the callers' wide array payloads (gram sets, signatures), and
+    // sorting both sides on (blockKeys, p, q) is pure overhead when the
+    // join only needs bucket equality. The build side is bounded BY
+    // CONSTRUCTION: the split sizes each (block, p, q) bucket to
+    // ~√pairsPerTask rows, so per-task hash maps stay small at any
+    // corpus size (measured: q33 4.9 → 2.6 s, q32 1.9 → 1.4 s at
+    // sf0.1).
+    aSide.join(bSide.hint("SHUFFLE_HASH"), blockKeys ++ Seq("__p", "__q"))
       .filter(col("__p") =!= col("__q") || col(s"${idCol}_l") < col(s"${idCol}_r"))
       .drop("__p", "__q")
   }
