@@ -1,0 +1,62 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import graft.SparkSpec
+
+/** Pins the scan-level optimizations the engine relies on at 100 TB:
+  * predicate pushdown into the parquet reader (`PushedFilters`) and
+  * column pruning (`ReadSchema`). These come free from declarative
+  * plans — this spec exists so a refactor that breaks them (e.g. a UDF
+  * wrapping a filter column, a select * materialization) fails loudly
+  * instead of silently scanning everything. Assertions read the
+  * FileSourceScanExec node itself: the plan's toString truncates long
+  * filter lists.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Leaf scans with AQE off for the planning only — the adaptive
+    * wrapper hides its initial plan from collect, and scan-level
+    * pushdown/pruning are decided before AQE anyway.
+    */
+  private def scans(mk: => DataFrame): Seq[FileSourceScanExec] = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try mk.queryExecution.executedPlan.collectLeaves().collect {
+      case f: FileSourceScanExec => f
+    }.toSeq
+    finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  private def scanOf(name: String): FileSourceScanExec = {
+    val s = scans(graft.SparkEntry.queries(name)(spark, sf))
+    assert(s.nonEmpty, s"$name has no parquet scan")
+    s.head
+  }
+
+  test("q02 scan pushes comparison filters and prunes to the used columns") {
+    val scan = scanOf("q02_filter_project")
+    val pushed = scan.metadata("PushedFilters")
+    assert(pushed.contains("GreaterThanOrEqual(l_discount"), pushed)
+    assert(pushed.contains("LessThan(l_quantity"), pushed)
+    // pruning: only the 6 referenced columns, never the 16-col table
+    val cols = scan.requiredSchema.fieldNames.toSet
+    assert(cols == Set("l_orderkey", "l_linenumber", "l_shipdate",
+      "l_discount", "l_quantity", "l_extendedprice"), s"read columns: $cols")
+  }
+
+  test("q06 scan pushes the discount range and quantity bound") {
+    val pushed = scanOf("q06_filter_agg").metadata("PushedFilters")
+    assert(pushed.contains("GreaterThanOrEqual(l_discount"), pushed)
+    assert(pushed.contains("LessThanOrEqual(l_discount"), pushed)
+    assert(pushed.contains("LessThan(l_quantity"), pushed)
+  }
+
+  test("documents scan prunes the text column when only metadata is needed") {
+    val df = graft.Tables.documents(spark, sf).groupBy("lang").count()
+    val cols = scans(df).head.requiredSchema.fieldNames.toSet
+    assert(cols == Set("lang"), s"lang-only aggregate read: $cols")
+  }
+}
