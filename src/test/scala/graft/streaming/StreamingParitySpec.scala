@@ -43,6 +43,30 @@ class StreamingParitySpec extends SparkSpec {
     assert(got.sorted == want.sorted)
   }
 
+  test("F3 streaming: fan-out + align zips positionally across micro-batches") {
+    // the reference's align pattern (engine_test.go:530-614) in its
+    // streaming form: interleaved source-tagged records, two FIFOs in
+    // GroupState, state surviving the micro-batch boundary mid-stream
+    implicit val sql = spark.sqlContext
+    val src = Seq("hello", "this", "is", "ssp")
+    val upper = src.zipWithIndex.map { case (v, i) => (i.toLong * 2, 0, v.toUpperCase) }
+    val lens = src.zipWithIndex.map { case (v, i) => (i.toLong * 2 + 1, 1, v.length.toString) }
+    val interleaved = (upper ++ lens).sortBy(_._1)
+    val in = MemoryStream[(Long, Int, String)]
+    in.addData(interleaved.take(3))
+    in.addData(interleaved.drop(3))
+    val out = StatefulStreams.statefulByKey(in.toDS(), (_: (Long, Int, String)) => 0,
+      (List.empty[String], List.empty[String])) {
+      case ((ups, ls), (_, source, v)) =>
+        val (u2, l2) = if (source == 0) (ups :+ v, ls) else (ups, ls :+ v)
+        if (u2.nonEmpty && l2.nonEmpty)
+          ((u2.tail, l2.tail), Seq(s"${u2.head}: ${l2.head}"))
+        else ((u2, l2), Seq.empty)
+    }
+    val got = runToMemorySink("f3_streaming")(out)
+    assert(got.sorted == Seq("HELLO: 5", "IS: 2", "SSP: 3", "THIS: 4").sorted)
+  }
+
   test("F4 streaming: windowed word count golden output across micro-batches") {
     implicit val sql = spark.sqlContext
     val in = MemoryStream[Stamped[String]]
