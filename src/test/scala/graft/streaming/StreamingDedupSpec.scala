@@ -106,6 +106,21 @@ class StreamingDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("winnow bucket cap: over-cap arrivals still probe stored members") {
+    // maxPerBucket=2 on 4 docs sharing one passage: docs 1,2 stored per
+    // fingerprint bucket; 3,4 probe the cap-set but are not stored —
+    // only pairs among over-cap arrivals (3,4) are lost, the documented
+    // bound on what capping can drop
+    val passage = ("the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep dark forest tonight") * 3
+    val docs = (1L to 4L).map(i => (i, s"$passage tail$i"))
+      .toDF("doc_id", "text")
+    val pairs = StatefulStreams.streamingSubstringPairs(docs, maxPerBucket = 2)
+      .toDF("a", "b").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L)), s"got $pairs")
+  }
+
   test("streaming winnowing in batch mode matches q86's thresholded pairs") {
     val sf = "/root/testdata/sf0.001"
     val docs = graft.Tables.documents(spark, sf)
