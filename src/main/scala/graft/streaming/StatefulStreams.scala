@@ -270,7 +270,9 @@ object StatefulStreams {
     * exactly, where the processing-time form's expiry depends on the
     * wall clock of the run. `ds` must carry a watermark upstream
     * (withWatermark on its event-time column) — TimeMode.EventTime
-    * requires it, and it is what advances the timers.
+    * requires it, and it is what advances the timers. Rows whose event
+    * time is behind the watermark are dropped before the processor
+    * sees them (the native late-data contract; TtlDedupSpec pins it).
     */
   def ttlDedupEventTime[K, T](
       ds: Dataset[T], key: T => K, eventTimeMs: T => Long, ttl: java.time.Duration)(

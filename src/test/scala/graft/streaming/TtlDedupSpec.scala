@@ -148,6 +148,28 @@ class TtlDedupSpec extends SparkSpec {
     }
   }
 
+  test("event-time dedup: late first-occurrences behind the watermark are dropped") {
+    // TimeMode.EventTime filters input rows older than the current
+    // watermark BEFORE the processor sees them — a late "first
+    // occurrence" of a new key is dropped, not emitted. Pinned here so
+    // the semantic (exactly the native watermark contract, unlike the
+    // reference's re-open-window behavior on the parity surface) is
+    // explicit.
+    runEventTime(java.time.Duration.ofMillis(100)) { (in, _, received, _) =>
+      val q = () => spark.streams.active.foreach(_.processAllAvailable())
+      in.addData(Seq((1L, 50000L, "advance")))
+      q()
+      // watermark is now 50000 (after the batch); key 9's only row is
+      // far behind it
+      in.addData(Seq((9L, 1000L, "late-first")))
+      q()
+      in.addData(Seq((2L, 60000L, "advance2")))
+      q()
+      assert(sinkSorted(received) == Seq((1L, 50000L, "advance"), (2L, 60000L, "advance2")),
+        s"late row should be dropped, sink: ${sinkSorted(received)}")
+    }
+  }
+
   test("event-time dedup state and horizon survive a checkpoint restart") {
     runEventTime(java.time.Duration.ofMillis(100)) { (in, restart, received, _) =>
       val q = () => spark.streams.active.foreach(_.processAllAvailable())
