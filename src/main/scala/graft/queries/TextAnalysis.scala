@@ -289,6 +289,33 @@ object TextAnalysis {
       |FROM f
       |ORDER BY doc_id""".stripMargin
 
+  // q91 — tokenizer-style counting: whitespace tokens AND a BPE-ish
+  // GPT-2-style pre-tokenizer regex (contraction suffixes, letter runs,
+  // digit runs, punctuation runs, space runs — lookahead-free so RE2
+  // and Java regex tokenize identically, leftmost-first alternation in
+  // both). The ratio of the two is the "tokens per word" statistic a
+  // token-budgeted pipeline reports. Pure per-row regex work: one scan,
+  // no shuffle except the final presentation sort.
+  private val BpePattern = "'(s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+| +"
+
+  private def q91(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+        .cast("long").as("n_ws_tokens"),
+      size(regexp_extract_all(lower(col("text")), lit(BpePattern), lit(0)))
+        .cast("long").as("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
+
+  private val q91Sql = {
+    val bpeSql = BpePattern.replace("'", "''")
+    s"""SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_ws_tokens,
+      |  CAST(len(regexp_extract_all(lower(text), '$bpeSql')) AS BIGINT) AS n_bpe_tokens
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q50_token_stats", q50, Some(q50Sql)),
     Q("q51_lang_id", q51, Some(q51Sql)),
@@ -297,5 +324,6 @@ object TextAnalysis {
     Q("q54_rolling_fingerprint", q54, Some(q54Sql)),
     Q("q75_tfidf_keywords", q75, Some(q75Sql)),
     Q("q77_repetition_filter", q77, Some(q77Sql)),
+    Q("q91_bpe_tokens", q91, Some(q91Sql)),
   )
 }
