@@ -442,3 +442,76 @@ object RepetitionStats {
     Array(distinctGrams(2), distinctGrams(3), top)
   }
 }
+
+/** Per-n-gram portable 60-bit hashes over a token array: element i is
+  * hash60(concat_ws(" ", toks[i..i+n-1])) — md5 of the UTF-8 bytes of
+  * the space-joined n-gram, top 15 hex chars as an unsigned integer —
+  * optionally reduced mod `mod` (pass 0 for no reduction). Exactly the
+  * arithmetic of the HOF formulation
+  * `transform(indices, i -> hash60(concat_ws(...)))`, which evaluates
+  * INTERPRETED per element; this runs the whole array as one compiled
+  * loop with an incrementally-fed MessageDigest (no joined-string
+  * allocation). Null elements are skipped like concat_ws. Empty output
+  * when fewer than n tokens.
+  */
+case class NGramHash60(child: Expression, n: Int, mod: Long)
+    extends UnaryExpression {
+
+  require(n >= 1, s"ngram_hash60: n must be >= 1, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"ngram_hash60 expects array<string>, got ${t.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "ngram_hash60"
+
+  override def nullSafeEval(input: Any): Any =
+    NGramHash60.compute(input.asInstanceOf[ArrayData], n, mod)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, xs =>
+      s"${ev.value} = graft.functions.NGramHash60.compute($xs, $n, ${mod}L);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object NGramHash60 {
+  private val Space = Array(' '.toByte)
+
+  /** Static so generated code can call it: one compiled loop per row. */
+  def compute(xs: ArrayData, n: Int, mod: Long): ArrayData = {
+    val total = xs.numElements()
+    val cnt = total - n + 1
+    if (cnt <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Long](cnt)
+    var i = 0
+    while (i < cnt) {
+      md.reset()
+      var first = true
+      var j = 0
+      while (j < n) {
+        if (!xs.isNullAt(i + j)) {
+          if (!first) md.update(Space)
+          md.update(xs.getUTF8String(i + j).getBytes)
+          first = false
+        }
+        j += 1
+      }
+      val d = md.digest()
+      // top 15 hex chars of the digest = first 7 bytes + high nibble of
+      // byte 7, exactly conv(substr(md5(s), 1, 15), 16, 10)
+      var acc = 0L
+      var k = 0
+      while (k < 7) { acc = (acc << 8) | (d(k) & 0xffL); k += 1 }
+      acc = (acc << 4) | ((d(7) >> 4) & 0xfL)
+      out(i) = if (mod > 0) acc % mod else acc
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}

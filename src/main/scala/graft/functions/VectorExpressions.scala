@@ -111,5 +111,9 @@ object GraftFunctions {
         exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
     reg.createOrReplaceTempFunction(
       "repetition_stats", exprs => RepetitionStats(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "ngram_hash60", exprs => NGramHash60(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].longValue()), "built-in")
   }
 }

@@ -81,25 +81,13 @@ object Dedup {
       |GROUP BY lang, source
       |ORDER BY lang, source""".stripMargin
 
-  /** 0..n-1 index array, empty when n <= 0 (Spark's sequence() would
-    * count DOWN for a negative upper bound, so guard explicitly).
+  /** Column: list of word 3-shingle hashes (mod p) from a token-array
+    * column, via the codegen NGramHash60 expression (one compiled md5
+    * loop per row; the earlier interpreted-HOF form re-dispatched the
+    * expression tree per element).
     */
-  private def indices(n: Column): Column =
-    when(n > 0, sequence(lit(0), n - 1)).otherwise(array().cast("array<int>"))
-
-  /** Column: list of word 3-shingle hashes (mod p) from a MATERIALIZED
-    * token-array column. The tokenizer regex must never appear inside
-    * the per-element lambdas: higher-order functions run interpreted
-    * (no codegen, no common-subexpression elimination), so an inlined
-    * `tokens(text)` would re-run the regex for every element access —
-    * observed as a 500 s single-core stall at sf0.1 before this split.
-    */
-  private def shingleHashes(toks: Column): Column = {
-    val shingles = transform(
-      indices(size(toks) - 2),
-      i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3)))
-    transform(shingles, sh => pmod(hash60(sh), lit(P)))
-  }
+  private def shingleHashes(toks: Column): Column =
+    call_function("ngram_hash60", toks, lit(3), lit(P))
 
   private val shingleHashesSql = {
     val toks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
@@ -250,9 +238,7 @@ object Dedup {
     * merge pass (SortedIntersectCount).
     */
   private def gramSet(toks: Column): Column =
-    array_sort(array_distinct(transform(
-      indices(size(toks) - 1),
-      i => hash60(concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2))))))
+    array_sort(array_distinct(call_function("ngram_hash60", toks, lit(2), lit(0L))))
 
   private val gramSetSql =
     s"""list_sort(list_distinct(list_transform(range(greatest(len(toks) - 1, 0)),
