@@ -164,10 +164,53 @@ object Sampling {
       |GROUP BY 1, 2
       |ORDER BY lang, split""".stripMargin
 
+  // q92 — deterministic negative-pair sampling for contrastive
+  // training data: each document draws NegK pseudo-random partners by
+  // seeded hash over the id space (reproducible, no RNG state), keeps
+  // only real non-self partners via an inner join, and reports whether
+  // the pair crosses languages. Scale shape: one explode (k rows per
+  // doc) + one shuffle join on partner_id — O(k·N) rows total, no
+  // broadcast of anything data-sized (only the 1-row max-id frame).
+  private val NegK = 4
+
+  private def q92(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"), col("lang"))
+    val n = docs.agg(max(col("doc_id")).as("max_id"))
+    val cand = docs
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("lang").as("lang_a"),
+        explode(sequence(lit(0), lit(NegK - 1))).as("j"), col("max_id"))
+      .withColumn("partner_id",
+        pmod(hash60(concat(lit("neg"), col("doc_id").cast("string"),
+          lit("_"), col("j").cast("string"))), col("max_id") + 1))
+      .filter(col("partner_id") =!= col("doc_id"))
+    cand
+      .join(docs.select(col("doc_id").as("partner_id"), col("lang").as("lang_b")),
+        Seq("partner_id"))
+      .select(col("doc_id"), col("j"), col("partner_id"),
+        (col("lang_a") === col("lang_b")).cast("int").as("same_lang"))
+      .orderBy(col("doc_id"), col("j"))
+  }
+
+  private val q92Sql =
+    s"""WITH n AS (SELECT max(doc_id) AS max_id FROM documents),
+      |cand AS (
+      |  SELECT d.doc_id, d.lang AS lang_a, jj.j AS j,
+      |    ${hash60Sql("'neg' || CAST(doc_id AS VARCHAR) || '_' || CAST(jj.j AS VARCHAR)")}
+      |      % (max_id + 1) AS partner_id
+      |  FROM documents d, n, (SELECT unnest(range($NegK)) AS j) jj
+      |  WHERE ${hash60Sql("'neg' || CAST(doc_id AS VARCHAR) || '_' || CAST(jj.j AS VARCHAR)")}
+      |      % (max_id + 1) <> d.doc_id)
+      |SELECT c.doc_id, CAST(c.j AS INT) AS j, c.partner_id,
+      |  CAST(c.lang_a = p.lang AS INT) AS same_lang
+      |FROM cand c JOIN documents p ON c.partner_id = p.doc_id
+      |ORDER BY c.doc_id, j""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q78_reservoir_stratified", q78, Some(q78Sql)),
     Q("q79_mixture_sample", q79, Some(q79Sql)),
     Q("q80_sequence_packing", q80, Some(q80Sql)),
     Q("q89_split_assign", q89, Some(q89Sql)),
+    Q("q92_negative_pairs", q92, Some(q92Sql)),
   )
 }
