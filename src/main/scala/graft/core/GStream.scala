@@ -119,7 +119,9 @@ final class GStream[T](val ds: Dataset[(Long, T)]) {
       val (ts, wm) = f(v)
       Stamped(s, ts, wm, v)
     }
-    val nParts = ds.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // the conf value may be non-numeric on some platforms (e.g. "auto")
+    val nParts = ds.sparkSession.conf.get("spark.sql.shuffle.partitions").toIntOption
+      .getOrElse(ds.sparkSession.sparkContext.defaultParallelism)
     val parted = stamped.toDF()
       .repartitionByRange(nParts, col("seq"))
       .withColumn("__pid", spark_partition_id())
@@ -239,21 +241,35 @@ final class KeyedGStream[K, T](val ds: Dataset[(K, (Long, T))]) {
     * giant key OOMs a task), the records are hash-partitioned on the
     * key and sorted (key, seq) WITHIN each partition — Spark's
     * external sort, which spills — then streamed once, resetting the
-    * fold state at each key boundary. A billion-record key flows
+    * fold state at each key boundary.  A billion-record key flows
     * through without ever materializing.
+    *
+    * Key boundaries compare the ENCODED key (UnsafeRow bytes), not
+    * Scala `==`: the partitioning and the within-partition sort both
+    * operate on the encoded value, and for array-typed keys
+    * (`Array[Byte]`, case classes containing arrays) Scala equality is
+    * reference equality — byte comparison keeps boundary detection
+    * consistent with how the rows were grouped, matching groupByKey's
+    * group-by-encoded-value semantics.
     */
   def mapState[S, U](init: S)(f: (S, T) => (S, Seq[U]))(
       implicit ek: Encoder[K], e: Encoder[(Long, U)]): GStream[U] = {
     import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.encoders.{AgnosticEncoder, ExpressionEncoder}
+    val keyEnc: ExpressionEncoder[K] = ek match {
+      case ee: ExpressionEncoder[K @unchecked] => ee
+      case ae: AgnosticEncoder[K @unchecked]   => ExpressionEncoder(ae)
+    }
     val sorted = ds.repartition(col("_1")).sortWithinPartitions(col("_1"), col("_2._1"))
     val out = sorted.mapPartitions { it =>
-      var started = false
-      var curKey: K = null.asInstanceOf[K]
+      val toRow = keyEnc.createSerializer() // emits UnsafeRow; equals is byte-wise
+      var prevKey: InternalRow = null
       var state = init
       it.flatMap { case (k, (seq, v)) =>
-        if (!started || k != curKey) {
-          started = true
-          curKey = k
+        val kr = toRow(k)
+        if (prevKey == null || kr != prevKey) {
+          prevKey = kr.copy() // serializer reuses its buffer; keep a stable copy
           state = init
         }
         val (s2, outs) = f(state, v)

@@ -43,24 +43,34 @@ object Retrieval {
       .agg(sort_array(collect_list(col("pos").cast("long"))).as("positions"))
 
   /** Documents containing the exact token phrase, with occurrence
-    * counts: join the phrase terms' postings on doc_id, intersect the
-    * rebased position arrays.
+    * counts. ONE pass over the postings for a k-term phrase: the
+    * postings build runs once, pruned to the phrase's terms before the
+    * grouping shuffle, then a broadcast (term, offset) join rebases
+    * each term's positions and a single groupBy(doc_id) intersects the
+    * offset-rebased arrays — a doc matches at p iff every term's
+    * rebased array contains p. A doc missing any offset is dropped by
+    * the count gate (the inner-join semantics of the old k-way form,
+    * without the k corpus scans).
     */
   def phraseSearch(docs: DataFrame, phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty, "phrase must have at least one term")
-    val idx = positionalPostings(docs)
-    val rebased = phrase.zipWithIndex.map { case (t, i) =>
-      idx.filter(col("term") === t)
-        .select(col("doc_id"),
-          transform(col("positions"), p => p - i).as(s"__p$i"))
-    }
-    // inner join: a doc missing any term cannot match the phrase; the
-    // joined frame is bounded by the rarest term's posting count
-    val joined = rebased.reduce((a, b) => a.join(b, "doc_id"))
-    val inter = (1 until phrase.length).foldLeft(col("__p0")) {
-      case (acc, i) => array_intersect(acc, col(s"__p$i"))
-    }
-    joined.select(col("doc_id"), size(inter).cast("long").as("n_matches"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val idx = positionalPostings(docs).filter(col("term").isin(phrase.distinct: _*))
+    // a term repeated in the phrase matches once per offset it holds
+    val offsets = phrase.zipWithIndex.toDF("term", "i")
+    val rebased = idx.join(broadcast(offsets), "term")
+      .select(col("doc_id"), col("i"),
+        transform(col("positions"), p => p - col("i")).as("ps"))
+    rebased.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("__nterms"),
+        array_sort(collect_list(struct(col("i"), col("ps")))).as("__arrs"))
+      .filter(col("__nterms") === phrase.length) // every offset present
+      .select(col("doc_id"),
+        size(aggregate(slice(col("__arrs"), 2, phrase.length - 1),
+          col("__arrs").getItem(0).getField("ps"),
+          (acc, x) => array_intersect(acc, x.getField("ps"))))
+          .cast("long").as("n_matches"))
       .filter(col("n_matches") > 0)
       .orderBy(col("doc_id"))
   }

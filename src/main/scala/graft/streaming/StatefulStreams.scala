@@ -101,10 +101,16 @@ object StatefulStreams {
     *    equals the batch q32 pair set (StreamingNearDupSpec pins this);
     *  - state per bucket is capped at `maxPerBucket` members — the
     *    degenerate-bucket insurance mirroring the batch triangle split:
-    *    arrivals past the cap still probe stored members (pairs against
-    *    the cap-set are found) but are not stored, bounding state at
-    *    O(buckets × maxPerBucket × sigBytes) regardless of how
-    *    duplicate-heavy the stream gets.
+    *    NEW arrivals past the cap still probe stored members (pairs
+    *    against the cap-set are found) but are not stored, bounding
+    *    state at O(buckets × maxPerBucket × sigBytes) regardless of how
+    *    duplicate-heavy the stream gets. Known miss under the cap: two
+    *    new ids arriving at an already-at-cap bucket each pair with the
+    *    stored cap-set but not with each other (neither was stored) —
+    *    the price of the state bound;
+    *  - replayed/duplicate arrivals of an already-stored doc_id emit
+    *    nothing (their pair set was emitted on first arrival), so
+    *    re-delivered input does not inflate downstream counts.
     */
   def streamingNearDupPairs(
       docs: DataFrame, maxPerBucket: Int = 256): Dataset[(Long, Long, Double)] = {
@@ -121,16 +127,19 @@ object StatefulStreams {
           val out = Vector.newBuilder[(Long, Long, Double)]
           // doc_id order within the micro-batch for deterministic output
           it.toIndexedSeq.sortBy(_._3).foreach { case (_, _, id, sig) =>
-            members.foreach { case (mid, msig) =>
-              if (mid != id) {
+            // a replayed/duplicate arrival of a stored member must not
+            // re-emit its pair set (it would inflate downstream counts
+            // relative to the batch form)
+            if (!members.exists(_._1 == id)) {
+              members.foreach { case (mid, msig) =>
                 var eq = 0
                 var i = 0
                 while (i < sig.length) { if (sig(i) == msig(i)) eq += 1; i += 1 }
                 out += ((math.min(id, mid), math.max(id, mid),
                   eq.toDouble / graft.queries.Dedup.NumHashes))
               }
+              if (members.lengthCompare(maxPerBucket) < 0) members ::= (id, sig)
             }
-            if (members.lengthCompare(maxPerBucket) < 0) members ::= (id, sig)
           }
           gs.update(members)
           out.result().iterator
@@ -146,9 +155,15 @@ object StatefulStreams {
     * bucket. Pair emission is once per SHARED FINGERPRINT (batch q86
     * thresholds on that count; downstream can
     * groupBy(pair).count >= k the same way), and per-bucket state is
-    * capped at `maxPerBucket` ids — over-cap arrivals still probe the
-    * stored cap-set, bounding state at O(buckets × maxPerBucket × 8 B)
-    * no matter how boilerplate-heavy the stream gets.
+    * capped at `maxPerBucket` ids — over-cap NEW arrivals still probe
+    * the stored cap-set, bounding state at O(buckets × maxPerBucket ×
+    * 8 B) no matter how boilerplate-heavy the stream gets. Two caveats,
+    * both prices of the state bound: an already-stored id re-arriving
+    * (replay, duplicate (doc,h) rows) emits nothing — its pairs were
+    * emitted on first arrival, keeping n_shared counts aligned with
+    * batch q86 under re-delivery; and two new ids hitting an
+    * already-at-cap bucket pair with the cap-set but not with each
+    * other (neither was stored).
     */
   def streamingSubstringPairs(
       docs: DataFrame, maxPerBucket: Int = 256): Dataset[(Long, Long)] = {
@@ -163,11 +178,15 @@ object StatefulStreams {
           var members = gs.getOption.getOrElse(Nil)
           val out = Vector.newBuilder[(Long, Long)]
           it.map(_._1).toIndexedSeq.sorted.foreach { id =>
-            members.foreach { mid =>
-              if (mid != id) out += ((math.min(id, mid), math.max(id, mid)))
+            // already-stored ids (replays, duplicate (doc,h) rows) skip
+            // emission entirely — re-emitting would inflate downstream
+            // n_shared counts relative to batch q86
+            if (!members.contains(id)) {
+              members.foreach { mid =>
+                out += ((math.min(id, mid), math.max(id, mid)))
+              }
+              if (members.lengthCompare(maxPerBucket) < 0) members ::= id
             }
-            if (members.lengthCompare(maxPerBucket) < 0 && !members.contains(id))
-              members ::= id
           }
           gs.update(members)
           out.result().iterator

@@ -153,6 +153,18 @@ class GStreamSpec extends SparkSpec {
     assert(mixed.sorted == want.sorted)
   }
 
+  // Array-typed keys have reference-equality Scala ==; boundary
+  // detection must compare the ENCODED key value (like groupByKey), or
+  // every record looks like a new key and state silently resets.
+  test("mapState groups array-typed keys by value, not reference") {
+    val words = Seq("a", "b", "a", "a", "b")
+    val got = GStream.fromSeq(spark, words)
+      .keyBy(_.getBytes("UTF-8"))
+      .mapState(0) { (n: Int, w: String) => (n + 1, Seq(s"$w:${n + 1}")) }
+      .collectOrdered()
+    assert(got == Seq("a:1", "b:1", "a:2", "a:3", "b:2"))
+  }
+
   test("foreachSink visits every record") {
     val acc = spark.sparkContext.longAccumulator("sum")
     GStream.fromSeq(spark, (1 to 500).toSeq).foreachSink(v => acc.add(v))

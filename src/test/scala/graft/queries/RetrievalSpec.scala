@@ -25,6 +25,17 @@ class RetrievalSpec extends SparkSpec {
     assert(search(docs, Seq("c", "x", "z")).isEmpty)
   }
 
+  // A k-term phrase must NOT rebuild the postings (tokenize+posexplode)
+  // per term: one Generate in the plan = one corpus pass, with the
+  // per-term split done by a broadcast (term, offset) join instead.
+  test("phraseSearch plans ONE postings build for a k-term phrase") {
+    val docs = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val plan = Retrieval.phraseSearch(docs, Seq("a", "b", "c"))
+      .queryExecution.executedPlan.toString
+    val generates = "Generate".r.findAllIn(plan).size
+    assert(generates == 1, s"expected 1 Generate, got $generates:\n$plan")
+  }
+
   test("winnowing substring dedup finds planted copied passages only") {
     // doc 1 and doc 2 share one long verbatim passage embedded in
     // otherwise-different text; doc 3 is unrelated. The content-defined

@@ -121,6 +121,45 @@ class StreamingDedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L)), s"got $pairs")
   }
 
+  test("replayed arrivals emit nothing: pair counts stable under re-delivery") {
+    implicit val sql = spark.sqlContext
+    val passage = ("the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep dark forest tonight") * 3
+    // winnowing form
+    val in = MemoryStream[(Long, String)]
+    val pairs = StatefulStreams.streamingSubstringPairs(in.toDF().toDF("doc_id", "text"))
+      .toDF("doc_a", "doc_b")
+    val q = pairs.writeStream.format("memory").queryName("sreplay")
+      .outputMode("append").start()
+    try {
+      in.addData(Seq((1L, s"$passage one"), (2L, s"$passage two")))
+      q.processAllAvailable()
+      val n1 = spark.table("sreplay").count()
+      assert(n1 > 0)
+      // doc 1 re-delivered verbatim: already stored, so no re-emission —
+      // downstream n_shared counts must not inflate vs batch q86
+      in.addData(Seq((1L, s"$passage one")))
+      q.processAllAvailable()
+      assert(spark.table("sreplay").count() == n1)
+    } finally q.stop()
+    // LSH form
+    val in2 = MemoryStream[(Long, String)]
+    val pairs2 = StatefulStreams.streamingNearDupPairs(in2.toDF().toDF("doc_id", "text"))
+      .toDF("doc_a", "doc_b", "est")
+    val q2 = pairs2.writeStream.format("memory").queryName("sreplay2")
+      .outputMode("append").start()
+    try {
+      val text = "the quick brown fox jumps over the lazy dog again and again"
+      in2.addData(Seq((1L, text), (2L, text)))
+      q2.processAllAvailable()
+      val n1 = spark.table("sreplay2").count()
+      assert(n1 > 0)
+      in2.addData(Seq((2L, text)))
+      q2.processAllAvailable()
+      assert(spark.table("sreplay2").count() == n1)
+    } finally q2.stop()
+  }
+
   test("streaming winnowing in batch mode matches q86's thresholded pairs") {
     val sf = "/root/testdata/sf0.001"
     val docs = graft.Tables.documents(spark, sf)
