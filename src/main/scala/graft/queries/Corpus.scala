@@ -138,8 +138,128 @@ object Corpus {
       |ORDER BY doc_id, chunk_id""".stripMargin
   }
 
+  // q94 — inter-source n-gram overlap matrix: the corpus-level
+  // contamination / template-sharing report (which sources copy from
+  // each other). Distinct trigram hashes per source, then pairwise
+  // Jaccard between sources sharing at least one gram.
+  //
+  // Scale shape: per-token rows never shuffle — each doc's gram hashes
+  // are array_distinct'ed map-side and the (source, gram) distinct is
+  // a partial aggregate, so the exchange carries per-partition
+  // distinct pairs bounded by vocab × sources. The self-join fans out
+  // ≤ #sources rows per gram, grouped down to the ≤ C(#sources, 2)
+  // matrix; the per-source sizes frame (#sources rows) broadcasts.
+  private def q94(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val sgrams = documents(s, d)
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+      .repartition(col("doc_id"))
+      .select(col("source"), explode(array_distinct(
+        call_function("ngram_hash60", col("toks"), lit(GramLen), lit(0L)))).as("g"))
+      .distinct()
+    val sizes = sgrams.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    sgrams.as("a")
+      .join(sgrams.as("b"), col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(sizes.select(col("source").as("src_a"), col("n").as("na"))), "src_a")
+      .join(broadcast(sizes.select(col("source").as("src_b"), col("n").as("nb"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        (col("n_shared").cast("double") / (col("na") + col("nb") - col("n_shared")))
+          .as("jaccard"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  private val q94Sql = {
+    val gram = (0 until GramLen).map(j => s"toks[i+${j + 1}]").mkString(" || ' ' || ")
+    s"""WITH t AS (SELECT doc_id, source,
+      |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+      |g AS (SELECT DISTINCT source, g FROM (
+      |  SELECT source, unnest(list_transform(
+      |    range(greatest(len(toks) - ${GramLen - 1}, 0)),
+      |    i -> ${hash60Sql(s"($gram)")})) AS g
+      |  FROM t)),
+      |sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY source),
+      |inter AS (SELECT a.source AS src_a, b.source AS src_b,
+      |    CAST(count(*) AS BIGINT) AS n_shared
+      |  FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT src_a, src_b, n_shared,
+      |  CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON sa.source = src_a
+      |JOIN sizes sb ON sb.source = src_b
+      |ORDER BY src_a, src_b""".stripMargin
+  }
+
+  /** Content-defined chunking: rolling-hash window size and boundary
+    * divisor (boundary where hash % divisor == 0 ⇒ expected chunk
+    * length ≈ divisor chars). Boundaries depend only on local content,
+    * so an insertion early in a document shifts at most one chunk —
+    * the property that makes CDC the storage/transfer dedup standard
+    * (rsync/LBFS lineage) vs fixed-offset chunking, where one byte
+    * shifts every downstream chunk.
+    */
+  val CdcWindow = 8
+  val CdcDivisor = 64
+
+  // q97 — content-defined chunk statistics per document: chunk count,
+  // mean and max chunk length from rolling-hash boundaries over the
+  // normalized text. Single scan, all narrow array ops after the
+  // normalize; the rolling hash is the codegen'd RollingHashes
+  // expression shared with the q86 winnowing pipeline.
+  private def q97(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    documents(s, d)
+      .select(col("doc_id"), normalize(col("text")).as("norm"))
+      .select(col("doc_id"), length(col("norm")).cast("long").as("len"),
+        expr(s"rolling_hashes(norm, $CdcWindow)").as("rh"))
+      .withColumn("cuts", filter(
+        transform(col("rh"), (h, i) =>
+          when(h % CdcDivisor === 0 && i > 0, i.cast("long")).otherwise(lit(-1L))),
+        x => x >= 0))
+      .withColumn("bounds",
+        concat(array(lit(0L)), col("cuts"), array(col("len"))))
+      .withColumn("clens", zip_with(
+        slice(col("bounds"), lit(1), size(col("bounds")) - 1),
+        slice(col("bounds"), lit(2), size(col("bounds")) - 1),
+        (a, b) => b - a))
+      .select(col("doc_id"),
+        size(col("clens")).cast("long").as("n_chunks"),
+        (col("len").cast("double") / size(col("clens"))).as("avg_chunk_len"),
+        array_max(col("clens")).as("max_chunk_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q97Sql = {
+    val norm = normalizeSql("text")
+    s"""WITH n AS (SELECT doc_id, $norm AS norm FROM documents),
+      |r AS (SELECT doc_id, CAST(length(norm) AS BIGINT) AS len,
+      |  list_transform(range(greatest(length(norm) - ${CdcWindow - 1}, 0)), i ->
+      |    list_reduce(list_transform(range($CdcWindow),
+      |      j -> CAST(ascii(substr(norm, i + j + 1, 1)) AS BIGINT)),
+      |      (acc, c) -> (acc * 257 + c) % 2147483647)) AS rh
+      |  FROM n),
+      |c AS (SELECT doc_id, len,
+      |    list_filter(range(len(rh)), i -> i > 0 AND rh[i+1] % $CdcDivisor = 0) AS cuts
+      |  FROM r),
+      |b AS (SELECT doc_id, len,
+      |    list_concat(list_concat([CAST(0 AS BIGINT)], cuts), [len]) AS bounds
+      |  FROM c),
+      |l AS (SELECT doc_id, len,
+      |    list_transform(range(len(bounds) - 1), k -> bounds[k+2] - bounds[k+1]) AS clens
+      |  FROM b)
+      |SELECT doc_id, CAST(len(clens) AS BIGINT) AS n_chunks,
+      |  CAST(len AS DOUBLE) / len(clens) AS avg_chunk_len,
+      |  CAST(list_max(clens) AS BIGINT) AS max_chunk_len
+      |FROM l
+      |ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q81_boilerplate_ngrams", q81, Some(q81Sql)),
     Q("q82_token_chunking", q82, Some(q82Sql)),
+    Q("q94_source_overlap", q94, Some(q94Sql)),
+    Q("q97_cdc_chunks", q97, Some(q97Sql)),
   )
 }

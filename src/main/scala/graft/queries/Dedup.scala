@@ -232,6 +232,68 @@ object Dedup {
       |FROM comp
       |ORDER BY doc_id""".stripMargin
 
+  // q93 — representative selection: dedup's KEEP decision. For each
+  // duplicate cluster (q35's connected components over the LSH pairs),
+  // keep the highest-quality member — type-token ratio × length gate,
+  // the q52 quality core — tie-broken to the smallest doc_id, and
+  // report the cluster size (how much a dedup pass would drop).
+  //
+  // Scale shape: the component frame holds only docs that appear in a
+  // candidate pair (orders of magnitude smaller than the corpus at
+  // real dup rates), the quality features are one corpus scan, and the
+  // keep decision is a hash aggregate (max_by over a tie-free ordering
+  // struct) — one shuffle keyed by cluster_id, no sort-window over the
+  // corpus.
+  private def q93(s: SparkSession, d: String): DataFrame = {
+    val edges = candidatePairs(s, d)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val comp = graft.ops.ConnectedComponents.minLabel(edges)
+      .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+    val qual = documents(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(col("toks"))).cast("long"))
+      .select(col("doc_id"),
+        ((col("n_distinct").cast("double") / greatest(col("n_toks"), lit(1L))) *
+          when(col("n_toks") >= 20 && col("n_toks") <= 1000, 1.0).otherwise(0.0))
+          .as("quality"))
+    comp.join(qual, "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(
+        max_by(struct(col("doc_id"), col("quality")),
+          struct(col("quality"), (-col("doc_id")).as("nid"))).as("best"),
+        count(lit(1)).as("cluster_size"))
+      .select(col("cluster_id"), col("best.doc_id").as("kept_doc"),
+        col("best.quality").as("kept_quality"), col("cluster_size"))
+      .orderBy(col("cluster_id"))
+  }
+
+  private val q93Sql =
+    s"""WITH RECURSIVE $pairsCteSql,
+      |undirected(a, b) AS (
+      |  SELECT doc_a, doc_b FROM pairs UNION SELECT doc_b, doc_a FROM pairs
+      |  UNION SELECT doc_a, doc_a FROM pairs UNION SELECT doc_b, doc_b FROM pairs),
+      |reach(a, b) AS (
+      |  SELECT a, b FROM undirected
+      |  UNION
+      |  SELECT r.a, u.b FROM reach r JOIN undirected u ON r.b = u.a),
+      |comp AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+      |qual AS (SELECT doc_id,
+      |    CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1) *
+      |      (CASE WHEN len(toks) >= 20 AND len(toks) <= 1000 THEN 1.0 ELSE 0.0 END)
+      |      AS quality
+      |  FROM (SELECT doc_id,
+      |      regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      |    FROM documents) t),
+      |m AS (SELECT c.cluster_id, c.doc_id, q.quality,
+      |    row_number() OVER (PARTITION BY c.cluster_id
+      |      ORDER BY q.quality DESC, c.doc_id) AS rn,
+      |    count(*) OVER (PARTITION BY c.cluster_id) AS cluster_size
+      |  FROM comp c JOIN qual q USING (doc_id))
+      |SELECT cluster_id, doc_id AS kept_doc, quality AS kept_quality, cluster_size
+      |FROM m WHERE rn = 1
+      |ORDER BY cluster_id""".stripMargin
+
   /** Sorted distinct word-bigram 60-bit hashes of a token array — the
     * exact-verify gram set shared by q33 (Jaccard) and q88
     * (containment); sorted so the pairwise intersect is one codegen'd
@@ -527,6 +589,7 @@ object Dedup {
     Q("q32_minhash_lsh", q32, Some(q32Sql)),
     Q("q33_ngram_jaccard", q33, Some(q33Sql)),
     Q("q35_dedup_clusters", q35, Some(q35Sql)),
+    Q("q93_keep_best", q93, Some(q93Sql)),
     Q("q36_simhash", q36, Some(q36Sql)),
     Q("q86_substring_winnow", q86, Some(q86Sql)),
     Q("q88_containment", q88, Some(q88Sql)),

@@ -452,11 +452,84 @@ object Similarity {
       |      FROM sel WHERE step = $KCenter) t
       |ORDER BY step""".stripMargin
 
+  /** Random-hyperplane (sign-random-projection) LSH: number of sign
+    * bits per code. 2^SrpBits possible buckets; P[bit collision] =
+    * 1 − θ/π, so Hamming distance between codes estimates angular
+    * distance (Charikar '02 SimHash-for-vectors — the embedding-side
+    * sibling of q36's text SimHash).
+    */
+  val SrpBits = 16
+  val SrpDim = 64
+
+  /** Deterministic pseudo-random hyperplane component w(b, d): an LCG
+    * step over the flat index, centered to ± 2^30 — integer arithmetic
+    * identical in both engines, so codes are bit-exact cross-engine
+    * (the same trick as the q41 fixed-point centroids).
+    */
+  private def srpWeight(flat: Column): Column =
+    (lit(1103515245L) * flat + lit(12345L)) % lit(2147483647L) - lit(1073741823L)
+
+  // q95 — SRP-LSH codes over the embeddings: each vector gets a
+  // SrpBits-bit sign code (bit b = sign of <v, h_b> for deterministic
+  // hyperplane h_b), plus its code-bucket occupancy — the binary
+  // sketch that powers sub-linear ANN (probe same/near buckets instead
+  // of the corpus) and embedding-level dedup grouping.
+  //
+  // Scale shape: one corpus scan; the per-(vector, bit) dot products
+  // explode SrpBits rows per vector but reduce immediately in a
+  // map-side-combined sum to one code per vector (no data-sized
+  // shuffle of vectors), and the bucket histogram is a tiny aggregate
+  // broadcast back. The dot products run on 2^20 fixed-point
+  // quantized components in exact 64-bit integer arithmetic — sign
+  // decisions cannot drift between engines.
+  private def q95(s: SparkSession, d: String): DataFrame = {
+    val eq = embeddings(s, d).select(col("vec_id"),
+      transform(col("embedding"),
+        x => round(x.cast("double") * FixScale).cast("long")).as("qe"))
+    val codes = eq
+      .select(col("vec_id"), col("qe"),
+        explode(sequence(lit(0L), lit(SrpBits - 1L))).as("b"))
+      .withColumn("dot", aggregate(
+        transform(col("qe"), (q, i) =>
+          srpWeight(col("b") * SrpDim + i.cast("long")) * q),
+        lit(0L), (acc, x) => acc + x))
+      .select(col("vec_id"),
+        when(col("dot") >= 0, expr("shiftleft(1L, cast(b as int))"))
+          .otherwise(lit(0L)).as("bit"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("bit")).as("code"))
+    val buckets = codes.groupBy(col("code")).agg(count(lit(1)).as("bucket_n"))
+    codes.join(broadcast(buckets), "code")
+      .select(col("vec_id"), col("code"), col("bucket_n"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val q95Sql =
+    s"""WITH q AS (SELECT vec_id,
+      |    list_transform(embedding,
+      |      x -> CAST(round(CAST(x AS DOUBLE) * $FixScale) AS BIGINT)) AS qe
+      |  FROM embeddings),
+      |pb AS (SELECT vec_id, b,
+      |    list_sum(list_transform(range($SrpDim), i ->
+      |      ((1103515245 * (b * $SrpDim + i) + 12345) % 2147483647 - 1073741823)
+      |        * qe[i+1])) AS dot
+      |  FROM q, (SELECT unnest(range($SrpBits)) AS b) bs),
+      |codes AS (SELECT vec_id,
+      |    CAST(sum(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+      |      AS BIGINT) AS code
+      |  FROM pb GROUP BY vec_id),
+      |buckets AS (SELECT code, CAST(count(*) AS BIGINT) AS bucket_n
+      |  FROM codes GROUP BY code)
+      |SELECT c.vec_id, c.code, b.bucket_n
+      |FROM codes c JOIN buckets b USING (code)
+      |ORDER BY vec_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q34_embed_neardup", q34, Some(q34Sql)),
     Q("q40_knn_brute", q40, Some(q40Sql)),
     Q("q41_knn_ivf", q41, Some(q41Sql)),
     Q("q74_embed_quant", q74, Some(q74Sql)),
     Q("q87_kcenter_diversity", q87, Some(q87Sql)),
+    Q("q95_srp_lsh", q95, Some(q95Sql)),
   )
 }

@@ -316,6 +316,70 @@ object TextAnalysis {
       |ORDER BY doc_id""".stripMargin
   }
 
+  /** Feature-hashing ("hashing trick") vector width. Tiny here so the
+    * oracle stays readable; the plan shape is width-independent (the
+    * per-doc vector is (doc_id, bucket, cnt) rows, never a wide array).
+    */
+  val FhBuckets = 16
+
+  // q96 — feature-hashed document vectors + centroid cosine: each doc
+  // becomes a FhBuckets-dim token-count vector (bucket = token hash
+  // mod width, the Weinberger et al. hashing trick), scored by cosine
+  // against the corpus centroid — the cheap embedding-free outlier /
+  // on-distribution signal (a doc whose hashed profile diverges from
+  // the corpus scores low).
+  //
+  // Scale shape: one corpus scan to (doc_id, bucket, cnt) — a partial
+  // aggregate, per-token rows never shuffle; the global vector is a
+  // FhBuckets-row aggregate built in-plan and broadcast back (no
+  // driver collect); dot/norm are exact integer sums, the only double
+  // op is the final one-shot division — bit-identical cross-engine.
+  // (Exact integer norms overflow ~2^63 around exabyte token counts;
+  // at that point the centroid side switches to double accumulators —
+  // the per-doc side stays exact.)
+  private def q96(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val tb = documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), explode(
+        call_function("ngram_hash60", col("toks"), lit(1), lit(0L))).as("h"))
+      .select(col("doc_id"), pmod(col("h"), lit(FhBuckets.toLong)).as("bucket"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val g = tb.groupBy(col("bucket")).agg(sum(col("cnt")).as("gcnt"))
+    val gg = g.agg(sum(col("gcnt") * col("gcnt")).as("gg"))
+    tb.join(broadcast(g), "bucket")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt") * col("gcnt")).as("dot"),
+        sum(col("cnt") * col("cnt")).as("vv"))
+      .crossJoin(broadcast(gg))
+      .select(col("doc_id"), col("dot"), col("vv"),
+        (col("dot").cast("double") /
+          (sqrt(col("vv").cast("double")) * sqrt(col("gg").cast("double"))))
+          .as("cos_centroid"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q96Sql =
+    s"""WITH t AS (SELECT doc_id,
+      |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+      |h AS (SELECT doc_id,
+      |    unnest(list_transform(toks, tk -> ${hash60Sql("tk")} % $FhBuckets)) AS bucket
+      |  FROM t),
+      |tb AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM h GROUP BY 1, 2),
+      |g AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS gcnt FROM tb GROUP BY bucket),
+      |gg AS (SELECT CAST(sum(gcnt * gcnt) AS BIGINT) AS gg FROM g),
+      |p AS (SELECT doc_id, CAST(sum(cnt * gcnt) AS BIGINT) AS dot,
+      |    CAST(sum(cnt * cnt) AS BIGINT) AS vv
+      |  FROM tb JOIN g USING (bucket) GROUP BY doc_id)
+      |SELECT doc_id, dot, vv,
+      |  CAST(dot AS DOUBLE) /
+      |    (sqrt(CAST(vv AS DOUBLE)) * sqrt(CAST(gg AS DOUBLE))) AS cos_centroid
+      |FROM p, gg
+      |ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q50_token_stats", q50, Some(q50Sql)),
     Q("q51_lang_id", q51, Some(q51Sql)),
@@ -325,5 +389,6 @@ object TextAnalysis {
     Q("q75_tfidf_keywords", q75, Some(q75Sql)),
     Q("q77_repetition_filter", q77, Some(q77Sql)),
     Q("q91_bpe_tokens", q91, Some(q91Sql)),
+    Q("q96_feature_hash", q96, Some(q96Sql)),
   )
 }

@@ -171,4 +171,81 @@ class QueryPackSpec extends SparkSpec {
         s"per-block count prepass, once per self-join side, is allowed):\n$p33")
     } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("q93 keeps the max-quality member of each q35 cluster") {
+    val clusters = SparkEntry.queries("q35_dedup_clusters")(spark, sf)
+      .select("doc_id", "cluster_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val quality = SparkEntry.queries("q52_quality_score")(spark, sf)
+      .select("doc_id", "quality").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val kept = SparkEntry.queries("q93_keep_best")(spark, sf)
+      .select("cluster_id", "kept_doc", "cluster_size").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val byCluster = clusters.groupBy(_._2)
+    assert(kept.keySet == byCluster.keySet)
+    byCluster.foreach { case (cid, members) =>
+      val (keptDoc, size) = kept(cid)
+      assert(size == members.length, s"cluster $cid size mismatch")
+      // max quality, ties to the smallest doc_id
+      val want = members.map(_._1).minBy(d => (-quality(d), d))
+      assert(keptDoc == want, s"cluster $cid kept $keptDoc, want $want")
+    }
+  }
+
+  test("q95 SRP codes: identical vectors share a code; bucket_n is the code histogram") {
+    val rows = SparkEntry.queries("q95_srp_lsh")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.forall { case (_, code, _) => code >= 0 && code < (1L << 16) })
+    val hist = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    assert(rows.forall { case (_, code, n) => hist(code) == n })
+    // the sketch is a pure function of the vector: re-running yields
+    // the same codes (no RNG, no partition-order dependence)
+    val again = SparkEntry.queries("q95_srp_lsh")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == again.toSeq)
+  }
+
+  test("q97 CDC boundaries are content-defined: a prefix edit leaves the tail chunks") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    // same content with a shifted prefix: cut POSITIONS shift, but cut
+    // CONTENT re-aligns after the edit, so all but the first chunks match
+    val base = "the quick brown fox jumps over the lazy dog and then runs far away " * 8
+    def chunkLens(text: String): Seq[Long] = {
+      val df = Seq((1L, text)).toDF("doc_id", "text")
+      val w = Corpus.CdcWindow
+      val dv = Corpus.CdcDivisor
+      df.select(graft.functions.TextFns.normalize(col("text")).as("norm"))
+        .select(length(col("norm")).cast("long").as("len"),
+          expr(s"rolling_hashes(norm, $w)").as("rh"))
+        .select(col("len"), filter(transform(col("rh"), (h, i) =>
+          when(h % dv === 0 && i > 0, i.cast("long")).otherwise(lit(-1L))),
+          x => x >= 0).as("cuts"))
+        .collect().map { r =>
+          val len = r.getLong(0)
+          val cuts = r.getSeq[Long](1)
+          (Seq(0L) ++ cuts :+ len).sliding(2).map(p => p(1) - p(0)).toSeq
+        }.head
+    }
+    val a = chunkLens(base)
+    val b = chunkLens("zzz unrelated prefix " + base)
+    assert(a.length > 3, s"need several chunks to compare, got ${a.length}")
+    // all chunks after the first divergence are identical (fixed-offset
+    // chunking would shift EVERY chunk)
+    assert(a.takeRight(a.length - 2) == b.takeRight(a.length - 2),
+      s"tails diverge: $a vs $b")
+  }
+
+  test("q94 overlap matrix is consistent: n_shared <= min set size, jaccard in (0,1]") {
+    val rows = SparkEntry.queries("q94_source_overlap")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, shared, j) =>
+      assert(a < b)
+      assert(shared >= 1)
+      assert(j > 0.0 && j <= 1.0, s"($a,$b) jaccard $j out of range")
+    }
+  }
 }
