@@ -146,9 +146,14 @@ object Corpus {
   // Scale shape: per-token rows never shuffle — each doc's gram hashes
   // are array_distinct'ed map-side and the (source, gram) distinct is
   // a partial aggregate, so the exchange carries per-partition
-  // distinct pairs bounded by vocab × sources. The self-join fans out
-  // ≤ #sources rows per gram, grouped down to the ≤ C(#sources, 2)
-  // matrix; the per-source sizes frame (#sources rows) broadcasts.
+  // distinct pairs bounded by vocab × sources. There is NO gram-keyed
+  // self-join: each gram's member-source list is collected instead
+  // (bounded by #sources — schema, not data), the ordered pairs
+  // explode from that list (≤ C(#sources, 2) rows per gram), and the
+  // per-source sizes derive from the same frame — so the corpus is
+  // scanned ONCE, and the one frame both stages share is vocab-sized
+  // and materialized (localCheckpoint, the q88 pattern) instead of
+  // recomputed per consumer.
   private def q94(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val sgrams = documents(s, d)
@@ -157,11 +162,18 @@ object Corpus {
       .select(col("source"), explode(array_distinct(
         call_function("ngram_hash60", col("toks"), lit(GramLen), lit(0L)))).as("g"))
       .distinct()
-    val sizes = sgrams.groupBy(col("source")).agg(count(lit(1)).as("n"))
-    sgrams.as("a")
-      .join(sgrams.as("b"), col("a.g") === col("b.g") && col("a.source") < col("b.source"))
-      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+    val bySrcs = sgrams.groupBy(col("g"))
+      .agg(sort_array(collect_list(col("source"))).as("ss"))
+      .localCheckpoint()
+    val pairs = bySrcs
+      .select(explode(flatten(transform(col("ss"), (a, i) =>
+        transform(slice(col("ss"), i + 2, size(col("ss"))),
+          b => struct(a.as("sa"), b.as("sb")))))).as("p"))
+      .groupBy(col("p.sa").as("src_a"), col("p.sb").as("src_b"))
       .agg(count(lit(1)).as("n_shared"))
+    val sizes = bySrcs.select(explode(col("ss")).as("source"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+    pairs
       .join(broadcast(sizes.select(col("source").as("src_a"), col("n").as("na"))), "src_a")
       .join(broadcast(sizes.select(col("source").as("src_b"), col("n").as("nb"))), "src_b")
       .select(col("src_a"), col("src_b"), col("n_shared"),
