@@ -206,11 +206,87 @@ object Sampling {
       |FROM cand c JOIN documents p ON c.partner_id = p.doc_id
       |ORDER BY c.doc_id, j""".stripMargin
 
+  /** Per-source token budget for q98 (tokens, not docs — the unit a
+    * training mix is actually specified in). Sized so the cut BINDS on
+    * the synthetic corpus (sources carry ~1.5k tokens at test SFs —
+    * a non-binding budget would leave the greedy filter untested).
+    */
+  val TokenBudget = 512L
+
+  // q98 — quality-greedy token-budget allocator: each source
+  // contributes its best documents (quality desc, doc_id tiebreak)
+  // until its token budget fills — the "data mixing by token count"
+  // stage of a training pipeline, where budgets implement the mixture
+  // weights. A document is kept iff it STARTS within budget (the
+  // standard greedy cut: the first overflowing doc is kept, nothing
+  // after it).
+  //
+  // Scale shape: the cumulative sum is NOT a per-source sort window
+  // (that serializes each source onto one task — the straggler the
+  // reference watermarker fix removed from assignTimestamps). Instead
+  // the corpus range-partitions on (source, quality desc, doc_id),
+  // each partition computes its local running sum, and a
+  // ≤ partitions × sources row carry frame (cluster-sized, not
+  // data-sized) broadcasts the per-partition offsets back — the q44 /
+  // assignTimestamps distributed-prefix pattern. Billion-doc sources
+  // spread over every executor.
+  private def q98(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = documents(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(col("toks"))).cast("long"))
+      .withColumn("quality",
+        (col("n_distinct").cast("double") / greatest(col("n_toks"), lit(1L))) *
+          when(col("n_toks") >= 20 && col("n_toks") <= 1000, 1.0).otherwise(0.0))
+      .select(col("doc_id"), col("source"), col("n_toks"), col("quality"))
+    val nParts = s.conf.get("spark.sql.shuffle.partitions").toIntOption
+      .getOrElse(s.sparkContext.defaultParallelism)
+    val parted = scored
+      .repartitionByRange(nParts, col("source"), col("quality").desc, col("doc_id"))
+      .withColumn("__pid", spark_partition_id())
+    val wLocal = Window.partitionBy(col("__pid"), col("source"))
+      .orderBy(col("quality").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wCarry = Window.partitionBy(col("source")).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = parted.groupBy(col("__pid"), col("source"))
+      .agg(sum(col("n_toks")).as("__pt"))
+      .withColumn("__carry", sum(col("__pt")).over(wCarry))
+      .select(col("__pid"), col("source"), col("__carry"))
+    parted
+      .withColumn("__lcum", sum(col("n_toks")).over(wLocal))
+      .join(broadcast(carry), Seq("__pid", "source"))
+      .withColumn("cum_toks", col("__lcum") + coalesce(col("__carry"), lit(0L)))
+      .filter(col("cum_toks") - col("n_toks") < TokenBudget)
+      .select(col("source"), col("doc_id"), col("n_toks"), col("cum_toks"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  private val q98Sql =
+    s"""WITH q AS (SELECT doc_id, source, len(toks) AS n_toks,
+      |    CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1) *
+      |      (CASE WHEN len(toks) >= 20 AND len(toks) <= 1000 THEN 1.0 ELSE 0.0 END)
+      |      AS quality
+      |  FROM (SELECT doc_id, source,
+      |      regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      |    FROM documents) t),
+      |w AS (SELECT doc_id, source, n_toks,
+      |    sum(n_toks) OVER (PARTITION BY source ORDER BY quality DESC, doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS cum_toks
+      |  FROM q)
+      |SELECT source, doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+      |  CAST(cum_toks AS BIGINT) AS cum_toks
+      |FROM w
+      |WHERE cum_toks - n_toks < $TokenBudget
+      |ORDER BY source, doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q78_reservoir_stratified", q78, Some(q78Sql)),
     Q("q79_mixture_sample", q79, Some(q79Sql)),
     Q("q80_sequence_packing", q80, Some(q80Sql)),
     Q("q89_split_assign", q89, Some(q89Sql)),
     Q("q92_negative_pairs", q92, Some(q92Sql)),
+    Q("q98_token_budget", q98, Some(q98Sql)),
   )
 }

@@ -380,6 +380,48 @@ object TextAnalysis {
       |FROM p, gg
       |ORDER BY doc_id""".stripMargin
 
+  // q99 — token novelty attribution: for each document, how much of
+  // its distinct vocabulary appears HERE first (global first occurrence
+  // by doc_id order)? The cheap "is this doc adding anything"
+  // curation signal — near-zero novelty late in a crawl means the doc
+  // is assembled from already-seen vocabulary.
+  //
+  // Scale shape: per-doc array_distinct collapses token rows map-side;
+  // the (token, doc) distinct and the per-token min(doc_id) are
+  // partial aggregates (vocab-sized exchanges, never per-token rows);
+  // the join back to per-doc counts is keyed by doc_id. Raw token
+  // strings shuffle here for oracle exactness — the production knob is
+  // swapping them for ngram_hash60 1-grams (8-byte keys), which leaves
+  // the plan shape unchanged.
+  private def q99(s: SparkSession, d: String): DataFrame = {
+    val dt = documents(s, d)
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tk"))
+    val nd = dt.groupBy(col("doc_id")).agg(count(lit(1)).as("n_distinct"))
+    val nf = dt.groupBy(col("tk")).agg(min(col("doc_id")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_first"))
+    nd.join(nf, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_distinct"),
+        coalesce(col("n_first"), lit(0L)).as("n_first"),
+        (coalesce(col("n_first"), lit(0L)).cast("double") / col("n_distinct"))
+          .as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q99Sql =
+    s"""WITH dt AS (SELECT DISTINCT doc_id, tk FROM (
+      |    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tk
+      |    FROM documents)),
+      |nd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_distinct
+      |  FROM dt GROUP BY doc_id),
+      |nf AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_first FROM (
+      |    SELECT tk, min(doc_id) AS doc_id FROM dt GROUP BY tk)
+      |  GROUP BY doc_id)
+      |SELECT nd.doc_id, nd.n_distinct,
+      |  coalesce(nf.n_first, 0) AS n_first,
+      |  CAST(coalesce(nf.n_first, 0) AS DOUBLE) / nd.n_distinct AS novelty
+      |FROM nd LEFT JOIN nf USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q50_token_stats", q50, Some(q50Sql)),
     Q("q51_lang_id", q51, Some(q51Sql)),
@@ -390,5 +432,6 @@ object TextAnalysis {
     Q("q77_repetition_filter", q77, Some(q77Sql)),
     Q("q91_bpe_tokens", q91, Some(q91Sql)),
     Q("q96_feature_hash", q96, Some(q96Sql)),
+    Q("q99_token_novelty", q99, Some(q99Sql)),
   )
 }

@@ -238,6 +238,49 @@ class QueryPackSpec extends SparkSpec {
       s"tails diverge: $a vs $b")
   }
 
+  test("q98 budget allocator: greedy-by-quality prefix per source, budget binds") {
+    val kept = SparkEntry.queries("q98_token_budget")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(kept.nonEmpty)
+    val bySource = kept.groupBy(_._1)
+    // every kept doc STARTS within budget; at most one doc per source
+    // overflows past it (the boundary doc)
+    bySource.foreach { case (src, docs) =>
+      docs.foreach { case (_, _, n, cum) =>
+        assert(cum - n < Sampling.TokenBudget, s"$src doc starts past budget")
+      }
+      assert(docs.count(_._4 > Sampling.TokenBudget) <= 1,
+        s"$src has more than one boundary doc")
+    }
+    // the budget actually binds somewhere (otherwise the filter is untested)
+    val total = SparkEntry.queries("q50_token_stats")(spark, sf).count()
+    assert(kept.length < total, "budget never binds — every doc kept")
+    // distributed prefix-sum must not funnel a source through one task:
+    // the data path range-partitions, the only tiny frame is the carry
+    val plan = SparkEntry.queries("q98_token_budget")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning(source"),
+      s"expected a range exchange on (source, quality):\n$plan")
+  }
+
+  test("q99 novelty: doc 0 is fully novel, totals conserve, ratios in [0,1]") {
+    val rows = SparkEntry.queries("q99_token_novelty")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val first = rows.minBy(_._1)
+    assert(first._2 == first._3, "lowest doc_id must have all-novel vocabulary")
+    rows.foreach { case (id, nd, nf, ratio) =>
+      assert(nf <= nd, s"doc $id: n_first > n_distinct")
+      assert(ratio >= 0.0 && ratio <= 1.0)
+    }
+    // every distinct token is attributed to exactly one doc: sum of
+    // n_first == global distinct vocabulary
+    import org.apache.spark.sql.functions._
+    val vocab = graft.Tables.documents(spark, sf)
+      .select(explode(graft.functions.TextFns.tokens(col("text"))).as("tk"))
+      .distinct().count()
+    assert(rows.map(_._3).sum == vocab, "novelty attribution not conserved")
+  }
+
   test("q94 overlap matrix is consistent: n_shared <= min set size, jaccard in (0,1]") {
     val rows = SparkEntry.queries("q94_source_overlap")(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
