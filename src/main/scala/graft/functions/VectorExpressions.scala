@@ -2,10 +2,10 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Native Catalyst expression for cosine similarity over two
   * `array<float>` embedding columns.
@@ -91,6 +91,78 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Sign-random-projection (SRP / Charikar SimHash-for-vectors) code
+  * over an `array<float>` embedding: bit b of the result is the sign
+  * of the dot product with a deterministic pseudo-random hyperplane
+  * h_b, whose components are an LCG step over the flat index
+  * (b·dim + d), centered to ±2^30.
+  *
+  * Why a custom Expression: the HOF form (explode 16 bit rows per
+  * vector + aggregate(transform(...)) per row) interprets every
+  * element access and boxes the accumulators; this is one fused
+  * integer loop in whole-stage codegen, emitting the code directly —
+  * no per-bit row explosion at all.
+  *
+  * Arithmetic contract (oracle bit-exactness): components quantize to
+  * `scale` fixed-point exactly like Spark's `round(x * scale)` —
+  * half-away-from-zero, exact because a float scaled by a power of
+  * two is exact in double and the +0.5 add stays within 53 bits —
+  * then the dot is pure 64-bit integer arithmetic, identical in
+  * DuckDB BIGINT (`Similarity.q95Sql`).
+  */
+case class SrpCode(child: Expression, bits: Int, dim: Int, scale: Long)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"srp_code expects array<float>, got ${t.catalogString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "srp_code"
+
+  override def nullSafeEval(input: Any): Any =
+    SrpCode.compute(input.asInstanceOf[ArrayData], bits, dim, scale)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, xs =>
+      s"${ev.value} = graft.functions.SrpCode.compute($xs, $bits, $dim, ${scale}L);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SrpCode {
+  /** Static so generated code can call it: one fused loop per row. */
+  def compute(xs: ArrayData, bits: Int, dim: Int, scale: Long): Long = {
+    val n = xs.numElements()
+    val q = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val v = xs.getFloat(i).toDouble * scale
+      // round half away from zero — v and v±0.5 are exact doubles for
+      // float inputs, so this matches Spark round()/DuckDB round()
+      q(i) = (if (v >= 0) math.floor(v + 0.5) else math.ceil(v - 0.5)).toLong
+      i += 1
+    }
+    var code = 0L
+    var b = 0
+    while (b < bits) {
+      var dot = 0L
+      var d = 0
+      while (d < n) {
+        dot += ((1103515245L * (b.toLong * dim + d) + 12345L) % 2147483647L
+          - 1073741823L) * q(d)
+        d += 1
+      }
+      if (dot >= 0) code |= 1L << b
+      b += 1
+    }
+    code
+  }
+}
+
 /** Session registration for graft's native SQL functions. Idempotent;
   * call before using `expr("cosine_sim(a, b)")`.
   */
@@ -115,5 +187,9 @@ object GraftFunctions {
       "ngram_hash60", exprs => NGramHash60(exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue(),
         exprs(2).eval().asInstanceOf[Number].longValue()), "built-in")
+    reg.createOrReplaceTempFunction(
+      "srp_code", exprs => SrpCode(exprs(0),
+        graft.queries.Similarity.SrpBits, graft.queries.Similarity.SrpDim,
+        graft.queries.Similarity.FixScale), "built-in")
   }
 }

@@ -461,43 +461,24 @@ object Similarity {
   val SrpBits = 16
   val SrpDim = 64
 
-  /** Deterministic pseudo-random hyperplane component w(b, d): an LCG
-    * step over the flat index, centered to ± 2^30 — integer arithmetic
-    * identical in both engines, so codes are bit-exact cross-engine
-    * (the same trick as the q41 fixed-point centroids).
-    */
-  private def srpWeight(flat: Column): Column =
-    (lit(1103515245L) * flat + lit(12345L)) % lit(2147483647L) - lit(1073741823L)
-
   // q95 — SRP-LSH codes over the embeddings: each vector gets a
-  // SrpBits-bit sign code (bit b = sign of <v, h_b> for deterministic
-  // hyperplane h_b), plus its code-bucket occupancy — the binary
-  // sketch that powers sub-linear ANN (probe same/near buckets instead
-  // of the corpus) and embedding-level dedup grouping.
+  // SrpBits-bit sign code (bit b = sign of <v, h_b> for a
+  // deterministic LCG-derived hyperplane h_b), plus its code-bucket
+  // occupancy — the binary sketch that powers sub-linear ANN (probe
+  // same/near buckets instead of the corpus) and embedding-level dedup
+  // grouping.
   //
-  // Scale shape: one corpus scan; the per-(vector, bit) dot products
-  // explode SrpBits rows per vector but reduce immediately in a
-  // map-side-combined sum to one code per vector (no data-sized
-  // shuffle of vectors), and the bucket histogram is a tiny aggregate
-  // broadcast back. The dot products run on 2^20 fixed-point
-  // quantized components in exact 64-bit integer arithmetic — sign
-  // decisions cannot drift between engines.
+  // Scale shape: one corpus scan; the whole code computes inside the
+  // codegen'd [[graft.functions.SrpCode]] expression (one fused
+  // integer loop per row — no per-bit row explosion, no interpreted
+  // HOFs), and the bucket histogram is a tiny aggregate broadcast
+  // back. The dot products run on 2^20 fixed-point quantized
+  // components in exact 64-bit integer arithmetic — sign decisions
+  // cannot drift between engines (oracle: Similarity.q95Sql).
   private def q95(s: SparkSession, d: String): DataFrame = {
-    val eq = embeddings(s, d).select(col("vec_id"),
-      transform(col("embedding"),
-        x => round(x.cast("double") * FixScale).cast("long")).as("qe"))
-    val codes = eq
-      .select(col("vec_id"), col("qe"),
-        explode(sequence(lit(0L), lit(SrpBits - 1L))).as("b"))
-      .withColumn("dot", aggregate(
-        transform(col("qe"), (q, i) =>
-          srpWeight(col("b") * SrpDim + i.cast("long")) * q),
-        lit(0L), (acc, x) => acc + x))
-      .select(col("vec_id"),
-        when(col("dot") >= 0, expr("shiftleft(1L, cast(b as int))"))
-          .otherwise(lit(0L)).as("bit"))
-      .groupBy(col("vec_id"))
-      .agg(sum(col("bit")).as("code"))
+    GraftFunctions.register(s)
+    val codes = embeddings(s, d)
+      .select(col("vec_id"), expr("srp_code(embedding)").as("code"))
     val buckets = codes.groupBy(col("code")).agg(count(lit(1)).as("bucket_n"))
     codes.join(broadcast(buckets), "code")
       .select(col("vec_id"), col("code"), col("bucket_n"))

@@ -193,6 +193,46 @@ object StatefulStreams {
       }
   }
 
+  /** Streaming per-source token-budget admission gate — the
+    * continuous-ingest sibling of batch q98
+    * (graft.queries.Sampling): each source's GroupState holds the
+    * tokens admitted so far, and an arriving document is admitted iff
+    * its source still has budget room when it arrives — the same
+    * greedy boundary rule as q98 (the document that crosses the line
+    * is admitted; nothing after it). Within a micro-batch documents
+    * process in doc_id order for deterministic output.
+    *
+    * Semantics note vs batch q98: the batch form globally ranks each
+    * source by quality BEFORE cutting; a stream cannot sort the
+    * future, so admission here is arrival-order — the operator is a
+    * quota enforcer (ingest throttling, per-tenant caps), not a
+    * quality optimizer. Feed it a quality-ordered backfill and the two
+    * coincide. State is one long per source — bounded by schema.
+    */
+  def streamingTokenBudget(
+      docs: DataFrame,
+      budget: Long = graft.queries.Sampling.TokenBudget): Dataset[(Long, String, Long, Long)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("source"),
+        size(graft.functions.TextFns.tokens(col("text"))).cast("long").as("n_toks"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, it: Iterator[(Long, String, Long)], gs: GroupState[Long]) =>
+          var used = gs.getOption.getOrElse(0L)
+          val out = Vector.newBuilder[(Long, String, Long, Long)]
+          it.toIndexedSeq.sortBy(_._1).foreach { case (id, src, n) =>
+            if (used < budget) {
+              used += n
+              out += ((id, src, n, used))
+            }
+          }
+          gs.update(used)
+          out.result().iterator
+      }
+  }
+
   /** First-occurrence-only processor behind [[ttlDedup]]: one boolean
     * ValueState per key with a TTL — Spark evicts the entry `ttl` after
     * its last write, so a key re-arriving past the horizon is emitted

@@ -27,6 +27,38 @@ class VectorExprSpec extends SparkSpec {
     assert(got == want) // bit-exact, not approx
   }
 
+  test("srp_code matches an independent reference computation (codegen path)") {
+    GraftFunctions.register(spark)
+    val bits = graft.queries.Similarity.SrpBits
+    val dim = graft.queries.Similarity.SrpDim
+    val scale = graft.queries.Similarity.FixScale
+    def ref(v: Seq[Float]): Long = {
+      // independent formulation: BigDecimal HALF_UP quantization (the
+      // Spark round() contract), BigInt dots — no shared code with the
+      // expression's long/floor arithmetic
+      val q = v.map(x => new java.math.BigDecimal(x.toDouble * scale)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact())
+      (0 until bits).map { b =>
+        val dot = q.indices.map { d =>
+          val w = (BigInt(1103515245L) * (b * dim + d) + 12345L) % 2147483647L - 1073741823L
+          w * q(d)
+        }.sum
+        if (dot >= 0) 1L << b else 0L
+      }.sum
+    }
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 50).map(_ => Seq.fill(dim)(rnd.nextFloat() * 2f - 1f))
+    val got = rows.toDF("v").select(expr("srp_code(v)")).as[Long].collect().toSeq
+    assert(got == rows.map(ref))
+    // opposite vectors get complementary codes (every hyperplane flips;
+    // dot==0 would break the complement, so the draw avoids it)
+    val v = rows.head
+    val neg = v.map(x => -x)
+    val Seq(c1, c2) = Seq(v, neg).toDF("v")
+      .select(expr("srp_code(v)")).as[Long].collect().toSeq
+    assert((c1 ^ c2) == (1L << bits) - 1, f"codes not complementary: $c1%x $c2%x")
+  }
+
   test("cosine_sim nulls: zero vector, length mismatch, null input") {
     GraftFunctions.register(spark)
     val df = Seq(

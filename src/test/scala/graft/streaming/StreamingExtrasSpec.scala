@@ -66,6 +66,34 @@ class StreamingExtrasSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming token-budget gate admits per-source until the budget binds, across batches") {
+    implicit val sql = spark.sqlContext
+    // 4 tokens per doc, budget 10: docs 1,2 fit (used 4, 8); doc 3
+    // starts at 8 < 10 and crosses the line (admitted, used 12); doc 4
+    // starts past budget (rejected). Source b is an independent quota.
+    def doc(words: Int) = Seq.fill(words)("w").mkString(" ")
+    val in = MemoryStream[(Long, String, String)]
+    val out = StatefulStreams.streamingTokenBudget(
+      in.toDF().toDF("doc_id", "source", "text"), budget = 10L)
+      .toDF("doc_id", "source", "n_toks", "cum_toks")
+    val q = out.writeStream.format("memory").queryName("sbudget")
+      .outputMode("append").start()
+    try {
+      in.addData(Seq((1L, "a", doc(4)), (2L, "a", doc(4)), (10L, "b", doc(9))))
+      q.processAllAvailable()
+      // boundary docs admitted in a LATER batch off persisted state
+      // (3 crosses a's line, 11 crosses b's); doc 4 starts past
+      // budget and is rejected
+      in.addData(Seq((3L, "a", doc(4)), (4L, "a", doc(4)), (11L, "b", doc(5))))
+      q.processAllAvailable()
+      val got = spark.table("sbudget").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == Set(
+        (1L, "a", 4L, 4L), (2L, "a", 4L, 8L), (3L, "a", 4L, 12L),
+        (10L, "b", 9L, 9L), (11L, "b", 5L, 14L)))
+    } finally q.stop()
+  }
+
   test("foreachBatch fan-out delivers each micro-batch to every sink") {
     implicit val sql = spark.sqlContext
     val in = MemoryStream[Int]
