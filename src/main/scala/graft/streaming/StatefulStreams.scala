@@ -233,6 +233,28 @@ object StatefulStreams {
       }
   }
 
+  /** Streaming IVF ingest: arriving embedding vectors are assigned to
+    * their max-cosine cell of a STATIC codebook — the ingest half of
+    * the q41 IVF ANN layout (graft.queries.Similarity): the batch side
+    * trains the codebook, the stream keeps the inverted file fresh.
+    *
+    * `centroids` must have (cell: int, cvec: array<float>) — e.g. the
+    * fixed-point k-means codebook q41 builds. The assignment itself is
+    * stateless (a broadcast stream-static join + the same
+    * (ccos desc, cell asc) argmax contract as batch q41, as a map-side
+    * combined max_by); the per-vector aggregate runs in update mode
+    * and its state is one row per vec_id — add a watermark upstream if
+    * vec_ids are unbounded. Downstream cell-occupancy counts belong in
+    * a separate query (Spark rejects chained streaming aggregations).
+    */
+  def streamingIvfAssign(vecs: DataFrame, centroids: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(vecs.sparkSession)
+    vecs.join(broadcast(centroids))
+      .withColumn("ccos", expr("cosine_sim(embedding, cvec)"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cell"), struct(col("ccos"), (-col("cell")).as("nc"))).as("cell"))
+  }
+
   /** First-occurrence-only processor behind [[ttlDedup]]: one boolean
     * ValueState per key with a TTL — Spark evicts the entry `ttl` after
     * its last write, so a key re-arriving past the horizon is emitted

@@ -94,6 +94,35 @@ class StreamingExtrasSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming IVF assignment: static codebook, argmax parity, update-mode revision") {
+    implicit val sql = spark.sqlContext
+    val centroids = Seq((0, Seq(1f, 0f)), (1, Seq(0f, 1f))).toDF("cell", "cvec")
+    val in = MemoryStream[(Long, Seq[Float])]
+    val out = StatefulStreams.streamingIvfAssign(
+      in.toDF().toDF("vec_id", "embedding"), centroids)
+    val q = out.writeStream.format("memory").queryName("sivf")
+      .outputMode("update").start()
+    try {
+      in.addData(Seq((1L, Seq(0.9f, 0.1f)), (2L, Seq(0.1f, 0.9f)),
+        (3L, Seq(0.7f, 0.7f)))) // exact tie -> smaller cell (the q41 contract)
+      q.processAllAvailable()
+      val got = spark.table("sivf").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(got == Set((1L, 0), (2L, 1), (3L, 0)), s"got $got")
+      // a vector re-arriving with new content revises its assignment
+      in.addData(Seq((1L, Seq(0.0f, 1.0f))))
+      q.processAllAvailable()
+      val revised = spark.table("sivf").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(revised.contains((1L, 1)), s"revision missing: $revised")
+    } finally q.stop()
+    // batch mode: same operator body equals a direct batch argmax
+    val vecs = Seq((10L, Seq(0.3f, 0.8f)), (11L, Seq(0.8f, 0.3f))).toDF("vec_id", "embedding")
+    val batch = StatefulStreams.streamingIvfAssign(vecs, centroids)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(batch == Set((10L, 1), (11L, 0)))
+  }
+
   test("foreachBatch fan-out delivers each micro-batch to every sink") {
     implicit val sql = spark.sqlContext
     val in = MemoryStream[Int]
