@@ -141,8 +141,74 @@ object Pipeline {
       |ORDER BY lang, split""".stripMargin
   }
 
+  /** q100 — the round-9 capstone: the data-MIXING pipeline composed
+    * from the round's new operators, as one oracle-verified plan:
+    *
+    *   1. keep-best dedup — LSH candidate pairs → connected components
+    *      → drop every cluster member except the QUALITY-argmax
+    *      representative (q93's keep decision, vs q55's min-id rep);
+    *   2. token-budget mix — the per-source quality-greedy budget cut
+    *      (q98's distributed-prefix form) over the dedup SURVIVORS,
+    *      emitting the final training mix with cumulative token
+    *      positions.
+    *
+    * Recomputing the budget over survivors is what makes this a
+    * composition rather than a union: dropping a duplicate frees
+    * budget for the next-best document of the same source.
+    */
+  private def q100(s: SparkSession, d: String): DataFrame = {
+    val scored = Sampling.scoredDocs(s, d)
+    val comp = graft.ops.ConnectedComponents
+      .minLabel(Dedup.candidatePairs(s, d)
+        .select(col("doc_a").as("a"), col("doc_b").as("b")))
+      .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+    val kept = comp.join(scored.select(col("doc_id"), col("quality")), "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(max_by(col("doc_id"),
+        struct(col("quality"), (-col("doc_id")).as("nid"))).as("kept"))
+    val losers = comp.join(kept, "cluster_id")
+      .filter(col("doc_id") =!= col("kept"))
+      .select(col("doc_id"))
+    Sampling.tokenBudgetOver(
+      scored.join(losers, Seq("doc_id"), "left_anti"), Sampling.TokenBudget)
+  }
+
+  private val q100Sql =
+    s"""WITH RECURSIVE ${Dedup.pairsCteSql},
+      |undirected(a, b) AS (
+      |  SELECT doc_a, doc_b FROM pairs UNION SELECT doc_b, doc_a FROM pairs
+      |  UNION SELECT doc_a, doc_a FROM pairs UNION SELECT doc_b, doc_b FROM pairs),
+      |reach(a, b) AS (
+      |  SELECT a, b FROM undirected
+      |  UNION
+      |  SELECT r.a, u.b FROM reach r JOIN undirected u ON r.b = u.a),
+      |comp AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+      |qual AS (SELECT doc_id, source, len(toks) AS n_toks,
+      |    CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1) *
+      |      (CASE WHEN len(toks) >= 20 AND len(toks) <= 1000 THEN 1.0 ELSE 0.0 END)
+      |      AS quality
+      |  FROM (SELECT doc_id, source,
+      |      regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      |    FROM documents) t),
+      |m AS (SELECT c.doc_id,
+      |    row_number() OVER (PARTITION BY c.cluster_id
+      |      ORDER BY q.quality DESC, c.doc_id) AS rn
+      |  FROM comp c JOIN qual q USING (doc_id)),
+      |surv AS (SELECT * FROM qual
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM m WHERE rn > 1)),
+      |w AS (SELECT doc_id, source, n_toks,
+      |    sum(n_toks) OVER (PARTITION BY source ORDER BY quality DESC, doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS cum_toks
+      |  FROM surv)
+      |SELECT source, doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+      |  CAST(cum_toks AS BIGINT) AS cum_toks
+      |FROM w
+      |WHERE cum_toks - n_toks < ${Sampling.TokenBudget}
+      |ORDER BY source, doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q55_training_pipeline", q55, Some(q55Sql)),
     Q("q90_curation_pipeline", q90, Some(q90Sql)),
+    Q("q100_mixing_pipeline", q100, Some(q100Sql)),
   )
 }

@@ -230,9 +230,11 @@ object Sampling {
   // data-sized) broadcasts the per-partition offsets back — the q44 /
   // assignTimestamps distributed-prefix pattern. Billion-doc sources
   // spread over every executor.
-  private def q98(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val scored = documents(s, d)
+  /** (doc_id, source, n_toks, quality) with the q52-core quality score
+    * — the scored frame both budget consumers (q98, q100) cut from.
+    */
+  private[queries] def scoredDocs(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
       .withColumn("toks", tokens(col("text")))
       .withColumn("n_toks", size(col("toks")).cast("long"))
       .withColumn("n_distinct", size(array_distinct(col("toks"))).cast("long"))
@@ -240,6 +242,15 @@ object Sampling {
         (col("n_distinct").cast("double") / greatest(col("n_toks"), lit(1L))) *
           when(col("n_toks") >= 20 && col("n_toks") <= 1000, 1.0).otherwise(0.0))
       .select(col("doc_id"), col("source"), col("n_toks"), col("quality"))
+
+  /** The distributed-prefix budget cut over any
+    * (doc_id, source, n_toks, quality) frame: greedy by
+    * (quality desc, doc_id) per source until `budget` tokens. Shared by
+    * q98 (whole corpus) and q100 (dedup survivors).
+    */
+  private[queries] def tokenBudgetOver(scored: DataFrame, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = scored.sparkSession
     val nParts = s.conf.get("spark.sql.shuffle.partitions").toIntOption
       .getOrElse(s.sparkContext.defaultParallelism)
     val parted = scored
@@ -258,10 +269,13 @@ object Sampling {
       .withColumn("__lcum", sum(col("n_toks")).over(wLocal))
       .join(broadcast(carry), Seq("__pid", "source"))
       .withColumn("cum_toks", col("__lcum") + coalesce(col("__carry"), lit(0L)))
-      .filter(col("cum_toks") - col("n_toks") < TokenBudget)
+      .filter(col("cum_toks") - col("n_toks") < budget)
       .select(col("source"), col("doc_id"), col("n_toks"), col("cum_toks"))
       .orderBy(col("source"), col("doc_id"))
   }
+
+  private def q98(s: SparkSession, d: String): DataFrame =
+    tokenBudgetOver(scoredDocs(s, d), TokenBudget)
 
   private val q98Sql =
     s"""WITH q AS (SELECT doc_id, source, len(toks) AS n_toks,

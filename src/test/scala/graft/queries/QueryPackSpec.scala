@@ -281,6 +281,34 @@ class QueryPackSpec extends SparkSpec {
     assert(rows.map(_._3).sum == vocab, "novelty attribution not conserved")
   }
 
+  test("q100 mixing pipeline: drops q93 losers, budget rules hold, refill is monotone") {
+    val clusters = SparkEntry.queries("q35_dedup_clusters")(spark, sf)
+      .select("doc_id", "cluster_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val keptReps = SparkEntry.queries("q93_keep_best")(spark, sf)
+      .select("kept_doc").collect().map(_.getLong(0)).toSet
+    val losers = clusters.map(_._1).toSet -- keptReps
+    val mix = SparkEntry.queries("q100_mixing_pipeline")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // 1. no dropped duplicate reaches the mix
+    assert(mix.forall { case (_, id, _, _) => !losers.contains(id) })
+    // 2. greedy budget boundary rules per source
+    mix.groupBy(_._1).foreach { case (src, docs) =>
+      docs.foreach { case (_, _, n, cum) =>
+        assert(cum - n < Sampling.TokenBudget, s"$src doc starts past budget")
+      }
+      assert(docs.count(_._4 > Sampling.TokenBudget) <= 1)
+    }
+    // 3. monotone refill: every q98-kept doc that survived dedup is
+    // still kept (removing docs from a greedy prefix can only pull
+    // later docs IN, never push surviving ones out)
+    val q98Kept = SparkEntry.queries("q98_token_budget")(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val mixIds = mix.map(_._2).toSet
+    assert((q98Kept -- losers).subsetOf(mixIds),
+      s"surviving q98 docs missing from mix: ${(q98Kept -- losers) -- mixIds}")
+  }
+
   test("q94 overlap matrix is consistent: n_shared <= min set size, jaccard in (0,1]") {
     val rows = SparkEntry.queries("q94_source_overlap")(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
