@@ -46,6 +46,36 @@ class CheckpointRecoverySpec extends SparkSpec {
       Seq("a:1", "a:2", "a:3", "b:1", "b:2"))
   }
 
+  test("token-budget gate resumes from checkpoint: spent budget survives restart") {
+    implicit val sql = spark.sqlContext
+    val ckpt = Files.createTempDirectory("graft_ckpt_budget").toString
+    def doc(words: Int) = Seq.fill(words)("w").mkString(" ")
+    val in = MemoryStream[(Long, String, String)]
+    val gate = StatefulStreams.streamingTokenBudget(
+      in.toDF().toDF("doc_id", "source", "text"), budget = 10L)
+    val received = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    def start() = gate.writeStream
+      .foreachBatch { (batch: Dataset[(Long, String, Long, Long)], _: Long) =>
+        batch.collect().foreach(r => received.add((r._1, r._4)))
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+
+    in.addData(Seq((1L, "a", doc(6))))
+    val q1 = start()
+    q1.awaitTermination()
+    assert(received.toArray(Array.empty[(Long, Long)]).toSet == Set((1L, 6L)))
+
+    // restart: the 6 spent tokens must persist — doc 2 (6 toks) crosses
+    // the line (admitted, cum 12), doc 3 starts past budget (rejected).
+    // A reset-to-zero state would admit both.
+    in.addData(Seq((2L, "a", doc(6)), (3L, "a", doc(6))))
+    val q2 = start()
+    q2.awaitTermination()
+    assert(received.toArray(Array.empty[(Long, Long)]).toSet ==
+      Set((1L, 6L), (2L, 12L)))
+  }
+
   test("stateful streaming runs on the RocksDB state store") {
     // the at-scale state backend (bounded executor memory, state
     // spills to local RocksDB instances) — same operator, one config
