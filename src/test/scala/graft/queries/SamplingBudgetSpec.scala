@@ -45,6 +45,45 @@ class SamplingBudgetSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("property: rankDistributed equals a sequential row_number for any frame") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    val gen = for {
+      n <- Gen.choose(0, 150)
+      rows <- Gen.listOfN(n, for {
+        src <- Gen.oneOf("a", "b", "c", "giant")
+        q <- Gen.oneOf(0.0, 0.25, 0.5, 1.0) // ties exercise the doc_id break
+      } yield (src, q))
+    } yield rows.zipWithIndex.map { case ((s, q), i) => (i.toLong, s, q) }
+    val prop = Prop.forAll(gen) { rows =>
+      val df = rows.toDF("doc_id", "source", "quality")
+      val got = Sampling.rankDistributed(df, Seq("source"),
+          Seq(col("quality").desc, col("doc_id"))).collect()
+        .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+          r.getAs[Long]("rk"))).toSet
+      val want = rows.groupBy(_._2).flatMap { case (src, docs) =>
+        docs.sortBy { case (id, _, q) => (-q, id) }.zipWithIndex
+          .map { case ((id, _, _), i) => (src, id, (i + 1).toLong) }
+      }.toSet
+      got == want
+    }
+    val res = check(Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("rankDistributed is invariant under input partitioning (skewed part values)") {
+    // one part value holding 90% of rows straddles many range partitions
+    // — exactly where the carry join would break
+    val rows = (0L until 300L).map(i =>
+      (i, if (i % 10 == 0) "rare" else "giant", (i % 7) * 0.1)).toSeq
+    def run(parts: Int) = Sampling.rankDistributed(
+      rows.toDF("doc_id", "source", "quality").repartition(parts),
+      Seq("source"), Seq(col("quality").desc, col("doc_id"))).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("rk"))).toSet
+    assert(run(1) == run(13) && run(13) == run(32))
+  }
+
   test("budget cut is invariant under input partitioning") {
     val rows = (0L until 200L).map(i =>
       (i, "s" + (i % 4), (i * 7 % 23), (i % 5) * 0.2)).toSeq
