@@ -374,6 +374,67 @@ object Sampling {
       |  FROM documents, (SELECT unnest(range($Epochs)) AS epoch) e) t
       |ORDER BY epoch, pos""".stripMargin
 
+  /** Repetition cap for q105: at most 4 epochs of any source (past ~4
+    * repeats the marginal value of repeated data decays — the
+    * data-constrained-scaling rule of thumb).
+    */
+  private val RepCapBp = 40000L
+
+  // q105 — deterministic repetition schedule (data-constrained
+  // scaling): small sources are repeated to rebalance the mix, with a
+  // NON-INTEGER per-source factor — factor = min(4, n_max/n_src), held
+  // in basis points so the arithmetic stays integer end to end. Each
+  // document is materialized floor(factor) times, plus one extra copy
+  // iff a seeded per-doc hash draw lands under the fractional part —
+  // so a source with factor 2.3 repeats every doc twice and a
+  // deterministic, content-independent 30% of docs a third time.
+  // Re-running reproduces the schedule bit-for-bit (no RNG state), and
+  // per doc copies ∈ {floor(f), ceil(f)} — the bounded-staleness
+  // contract an epoch-resumable loader needs.
+  //
+  // Scale shape: one corpus scan, a |sources|-row broadcast of the
+  // factor table, and the explode is at most RepCap× the input — no
+  // data-sized shuffle (output partitioning inherits the scan).
+  private def q105(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"), col("source"))
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+    val maxN = counts.agg(max(col("n_src")).as("n_max"))
+    val factors = counts.crossJoin(broadcast(maxN))
+      .withColumn("factor_bp",
+        least(lit(RepCapBp), expr("(10000 * n_max) div n_src")))
+      .select(col("source"), col("factor_bp"))
+    docs.join(broadcast(factors), Seq("source"))
+      .withColumn("u",
+        hash60(concat(lit("rep"), col("doc_id").cast("string"))) % 10000)
+      // factor_bp >= 10000 (n_max/n_src >= 1), so copies >= 1 and the
+      // 0..copies-1 sequence below never runs backwards.
+      .withColumn("copies",
+        expr("factor_bp div 10000") +
+          when(col("u") < col("factor_bp") % 10000, 1L).otherwise(0L))
+      .select(col("source"), col("doc_id"), col("factor_bp"), col("copies"),
+        explode(sequence(lit(0L), col("copies") - 1)).as("rep_idx"))
+      .orderBy(col("source"), col("doc_id"), col("rep_idx"))
+  }
+
+  private val q105Sql =
+    s"""WITH counts AS (
+      |  SELECT source, count(*) AS n_src FROM documents GROUP BY source),
+      |mx AS (SELECT max(n_src) AS n_max FROM counts),
+      |f AS (SELECT source,
+      |    least($RepCapBp, (10000 * n_max) // n_src) AS factor_bp
+      |  FROM counts, mx),
+      |c AS (
+      |  SELECT d.source AS source, doc_id, factor_bp,
+      |    factor_bp // 10000 +
+      |      (CASE WHEN ${hash60Sql("'rep' || CAST(doc_id AS VARCHAR)")} % 10000
+      |            < factor_bp % 10000 THEN 1 ELSE 0 END) AS copies
+      |  FROM documents d JOIN f USING (source))
+      |SELECT source, doc_id, CAST(factor_bp AS BIGINT) AS factor_bp,
+      |  CAST(copies AS BIGINT) AS copies,
+      |  CAST(unnest(range(copies)) AS BIGINT) AS rep_idx
+      |FROM c
+      |ORDER BY source, doc_id, rep_idx""".stripMargin
+
   private val q98Sql =
     s"""WITH q AS (SELECT doc_id, source, len(toks) AS n_toks,
       |    CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1) *
@@ -401,5 +462,6 @@ object Sampling {
     Q("q98_token_budget", q98, Some(q98Sql)),
     Q("q103_quality_calibrated", q103, Some(q103Sql)),
     Q("q104_epoch_shuffle", q104, Some(q104Sql)),
+    Q("q105_repetition_schedule", q105, Some(q105Sql)),
   )
 }

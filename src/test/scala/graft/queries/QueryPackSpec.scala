@@ -402,6 +402,33 @@ class QueryPackSpec extends SparkSpec {
       s"expected a range exchange on (epoch, draw):\n$plan")
   }
 
+  test("q105 repetition schedule: copies in {floor,ceil} of factor, contiguous rep_idx, broadcast factor join") {
+    val df = SparkEntry.queries("q105_repetition_schedule")(spark, sf)
+    val rows = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val nSrc = docs.groupBy(_._2).map { case (s, d) => s -> d.length.toLong }
+    val nMax = nSrc.values.max
+    // every doc is present, with the recomputed factor
+    val byDoc = rows.groupBy(r => (r._1, r._2))
+    assert(byDoc.keySet == docs.map { case (id, s) => (s, id) }.toSet)
+    byDoc.foreach { case ((src, id), rs) =>
+      val factorBp = math.min(40000L, 10000L * nMax / nSrc(src))
+      val copies = rs.head._4
+      assert(rs.forall(_._3 == factorBp), s"doc $id factor mismatch")
+      assert(copies == factorBp / 10000 || copies == factorBp / 10000 + 1,
+        s"doc $id copies $copies outside {floor,ceil} of $factorBp")
+      if (factorBp % 10000 == 0)
+        assert(copies == factorBp / 10000, s"doc $id integer factor must not draw")
+      assert(rs.map(_._5).sorted.toSeq == (0L until copies), s"doc $id rep_idx gap")
+    }
+    // the factor table joins broadcast, never shuffles the corpus side
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast factor join:\n$plan")
+  }
+
   test("q94 overlap matrix is consistent: n_shared <= min set size, jaccard in (0,1]") {
     val rows = SparkEntry.queries("q94_source_overlap")(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
