@@ -91,7 +91,86 @@ object Retrieval {
       |ORDER BY doc_id""".stripMargin
   }
 
+  /** BM25 query terms / result size for q106. */
+  private val Bm25Terms = Seq("hash", "join", "sort")
+  private val Bm25TopK = 15
+
+  // q106 — BM25 ranked retrieval over the token-frequency index: the
+  // other half of a search surface (q85 is the boolean/phrase path,
+  // this is the scored path). Standard BM25 tf saturation with
+  // k1 = 1.2, b = 0.75 and document-length normalization; the idf
+  // dampening is sqrt((N - df + 0.5)/(df + 0.5)) rather than ln(·) —
+  // sqrt, divide, multiply and add are IEEE-correctly-rounded in every
+  // engine, so the scores are bit-reproducible in the DuckDB oracle,
+  // where ln differs in the last ulp between libms. (Monotone in the
+  // same odds ratio; swap ln in where cross-engine bit-equality is not
+  // required.) The cross-term sum is a FIXED left-associated
+  // three-operand expression over per-term conditional aggregates (at
+  // most one non-null contribution per term per doc), not a float
+  // sum() whose accumulation order the engine chooses.
+  //
+  // Scale shape: one corpus tokenize; the term filter sits below the
+  // grouping shuffle, so per-token rows are pruned map-side to the
+  // query's own postings (the q85 index-seek property); df and the
+  // (N, Σdl) stats are a |terms|-row and a 1-row broadcast; the final
+  // top-k is TakeOrderedAndProject — per-partition heaps, no global
+  // sort.
+  private def q106(s: SparkSession, d: String): DataFrame = {
+    val lens = documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"), col("toks"))
+    val stats = lens.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val postings = lens
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(Bm25Terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val contrib = postings
+      .join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib",
+        sqrt((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(0.25) +
+            lit(0.75) * col("dl") / (col("sum_dl").cast("double") / col("n_docs")))))
+    contrib.groupBy(col("doc_id"))
+      .agg(
+        max(when(col("term") === "hash", col("contrib"))).as("c_hash"),
+        max(when(col("term") === "join", col("contrib"))).as("c_join"),
+        max(when(col("term") === "sort", col("contrib"))).as("c_sort"),
+        count(lit(1)).as("n_terms"))
+      .withColumn("score",
+        coalesce(col("c_hash"), lit(0.0)) + coalesce(col("c_join"), lit(0.0)) +
+          coalesce(col("c_sort"), lit(0.0)))
+      .select(col("doc_id"), col("n_terms"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(Bm25TopK)
+  }
+
+  private val q106Sql =
+    s"""WITH t AS (SELECT doc_id,
+      |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+      |l AS (SELECT doc_id, len(toks) AS dl, toks FROM t),
+      |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM l),
+      |p AS (SELECT doc_id, dl, unnest(toks) AS term FROM l),
+      |pf AS (SELECT doc_id, dl, term, count(*) AS tf FROM p
+      |  WHERE term IN ('hash','join','sort') GROUP BY doc_id, dl, term),
+      |dfreq AS (SELECT term, count(*) AS df FROM pf GROUP BY term),
+      |c AS (SELECT doc_id, pf.term AS term,
+      |    sqrt((n_docs - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE)) * (tf * 2.2::DOUBLE)
+      |      / (tf + 1.2::DOUBLE * (0.25::DOUBLE +
+      |        0.75::DOUBLE * dl / (CAST(sum_dl AS DOUBLE) / n_docs))) AS contrib
+      |  FROM pf JOIN dfreq USING (term), st)
+      |SELECT doc_id, count(*) AS n_terms,
+      |  coalesce(max(CASE WHEN term='hash' THEN contrib END), 0.0::DOUBLE)
+      |  + coalesce(max(CASE WHEN term='join' THEN contrib END), 0.0::DOUBLE)
+      |  + coalesce(max(CASE WHEN term='sort' THEN contrib END), 0.0::DOUBLE) AS score
+      |FROM c GROUP BY doc_id
+      |ORDER BY score DESC, doc_id LIMIT $Bm25TopK""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q85_phrase_search", q85, Some(q85Sql)),
+    Q("q106_bm25", q106, Some(q106Sql)),
   )
 }
