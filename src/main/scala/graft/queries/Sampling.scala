@@ -435,6 +435,47 @@ object Sampling {
       |FROM c
       |ORDER BY source, doc_id, rep_idx""".stripMargin
 
+  // q107 — deterministic proportional interleaver (stride scheduling):
+  // the single global training order a weighted-mixture data loader
+  // streams, without epoch-level shuffling. Each source's documents
+  // are hash-shuffled within the source (seeded draw → per-source rank
+  // k via [[rankDistributed]]), assigned virtual time k/n_src, and the
+  // global order sorts by (vt, source, doc_id) — so every prefix of
+  // the order carries each source in proportion to its size and all
+  // sources finish together at vt = 1. The vt division is a single
+  // IEEE-correctly-rounded op on exact integers, so the order (and the
+  // emitted vt) is bit-reproducible in the oracle. Global positions
+  // come from [[rankDistributed]] with no partition key — the carry
+  // frame is ≤ #partitions rows, never a single-task global sort
+  // window.
+  private def q107(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"), col("source"))
+      .withColumn("draw",
+        hash60(concat(lit("il"), col("doc_id").cast("string"))))
+    val n = docs.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+    val ranked = rankDistributed(docs, Seq("source"), Seq(col("draw"), col("doc_id")))
+      .withColumnRenamed("rk", "k")
+      .join(broadcast(n), Seq("source"))
+      .withColumn("vt", col("k").cast("double") / col("n_src"))
+    rankDistributed(ranked, Seq.empty, Seq(col("vt"), col("source"), col("doc_id")))
+      .select(col("rk").as("pos"), col("source"), col("doc_id"), col("k"), col("vt"))
+      .orderBy(col("pos"))
+  }
+
+  private val q107Sql =
+    s"""WITH d AS (SELECT doc_id, source,
+      |    ${hash60Sql("'il' || CAST(doc_id AS VARCHAR)")} AS draw
+      |  FROM documents),
+      |n AS (SELECT source, count(*) AS n_src FROM d GROUP BY source),
+      |r AS (SELECT doc_id, d.source AS source,
+      |    row_number() OVER (PARTITION BY d.source ORDER BY draw, doc_id) AS k,
+      |    n_src
+      |  FROM d JOIN n USING (source)),
+      |v AS (SELECT doc_id, source, k, CAST(k AS DOUBLE)/n_src AS vt FROM r)
+      |SELECT row_number() OVER (ORDER BY vt, source, doc_id) AS pos,
+      |  source, doc_id, CAST(k AS BIGINT) AS k, vt
+      |FROM v ORDER BY pos""".stripMargin
+
   private val q98Sql =
     s"""WITH q AS (SELECT doc_id, source, len(toks) AS n_toks,
       |    CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1) *
@@ -463,5 +504,6 @@ object Sampling {
     Q("q103_quality_calibrated", q103, Some(q103Sql)),
     Q("q104_epoch_shuffle", q104, Some(q104Sql)),
     Q("q105_repetition_schedule", q105, Some(q105Sql)),
+    Q("q107_stride_interleave", q107, Some(q107Sql)),
   )
 }

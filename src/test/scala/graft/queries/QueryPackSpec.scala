@@ -429,6 +429,29 @@ class QueryPackSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast factor join:\n$plan")
   }
 
+  test("q107 stride interleave: contiguous positions, per-source order preserved, proportional prefixes") {
+    val rows = SparkEntry.queries("q107_stride_interleave")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    val n = rows.length.toLong
+    assert(rows.map(_._1).toSet == (1L to n).toSet, "positions not 1..N")
+    val bySource = rows.groupBy(_._2)
+    bySource.foreach { case (src, rs) =>
+      // within a source, global order preserves the per-source rank k
+      val ks = rs.sortBy(_._1).map(_._4)
+      assert(ks.toSeq == (1L to rs.length).toSeq, s"source $src k order broken")
+      assert(rs.forall(r => r._5 == r._4.toDouble / rs.length), s"source $src vt mismatch")
+    }
+    // proportional fairness: at any prefix, each source's share tracks
+    // its size within a bounded discrepancy (stride-scheduling bound)
+    val half = rows.filter(_._1 <= n / 2)
+    bySource.foreach { case (src, rs) =>
+      val expect = (n / 2).toDouble * rs.length / n
+      val got = half.count(_._2 == src)
+      assert(math.abs(got - expect) <= bySource.size + 1,
+        s"source $src prefix share $got vs $expect")
+    }
+  }
+
   test("q94 overlap matrix is consistent: n_shared <= min set size, jaccard in (0,1]") {
     val rows = SparkEntry.queries("q94_source_overlap")(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
