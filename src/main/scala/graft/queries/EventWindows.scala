@@ -135,10 +135,44 @@ object EventWindows {
       |FROM events
       |ORDER BY user_id, event_type, running_n, event_id""".stripMargin
 
+  // q108 — changelog apply (upsert materialization): treat the event
+  // stream as a keyed changelog — every event upserts its user's state,
+  // an 'error' event is a tombstone — and collapse it to the
+  // current-state table (the streaming↔table duality: Flink upsert
+  // sink / MERGE apply). Latest-wins on (ts_ms, event_id); the
+  // tombstone filter runs AFTER the latest-wins pick, so a user whose
+  // LAST change is a delete is absent even though older upserts exist.
+  // One hash aggregation via max_by (map-side partials) — no per-key
+  // sort window, so a hot key's history combines early instead of
+  // serializing through one task.
+  private def q108(s: SparkSession, d: String): DataFrame =
+    graft.ops.Changelog(
+        events(s, d),
+        keys = Seq("user_id"),
+        seq = struct(col("ts_ms"), col("event_id")),
+        payload = Seq(
+          "last_type" -> col("event_type"),
+          "last_value" -> col("value"),
+          "last_ts_ms" -> col("ts_ms")),
+        isDelete = last => last.getField("last_type") === "error")
+      .orderBy(col("user_id"))
+
+  private val q108Sql =
+    """SELECT user_id, last_type, last_value, last_ts_ms, n_changes FROM (
+      |  SELECT user_id, event_type AS last_type, value AS last_value,
+      |    epoch_ms(ts) AS last_ts_ms,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn,
+      |    count(*) OVER (PARTITION BY user_id) AS n_changes
+      |  FROM events) t
+      |WHERE rn = 1 AND last_type <> 'error'
+      |ORDER BY user_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q26_tumbling_window", q26, Some(q26Sql)),
     Q("q27_sliding_window", q27, Some(q27Sql)),
     Q("q28_session_window", q28, Some(q28Sql)),
     Q("q29_running_count", q29, Some(q29Sql)),
+    Q("q108_changelog_apply", q108, Some(q108Sql)),
   )
 }

@@ -452,6 +452,22 @@ class QueryPackSpec extends SparkSpec {
     }
   }
 
+  test("q108 changelog apply: latest-wins per key, tombstone erases, n_changes complete") {
+    val state = SparkEntry.queries("q108_changelog_apply")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(4)))
+    val log = graft.Tables.events(spark, sf)
+      .select("user_id", "ts_ms", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val byUser = log.groupBy(_._1)
+    val want = byUser.flatMap { case (u, evs) =>
+      val last = evs.maxBy(e => (e._2, e._3))
+      if (last._4 == "error") None else Some((u, last._4, evs.length.toLong))
+    }.toSet
+    assert(state.toSet == want)
+    // at least one user must actually be tombstoned for the test to bite
+    assert(byUser.size > state.length, "no user ended on a tombstone")
+  }
+
   test("q94 overlap matrix is consistent: n_shared <= min set size, jaccard in (0,1]") {
     val rows = SparkEntry.queries("q94_source_overlap")(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
