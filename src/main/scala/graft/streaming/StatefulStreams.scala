@@ -255,6 +255,32 @@ object StatefulStreams {
       .agg(max_by(col("cell"), struct(col("ccos"), (-col("cell")).as("nc"))).as("cell"))
   }
 
+  /** Streaming changelog materialization — the incremental form of
+    * [[graft.ops.Changelog]] / batch q108: a keyed change stream
+    * (user_id, ts_ms, event_id, event_type, value) folds to its
+    * current-state table as one update-mode aggregation (max_by keeps
+    * the (ts_ms, event_id)-latest payload, map-side combined; state is
+    * one row per key). Unlike the batch form, deletes are EMITTED as
+    * an `is_tombstone` flag rather than filtered: an update-mode sink
+    * cannot retract a row it no longer receives, so erasure is the
+    * upsert sink's move — key on user_id and drop flagged rows there.
+    * Late changes are handled by the same latest-wins contract: an
+    * out-of-order arrival older than the current state revises
+    * n_changes but not the payload.
+    */
+  def streamingChangelogApply(changes: DataFrame): DataFrame =
+    changes.groupBy(col("user_id"))
+      .agg(
+        max_by(struct(col("event_type").as("last_type"),
+            col("value").as("last_value"), col("ts_ms").as("last_ts_ms")),
+          struct(col("ts_ms"), col("event_id"))).as("__last"),
+        count(lit(1)).as("n_changes"))
+      .select(col("user_id"), col("__last.last_type").as("last_type"),
+        col("__last.last_value").as("last_value"),
+        col("__last.last_ts_ms").as("last_ts_ms"),
+        (col("__last.last_type") === "error").as("is_tombstone"),
+        col("n_changes"))
+
   /** First-occurrence-only processor behind [[ttlDedup]]: one boolean
     * ValueState per key with a TTL — Spark evicts the entry `ttl` after
     * its last write, so a key re-arriving past the horizon is emitted

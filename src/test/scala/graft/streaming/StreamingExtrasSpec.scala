@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, struct}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.Trigger
 import graft.SparkSpec
@@ -121,6 +122,46 @@ class StreamingExtrasSpec extends SparkSpec {
     val batch = StatefulStreams.streamingIvfAssign(vecs, centroids)
       .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
     assert(batch == Set((10L, 1), (11L, 0)))
+  }
+
+  test("streaming changelog apply: update-mode latest-wins, tombstone flagged, late arrival keeps payload") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(Long, Long, Long, String, Double)]
+    val out = StatefulStreams.streamingChangelogApply(
+      in.toDF().toDF("user_id", "ts_ms", "event_id", "event_type", "value"))
+    val q = out.writeStream.format("memory").queryName("schangelog")
+      .outputMode("update").start()
+    def state() = spark.table("schangelog").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getBoolean(4), r.getLong(5)))
+      .groupBy(_._1).map { case (_, vs) => vs.maxBy(_._5) }.toSet
+    try {
+      in.addData(Seq((1L, 100L, 1L, "view", 1.0), (1L, 200L, 2L, "click", 2.0),
+        (2L, 150L, 3L, "view", 5.0)))
+      q.processAllAvailable()
+      assert(state() == Set((1L, "click", 2.0, false, 2L), (2L, "view", 5.0, false, 1L)))
+      // u1 tombstoned across batches off persisted state; u2 gets a
+      // LATE arrival (older ts) — payload must not regress
+      in.addData(Seq((1L, 300L, 4L, "error", 0.0), (2L, 120L, 5L, "click", 9.0)))
+      q.processAllAvailable()
+      assert(state() == Set((1L, "error", 0.0, true, 3L), (2L, "view", 5.0, false, 2L)))
+    } finally q.stop()
+    // batch mode: same operator body agrees with ops.Changelog on the
+    // kept (non-tombstoned) rows
+    val log = Seq((1L, 100L, 1L, "view", 1.0), (1L, 200L, 2L, "error", 0.0),
+      (2L, 150L, 3L, "click", 7.0))
+      .toDF("user_id", "ts_ms", "event_id", "event_type", "value")
+    val viaStream = StatefulStreams.streamingChangelogApply(log)
+      .filter(!col("is_tombstone"))
+      .select("user_id", "last_type", "last_value", "last_ts_ms", "n_changes")
+      .collect().map(_.toSeq).toSet
+    val viaBatch = graft.ops.Changelog(log, Seq("user_id"),
+        struct(col("ts_ms"), col("event_id")),
+        Seq("last_type" -> col("event_type"), "last_value" -> col("value"),
+          "last_ts_ms" -> col("ts_ms")),
+        last => last.getField("last_type") === "error")
+      .select("user_id", "last_type", "last_value", "last_ts_ms", "n_changes")
+      .collect().map(_.toSeq).toSet
+    assert(viaStream == viaBatch && viaBatch == Set(Seq(2L, "click", 7.0, 150L, 1L)))
   }
 
   test("foreachBatch fan-out delivers each micro-batch to every sink") {
