@@ -253,9 +253,17 @@ object Sampling {
     val s = scored.sparkSession
     val nParts = s.conf.get("spark.sql.shuffle.partitions").toIntOption
       .getOrElse(s.sparkContext.defaultParallelism)
+    // localCheckpoint freezes the partition layout: the carry branch
+    // and the main branch both read THIS materialization, so __pid is
+    // one consistent assignment. Without it each branch re-plans the
+    // range exchange, and AQE may coalesce the two instances to
+    // different partition counts — the carry offsets then belong to a
+    // different pid numbering and global positions duplicate/skip
+    // (observed at sf0.1 in q107 before the fix).
     val parted = scored
       .repartitionByRange(nParts, col("source"), col("quality").desc, col("doc_id"))
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(false)
     val wLocal = Window.partitionBy(col("__pid"), col("source"))
       .orderBy(col("quality").desc, col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -293,8 +301,13 @@ object Sampling {
     val nParts = s.conf.get("spark.sql.shuffle.partitions").toIntOption
       .getOrElse(s.sparkContext.defaultParallelism)
     val partCols = part.map(col)
+    // localCheckpoint for the same reason as [[tokenBudgetOver]]: both
+    // the carry aggregate and the ranked branch must see ONE __pid
+    // assignment; separately-planned instances of the range exchange
+    // can be AQE-coalesced to different partition counts.
     val parted = df.repartitionByRange(nParts, (partCols ++ order): _*)
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(false)
     val wLocal = Window.partitionBy((col("__pid") +: partCols): _*).orderBy(order: _*)
     val wCarry = Window.partitionBy(partCols: _*).orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
