@@ -422,6 +422,66 @@ object TextAnalysis {
       |FROM nd LEFT JOIN nf USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** Vocabulary size for q109 — below the corpus's distinct-token
+    * count so the OOV path actually exercises.
+    */
+  private val VocabV = 24
+
+  // q109 — vocabulary induction + id encoding: build the top-V
+  // vocabulary by global frequency (count desc, token asc — fully
+  // deterministic at the cut boundary), assign ids by rank, and encode
+  // every document as its id sequence with OOV → -1 — the
+  // tokenizer-fitting step that turns a curated corpus into model
+  // input. The sequence is emitted as a CSV string so the value is
+  // portable across engines' array renderings.
+  //
+  // Scale shape: the frequency table aggregates distributively
+  // (map-side partials) and is vocab-sized before the rank window ever
+  // runs — the single-partition window touches |distinct tokens| rows,
+  // not the corpus; the vocab then broadcasts into the encode join.
+  // Per-doc sequence assembly is collect_list bounded by document
+  // length, grouped on doc_id.
+  private def q109(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = documents(s, d)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "term")))
+    val vocab = tok.groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .withColumn("id",
+        row_number().over(Window.orderBy(col("n").desc, col("term"))) - 1)
+      .filter(col("id") < VocabV)
+      .select(col("term"), col("id"))
+    tok.join(broadcast(vocab), Seq("term"), "left")
+      .withColumn("id", coalesce(col("id"), lit(-1)))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_toks"),
+        sum(when(col("id") === -1, 1L).otherwise(0L)).as("n_oov"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("id")))),
+            x => x.getField("id").cast("string")), ",").as("ids_csv"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q109Sql =
+    s"""WITH tok AS (
+      |  SELECT doc_id, unnest(toks) AS term,
+      |    unnest(range(len(toks))) AS pos
+      |  FROM (SELECT doc_id,
+      |      regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      |    FROM documents) t),
+      |vocab AS (
+      |  SELECT term, id FROM (
+      |    SELECT term,
+      |      row_number() OVER (ORDER BY count(*) DESC, term) - 1 AS id
+      |    FROM tok GROUP BY term) v
+      |  WHERE id < $VocabV)
+      |SELECT doc_id, count(*) AS n_toks,
+      |  CAST(sum(CASE WHEN id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+      |  string_agg(CAST(coalesce(id, -1) AS VARCHAR), ',' ORDER BY pos) AS ids_csv
+      |FROM tok LEFT JOIN vocab USING (term)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q50_token_stats", q50, Some(q50Sql)),
     Q("q51_lang_id", q51, Some(q51Sql)),
@@ -433,5 +493,6 @@ object TextAnalysis {
     Q("q91_bpe_tokens", q91, Some(q91Sql)),
     Q("q96_feature_hash", q96, Some(q96Sql)),
     Q("q99_token_novelty", q99, Some(q99Sql)),
+    Q("q109_vocab_encode", q109, Some(q109Sql)),
   )
 }

@@ -468,6 +468,19 @@ class QueryPackSpec extends SparkSpec {
     assert(byUser.size > state.length, "no user ended on a tombstone")
   }
 
+  test("q109 vocab encode: ids in [-1, V), sequence length matches, OOV exercises") {
+    val rows = SparkEntry.queries("q109_vocab_encode")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, nToks, nOov, csv) =>
+      val ids = csv.split(",").map(_.toInt)
+      assert(ids.length.toLong == nToks, s"doc $id length mismatch")
+      assert(ids.count(_ == -1).toLong == nOov, s"doc $id oov count mismatch")
+      assert(ids.forall(i => i == -1 || (i >= 0 && i < 24)), s"doc $id id out of range")
+    }
+    assert(rows.exists(_._3 > 0), "vocab cut never produced an OOV — VocabV too large")
+  }
+
   test("q94 overlap matrix is consistent: n_shared <= min set size, jaccard in (0,1]") {
     val rows = SparkEntry.queries("q94_source_overlap")(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
