@@ -206,9 +206,55 @@ object Pipeline {
       |WHERE cum_toks - n_toks < ${Sampling.TokenBudget}
       |ORDER BY source, doc_id""".stripMargin
 
+  /** q110 — the loader-order capstone: q105's repetition schedule
+    * composed with q107's stride interleaver into the ONE sequence a
+    * training loader actually streams. Every materialized copy
+    * (doc_id, rep_idx) from the repetition schedule gets its own
+    * per-source hash-shuffled rank (so a doc's repeats scatter across
+    * the source's stream instead of clustering), virtual time
+    * k/n_copies, and a global position — sources finish together at
+    * vt = 1 even though small sources run at >1 epoch. Same
+    * bit-reproducibility contract as its parts: integer hash draws,
+    * one IEEE division, rankDistributed global positions.
+    */
+  private def q110(s: SparkSession, d: String): DataFrame = {
+    val copies = Sampling.repetitionCopies(s, d)
+      .withColumn("draw", hash60(concat(lit("lo"), col("doc_id").cast("string"),
+        lit("_"), col("rep_idx").cast("string"))))
+    val n = copies.groupBy(col("source")).agg(count(lit(1)).as("n_copies"))
+    val ranked = Sampling.rankDistributed(copies, Seq("source"),
+        Seq(col("draw"), col("doc_id"), col("rep_idx")))
+      .withColumnRenamed("rk", "k")
+      .join(broadcast(n), Seq("source"))
+      .withColumn("vt", col("k").cast("double") / col("n_copies"))
+    Sampling.rankDistributed(ranked, Seq.empty,
+        Seq(col("vt"), col("source"), col("doc_id"), col("rep_idx")))
+      .select(col("rk").as("pos"), col("source"), col("doc_id"), col("rep_idx"),
+        col("k"), col("vt"))
+      .orderBy(col("pos"))
+  }
+
+  private val q110Sql =
+    s"""WITH ${Sampling.repetitionCteSql},
+      |drawn AS (SELECT source, doc_id, rep_idx,
+      |    ${hash60Sql("'lo' || CAST(doc_id AS VARCHAR) || '_' || CAST(rep_idx AS VARCHAR)")} AS draw
+      |  FROM rep),
+      |n AS (SELECT source, count(*) AS n_copies FROM rep GROUP BY source),
+      |r AS (SELECT source, doc_id, rep_idx,
+      |    row_number() OVER (PARTITION BY source ORDER BY draw, doc_id, rep_idx) AS k,
+      |    n_copies
+      |  FROM drawn JOIN n USING (source)),
+      |v AS (SELECT source, doc_id, rep_idx, k,
+      |    CAST(k AS DOUBLE)/n_copies AS vt FROM r)
+      |SELECT row_number() OVER (ORDER BY vt, source, doc_id, rep_idx) AS pos,
+      |  source, doc_id, CAST(rep_idx AS BIGINT) AS rep_idx,
+      |  CAST(k AS BIGINT) AS k, vt
+      |FROM v ORDER BY pos""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q55_training_pipeline", q55, Some(q55Sql)),
     Q("q90_curation_pipeline", q90, Some(q90Sql)),
     Q("q100_mixing_pipeline", q100, Some(q100Sql)),
+    Q("q110_loader_order", q110, Some(q110Sql)),
   )
 }

@@ -395,8 +395,9 @@ object Sampling {
 
   // q105 — deterministic repetition schedule (data-constrained
   // scaling): small sources are repeated to rebalance the mix, with a
-  // NON-INTEGER per-source factor — factor = min(4, n_max/n_src), held
-  // in basis points so the arithmetic stays integer end to end. Each
+  // NON-INTEGER per-source factor — factor = min(4, T_max/T_src) over
+  // per-source TOKEN totals, held in basis points so the arithmetic
+  // stays integer end to end. Each
   // document is materialized floor(factor) times, plus one extra copy
   // iff a seeded per-doc hash draw lands under the fractional part —
   // so a source with factor 2.3 repeats every doc twice and a
@@ -408,15 +409,23 @@ object Sampling {
   // Scale shape: one corpus scan, a |sources|-row broadcast of the
   // factor table, and the explode is at most RepCap× the input — no
   // data-sized shuffle (output partitioning inherits the scan).
-  private def q105(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d).select(col("doc_id"), col("source"))
-    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
-    val maxN = counts.agg(max(col("n_src")).as("n_max"))
+  /** The repetition-schedule frame behind q105 and q110:
+    * (source, doc_id, factor_bp, copies, rep_idx), one row per
+    * materialized copy.
+    */
+  private[queries] def repetitionCopies(s: SparkSession, d: String): DataFrame = {
+    // Weight by TOKEN mass, not document count: tokens are the unit a
+    // training mix is specified in, and token totals differentiate
+    // sources even when a corpus is document-balanced.
+    val docs = documents(s, d)
+      .select(col("doc_id"), col("source"), tokenCount(col("text")).as("n_toks"))
+    val counts = docs.groupBy(col("source")).agg(sum(col("n_toks")).as("t_src"))
+    val maxN = counts.agg(max(col("t_src")).as("t_max"))
     val factors = counts.crossJoin(broadcast(maxN))
       .withColumn("factor_bp",
-        least(lit(RepCapBp), expr("(10000 * n_max) div n_src")))
+        least(lit(RepCapBp), expr("(10000 * t_max) div t_src")))
       .select(col("source"), col("factor_bp"))
-    docs.join(broadcast(factors), Seq("source"))
+    docs.select(col("doc_id"), col("source")).join(broadcast(factors), Seq("source"))
       .withColumn("u",
         hash60(concat(lit("rep"), col("doc_id").cast("string"))) % 10000)
       // factor_bp >= 10000 (n_max/n_src >= 1), so copies >= 1 and the
@@ -426,26 +435,41 @@ object Sampling {
           when(col("u") < col("factor_bp") % 10000, 1L).otherwise(0L))
       .select(col("source"), col("doc_id"), col("factor_bp"), col("copies"),
         explode(sequence(lit(0L), col("copies") - 1)).as("rep_idx"))
-      .orderBy(col("source"), col("doc_id"), col("rep_idx"))
   }
 
-  private val q105Sql =
-    s"""WITH counts AS (
-      |  SELECT source, count(*) AS n_src FROM documents GROUP BY source),
-      |mx AS (SELECT max(n_src) AS n_max FROM counts),
+  /** DuckDB CTE fragment mirroring [[repetitionCopies]]: defines
+    * `rep(source, doc_id, factor_bp, copies, rep_idx)`.
+    */
+  private[queries] val repetitionCteSql =
+    s"""counts AS (
+      |  SELECT source,
+      |    CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT)
+      |      AS t_src
+      |  FROM documents GROUP BY source),
+      |mx AS (SELECT max(t_src) AS t_max FROM counts),
       |f AS (SELECT source,
-      |    least($RepCapBp, (10000 * n_max) // n_src) AS factor_bp
+      |    least($RepCapBp, (10000 * t_max) // t_src) AS factor_bp
       |  FROM counts, mx),
       |c AS (
       |  SELECT d.source AS source, doc_id, factor_bp,
       |    factor_bp // 10000 +
       |      (CASE WHEN ${hash60Sql("'rep' || CAST(doc_id AS VARCHAR)")} % 10000
       |            < factor_bp % 10000 THEN 1 ELSE 0 END) AS copies
-      |  FROM documents d JOIN f USING (source))
+      |  FROM documents d JOIN f USING (source)),
+      |rep AS (
+      |  SELECT source, doc_id, factor_bp, copies,
+      |    unnest(range(copies)) AS rep_idx
+      |  FROM c)""".stripMargin
+
+  private def q105(s: SparkSession, d: String): DataFrame =
+    repetitionCopies(s, d)
+      .orderBy(col("source"), col("doc_id"), col("rep_idx"))
+
+  private val q105Sql =
+    s"""WITH $repetitionCteSql
       |SELECT source, doc_id, CAST(factor_bp AS BIGINT) AS factor_bp,
-      |  CAST(copies AS BIGINT) AS copies,
-      |  CAST(unnest(range(copies)) AS BIGINT) AS rep_idx
-      |FROM c
+      |  CAST(copies AS BIGINT) AS copies, CAST(rep_idx AS BIGINT) AS rep_idx
+      |FROM rep
       |ORDER BY source, doc_id, rep_idx""".stripMargin
 
   // q107 — deterministic proportional interleaver (stride scheduling):

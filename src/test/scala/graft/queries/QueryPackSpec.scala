@@ -406,16 +406,25 @@ class QueryPackSpec extends SparkSpec {
     val df = SparkEntry.queries("q105_repetition_schedule")(spark, sf)
     val rows = df.collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    import org.apache.spark.sql.functions.{col, sum => fsum}
     val docs = graft.Tables.documents(spark, sf)
       .select("doc_id", "source").collect()
       .map(r => (r.getLong(0), r.getString(1)))
-    val nSrc = docs.groupBy(_._2).map { case (s, d) => s -> d.length.toLong }
-    val nMax = nSrc.values.max
-    // every doc is present, with the recomputed factor
+    val tSrc = graft.Tables.documents(spark, sf)
+      .select(col("source"), graft.functions.TextFns.tokenCount(col("text")).as("t"))
+      .groupBy("source").agg(fsum("t").as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tMax = tSrc.values.max
+    // every doc is present, with the recomputed token-mass factor
     val byDoc = rows.groupBy(r => (r._1, r._2))
     assert(byDoc.keySet == docs.map { case (id, s) => (s, id) }.toSet)
+    // the policy must be non-degenerate on this corpus: some source
+    // gets a fractional factor, and some draw lands an extra copy
+    assert(tSrc.values.exists(t => 10000L * tMax / t % 10000 != 0),
+      "all factors integer — fractional path untested")
+    assert(byDoc.values.exists(_.head._4 > 1), "no doc ever drew an extra copy")
     byDoc.foreach { case ((src, id), rs) =>
-      val factorBp = math.min(40000L, 10000L * nMax / nSrc(src))
+      val factorBp = math.min(40000L, 10000L * tMax / tSrc(src))
       val copies = rs.head._4
       assert(rs.forall(_._3 == factorBp), s"doc $id factor mismatch")
       assert(copies == factorBp / 10000 || copies == factorBp / 10000 + 1,
