@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.PlanOps
 
 /** Connected components by min-label propagation with POINTER JUMPING —
   * the last stage of a dedup pipeline: LSH candidate pairs → duplicate
@@ -25,10 +26,12 @@ import org.apache.spark.sql.functions._
   * invariant: a node's label is always a node id inside its own
   * component and only ever decreases (the jump map is monotone:
   * comp(x) <= x), so any number of extra jumps is safe and the fixpoint
-  * is exactly the component minimum. `localCheckpoint` after each round
-  * cuts the exponentially growing loop lineage; the per-iteration
-  * driver round trip is the convergence check (inherent to any fixpoint
-  * loop).
+  * is exactly the component minimum. [[PlanOps.checkpointBarrier]]
+  * after each round cuts the exponentially growing loop lineage AND
+  * resets the inherited size estimates (a plain localCheckpoint keeps
+  * `originStats`, which compound multiplicatively across rounds — see
+  * the barrier's scaladoc); the per-iteration driver round trip is the
+  * convergence check (inherent to any fixpoint loop).
   */
 object ConnectedComponents {
 
@@ -49,13 +52,13 @@ object ConnectedComponents {
     // references the (often expensive — LSH / winnow candidate
     // generation) edge subtree once per side, and without the barrier
     // Spark computes it twice.
-    val e0 = edges.select(col("a"), col("b")).localCheckpoint(true)
+    val e0 = edges.select(col("a"), col("b")).transform(PlanOps.checkpointBarrier)
     val und = e0
       .union(e0.select(col("b").as("a"), col("a").as("b")))
-      .localCheckpoint(true)
+      .transform(PlanOps.checkpointBarrier)
     var labels = und.select(col("a").as("id")).distinct()
       .withColumn("comp", col("id"))
-      .localCheckpoint(true)
+      .transform(PlanOps.checkpointBarrier)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -75,12 +78,21 @@ object ConnectedComponents {
       val jumps = if (i < escalateAfter) 1
         else 1 << math.min(i - escalateAfter + 1, 3)
       var cur = stepped
-      for (_ <- 1 to jumps) {
+      for (j <- 1 to jumps) {
         val jump = cur.select(col("id").as("jid"), col("comp").as("jcomp"))
         cur = cur.join(jump, cur("comp") === jump("jid"))
           .select(cur("id"), cur("pcomp"), col("jcomp").as("comp"))
+        // Each jump SELF-joins the live plan, so the logical tree
+        // doubles per jump — 2^jumps copies of the round's subtree by
+        // the end, and the size-only stats visitor SQUARES the
+        // sizeInBytes estimate per jump on top of that. A barrier every
+        // 2 jumps caps the un-truncated tree at 4 subtree copies, so
+        // planning cost stays constant per segment; the extra
+        // materializations only occur in escalated (jumps > 2) rounds,
+        // on the small label frame.
+        if (j % 2 == 0 && j < jumps) cur = PlanOps.checkpointBarrier(cur)
       }
-      val jumped = cur.localCheckpoint(true)
+      val jumped = cur.transform(PlanOps.checkpointBarrier)
       converged = jumped.filter(col("comp") < col("pcomp")).isEmpty
       labels = jumped.select(col("id"), col("comp"))
       i += 1

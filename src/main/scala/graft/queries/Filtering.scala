@@ -1,0 +1,149 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.TextFns._
+
+/** Document-gating filters of the C4 / MassiveText lineage: the cheap,
+  * rule-based scrubbing passes every LLM ingest pipeline runs BEFORE
+  * the expensive dedup/similarity stages. The reference (affo/ssp) has
+  * no corpus surface at all — these extend the engine the way its users
+  * would write filter callbacks (reference node.go:57-73 stateless
+  * nodes), but as declarative single-scan projections.
+  *
+  * Scale design: both queries are scan → codegen'd per-row expression
+  * chain → presentation sort. No join, no aggregation, no shuffle of
+  * corpus data (the ORDER BY is the driver-contract presentation sort;
+  * a production gate writes the keep flag back partition-local). The
+  * blocklist and the rule thresholds are literals folded into
+  * WholeStageCodegen — at 100 TB the cost is exactly one pass over the
+  * text bytes, and the filters compose with scan-side column pruning
+  * (only doc_id + text are read).
+  */
+object Filtering {
+
+  /** q111 blocklist — term denylist of the C4 "bad words" form. Terms
+    * are matched on the canonical token stream (lowercased alnum runs),
+    * not raw substrings, so "dup" does not fire inside "dedup" — the
+    * published filters match on word boundaries for exactly this
+    * reason. "broken" never occurs in the corpus, pinning the
+    * no-match path.
+    */
+  val Blocklist: Seq[String] = Seq("slow", "dup", "broken")
+
+  // q111 — denylist gate: per-document blocklisted-token occurrence
+  // count, distinct offending terms, and the keep decision (zero
+  // tolerance, as in C4). One corpus scan; the token array is built
+  // once and both measures fold over it inside codegen.
+  private def q111(s: SparkSession, d: String): DataFrame = {
+    val bl = array(Blocklist.map(lit): _*)
+    val toks = tokens(col("text"))
+    documents(s, d).select(
+      col("doc_id"),
+      tokenCount(col("text")).as("n_toks"),
+      size(filter(toks, t => array_contains(bl, t))).cast("long").as("bl_hits"),
+      size(array_intersect(toks, bl)).cast("long").as("bl_terms"),
+      when(size(filter(toks, t => array_contains(bl, t))) === 0, 1L)
+        .otherwise(0L).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q111Sql = {
+    val blArr = Blocklist.map(t => s"'$t'").mkString("[", ", ", "]")
+    s"""WITH t AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '$TokenPattern') AS toks
+      |  FROM documents)
+      |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
+      |  CAST(len(list_filter(toks, x -> list_contains($blArr, x))) AS BIGINT)
+      |    AS bl_hits,
+      |  CAST(len(list_intersect(toks, $blArr)) AS BIGINT) AS bl_terms,
+      |  CAST(CASE WHEN len(list_filter(toks, x -> list_contains($blArr, x))) = 0
+      |    THEN 1 ELSE 0 END AS BIGINT) AS keep
+      |FROM t
+      |ORDER BY doc_id""".stripMargin
+  }
+
+  /** q113 rule thresholds — the Gopher/MassiveText quality-heuristic
+    * set (Rae et al. 2021, §A1.1), bounds scaled to this corpus's
+    * 10-99-token documents so every rule fires both ways. All rules
+    * evaluate in exact integer arithmetic: the mean-word-length band
+    * is stated as 10·Σlen vs bound·n cross-multiplication (tenths), the
+    * repetition cap as 10·(n−distinct) ≤ cap·n — no float compare sits
+    * on a threshold boundary in either engine.
+    */
+  val MinWords = 20L
+  val MaxWords = 90L
+  val MinMeanLenTenths = 42L // mean token length ≥ 4.2 chars
+  val MaxMeanLenTenths = 100L // ≤ 10.0 chars
+  val MaxDupFracTenths = 6L // duplicate-token fraction ≤ 0.6
+  val Stopwords: Seq[String] = Seq("the", "a")
+
+  // q113 — quality-rule gate: word-count band, mean-word-length band,
+  // stopword presence (both corpus stopwords required), duplicate-token
+  // repetition cap; keep = every rule passes. The per-rule flags are
+  // emitted (not just the verdict) because production pipelines track
+  // rejection reasons per rule.
+  private def q113(s: SparkSession, d: String): DataFrame = {
+    val toks = tokens(col("text"))
+    documents(s, d)
+      .select(col("doc_id"), toks.as("toks"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_words"),
+        aggregate(col("toks"), lit(0L), (a, x) => a + length(x)).as("sum_chars"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+        Stopwords.map(w => array_contains(col("toks"), w)).reduce(_ && _).as("__stop"))
+      .select(
+        col("doc_id"), col("n_words"), col("sum_chars"), col("n_distinct"),
+        (col("n_words") >= MinWords && col("n_words") <= MaxWords).cast("long")
+          .as("r_words"),
+        (col("sum_chars") * 10 >= col("n_words") * MinMeanLenTenths &&
+          col("sum_chars") * 10 <= col("n_words") * MaxMeanLenTenths).cast("long")
+          .as("r_wordlen"),
+        col("__stop").cast("long").as("r_stopwords"),
+        ((col("n_words") - col("n_distinct")) * 10 <=
+          col("n_words") * MaxDupFracTenths).cast("long").as("r_repetition"))
+      .withColumn("keep",
+        (col("r_words") === 1 && col("r_wordlen") === 1 &&
+          col("r_stopwords") === 1 && col("r_repetition") === 1).cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q113Sql = {
+    val stopPred = Stopwords
+      .map(w => s"list_contains(toks, '$w')").mkString(" AND ")
+    s"""WITH t AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '$TokenPattern') AS toks
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
+      |    CAST(coalesce(list_sum(list_transform(toks, x -> len(x))), 0) AS BIGINT)
+      |      AS sum_chars,
+      |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+      |    ($stopPred) AS stop_ok
+      |  FROM t)
+      |SELECT doc_id, n_words, sum_chars, n_distinct,
+      |  CAST(CASE WHEN n_words BETWEEN $MinWords AND $MaxWords
+      |    THEN 1 ELSE 0 END AS BIGINT) AS r_words,
+      |  CAST(CASE WHEN sum_chars * 10 BETWEEN n_words * $MinMeanLenTenths
+      |      AND n_words * $MaxMeanLenTenths
+      |    THEN 1 ELSE 0 END AS BIGINT) AS r_wordlen,
+      |  CAST(CASE WHEN stop_ok THEN 1 ELSE 0 END AS BIGINT) AS r_stopwords,
+      |  CAST(CASE WHEN (n_words - n_distinct) * 10 <= n_words * $MaxDupFracTenths
+      |    THEN 1 ELSE 0 END AS BIGINT) AS r_repetition,
+      |  CAST(CASE WHEN n_words BETWEEN $MinWords AND $MaxWords
+      |      AND sum_chars * 10 BETWEEN n_words * $MinMeanLenTenths
+      |        AND n_words * $MaxMeanLenTenths
+      |      AND stop_ok
+      |      AND (n_words - n_distinct) * 10 <= n_words * $MaxDupFracTenths
+      |    THEN 1 ELSE 0 END AS BIGINT) AS keep
+      |FROM m
+      |ORDER BY doc_id""".stripMargin
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("q111_blocklist_filter", q111, Some(q111Sql)),
+    Q("q113_gopher_rules", q113, Some(q113Sql)),
+  )
+}

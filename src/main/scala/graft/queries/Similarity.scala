@@ -505,6 +505,102 @@ object Similarity {
       |FROM codes c JOIN buckets b USING (code)
       |ORDER BY vec_id""".stripMargin
 
+  /** q112 pivot count / probed cells / cosine threshold — the
+    * SemDeDup-style semantic-dedup knobs, DEFAULTS; override per
+    * session via `graft.semdedup.pivots` / `graft.semdedup.probe`
+    * (the q34 pattern — the oracle SQL is templated from the defaults,
+    * so Verify runs unconfigured sessions). Pivots should scale as √N
+    * at 100× data: set the conf instead of recompiling. τ = 0.35
+    * matches q34's near-dup threshold so the two operators agree on
+    * what "semantically same" means.
+    */
+  val SemPivots = 8
+  val SemProbe = 2
+  val SemTau = 0.35
+
+  // q112 — semantic dedup (the SemDeDup recipe, Abbas et al. 2023):
+  // cluster the embedding space coarsely, call within-cluster pairs
+  // above a cosine threshold duplicates, and keep ONE representative
+  // per duplicate group — the min-id member, every other member is
+  // dropped. Output is corpus-sized: every vector with its duplicate
+  // group (singletons are their own group) and the keep verdict.
+  //
+  // Scale shape: the coarse quantizer is the q34 pivot-cell pattern
+  // (broadcast O(pivots×dim) table, multi-probed assignment), the
+  // within-cell pair generation triangle-splits hot cells
+  // (ops/SelfJoins — a semantic-dup-heavy cell is exactly the hot
+  // case), and the group labels come from the pointer-jumping
+  // connected components over the O(dup pairs) edge list — the corpus
+  // itself never self-joins and never shuffles beyond the final
+  // left join of the (small) component frame.
+  private def q112(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val pivotN = confInt(s, "graft.semdedup.pivots", SemPivots)
+    val probeN = confInt(s, "graft.semdedup.probe", SemProbe)
+    val e = embeddings(s, d)
+    val pivots = e.filter(col("vec_id") < pivotN)
+      .select(col("vec_id").as("pivot_id"), col("embedding").as("pvec"))
+    val wCell = Window.partitionBy(col("vec_id")).orderBy(col("pcos").desc, col("pivot_id"))
+    val assigned = e.join(broadcast(pivots))
+      .withColumn("pcos", expr("cosine_sim(embedding, pvec)"))
+      .withColumn("prk", row_number().over(wCell))
+      .filter(col("prk") <= probeN)
+      .select(col("vec_id"), col("embedding"), col("pivot_id").as("cell"))
+    val hot = assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") > Dedup.HotBucketThreshold)
+      .select(col("cell"), lit(true).as("__hot"))
+    val graded = assigned.join(broadcast(hot), Seq("cell"), "left")
+    val edges = graft.ops.SelfJoins
+      .pairsWithinBlocks(graded, Seq("cell"), "vec_id",
+        when(col("__hot"), lit(Dedup.TriangleSplit)).otherwise(lit(1)))
+      .withColumn("cos", expr("cosine_sim(embedding_l, embedding_r)"))
+      .filter(col("cos") >= SemTau)
+      // cross-row-group pair orientation is arbitrary; canonicalize,
+      // and dedup pairs seen in both probed cells
+      .select(least(col("vec_id_l"), col("vec_id_r")).as("a"),
+        greatest(col("vec_id_l"), col("vec_id_r")).as("b"))
+      .distinct()
+    val comp = graft.ops.ConnectedComponents.minLabel(edges)
+    val wSize = Window.partitionBy(col("group_id"))
+    e.select(col("vec_id"))
+      .join(comp.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("comp"), col("vec_id")).as("group_id"))
+      .withColumn("group_size", count(lit(1)).over(wSize))
+      .withColumn("keep",
+        when(col("vec_id") === col("group_id"), 1L).otherwise(0L))
+      .orderBy(col("vec_id"))
+  }
+
+  private val q112Sql =
+    s"""WITH RECURSIVE assigned AS (
+      |  SELECT vec_id, embedding, cell FROM (
+      |    SELECT e.vec_id, e.embedding, p.vec_id AS cell,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY ${cosSql("e.embedding", "p.embedding")} DESC, p.vec_id) AS prk
+      |    FROM embeddings e JOIN embeddings p ON p.vec_id < $SemPivots) t
+      |  WHERE prk <= $SemProbe),
+      |pairs AS (
+      |  SELECT DISTINCT a.vec_id AS a, b.vec_id AS b
+      |  FROM assigned a JOIN assigned b
+      |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+      |  WHERE ${cosSql("a.embedding", "b.embedding")} >= $SemTau),
+      |undirected(a, b) AS (
+      |  SELECT a, b FROM pairs UNION SELECT b, a FROM pairs
+      |  UNION SELECT a, a FROM pairs UNION SELECT b, b FROM pairs),
+      |reach(a, b) AS (
+      |  SELECT a, b FROM undirected
+      |  UNION
+      |  SELECT r.a, u.b FROM reach r JOIN undirected u ON r.b = u.a),
+      |comp AS (SELECT a AS vec_id, min(b) AS gid FROM reach GROUP BY a)
+      |SELECT vec_id, group_id,
+      |  count(*) OVER (PARTITION BY group_id) AS group_size,
+      |  CAST(CASE WHEN vec_id = group_id THEN 1 ELSE 0 END AS BIGINT) AS keep
+      |FROM (
+      |  SELECT e.vec_id, coalesce(c.gid, e.vec_id) AS group_id
+      |  FROM embeddings e LEFT JOIN comp c USING (vec_id)) t
+      |ORDER BY vec_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q34_embed_neardup", q34, Some(q34Sql)),
     Q("q40_knn_brute", q40, Some(q40Sql)),
@@ -512,5 +608,6 @@ object Similarity {
     Q("q74_embed_quant", q74, Some(q74Sql)),
     Q("q87_kcenter_diversity", q87, Some(q87Sql)),
     Q("q95_srp_lsh", q95, Some(q95Sql)),
+    Q("q112_semdedup", q112, Some(q112Sql)),
   )
 }

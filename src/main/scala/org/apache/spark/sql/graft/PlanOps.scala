@@ -19,6 +19,36 @@ object PlanOps {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Eager localCheckpoint that also RESETS the plan-size statistics at
+    * the barrier.
+    *
+    * `Dataset.localCheckpoint` truncates the lineage to a LogicalRDD,
+    * but (since Spark 3.4, `LogicalRDD.fromDataset`) the new leaf
+    * carries `originStats` — the ESTIMATED statistics of the plan it
+    * replaced. Inside a fixpoint loop that is a time bomb: every join
+    * MULTIPLIES sizeInBytes estimates, so each iteration's estimate
+    * compounds on the last one's, and a pointer-jumping loop (which
+    * squares the mapping per jump) doubles the estimate's digit count
+    * per squaring. After ~18 squarings the sizeInBytes BigInt has
+    * millions of digits and the driver spends tens of minutes inside
+    * BigInteger.multiply in join-strategy stats checks (observed: q112
+    * connected components, >20 min planning a sub-second job at
+    * sf0.001). Dropping originStats makes the leaf report the
+    * (finite, constant) session default size, so estimates stay
+    * bounded by the join depth BETWEEN barriers, not the loop's
+    * history. The checkpointed data, partitioning, and ordering are
+    * kept — only the inherited estimate is discarded.
+    */
+  def checkpointBarrier(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession.asInstanceOf[classic.SparkSession]
+    val ck = df.localCheckpoint(true)
+    ck.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        classic.Dataset.ofRows(spark, lr.copy()(spark, None, None))
+      case _ => ck
+    }
+  }
+
   def expression(c: Column): Expression =
     classic.ColumnNodeToExpressionConverter(c.node)
 

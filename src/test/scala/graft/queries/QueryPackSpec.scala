@@ -500,4 +500,60 @@ class QueryPackSpec extends SparkSpec {
       assert(j > 0.0 && j <= 1.0, s"($a,$b) jaccard $j out of range")
     }
   }
+
+  test("q111 blocklist gate: hits recomputed per doc, keep iff zero, both paths fire") {
+    val rows = SparkEntry.queries("q111_blocklist_filter")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(rows.length == docs.size)
+    rows.foreach { case (id, nToks, hits, terms, keep) =>
+      val toks = docs(id).toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      val want = toks.count(Filtering.Blocklist.contains)
+      assert(toks.length.toLong == nToks, s"doc $id token count")
+      assert(hits == want.toLong, s"doc $id hits $hits != $want")
+      assert(terms == toks.toSet.intersect(Filtering.Blocklist.toSet).size.toLong)
+      assert(keep == (if (hits == 0) 1L else 0L))
+    }
+    assert(rows.exists(_._5 == 1L), "no doc ever kept — blocklist too broad")
+    assert(rows.exists(_._5 == 0L), "no doc ever dropped — blocklist never fires")
+    // "broken" never occurs: hits must come from the live terms only
+    assert(rows.forall { case (id, _, _, terms, _) => terms <= 2 })
+  }
+
+  test("q113 gopher rules: keep is the AND of the flags, every rule fires both ways") {
+    val rows = SparkEntry.queries("q113_gopher_rules")(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)),
+        r.getLong(8)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, (rw, rl, rs, rr), keep) =>
+      assert(Seq(rw, rl, rs, rr).forall(f => f == 0L || f == 1L))
+      assert(keep == (rw min rl min rs min rr), s"doc $id keep != AND of rules")
+    }
+    val flags = rows.map(_._2)
+    assert(flags.exists(_._1 == 0L) && flags.exists(_._1 == 1L), "r_words degenerate")
+    assert(flags.exists(_._2 == 0L) && flags.exists(_._2 == 1L), "r_wordlen degenerate")
+    assert(flags.exists(_._3 == 0L) && flags.exists(_._3 == 1L), "r_stopwords degenerate")
+    assert(flags.exists(_._4 == 0L) && flags.exists(_._4 == 1L), "r_repetition degenerate")
+  }
+
+  test("q112 semdedup: valid partition into groups, representatives kept, dups dropped") {
+    val rows = SparkEntry.queries("q112_semdedup")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val n = graft.Tables.embeddings(spark, sf).count()
+    assert(rows.length.toLong == n, "one row per vector")
+    val byGroup = rows.groupBy(_._2)
+    byGroup.foreach { case (gid, members) =>
+      assert(members.map(_._1).min == gid, s"group $gid not labeled by min member")
+      members.foreach { case (id, _, size, keep) =>
+        assert(size.toInt == members.length, s"vec $id group_size")
+        assert(keep == (if (id == gid) 1L else 0L), s"vec $id keep flag")
+      }
+    }
+    assert(byGroup.values.exists(_.length > 1), "no multi-member duplicate group")
+    assert(byGroup.values.exists(_.length == 1), "no singleton group")
+    // exactly one representative survives per group
+    assert(rows.count(_._4 == 1L) == byGroup.size)
+  }
 }
