@@ -102,7 +102,81 @@ object Contamination {
       |ORDER BY g.doc_id""".stripMargin
   }
 
+  // q114 — cross-split leakage audit: after the q89 hash split, check
+  // every held-out (val/test) document for 5-gram overlap against the
+  // TRAIN split — the self-contamination a training pipeline creates
+  // when near-duplicates straddle the split boundary (exact-fingerprint
+  // dedup alone cannot catch these; the standard practice is n-gram
+  // decontamination of eval sets against train). Differs from q73 in
+  // the critical scale dimension: the train side is CORPUS-SIZED, not
+  // a fixed eval suite, so broadcasting it is illegal — the overlap
+  // runs as a shuffled equi-join on the 8-byte gram hash. Only
+  // (gram-hash) and (doc_id, gram-hash) rows reach the wire; document
+  // text never shuffles. The train gram set is distinct-aggregated
+  // (map-side partial dedup), and the per-doc roll-up re-keys by
+  // doc_id — three hash-sized exchanges total, each sized by gram
+  // cardinality, never by text bytes.
+  private val LeakNum = 2 // leaked when n_hit * 2 >= n_grams (>= 50%)
+
+  /** Core over (doc_id, split, text) — fixture-testable; q114 derives
+    * the split from the q89 hash so the audit composes with the real
+    * split assignment.
+    */
+  private[graft] def splitLeakageOf(docsDf: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docsDf.sparkSession)
+    // Materialize the distinct gram-hash array behind the exchange so
+    // the Generate consumes an attribute (the q73 re-evaluation trap).
+    val base = docsDf
+      .select(col("doc_id"), col("split"),
+        array_distinct(call_function(
+          "ngram_hash60", tokens(col("text")), lit(GramLen), lit(0L))).as("gs"))
+      .repartition(col("doc_id"))
+    val ex = base.select(col("doc_id"), col("split"), explode(col("gs")).as("g"))
+    val train = ex.filter(col("split") === "train").select(col("g")).distinct()
+    ex.filter(col("split") =!= "train")
+      .join(train.withColumn("hit", lit(1L)), Seq("g"), "left")
+      .groupBy(col("doc_id"), col("split"))
+      .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_hit"))
+      .withColumn("leaked",
+        when(col("n_hit") * LeakNum >= col("n_grams"), 1L).otherwise(0L))
+      .orderBy(col("doc_id"))
+  }
+
+  private def q114(s: SparkSession, d: String): DataFrame = {
+    val bucket = pmod(
+      hash60(concat(lit(Sampling.SplitSeed), col("doc_id").cast("string"))), lit(100L))
+    val split = when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    splitLeakageOf(documents(s, d).select(col("doc_id"), split.as("split"), col("text")))
+  }
+
+  private val q114Sql = {
+    val toks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+    val gram = (0 until GramLen).map(j => s"t[i+${j + 1}]").mkString(" || ' ' || ")
+    s"""WITH d AS (
+      |  SELECT doc_id,
+      |    CASE WHEN h % 100 < 80 THEN 'train' WHEN h % 100 < 90 THEN 'val'
+      |         ELSE 'test' END AS split,
+      |    $toks AS t
+      |  FROM (SELECT doc_id, text,
+      |          ${hash60Sql(s"'${Sampling.SplitSeed}' || CAST(doc_id AS VARCHAR)")} AS h
+      |        FROM documents) x),
+      |g AS (
+      |  SELECT doc_id, split, unnest(list_distinct(list_transform(
+      |    range(greatest(len(t) - ${GramLen - 1}, 0)),
+      |    i -> ${hash60Sql(gram)}))) AS g
+      |  FROM d),
+      |tr AS (SELECT DISTINCT g FROM g WHERE split = 'train')
+      |SELECT e.doc_id, e.split, count(*) AS n_grams, count(tr.g) AS n_hit,
+      |  CAST(CASE WHEN count(tr.g) * $LeakNum >= count(*) THEN 1 ELSE 0 END
+      |    AS BIGINT) AS leaked
+      |FROM g e LEFT JOIN tr ON e.g = tr.g
+      |WHERE e.split <> 'train'
+      |GROUP BY e.doc_id, e.split
+      |ORDER BY e.doc_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q73_contamination", q73, Some(q73Sql)),
+    Q("q114_split_leakage", q114, Some(q114Sql)),
   )
 }

@@ -531,6 +531,73 @@ object Sampling {
       |WHERE cum_toks - n_toks < $TokenBudget
       |ORDER BY source, doc_id""".stripMargin
 
+  // q115 — DSIR-style importance weighting (Xie et al. 2023, "Data
+  // Selection for Language Models via Importance Resampling"): score
+  // every document by how much its hashed-bigram feature profile
+  // resembles a TARGET distribution (here the lang='en' slice) relative
+  // to the RAW corpus distribution. Features are bigram hashes folded
+  // into DsirBuckets buckets (the paper's hashed n-gram trick — the
+  // feature space is fixed-size no matter how large the corpus), and
+  // the per-feature score is exact integer arithmetic,
+  // (Scale·(t_f+1)) div (r_f+2) — an add-one-smoothed target/raw
+  // likelihood ratio in fixed point, so both engines agree bit-for-bit
+  // with no float logs anywhere.
+  //
+  // Scale design: the bucket-count table is AT MOST DsirBuckets rows
+  // regardless of corpus size — it aggregates map-side (partials per
+  // partition, a DsirBuckets-row shuffle) and then BROADCASTS into the
+  // per-doc feature join, so corpus data shuffles exactly once, keyed
+  // by doc_id for the final roll-up. This is the whole point of hashed
+  // features: the "model" fits in a broadcast no matter the scale.
+  private val DsirBuckets = 1024L
+  private val DsirScale = 10000L
+  private val DsirTargetLang = "en"
+
+  /** Core over (doc_id, lang, text) — fixture-testable. `targetLang`
+    * selects the target slice whose feature distribution defines the
+    * importance numerator.
+    */
+  private[graft] def dsirWeightsOf(docsDf: DataFrame, targetLang: String): DataFrame = {
+    graft.functions.GraftFunctions.register(docsDf.sparkSession)
+    val base = docsDf
+      .select(col("doc_id"), col("lang"),
+        array_distinct(call_function(
+          "ngram_hash60", tokens(col("text")), lit(2), lit(DsirBuckets))).as("fs"))
+      .repartition(col("doc_id"))
+    val feats = base.select(col("doc_id"), col("lang"), explode(col("fs")).as("f"))
+    val counts = feats.groupBy(col("f")).agg(
+      count(lit(1)).as("r_f"),
+      sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("t_f"))
+    feats.join(broadcast(counts), Seq("f"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"),
+        sum(expr(s"($DsirScale * (t_f + 1)) DIV (r_f + 2)")).as("weight"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def q115(s: SparkSession, d: String): DataFrame =
+    dsirWeightsOf(documents(s, d).select(col("doc_id"), col("lang"), col("text")),
+      DsirTargetLang)
+
+  private val q115Sql = {
+    val toks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+    s"""WITH d AS (SELECT doc_id, lang, $toks AS t FROM documents),
+      |f AS (
+      |  SELECT doc_id, lang, unnest(list_distinct(list_transform(
+      |    range(greatest(len(t) - 1, 0)),
+      |    i -> ${hash60Sql("t[i+1] || ' ' || t[i+2]")} % $DsirBuckets))) AS f
+      |  FROM d),
+      |c AS (SELECT f, count(*) AS r_f,
+      |    CAST(sum(CASE WHEN lang = '$DsirTargetLang' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS t_f
+      |  FROM f GROUP BY f)
+      |SELECT f.doc_id, count(*) AS n_feats,
+      |  CAST(sum(($DsirScale * (c.t_f + 1)) // (c.r_f + 2)) AS BIGINT) AS weight
+      |FROM f JOIN c USING (f)
+      |GROUP BY f.doc_id
+      |ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q78_reservoir_stratified", q78, Some(q78Sql)),
     Q("q79_mixture_sample", q79, Some(q79Sql)),
@@ -542,5 +609,6 @@ object Sampling {
     Q("q104_epoch_shuffle", q104, Some(q104Sql)),
     Q("q105_repetition_schedule", q105, Some(q105Sql)),
     Q("q107_stride_interleave", q107, Some(q107Sql)),
+    Q("q115_dsir_weights", q115, Some(q115Sql)),
   )
 }

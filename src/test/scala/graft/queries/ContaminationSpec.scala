@@ -23,6 +23,28 @@ class ContaminationSpec extends SparkSpec {
     assert(byId(3L)._2 == 0L && byId(3L)._4 == 0)
   }
 
+  test("split-leakage audit flags eval docs whose 5-grams sit in train") {
+    val trainText = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val docs = Seq(
+      (0L, "train", trainText),
+      (1L, "train", "other words filling the training split with content"),
+      (2L, "val", trainText + " trailing extra"), // near-copy of doc 0 -> leaked
+      (3L, "val", "completely different vocabulary nothing shared anywhere at all ok"),
+      (4L, "test", "alpha beta gamma delta epsilon plus unrelated suffix tokens here"))
+      .toDF("doc_id", "split", "text")
+    val got = Contamination.splitLeakageOf(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toList
+    assert(got.map(_._1) == List(2L, 3L, 4L)) // train docs never audited
+    val byId = got.map(t => t._1 -> t).toMap
+    val (_, s2, n2, h2, l2) = byId(2L)
+    assert(s2 == "val" && l2 == 1L && h2 * 2 >= n2, s"near-copy not leaked: $got")
+    assert(byId(3L)._4 == 0L && byId(3L)._5 == 0L) // zero overlap, clean
+    val (_, _, n4, h4, l4) = byId(4L)
+    assert(h4 > 0L && l4 == 0L && h4 * 2 < n4, // partial overlap below 50%
+      s"partial-overlap doc misflagged: $got")
+  }
+
   test("the contamination gate runs unchanged as a streaming filter") {
     // stream-static form: the benchmark gram array is computed from a
     // static frame, and each micro-batch of candidate docs streams
