@@ -1,0 +1,94 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Iterative link analysis over graphs the relational data already
+  * contains. The reference (affo/ssp) has no graph surface — its users
+  * would hand-roll iteration inside stateful node callbacks (reference
+  * node.go:66-82, NewStatefulNode/Do); here the iteration is a fixed
+  * number of declarative
+  * join+aggregate rounds, the textbook distributed PageRank shape:
+  * each round shuffles per-edge contributions keyed by destination
+  * node, partial-aggregated map-side, and the optimizer (AQE) re-plans
+  * every round at runtime. No driver-side collect — the driver only
+  * holds the loop counter, like q41's k-means rounds.
+  *
+  * All arithmetic is fixed-point integer (scores scaled by [[PrScale]],
+  * damping 0.85 as 85/100, integer DIV throughout), so the result is
+  * bit-identical across engines and the oracle unrolls the same three
+  * rounds as chained CTEs.
+  */
+object Graph {
+
+  val PrScale = 1000000L
+  val PrIters = 3
+  private val PrDampNum = 85L // damping factor in hundredths
+
+  // q117 — PageRank over the part↔supplier bipartite graph induced by
+  // lineitem (an edge per distinct supply relationship, both
+  // directions). Node ids: part p -> 2p, supplier s -> 2s+1. Every
+  // graph node has degree >= 1 by construction, so there is no
+  // dangling-mass term. The edge list is localCheckpointed once: three
+  // rounds re-read one materialized frame instead of re-running the
+  // lineitem distinct per round.
+  /** Core: fixed-point PageRank scores (id, score) over an UNDIRECTED
+    * graph given as distinct directed edges (src, dst) — each edge is
+    * expanded to both directions here. Fixture-testable.
+    */
+  private[graft] def pageRankOf(e0: DataFrame): DataFrame = {
+    val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val edgesD = edges.join(deg, "src").localCheckpoint()
+    var sc = deg.select(col("src").as("id"), lit(PrScale).as("score"))
+    for (_ <- 1 to PrIters) {
+      sc = edgesD.join(sc, col("src") === col("id"))
+        .groupBy(col("dst"))
+        .agg(expr(s"CAST((${100 - PrDampNum} * $PrScale + " +
+          s"$PrDampNum * sum(score DIV d)) DIV 100 AS BIGINT)").as("score"))
+        .select(col("dst").as("id"), col("score"))
+    }
+    sc
+  }
+
+  private def q117(s: SparkSession, d: String): DataFrame = {
+    val e0 = lineitem(s, d)
+      .select((col("l_partkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    pageRankOf(e0).select(
+      when(col("id") % 2 === 0, "part").otherwise("supplier").as("node_type"),
+      expr("id DIV 2").as("key"), col("score"))
+      .orderBy(col("node_type"), col("key"))
+  }
+
+  private val q117Sql = {
+    val base = s"${100 - PrDampNum} * $PrScale"
+    def round(prev: String, name: String) =
+      s"""$name AS (
+        |  SELECT ed.dst AS id,
+        |    CAST(($base + $PrDampNum * sum(p.score // ed.d)) // 100 AS BIGINT)
+        |      AS score
+        |  FROM ed JOIN $prev p ON p.id = ed.src
+        |  GROUP BY ed.dst)""".stripMargin
+    s"""WITH e0 AS (
+      |  SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      |  FROM lineitem),
+      |e AS (SELECT src, dst FROM e0
+      |      UNION ALL SELECT dst AS src, src AS dst FROM e0),
+      |deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+      |ed AS (SELECT e.src, e.dst, deg.d FROM e JOIN deg USING (src)),
+      |s0 AS (SELECT src AS id, CAST($PrScale AS BIGINT) AS score FROM deg),
+      |${round("s0", "s1")},
+      |${round("s1", "s2")},
+      |${round("s2", "s3")}
+      |SELECT CASE WHEN id % 2 = 0 THEN 'part' ELSE 'supplier' END AS node_type,
+      |  CAST(id // 2 AS BIGINT) AS key, score
+      |FROM s3
+      |ORDER BY node_type, key""".stripMargin
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("q117_pagerank", q117, Some(q117Sql)),
+  )
+}

@@ -579,6 +579,44 @@ object Sampling {
     dsirWeightsOf(documents(s, d).select(col("doc_id"), col("lang"), col("text")),
       DsirTargetLang)
 
+  /** The DSIR "model": one row holding a bucket -> fixed-point score
+    * map fitted on a static corpus. At most DsirBuckets entries by
+    * construction — always broadcastable, at any corpus size.
+    */
+  private def dsirModelOf(staticCorpus: DataFrame, targetLang: String): DataFrame = {
+    graft.functions.GraftFunctions.register(staticCorpus.sparkSession)
+    staticCorpus
+      .select(col("lang"), explode(array_distinct(call_function(
+        "ngram_hash60", tokens(col("text")), lit(2), lit(DsirBuckets)))).as("f"))
+      .groupBy(col("f")).agg(
+        count(lit(1)).as("r_f"),
+        sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("t_f"))
+      .select(col("f"), expr(s"($DsirScale * (t_f + 1)) DIV (r_f + 2)").as("sc"))
+      .agg(map_from_arrays(collect_list(col("f")), collect_list(col("sc"))).as("m"))
+  }
+
+  /** Streaming form of q115 — the paper's actual deployment shape: fit
+    * the target/raw bucket model ONCE on a static corpus, then stream
+    * candidate documents through it. The model broadcasts as a 1-row
+    * map (the q73 benchmark-array pattern) and the per-doc weight folds
+    * over the feature array inside codegen — no explode, no streaming
+    * aggregation, no state, so the query runs in append mode with the
+    * same per-row cost as a stateless filter. Buckets unseen in the
+    * static corpus score with the same add-one smoothing at zero
+    * counts: (Scale·1) div 2.
+    */
+  def dsirWeightsStream(stream: DataFrame, staticCorpus: DataFrame,
+      targetLang: String): DataFrame = {
+    val unseen = DsirScale / 2 // (Scale * (0+1)) DIV (0+2)
+    stream
+      .select(col("doc_id"), array_distinct(call_function(
+        "ngram_hash60", tokens(col("text")), lit(2), lit(DsirBuckets))).as("fs"))
+      .crossJoin(broadcast(dsirModelOf(staticCorpus, targetLang)))
+      .select(col("doc_id"), size(col("fs")).cast("long").as("n_feats"),
+        aggregate(col("fs"), lit(0L),
+          (acc, x) => acc + coalesce(element_at(col("m"), x), lit(unseen))).as("weight"))
+  }
+
   private val q115Sql = {
     val toks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
     s"""WITH d AS (SELECT doc_id, lang, $toks AS t FROM documents),

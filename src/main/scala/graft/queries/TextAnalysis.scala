@@ -482,6 +482,46 @@ object TextAnalysis {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  // q116 — per-source corpus profile: the data-quality dashboard every
+  // ingest pipeline materializes before/after each processing stage
+  // (doc counts, token totals and extremes, language spread, unique
+  // normalized fingerprints, byte volume). One corpus scan into a
+  // |sources|-group aggregate: the two COUNT(DISTINCT)s plan as
+  // Expand(×2) + partial aggregates, so the shuffle carries
+  // per-partition distinct (source, lang/fp) rows, never documents —
+  // at 100 TB the wire sees O(sources × langs + sources × unique-fp
+  // per partition) rows.
+  private def q116(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("source"), col("lang"), col("n_chars"),
+        tokenCount(col("text")).as("n_toks"),
+        hash60(normalize(col("text"))).as("fp"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("total_toks"),
+        min(col("n_toks")).as("min_toks"),
+        max(col("n_toks")).as("max_toks"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("fp")).as("n_unique"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("source"))
+
+  private val q116Sql =
+    s"""SELECT source, count(*) AS n_docs,
+      |  CAST(sum(n_toks) AS BIGINT) AS total_toks,
+      |  CAST(min(n_toks) AS BIGINT) AS min_toks,
+      |  CAST(max(n_toks) AS BIGINT) AS max_toks,
+      |  count(DISTINCT lang) AS n_langs,
+      |  count(DISTINCT fp) AS n_unique,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM (
+      |  SELECT source, lang, n_chars,
+      |    len(regexp_extract_all(lower(text), '$TokenPattern')) AS n_toks,
+      |    ${hash60Sql(normalizeSql("text"))} AS fp
+      |  FROM documents) t
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q50_token_stats", q50, Some(q50Sql)),
     Q("q51_lang_id", q51, Some(q51Sql)),
@@ -494,5 +534,6 @@ object TextAnalysis {
     Q("q96_feature_hash", q96, Some(q96Sql)),
     Q("q99_token_novelty", q99, Some(q99Sql)),
     Q("q109_vocab_encode", q109, Some(q109Sql)),
+    Q("q116_corpus_profile", q116, Some(q116Sql)),
   )
 }

@@ -35,6 +35,28 @@ class DsirWeightsSpec extends SparkSpec {
       s"target-like doc does not outscore disjoint doc: $perFeatA vs $perFeatB")
   }
 
+  test("streaming DSIR gate matches batch weights when fit on the same corpus") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    val fixture = Seq(
+      (1L, "en", textA), (2L, "en", textA), (3L, "de", textA), (4L, "de", textB))
+    val static = fixture.toDF("doc_id", "lang", "text")
+    val batch = Sampling.dsirWeightsOf(static, "en").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val in = MemoryStream[(Long, String, String)]
+    val out = Sampling.dsirWeightsStream(
+      in.toDF().toDF("doc_id", "lang", "text"), static, "en")
+    val q = out.writeStream.format("memory").queryName("dsir_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(fixture)
+      q.processAllAvailable()
+      val got = spark.table("dsir_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == batch, s"stream $got != batch $batch")
+    } finally q.stop()
+  }
+
   test("smoothing keeps zero-target-mass features at a positive score") {
     val docs = Seq((1L, "de", textB)).toDF("doc_id", "lang", "text")
     val Array(r) = Sampling.dsirWeightsOf(docs, "en").collect()

@@ -1,0 +1,38 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Pins the q117 fixed-point PageRank against an in-test sequential
+  * fold of the same recurrence — same integer arithmetic, so equality
+  * is exact, including the div-truncation behavior a float reference
+  * would miss.
+  */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def reference(
+      e0: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val edges = e0 ++ e0.map(_.swap)
+    val deg = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    var score: Map[Long, Long] = deg.map { case (k, _) => k -> Graph.PrScale }
+    for (_ <- 1 to iters) {
+      val contrib = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => score(src) / deg(src) }.sum
+      }
+      score = contrib.map { case (id, c) =>
+        id -> (15L * Graph.PrScale + 85L * c) / 100L
+      }
+    }
+    score
+  }
+
+  test("distributed fixed-point PageRank equals the sequential recurrence") {
+    // star (1 hub, 3 leaves) + a separate edge, degrees 1..3
+    val e0 = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 10L), (3L, 13L))
+    val got = Graph.pageRankOf(e0.toDF("src", "dst")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == reference(e0, Graph.PrIters), s"got $got")
+    // hub node 10 (degree 2 in-star) outranks the degree-1 leaf 11
+    assert(got(10L) > got(11L))
+  }
+}
