@@ -168,11 +168,61 @@ object EventWindows {
       |WHERE rn = 1 AND last_type <> 'error'
       |ORDER BY user_id""".stripMargin
 
+  // q118 — transcript assembly: sessionized per-user event streams
+  // flattened into ordered "conversation" records, the chat-log →
+  // training-transcript step of an interaction-data pipeline (and the
+  // inverse of q66's posexplode). Same session boundary as q28
+  // (>30 min gap). The ordered flatten is collect_list over
+  // (ts_ms, event_id, event_type) structs + array_sort + transform —
+  // collect_list alone has NO ordering guarantee across merges, the
+  // struct sort is what makes the transcript deterministic on any
+  // cluster. Per-group state is bounded by session length (activity-
+  // gap-bounded by construction), so the roll-up never materializes
+  // more than one session's events per key.
+  private def q118(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    val cum = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .withColumn("prev_ms", lag(col("ts_ms"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ms").isNull || col("ts_ms") - col("prev_ms") > 1800000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(cum))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_turns"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("ts_ms"), col("event_id"), col("event_type")))),
+          x => x.getField("event_type")), " ").as("transcript"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  private val q118Sql =
+    """WITH t AS (
+      |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms,
+      |    lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_ms(ts), event_id) AS prev_ms
+      |  FROM events),
+      |sess AS (
+      |  SELECT user_id, event_id, event_type, ts_ms,
+      |    CAST(sum(CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms > 1800000
+      |        THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+      |      ORDER BY ts_ms, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS session_id
+      |  FROM t)
+      |SELECT user_id, session_id, count(*) AS n_turns,
+      |  string_agg(event_type, ' ' ORDER BY ts_ms, event_id) AS transcript
+      |FROM sess
+      |GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q26_tumbling_window", q26, Some(q26Sql)),
     Q("q27_sliding_window", q27, Some(q27Sql)),
     Q("q28_session_window", q28, Some(q28Sql)),
     Q("q29_running_count", q29, Some(q29Sql)),
     Q("q108_changelog_apply", q108, Some(q108Sql)),
+    Q("q118_transcripts", q118, Some(q118Sql)),
   )
 }
