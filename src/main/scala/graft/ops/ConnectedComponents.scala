@@ -35,11 +35,52 @@ import org.apache.spark.sql.graft.PlanOps
   */
 object ConnectedComponents {
 
+  /** Edge-count gate below which [[minLabel]] finishes with a local
+    * union-find instead of the iterative distributed loop. A dedup
+    * edge list is O(duplicate pairs) — overwhelmingly smaller than the
+    * corpus that produced it — and each distributed round costs several
+    * scheduled jobs (neighbor join, jumps, barrier, convergence probe),
+    * so below this bound the loop is pure fixed overhead: measured 19 s
+    * for a 1.3k-edge graph at local[32] vs <0.1 s locally. 4M edges is
+    * ~64 MB of packed longs — comfortably driver-safe; override (or set
+    * 0 to force the distributed path) via `graft.cc.localMaxEdges`.
+    */
+  val LocalMaxEdges = 4000000L
+
   /** @param edges two Long columns `a`, `b` (undirected pairs)
     * @return (id, comp): every vertex mapped to the min id reachable
     */
-  def minLabel(edges: DataFrame, maxIter: Int = 20, escalateAfter: Int = 4): DataFrame =
-    minLabelWithRounds(edges, maxIter, escalateAfter)._1
+  def minLabel(edges: DataFrame, maxIter: Int = 20, escalateAfter: Int = 4): DataFrame = {
+    val spark = edges.sparkSession
+    val e0 = edges.select(col("a"), col("b")).transform(PlanOps.checkpointBarrier)
+    val gate = spark.conf.getOption("graft.cc.localMaxEdges")
+      .flatMap(_.toLongOption).getOrElse(LocalMaxEdges)
+    if (e0.count() <= gate) localMinLabel(e0)
+    else minLabelWithRounds(e0, maxIter, escalateAfter)._1
+  }
+
+  /** Driver-side union-find (path compression + union-by-min), labels
+    * normalized to the component minimum — bit-identical to the
+    * distributed fixpoint. Only reached under the [[LocalMaxEdges]]
+    * gate, so the collect is bounded.
+    */
+  private def localMinLabel(e0: DataFrame): DataFrame = {
+    val spark = e0.sparkSession
+    import spark.implicits._
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = parent.getOrElseUpdate(x, x)
+      while (parent(r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent(c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+      r
+    }
+    e0.collect().foreach { row =>
+      val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keysIterator.map(k => (k, find(k))).toSeq.toDF("id", "comp")
+  }
 
   /** As [[minLabel]], also returning the rounds taken to converge —
     * observable for the escalation specs.

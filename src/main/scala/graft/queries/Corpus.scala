@@ -268,10 +268,56 @@ object Corpus {
       |ORDER BY doc_id""".stripMargin
   }
 
+  // q119 — incremental snapshot diff: the crawl-refresh CDC step that
+  // classifies every document across two corpus snapshots as
+  // added / removed / changed / unchanged by comparing normalized-text
+  // fingerprints. At 100 TB each snapshot reduces to a (doc_id,
+  // 8-byte fingerprint) manifest at scan time, and the diff is ONE
+  // full-outer join keyed by doc_id — document text never shuffles,
+  // so the diff costs two scans plus a manifest-sized exchange no
+  // matter how wide the documents are. The two snapshots are derived
+  // deterministically from the one driver table (old = doc_id%5!=0
+  // with an injected edit on doc_id%7==0; new = doc_id%5!=3) so all
+  // four statuses are pinned at every SF.
+  private def q119(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val oldSnap = docs.filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id"),
+        hash60(normalize(when(col("doc_id") % 7 === 0, concat(col("text"), lit(" edit")))
+          .otherwise(col("text")))).as("fp_old"))
+    val newSnap = docs.filter(col("doc_id") % 5 =!= 3)
+      .select(col("doc_id"), hash60(normalize(col("text"))).as("fp_new"))
+    oldSnap.join(newSnap, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("fp_old").isNull, "added")
+          .when(col("fp_new").isNull, "removed")
+          .when(col("fp_old") =!= col("fp_new"), "changed")
+          .otherwise("unchanged").as("status"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q119Sql = {
+    val editText = "CASE WHEN doc_id % 7 = 0 THEN text || ' edit' ELSE text END"
+    s"""WITH oldv AS (
+      |  SELECT doc_id, ${hash60Sql(normalizeSql(s"($editText)"))} AS fp_old
+      |  FROM documents WHERE doc_id % 5 <> 0),
+      |newv AS (
+      |  SELECT doc_id, ${hash60Sql(normalizeSql("text"))} AS fp_new
+      |  FROM documents WHERE doc_id % 5 <> 3)
+      |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+      |  CASE WHEN o.doc_id IS NULL THEN 'added'
+      |       WHEN n.doc_id IS NULL THEN 'removed'
+      |       WHEN o.fp_old <> n.fp_new THEN 'changed'
+      |       ELSE 'unchanged' END AS status
+      |FROM oldv o FULL OUTER JOIN newv n ON o.doc_id = n.doc_id
+      |ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q81_boilerplate_ngrams", q81, Some(q81Sql)),
     Q("q82_token_chunking", q82, Some(q82Sql)),
     Q("q94_source_overlap", q94, Some(q94Sql)),
     Q("q97_cdc_chunks", q97, Some(q97Sql)),
+    Q("q119_snapshot_diff", q119, Some(q119Sql)),
   )
 }

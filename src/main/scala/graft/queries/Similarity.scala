@@ -505,14 +505,17 @@ object Similarity {
       |FROM codes c JOIN buckets b USING (code)
       |ORDER BY vec_id""".stripMargin
 
-  /** q112 pivot count / probed cells / cosine threshold — the
-    * SemDeDup-style semantic-dedup knobs, DEFAULTS; override per
-    * session via `graft.semdedup.pivots` / `graft.semdedup.probe`
-    * (the q34 pattern — the oracle SQL is templated from the defaults,
-    * so Verify runs unconfigured sessions). Pivots should scale as √N
-    * at 100× data: set the conf instead of recompiling. τ = 0.35
-    * matches q34's near-dup threshold so the two operators agree on
-    * what "semantically same" means.
+  /** q112 pivot floor / probed cells / cosine threshold — the
+    * SemDeDup-style semantic-dedup knobs. The pivot count DEFAULTS to
+    * max(SemPivots, ceil(√N)) so cell population — and with it the
+    * within-cell pair work — scales as √N instead of N as the corpus
+    * grows (the right 100× behavior without touching a knob); the
+    * oracle computes the same bound from a COUNT subquery, and sqrt is
+    * IEEE-correctly-rounded in both engines so the ceil can never
+    * disagree. Override per session via `graft.semdedup.pivots` /
+    * `graft.semdedup.probe` (the q34 pattern; Verify runs unconfigured
+    * sessions). τ = 0.35 matches q34's near-dup threshold so the two
+    * operators agree on what "semantically same" means.
     */
   val SemPivots = 8
   val SemProbe = 2
@@ -535,17 +538,24 @@ object Similarity {
   // left join of the (small) component frame.
   private def q112(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
-    val pivotN = confInt(s, "graft.semdedup.pivots", SemPivots)
     val probeN = confInt(s, "graft.semdedup.probe", SemProbe)
     val e = embeddings(s, d)
+    val pivotN = confInt(s, "graft.semdedup.pivots", -1) match {
+      case -1 => math.max(SemPivots, math.ceil(math.sqrt(e.count().toDouble)).toInt)
+      case v => v
+    }
     val pivots = e.filter(col("vec_id") < pivotN)
       .select(col("vec_id").as("pivot_id"), col("embedding").as("pvec"))
     val wCell = Window.partitionBy(col("vec_id")).orderBy(col("pcos").desc, col("pivot_id"))
+    // Materialize the cell assignment once: four downstream branches
+    // (hot-cell census, graded frame, both self-join sides) would
+    // otherwise each re-run the O(N × pivots) assignment join.
     val assigned = e.join(broadcast(pivots))
       .withColumn("pcos", expr("cosine_sim(embedding, pvec)"))
       .withColumn("prk", row_number().over(wCell))
       .filter(col("prk") <= probeN)
       .select(col("vec_id"), col("embedding"), col("pivot_id").as("cell"))
+      .localCheckpoint(true)
     val hot = assigned.groupBy(col("cell"))
       .agg(count(lit(1)).as("__bn"))
       .filter(col("__bn") > Dedup.HotBucketThreshold)
@@ -578,7 +588,9 @@ object Similarity {
       |    SELECT e.vec_id, e.embedding, p.vec_id AS cell,
       |      row_number() OVER (PARTITION BY e.vec_id
       |        ORDER BY ${cosSql("e.embedding", "p.embedding")} DESC, p.vec_id) AS prk
-      |    FROM embeddings e JOIN embeddings p ON p.vec_id < $SemPivots) t
+      |    FROM embeddings e JOIN embeddings p ON p.vec_id <
+      |      greatest($SemPivots,
+      |        CAST(ceil(sqrt((SELECT count(*) FROM embeddings))) AS BIGINT))) t
       |  WHERE prk <= $SemProbe),
       |pairs AS (
       |  SELECT DISTINCT a.vec_id AS a, b.vec_id AS b

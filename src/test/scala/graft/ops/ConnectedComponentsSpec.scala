@@ -22,9 +22,23 @@ class ConnectedComponentsSpec extends SparkSpec {
     // plain min-label propagation would need ~500 rounds here; the
     // label-of-label jump halves path lengths per round -> ~9 rounds
     val edges = (0L until 499L).map(i => (i, i + 1))
-    val got = ConnectedComponents.minLabel(edges.toDF("a", "b")).collect()
+    // minLabelWithRounds is the distributed loop directly — minLabel
+    // would take the size-gated local fast path for a graph this small
+    val (df, _) = ConnectedComponents.minLabelWithRounds(edges.toDF("a", "b"))
+    val got = df.collect()
     assert(got.length == 500)
     assert(got.forall(_.getLong(1) == 0L), "chain did not fully converge")
+  }
+
+  test("size-gated local fast path equals the distributed loop") {
+    val rnd = new scala.util.Random(41)
+    val edges = (1 to 300).map(_ => (rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+      .filter { case (a, b) => a != b }.toDF("a", "b")
+    val local = ConnectedComponents.minLabel(edges) // < LocalMaxEdges -> local
+    val (dist, _) = ConnectedComponents.minLabelWithRounds(edges)
+    val l = local.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val d = dist.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(l == d, s"local/distributed divergence: ${(l diff d) ++ (d diff l)}")
   }
 
   test("escalating jumps converge a deep chain in fewer rounds") {
