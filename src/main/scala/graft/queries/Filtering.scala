@@ -142,8 +142,110 @@ object Filtering {
       |ORDER BY doc_id""".stripMargin
   }
 
+  // q120 — drop-reason attribution: every document mapped to the FIRST
+  // curation gate that fires, in pipeline order: benchmark slice →
+  // blocklist (q111) → quality rules (q113) → exact-dup
+  // non-representative (q30/q31 fingerprint, corpus-wide min-id
+  // representative) → contamination (q73) → keep. Production pipelines
+  // need exactly this audit ("why did my corpus shrink 40%?") and it
+  // is the observability twin of the q55/q90 selection capstones.
+  //
+  // Scale shape: one corpus scan computes every per-doc gate input;
+  // the dup gate shuffles only (fp → min doc_id) 8-byte pairs; the
+  // contamination branch reuses q73's broadcast benchmark-array merge
+  // pass (single scan, no corpus shuffle); the final left join keys by
+  // doc_id. Reason strings are attributed per gate ORDER, so numbers
+  // reconcile exactly against each standalone gate query.
+  /** Core over (doc_id, text) — fixture-testable (q120 passes the
+    * driver table).
+    */
+  private[graft] def dropReasonsOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bl = array(Blocklist.map(lit): _*)
+    val base = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"),
+        hash60(normalize(col("text"))).as("fp"))
+      .select(col("doc_id"), col("fp"),
+        size(filter(col("toks"), t => array_contains(bl, t))).cast("long").as("bl_hits"),
+        size(col("toks")).cast("long").as("n_words"),
+        aggregate(col("toks"), lit(0L), (a, x) => a + length(x)).as("sum_chars"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+        Stopwords.map(w => array_contains(col("toks"), w)).reduce(_ && _).as("stop_ok"))
+      .withColumn("fp_min", min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+    val contam = Contamination.contaminationOf(docs)
+      .select(col("doc_id"), col("contaminated"))
+    val rulesOk = col("n_words") >= MinWords && col("n_words") <= MaxWords &&
+      col("sum_chars") * 10 >= col("n_words") * MinMeanLenTenths &&
+      col("sum_chars") * 10 <= col("n_words") * MaxMeanLenTenths &&
+      col("stop_ok") &&
+      (col("n_words") - col("n_distinct")) * 10 <= col("n_words") * MaxDupFracTenths
+    base.join(contam, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("doc_id") % Contamination.BenchMod === 0, "benchmark")
+          .when(col("bl_hits") > 0, "blocklist")
+          .when(!rulesOk, "rules")
+          .when(col("fp_min") =!= col("doc_id"), "duplicate")
+          .when(col("contaminated") === 1, "contaminated")
+          .otherwise("keep").as("reason"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def q120(s: SparkSession, d: String): DataFrame =
+    dropReasonsOf(documents(s, d))
+
+  private val q120Sql = {
+    val blArr = Blocklist.map(t => s"'$t'").mkString("[", ", ", "]")
+    val stopPred = Stopwords.map(w => s"list_contains(toks, '$w')").mkString(" AND ")
+    val g = Contamination.GramLen
+    val gram = (0 until g).map(j => s"toks[i+${j + 1}]").mkString(" || ' ' || ")
+    s"""WITH t AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '$TokenPattern') AS toks,
+      |    ${hash60Sql(normalizeSql("text"))} AS fp
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id, fp,
+      |    len(list_filter(toks, x -> list_contains($blArr, x))) AS bl_hits,
+      |    CAST(len(toks) AS BIGINT) AS n_words,
+      |    CAST(coalesce(list_sum(list_transform(toks, x -> len(x))), 0) AS BIGINT)
+      |      AS sum_chars,
+      |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+      |    ($stopPred) AS stop_ok,
+      |    min(doc_id) OVER (PARTITION BY fp) AS fp_min
+      |  FROM t),
+      |grams AS (
+      |  SELECT doc_id, list_sort(list_distinct(list_transform(
+      |    range(greatest(len(toks) - ${g - 1}, 0)),
+      |    i -> ${hash60Sql(gram)}))) AS gs
+      |  FROM t),
+      |bench AS (
+      |  SELECT list_sort(list_distinct(flatten(list(gs)))) AS bg
+      |  FROM grams WHERE doc_id % ${Contamination.BenchMod} = 0),
+      |contam AS (
+      |  SELECT gr.doc_id,
+      |    CASE WHEN len(gr.gs) > 0
+      |        AND len(list_intersect(gr.gs, b.bg)) * 2 >= len(gr.gs)
+      |      THEN 1 ELSE 0 END AS contaminated
+      |  FROM grams gr, bench b
+      |  WHERE gr.doc_id % ${Contamination.BenchMod} <> 0)
+      |SELECT d.doc_id,
+      |  CASE WHEN d.doc_id % ${Contamination.BenchMod} = 0 THEN 'benchmark'
+      |    WHEN d.bl_hits > 0 THEN 'blocklist'
+      |    WHEN NOT (d.n_words BETWEEN $MinWords AND $MaxWords
+      |        AND d.sum_chars * 10 BETWEEN d.n_words * $MinMeanLenTenths
+      |          AND d.n_words * $MaxMeanLenTenths
+      |        AND d.stop_ok
+      |        AND (d.n_words - d.n_distinct) * 10 <= d.n_words * $MaxDupFracTenths)
+      |      THEN 'rules'
+      |    WHEN d.fp_min <> d.doc_id THEN 'duplicate'
+      |    WHEN c.contaminated = 1 THEN 'contaminated'
+      |    ELSE 'keep' END AS reason
+      |FROM m d LEFT JOIN contam c USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q111_blocklist_filter", q111, Some(q111Sql)),
     Q("q113_gopher_rules", q113, Some(q113Sql)),
+    Q("q120_drop_reasons", q120, Some(q120Sql)),
   )
 }
