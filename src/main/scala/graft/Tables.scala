@@ -27,19 +27,31 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
-  /** `events.ts` is parquet timestamp[ns], which Spark 4 rejects by
-    * default (PARQUET_TYPE_ILLEGAL). Read it as a raw nanosecond Long
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and derive:
+  /** `events.ts` has shipped as either parquet timestamp[ns] or
+    * timestamp[us] across testdata generations, so the reader branches
+    * on the scanned type and normalizes both to the same two columns:
     *   - `ts`    — μs-precision TimestampType (same truncation DuckDB
     *               applies, since DuckDB timestamps are μs too);
     *   - `ts_ms` — millisecond epoch Long, matching the oracle's
     *               `epoch_ms(ts)` exactly, so all event-time arithmetic
     *               runs on identical integers in both engines.
+    * The ns layout is rejected by Spark 4 by default
+    * (PARQUET_TYPE_ILLEGAL), so it is read as a raw nanosecond Long via
+    * `spark.sql.legacy.parquet.nanosAsLong` and rescaled; the μs layout
+    * arrives as TIMESTAMP_NTZ and is cast under the UTC session
+    * timezone (a representation change only — the session is pinned to
+    * UTC everywhere, so wall-clock fields are preserved).
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts_ms", expr("ts div 1000000"))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // timestamp[ns] as raw Long
+        raw.withColumn("ts_ms", expr("ts div 1000000"))
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => // timestamp[us]: TIMESTAMP_NTZ (or already TIMESTAMP)
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+          .withColumn("ts_ms", unix_millis(col("ts")))
+    }
   }
 }

@@ -441,7 +441,7 @@ object Similarity {
       |  SELECT s.step + 1, list_append(s.ids, (
       |    SELECT m.vec_id FROM (
       |      SELECT e.vec_id AS vec_id, max(${cosSql("e.embedding", "c.embedding")}) AS ms
-      |      FROM embeddings e, embeddings c
+      |      FROM embeddings e CROSS JOIN embeddings c
       |      WHERE list_contains(s.ids, c.vec_id) AND NOT list_contains(s.ids, e.vec_id)
       |      GROUP BY e.vec_id) m
       |    ORDER BY m.ms ASC, m.vec_id ASC
