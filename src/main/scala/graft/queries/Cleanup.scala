@@ -1,0 +1,190 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.TextFns._
+
+/** Document REWRITE operators — the cleanup passes that edit text
+  * in place rather than keep/drop whole documents: segment-level
+  * boilerplate removal (the RefinedWeb/CCNet "line dedup" stage,
+  * which strips nav bars / cookie banners / shared template text by
+  * corpus-wide segment frequency and reassembles each document from
+  * its surviving segments) and within-document adjacent-repetition
+  * collapse (the degenerate-generation scrub applied to synthetic /
+  * model-written corpora). The reference (affo/ssp) has no corpus
+  * surface; these extend the beyond-reference pipeline of SURVEY
+  * §2.4.
+  *
+  * Scale shape, q121: two data-sized shuffles and nothing else — the
+  * segment rows (doc_id, k, seg) hash-join on the 8-byte segment
+  * fingerprint against the hot-segment set, then regroup by doc_id
+  * for reassembly. The hot set (segments shared by ≥ SegMinDf docs)
+  * is template-mass-sized, not corpus-sized, but is NOT assumed
+  * broadcastable: at 100 TB every page's boilerplate header lands in
+  * it, so it flows through a shuffled equi-join on the hash — the
+  * q114 rule. The frequency aggregate itself combines map-side
+  * (partial count over (seg_hash, doc_id) distinct pairs).
+  *
+  * Scale shape, q124: pure single-scan codegen projection — every
+  * measure folds over one token array; no join, no aggregation, no
+  * shuffle of corpus data beyond the presentation sort.
+  */
+object Cleanup {
+
+  /** Non-overlapping segment length in tokens — the "line" unit of the
+    * segment-frequency dedup (the synthetic corpus has no newlines, so
+    * the segmentation is positional; a web corpus would split on
+    * newline/sentence boundaries instead, everything downstream is
+    * unchanged).
+    */
+  val SegLen = 8
+
+  /** A segment appearing in at least this many DISTINCT documents is
+    * boilerplate. RefinedWeb uses 2 for exact line dedup; templates
+    * shared by any two pages are template, not content.
+    */
+  val SegMinDf = 2
+
+  /** 0..n-1 index array, empty when n <= 0 (sequence() counts DOWN for
+    * a negative upper bound, so guard explicitly).
+    */
+  private def indices(n: Column): Column =
+    when(n > 0, sequence(lit(0), n - 1)).otherwise(array().cast("array<int>"))
+
+  // Both rewrites materialize the token array behind a doc_id exchange
+  // before any Generate consumes it (the q73 lesson — a Generate whose
+  // child inlines the tokenizer regex re-evaluates it per OUTPUT row).
+
+  // q121 — segment-frequency boilerplate removal + reassembly: split
+  // each document into fixed SegLen-token segments, count each exact
+  // segment's document frequency corpus-wide, drop segments shared by
+  // >= SegMinDf docs, and rebuild the document from the survivors in
+  // order. Emits per doc the token count, tokens removed, segments
+  // dropped, and the fingerprint of the reassembled text (downstream
+  // consumes hashes, not text — the driver-contract output stays
+  // narrow).
+  private def q121(s: SparkSession, d: String): DataFrame =
+    segmentDedupOf(documents(s, d))
+
+  /** The q121 rewrite over any (doc_id, text) frame — public so specs
+    * can pin the all-segments-dropped and partial-tail edges on
+    * fixtures.
+    */
+  def segmentDedupOf(docs: DataFrame): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .repartition(col("doc_id"))
+      .withColumn("n", size(col("toks")))
+    val segs = base
+      .filter(col("n") > 0)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0L),
+          expr(s"(size(toks) + ${SegLen - 1}) div $SegLen").cast("long") - 1))
+          .as("k"))
+      .select(col("doc_id"), col("k"),
+        concat_ws(" ", slice(col("toks"), (col("k") * SegLen + 1).cast("int"),
+          lit(SegLen))).as("seg"),
+        size(slice(col("toks"), (col("k") * SegLen + 1).cast("int"),
+          lit(SegLen))).cast("long").as("seg_n"))
+      .withColumn("h", hash60(col("seg")))
+    val hot = segs.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= SegMinDf)
+      .select(col("h"), lit(1).as("__hot"))
+    val agg = segs.join(hot, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(when(col("__hot").isNotNull, col("seg_n")).otherwise(0L)).as("n_removed"),
+        sum(when(col("__hot").isNotNull, 1L).otherwise(0L)).as("n_segs_dropped"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("__hot").isNull,
+            struct(col("k"), col("seg"))))),
+          x => x.getField("seg"))).as("clean_text"))
+    base.join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n").cast("long").as("n_toks"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("n_segs_dropped"), lit(0L)).as("n_segs_dropped"),
+        hash60(coalesce(col("clean_text"), lit(""))).as("clean_hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q121Sql = {
+    val slice = s"list_slice(toks, k*$SegLen+1, k*$SegLen+$SegLen)"
+    s"""WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '$TokenPattern') AS toks
+      |           FROM documents),
+      |s AS (SELECT doc_id, k, array_to_string($slice, ' ') AS seg,
+      |             len($slice) AS seg_n
+      |      FROM (SELECT doc_id, toks,
+      |              unnest(range((len(toks) + ${SegLen - 1}) // $SegLen)) AS k
+      |            FROM t WHERE len(toks) > 0)),
+      |hs AS (SELECT doc_id, k, seg, seg_n, ${hash60Sql("seg")} AS h FROM s),
+      |hot AS (SELECT h FROM hs GROUP BY h
+      |        HAVING count(DISTINCT doc_id) >= $SegMinDf),
+      |f AS (SELECT hs.*, hs.h IN (SELECT h FROM hot) AS is_hot FROM hs),
+      |agg AS (SELECT doc_id,
+      |          SUM(CASE WHEN is_hot THEN seg_n ELSE 0 END) AS n_removed,
+      |          SUM(CASE WHEN is_hot THEN 1 ELSE 0 END) AS n_segs_dropped,
+      |          string_agg(CASE WHEN NOT is_hot THEN seg END, ' ' ORDER BY k)
+      |            AS clean_text
+      |        FROM f GROUP BY doc_id)
+      |SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
+      |  CAST(coalesce(n_removed, 0) AS BIGINT) AS n_removed,
+      |  CAST(coalesce(n_segs_dropped, 0) AS BIGINT) AS n_segs_dropped,
+      |  ${hash60Sql("coalesce(clean_text, '')")} AS clean_hash
+      |FROM t LEFT JOIN agg USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+  }
+
+  // q124 — adjacent-repetition collapse: drop every token equal to its
+  // immediate predecessor ("batch batch batch" → "batch"), emitting
+  // tokens removed, distinct terms that repeated, and the cleaned-text
+  // fingerprint. The whole rewrite is index lambdas over one token
+  // array inside codegen — the cheapest of all the scrub passes, run
+  // first in a real pipeline.
+  private def q124(s: SparkSession, d: String): DataFrame =
+    repetitionTrimOf(documents(s, d))
+
+  /** The q124 rewrite over any (doc_id, text) frame — public for
+    * fixture specs.
+    */
+  def repetitionTrimOf(docs: DataFrame): DataFrame = {
+    val toks = col("toks")
+    def at(i: Column): Column = element_at(toks, (i + 1).cast("int"))
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .repartition(col("doc_id"))
+      .withColumn("n", size(toks))
+      .withColumn("clean", transform(
+        filter(indices(col("n")), i => (i === 0) || at(i) =!= at(i - 1)),
+        i => at(i)))
+      .withColumn("dups", transform(
+        filter(indices(col("n")), i => (i > 0) && at(i) === at(i - 1)),
+        i => at(i)))
+      .select(col("doc_id"), col("n").cast("long").as("n_toks"),
+        (col("n") - size(col("clean"))).cast("long").as("n_removed"),
+        size(array_distinct(col("dups"))).cast("long").as("n_dup_terms"),
+        hash60(concat_ws(" ", col("clean"))).as("clean_hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q124Sql = {
+    val keep = "list_filter(range(1, len(toks)+1), i -> i = 1 OR toks[i] <> toks[i-1])"
+    val dups = "list_filter(range(2, len(toks)+1), i -> toks[i] = toks[i-1])"
+    s"""WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '$TokenPattern') AS toks
+      |           FROM documents)
+      |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
+      |  CAST(len(toks) - len($keep) AS BIGINT) AS n_removed,
+      |  CAST(len(list_distinct(list_transform($dups, i -> toks[i]))) AS BIGINT)
+      |    AS n_dup_terms,
+      |  ${hash60Sql(s"array_to_string(list_transform($keep, i -> toks[i]), ' ')")}
+      |    AS clean_hash
+      |FROM t
+      |ORDER BY doc_id""".stripMargin
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("q121_segment_dedup", q121, Some(q121Sql)),
+    Q("q124_repetition_trim", q124, Some(q124Sql)),
+  )
+}

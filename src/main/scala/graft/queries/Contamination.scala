@@ -175,8 +175,72 @@ object Contamination {
       |ORDER BY e.doc_id""".stripMargin
   }
 
+  /** q123 cosine threshold for the SEMANTIC contamination flag, sized
+    * so the gate fires both ways at every driver SF (the synthetic
+    * embeddings are near-uniform — max benchmark cosine spans
+    * ~0.40-0.47; a production pipeline on normalized sentence
+    * embeddings would sit at ~0.95).
+    */
+  val SemTau = 0.35
+
+  // q123 — semantic contamination gate: the embedding-space sibling of
+  // q73's lexical n-gram gate (paraphrased benchmark questions carry
+  // no shared 5-grams but land next to the benchmark in embedding
+  // space). Every corpus vector is scored by its max cosine against
+  // the benchmark slice (vec_id % BenchMod == 0, the q73 convention)
+  // and flagged when it exceeds SemTau, with the offending benchmark
+  // id attributed.
+  //
+  // Scale shape: the benchmark side is an eval suite — fixed-size —
+  // so it broadcasts; the corpus side streams ONCE through a
+  // broadcast nested-loop scoring pass and a per-vector max_by
+  // aggregate that combines map-side. No shuffle of embedding
+  // payloads, no self-join. (Contrast q34/q112: corpus×corpus
+  // near-dup needs cell blocking; benchmark×corpus does not.)
+  private def q123(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val e = embeddings(s, d)
+    val bench = e.filter(col("vec_id") % BenchMod === 0)
+      .select(col("vec_id").as("bench_id"), col("embedding").as("bvec"))
+    e.filter(col("vec_id") % BenchMod =!= 0)
+      .join(broadcast(bench))
+      .select(col("vec_id"), col("bench_id"),
+        expr("cosine_sim(embedding, bvec)").as("cos"))
+      .groupBy(col("vec_id"))
+      .agg(max(col("cos")).as("max_cos"),
+        min_by(col("bench_id"), struct(negate(col("cos")), col("bench_id")))
+          .as("bench_id"))
+      .withColumn("contaminated",
+        when(col("max_cos") >= SemTau, 1L).otherwise(0L))
+      .select(col("vec_id"), col("bench_id"), col("max_cos"), col("contaminated"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val q123Sql = {
+    def dot(u: String, v: String) =
+      s"list_reduce(list_transform(range(64), i -> CAST($u[i+1] AS DOUBLE) * CAST($v[i+1] AS DOUBLE)), (x, y) -> x + y)"
+    val cos = s"(${dot("e.embedding", "b.embedding")} / " +
+      s"(sqrt(${dot("e.embedding", "e.embedding")}) * sqrt(${dot("b.embedding", "b.embedding")})))"
+    s"""WITH sc AS (
+      |  SELECT e.vec_id, b.vec_id AS bench_id, $cos AS cos
+      |  FROM embeddings e JOIN embeddings b
+      |    ON b.vec_id % $BenchMod = 0 AND e.vec_id % $BenchMod <> 0)
+      |SELECT vec_id, bench_id, max_cos,
+      |  CAST(CASE WHEN max_cos >= $SemTau THEN 1 ELSE 0 END AS BIGINT)
+      |    AS contaminated
+      |FROM (
+      |  SELECT vec_id, bench_id, cos,
+      |    max(cos) OVER (PARTITION BY vec_id) AS max_cos,
+      |    row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY cos DESC, bench_id) AS rk
+      |  FROM sc) t
+      |WHERE rk = 1
+      |ORDER BY vec_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q73_contamination", q73, Some(q73Sql)),
     Q("q114_split_leakage", q114, Some(q114Sql)),
+    Q("q123_semantic_contamination", q123, Some(q123Sql)),
   )
 }
