@@ -1,0 +1,90 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.TextFns._
+
+/** Length-grouped batch packing — the data-LOADER step that follows
+  * all the selection/ordering stages: group documents into
+  * token-length bands, shuffle deterministically within each band, and
+  * pack fixed-size batches, reporting each batch's padding waste. This
+  * is HF's LengthGroupedSampler / the "bucketed batching" trick —
+  * batching similar-length sequences cuts the padding fraction (a
+  * batch pads every member to its max length), directly measurable in
+  * the emitted pad_fp column. The reference (affo/ssp) has no corpus
+  * surface; beyond-reference pipeline op per SURVEY §2.4.
+  *
+  * Scale shape: the in-band order comes from a seeded hash draw ranked
+  * by [[Sampling.rankDistributed]] (range partition + cluster-sized
+  * carry broadcast — never a per-band sort window), and the per-batch
+  * aggregation combines map-side. One corpus scan, two bounded
+  * shuffles; nothing is collected or broadcast at corpus size.
+  */
+object Batching {
+
+  /** Token-length band width: band = n_toks div BandWidth. */
+  val BandWidth = 16
+
+  /** Documents per packed batch. */
+  val BatchDocs = 8
+
+  /** Fixed-point scale for the padding fraction. */
+  val FpScale = 1048576L // 2^20
+
+  /** Seed for the in-band deterministic shuffle. */
+  val PackSeed = "graft-pack-1"
+
+  // q125 — length-bucketed batch packing: per batch, member count, max
+  // and total token length, and the padding fraction in 2^20 fixed
+  // point ((n·max − Σlen)·2^20 div (n·max)). Integer end to end.
+  private def q125(s: SparkSession, d: String): DataFrame =
+    packedBatchesOf(documents(s, d))
+
+  /** The q125 packing over any (doc_id, text) frame — public for
+    * fixture specs.
+    */
+  def packedBatchesOf(docs: DataFrame): DataFrame = {
+    val sized = docs
+      .select(col("doc_id"), tokenCount(col("text")).as("n_toks"))
+      .withColumn("band", expr(s"n_toks div $BandWidth"))
+      .withColumn("draw", hash60(concat(lit(PackSeed), col("doc_id").cast("string"))))
+    Sampling.rankDistributed(sized, Seq("band"), Seq(col("draw"), col("doc_id")))
+      .withColumn("batch_idx", expr(s"(rk - 1L) div $BatchDocs"))
+      .groupBy(col("band"), col("batch_idx"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("n_toks")).as("max_len"),
+        sum(col("n_toks")).as("sum_len"))
+      .withColumn("pad_fp", expr(
+        s"((n_docs * max_len - sum_len) * $FpScale) div (n_docs * max_len)"))
+      .orderBy(col("band"), col("batch_idx"))
+  }
+
+  private val q125Sql = {
+    val draw = hash60Sql(s"'$PackSeed' || CAST(doc_id AS VARCHAR)")
+    s"""WITH t AS (
+      |  SELECT doc_id, len(regexp_extract_all(lower(text), '$TokenPattern'))
+      |           AS n_toks
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, n_toks, n_toks // $BandWidth AS band,
+      |    row_number() OVER (PARTITION BY n_toks // $BandWidth
+      |      ORDER BY $draw, doc_id) AS rk
+      |  FROM t),
+      |b AS (
+      |  SELECT band, (rk - 1) // $BatchDocs AS batch_idx,
+      |    count(*) AS n_docs, max(n_toks) AS max_len, sum(n_toks) AS sum_len
+      |  FROM r GROUP BY band, (rk - 1) // $BatchDocs)
+      |SELECT CAST(band AS BIGINT) AS band, CAST(batch_idx AS BIGINT) AS batch_idx,
+      |  CAST(n_docs AS BIGINT) AS n_docs, CAST(max_len AS BIGINT) AS max_len,
+      |  CAST(sum_len AS BIGINT) AS sum_len,
+      |  CAST(((n_docs * max_len - sum_len) * $FpScale) // (n_docs * max_len)
+      |    AS BIGINT) AS pad_fp
+      |FROM b
+      |ORDER BY band, batch_idx""".stripMargin
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("q125_length_batching", q125, Some(q125Sql)),
+  )
+}

@@ -217,6 +217,70 @@ object EventWindows {
       |GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
 
+  // q126 — turn-pair extraction: the SFT-pair construction step over
+  // sessionized logs (q118 assembles whole transcripts; supervised
+  // pairs instead want (prompt, response) ADJACENT turns with the
+  // roles in the right order). Each 'view' event immediately followed
+  // within ITS session by a 'click' yields one training pair with the
+  // response latency. Same sessionization as q118/q28 (strict >30 min
+  // gap); the lead() window never crosses a session boundary because
+  // session_id is in the partition key.
+  private def q126(s: SparkSession, d: String): DataFrame =
+    turnPairsOf(events(s, d))
+
+  /** The q126 pair extraction over any (user_id, ts_ms, event_id,
+    * event_type) frame — public for fixture specs (session-boundary
+    * adjacency, role order).
+    */
+  def turnPairsOf(ev: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    val cum = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inSession = Window.partitionBy(col("user_id"), col("session_id"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    ev
+      .withColumn("prev_ms", lag(col("ts_ms"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ms").isNull || col("ts_ms") - col("prev_ms") > 1800000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(cum))
+      .withColumn("nxt_type", lead(col("event_type"), 1).over(inSession))
+      .withColumn("nxt_id", lead(col("event_id"), 1).over(inSession))
+      .withColumn("nxt_ms", lead(col("ts_ms"), 1).over(inSession))
+      .filter(col("event_type") === "view" && col("nxt_type") === "click")
+      .select(col("user_id"), col("session_id"),
+        col("event_id").as("prompt_id"), col("nxt_id").as("response_id"),
+        (col("nxt_ms") - col("ts_ms")).as("latency_ms"))
+      .orderBy(col("user_id"), col("prompt_id"))
+  }
+
+  private val q126Sql =
+    """WITH t AS (
+      |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms,
+      |    lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_ms(ts), event_id) AS prev_ms
+      |  FROM events),
+      |sess AS (
+      |  SELECT user_id, event_id, event_type, ts_ms,
+      |    CAST(sum(CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms > 1800000
+      |        THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+      |      ORDER BY ts_ms, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS session_id
+      |  FROM t),
+      |led AS (
+      |  SELECT user_id, session_id, event_id, event_type, ts_ms,
+      |    lead(event_type) OVER w AS nxt_type,
+      |    lead(event_id) OVER w AS nxt_id,
+      |    lead(ts_ms) OVER w AS nxt_ms
+      |  FROM sess
+      |  WINDOW w AS (PARTITION BY user_id, session_id ORDER BY ts_ms, event_id))
+      |SELECT user_id, session_id, event_id AS prompt_id, nxt_id AS response_id,
+      |  nxt_ms - ts_ms AS latency_ms
+      |FROM led
+      |WHERE event_type = 'view' AND nxt_type = 'click'
+      |ORDER BY user_id, prompt_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q26_tumbling_window", q26, Some(q26Sql)),
     Q("q27_sliding_window", q27, Some(q27Sql)),
@@ -224,5 +288,6 @@ object EventWindows {
     Q("q29_running_count", q29, Some(q29Sql)),
     Q("q108_changelog_apply", q108, Some(q108Sql)),
     Q("q118_transcripts", q118, Some(q118Sql)),
+    Q("q126_turn_pairs", q126, Some(q126Sql)),
   )
 }

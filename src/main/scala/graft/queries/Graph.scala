@@ -38,12 +38,24 @@ object Graph {
     * expanded to both directions here. Fixture-testable.
     */
   private[graft] def pageRankOf(e0: DataFrame): DataFrame = {
-    val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+    // materialize the (usually distinct-aggregated) directed edge list
+    // ONCE — it appears four times in the build plan below (both union
+    // branches, each consumed by deg and by the join)
+    val e1 = e0.localCheckpoint()
+    val edges = e1.union(e1.select(col("dst").as("src"), col("src").as("dst")))
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
-    val edgesD = edges.join(deg, "src").localCheckpoint()
+    // Edge frame partitioned by DESTINATION and materialized once: the
+    // per-round join streams it in place (broadcast hash join preserves
+    // the streamed side's partitioning) and the groupBy(dst) lands on
+    // the existing HashPartitioning — each round is exchange-free. The
+    // score vector is NODE-sized (dimension-bipartite here), so
+    // broadcasting it is the 100 TB-legitimate side; for a web-scale
+    // graph whose node table outgrows broadcast, drop the hint and the
+    // same plan runs as a shuffled join on src (AQE picks the strategy).
+    val edgesD = edges.join(deg, "src").repartition(col("dst")).localCheckpoint()
     var sc = deg.select(col("src").as("id"), lit(PrScale).as("score"))
     for (_ <- 1 to PrIters) {
-      sc = edgesD.join(sc, col("src") === col("id"))
+      sc = edgesD.join(broadcast(sc), col("src") === col("id"))
         .groupBy(col("dst"))
         .agg(expr(s"CAST((${100 - PrDampNum} * $PrScale + " +
           s"$PrDampNum * sum(score DIV d)) DIV 100 AS BIGINT)").as("score"))

@@ -1,0 +1,53 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Fixture pins for q125/q126 edges the sf corpora don't isolate:
+  * the partial trailing batch's padding math, and the q126 rule that a
+  * view→click adjacency across a SESSION boundary must not pair.
+  */
+class BatchingPairsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("length batching: partial batch, per-band isolation, exact pad math") {
+    // 10 docs of 16-31 tokens (band 1), 3 docs of 33 tokens (band 2):
+    // band 1 packs one full batch of 8 + one partial of 2; band 2 one
+    // partial of 3 with zero padding (all lengths equal).
+    val docs = ((0 until 10).map(i => (i.toLong, Seq.fill(16 + i)("w").mkString(" "))) ++
+      (10 until 13).map(i => (i.toLong, Seq.fill(33)("x").mkString(" "))))
+      .toDF("doc_id", "text")
+    val got = Batching.packedBatchesOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got.keySet == Set((1L, 0L), (1L, 1L), (2L, 0L)), s"got ${got.keySet}")
+    val (n0, _, _, _) = got((1L, 0L))
+    val (n1, _, _, _) = got((1L, 1L))
+    assert(n0 == 8L && n1 == 2L)
+    // zero-pad batch: every member the same length
+    val (n2, mx2, sm2, pad2) = got((2L, 0L))
+    assert(n2 == 3L && mx2 == 33L && sm2 == 99L && pad2 == 0L)
+    // pad formula check on the full batch: (8*max - sum) * 2^20 div (8*max)
+    val (_, mx0, sm0, pad0) = got((1L, 0L))
+    assert(pad0 == (8 * mx0 - sm0) * Batching.FpScale / (8 * mx0))
+    // band membership is by n_toks div 16, so bands never mix
+    assert(!got.keySet.exists(_._1 > 2L))
+  }
+
+  test("turn pairs: adjacency never crosses a session boundary") {
+    val gap = 1800000L
+    val ev = Seq(
+      // session 1: view->click adjacent (pairs), then click (no lead pair)
+      (1L, 0L, 10L, "view"), (1L, 1000L, 11L, "click"), (1L, 2000L, 12L, "click"),
+      // view at end of session 1; click opens session 2 -> must NOT pair
+      (1L, 3000L, 13L, "view"), (1L, 3000L + gap + 1L, 14L, "click"),
+      // session 2 continues: view then view (wrong response role -> no pair)
+      (1L, 3000L + gap + 2000L, 15L, "view"), (1L, 3000L + gap + 3000L, 16L, "view"),
+      // other user: interleaved timestamps must not cross users
+      (2L, 500L, 20L, "view"), (2L, 1500L, 21L, "click"))
+      .toDF("user_id", "ts_ms", "event_id", "event_type")
+    val got = EventWindows.turnPairsOf(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSet == Set((1L, 10L, 11L, 1000L), (2L, 20L, 21L, 1000L)),
+      s"got ${got.toSeq}")
+  }
+}
