@@ -116,6 +116,52 @@ object Fluency {
       |ORDER BY doc_id""".stripMargin
   }
 
+  /** The trained model as ONE row of two bounded maps (bucket →
+    * count): ≤ Buckets entries each, the q73 benchmark-array /
+    * q115 model-map broadcast pattern.
+    */
+  private def modelOf(staticCorpus: DataFrame): DataFrame = {
+    val ref = bigramsOf(staticCorpus).filter(col("lang") === "en")
+    val m2 = ref.groupBy(col("b2")).agg(count(lit(1)).as("c"))
+      .agg(map_from_arrays(collect_list(col("b2")), collect_list(col("c"))).as("m2"))
+    val m1 = ref.groupBy(col("b1")).agg(count(lit(1)).as("c"))
+      .agg(map_from_arrays(collect_list(col("b1")), collect_list(col("c"))).as("m1"))
+    m2.crossJoin(m1)
+  }
+
+  /** Streaming form of q122 — the CCNet deployment shape: fit the
+    * bigram model ONCE on a static reference corpus, then stream
+    * candidates through the gate. The model broadcasts as a 1-row pair
+    * of maps and the per-doc score folds over the bucket array inside
+    * codegen — no explode, no streaming aggregation, no state; runs in
+    * append mode at stateless-filter cost. Documents with fewer than 2
+    * tokens have no bigrams and are dropped, matching batch q122
+    * (which never emits a row for them).
+    */
+  def fluencyStream(stream: DataFrame, staticCorpus: DataFrame): DataFrame = {
+    def h60(e: String) = s"cast(conv(substr(md5($e), 1, 15), 16, 10) as bigint)"
+    val bs = expr(
+      s"""transform(sequence(0, size(toks) - 2),
+         |  i -> struct(
+         |    pmod(${h60("toks[i]")}, ${Buckets}L) AS b1,
+         |    pmod(${h60("concat(toks[i], ' ', toks[i+1])")}, ${Buckets}L) AS b2))
+         |""".stripMargin)
+    stream
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .withColumn("bs", bs)
+      .crossJoin(broadcast(modelOf(staticCorpus)))
+      .select(col("doc_id"), size(col("bs")).cast("long").as("n_bigrams"),
+        expr(s"""aggregate(bs, 0L, (acc, x) ->
+          |  acc + ((coalesce(m2[x.b2], 0L) + 1L) * ${FpScale}L)
+          |    div (coalesce(m1[x.b1], 0L) + ${Buckets}L))""".stripMargin)
+          .as("fp_sum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("fp_sum div n_bigrams").as("fp_mean"))
+      .withColumn("keep",
+        when(col("fp_mean") >= KeepMinFpMean, 1L).otherwise(0L))
+  }
+
   val all: Seq[Q] = Seq(
     Q("q122_lm_fluency", q122, Some(q122Sql)),
   )
