@@ -183,6 +183,61 @@ object Cleanup {
       |ORDER BY doc_id""".stripMargin
   }
 
+  /** The corpus-wide hot-segment set as ONE row holding a (fingerprint
+    * → 1) map — the static-model broadcast shape of
+    * [[graft.queries.Fluency.fluencyStream]]. Bounded by template
+    * mass, not corpus size; if a real corpus's template set outgrows
+    * broadcast, the streaming form below degrades to the batch join.
+    */
+  private def hotSegmentsOf(staticCorpus: DataFrame): DataFrame = {
+    val base = staticCorpus
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .repartition(col("doc_id"))
+      .withColumn("n", size(col("toks")))
+    base.filter(col("n") > 0)
+      .select(col("doc_id"),
+        explode(sequence(lit(0L),
+          expr(s"(size(toks) + ${SegLen - 1}) div $SegLen").cast("long") - 1))
+          .as("k"),
+        col("toks"))
+      .select(col("doc_id"),
+        hash60(concat_ws(" ", slice(col("toks"),
+          (col("k") * SegLen + 1).cast("int"), lit(SegLen)))).as("h"))
+      .groupBy(col("h")).agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= SegMinDf)
+      .agg(map_from_arrays(collect_list(col("h")),
+        transform(collect_list(col("h")), _ => lit(1L))).as("m"))
+  }
+
+  /** Streaming form of q121 — the deployment shape: mine the
+    * boilerplate set ONCE from a static corpus, then stream arriving
+    * documents through the rewrite. The hot set broadcasts as a 1-row
+    * map and the whole segment-split / probe / reassembly runs as
+    * index lambdas over the in-row token array — no explode, no
+    * streaming aggregation, no state; append mode at stateless-filter
+    * cost. Emits the same five columns as batch q121.
+    */
+  def segmentDedupStream(stream: DataFrame, staticCorpus: DataFrame): DataFrame = {
+    def h60(e: String) = s"cast(conv(substr(md5($e), 1, 15), 16, 10) as bigint)"
+    val segsExpr = expr(
+      s"""transform(
+         |  sequence(0L, (size(toks) + ${SegLen - 1}) div $SegLen - 1L),
+         |  k -> array_join(slice(toks, cast(k * $SegLen + 1 as int), $SegLen), ' '))
+         |""".stripMargin)
+    stream
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("segs", when(size(col("toks")) > 0, segsExpr)
+        .otherwise(array().cast("array<string>")))
+      .crossJoin(broadcast(hotSegmentsOf(staticCorpus)))
+      .withColumn("kept", expr(s"filter(segs, s -> m[${h60("s")}] is null)"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"),
+        (size(col("toks")).cast("long") -
+          expr("aggregate(kept, 0L, (a, s) -> a + size(split(s, ' ')))")
+            .as("n_kept")).as("n_removed"),
+        (size(col("segs")) - size(col("kept"))).cast("long").as("n_segs_dropped"),
+        hash60(array_join(col("kept"), " ")).as("clean_hash"))
+  }
+
   val all: Seq[Q] = Seq(
     Q("q121_segment_dedup", q121, Some(q121Sql)),
     Q("q124_repetition_trim", q124, Some(q124Sql)),

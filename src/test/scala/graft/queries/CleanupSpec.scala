@@ -50,6 +50,32 @@ class CleanupSpec extends SparkSpec {
     assert(got(2L) == ((2L, 1L, 1L)), s"got ${got(2L)}")
   }
 
+  test("streaming segment dedup matches batch q121 when mined on the same corpus") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    val fixture = Seq(
+      (0L, s"$segA $segB"),
+      (1L, s"$segA rho sigma tau upsilon phi chi psi omega unique trailing"),
+      (2L, s"$segB"),
+      (3L, "lone content nothing shared here at all"))
+    val static = fixture.toDF("doc_id", "text")
+    val batch = Cleanup.segmentDedupOf(static).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    val in = MemoryStream[(Long, String)]
+    val out = Cleanup.segmentDedupStream(in.toDF().toDF("doc_id", "text"), static)
+    val q = out.writeStream.format("memory").queryName("seg_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(fixture)
+      q.processAllAvailable()
+      val got = spark.table("seg_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+      assert(got == batch, s"stream $got != batch $batch")
+    } finally q.stop()
+  }
+
   test("fluency floor: a doc with zero reference overlap scores the smoothed minimum") {
     val docs = Seq(
       (0L, "en", "spark table spark table spark table spark table spark"),
