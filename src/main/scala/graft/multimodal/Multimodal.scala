@@ -150,6 +150,110 @@ object Multimodal {
       .select(col("media_id"), col("frame_no"), hex(col("frame")).as("frame_hex"))
       .orderBy("media_id", "frame_no")
 
+  /** pHash-style 60-bit perceptual fingerprint of a decoded payload:
+    * the payload is divided into 60 contiguous byte blocks (block of
+    * byte j = 60·j div len), and bit i is set iff block i's byte sum
+    * exceeds the truncated mean block sum — the block-DCT-sign trick of
+    * pHash reduced to the stub codec's byte domain. 60 bits (not 64)
+    * keeps every shift/sum inside non-negative BIGINT range in both
+    * engines. Deterministic on payload bytes; a real system computes
+    * the same shape from decoded pixels.
+    */
+  private[multimodal] def pHash60(b: Array[Byte]): Long = {
+    val len = b.length
+    if (len == 0) return 0L
+    val sums = new Array[Long](60)
+    var j = 0
+    while (j < len) { sums(((60L * j) / len).toInt) += (b(j) & 0xff); j += 1 }
+    var total = 0L
+    var i = 0
+    while (i < 60) { total += sums(i); i += 1 }
+    val mean = total / 60
+    var h = 0L
+    i = 0
+    while (i < 60) { if (sums(i) > mean) h |= (1L << i); i += 1 }
+    h
+  }
+
+  /** Batched perceptual-hash extraction (same batch shape as
+    * [[extractFeatures]] — one codec invocation per batch).
+    */
+  def perceptualHashes(ds: Dataset[MediaRecord]): Dataset[(Long, Long)] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(DecodeBatchSize).flatMap(_.map(r => (r.media_id, pHash60(r.payload))))
+    }
+  }
+
+  /** Max hamming distance for the near-dup verdict. With 4 bands of 15
+    * bits, hamming ≤ 3 forces at least one band to match EXACTLY
+    * (pigeonhole: 3 differing bits cannot touch all 4 bands), so the
+    * banded join finds the complete ≤3 pair set — the oracle checks
+    * against a plain all-pairs filter and the results are provably
+    * identical, not approximately so.
+    */
+  val PhashMaxHam = 3
+  private val PhashBands = 4
+  private val BandBits = 15 // 60 / 4
+
+  /** q127 — media near-dup via perceptual hashing: the image-dedup
+    * stage of a multimodal pipeline (pHash + banded LSH — near-
+    * identical images differ in a few bits, verbatim copies in none).
+    * Scale shape: the phash frame (8 bytes/media) materializes once
+    * (payloads are decoded exactly once and never shuffle); candidates
+    * come from a 4-band self-equi-join on 15-bit band values — band
+    * buckets are bounded by duplicate-class sizes, the q32/q36
+    * hot-bucket triangle split applies unchanged if a degenerate
+    * corpus needs it — and the hamming verify runs inside codegen on
+    * the 8-byte hashes.
+    */
+  def mediaNearDupQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val ph = perceptualHashes(mediaFromDocuments(spark, sfDir))
+      .toDF("media_id", "phash").localCheckpoint()
+    val bands = ph.select(col("media_id"), col("phash"),
+      explode(sequence(lit(0), lit(PhashBands - 1))).as("b"))
+      .withColumn("bv", expr(s"shiftright(phash, b * $BandBits) & ${(1 << BandBits) - 1}"))
+    bands.as("x").join(bands.as("y"),
+        col("x.b") === col("y.b") && col("x.bv") === col("y.bv") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("id_a"), col("y.media_id").as("id_b"),
+        expr("bit_count(x.phash ^ y.phash)").cast("long").as("hamming"))
+      .filter(col("hamming") <= PhashMaxHam)
+      .distinct()
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** DuckDB oracle for [[mediaNearDupQuery]]: phash recomputed from the
+    * hex dump, then a plain all-pairs hamming filter (exactly equal to
+    * the banded join for hamming ≤ [[PhashMaxHam]] — see the pigeonhole
+    * note).
+    */
+  val q127Sql: String = {
+    def byteAt(i: String): String =
+      s"((strpos('0123456789ABCDEF', substr(hx, 2*($i)+1, 1)) - 1) * 16" +
+        s" + strpos('0123456789ABCDEF', substr(hx, 2*($i)+2, 1)) - 1)"
+    s"""WITH m AS (
+      |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+      |    octet_length(encode(text)) AS len
+      |  FROM documents),
+      |b AS (
+      |  SELECT media_id, (60*j)//len AS blk, ${byteAt("j")} AS v
+      |  FROM (SELECT media_id, hx, len, unnest(range(len)) AS j FROM m)),
+      |bs AS (
+      |  SELECT media_id, blk, sum(v) AS s,
+      |    sum(sum(v)) OVER (PARTITION BY media_id) AS total
+      |  FROM b GROUP BY media_id, blk),
+      |ph AS (
+      |  SELECT media_id,
+      |    sum(CASE WHEN s > total//60 THEN 1::BIGINT << blk ELSE 0 END) AS phash
+      |  FROM bs GROUP BY media_id)
+      |SELECT a.media_id AS id_a, b.media_id AS id_b,
+      |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+      |FROM ph a JOIN ph b ON a.media_id < b.media_id
+      |WHERE bit_count(xor(a.phash, b.phash)) <= $PhashMaxHam
+      |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** DuckDB oracle for [[frameSamplesQuery]]: chunk i of the payload is
     * hex positions [2·64·i+1, 2·64·(i+1)] (substr clamps the tail).
     */

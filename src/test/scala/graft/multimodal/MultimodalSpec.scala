@@ -41,4 +41,15 @@ class MultimodalSpec extends SparkSpec {
       Seq("media_id", "kind", "byte_len", "checksum", "width", "height", "n_frames"))
     assert(rows.forall(_.getLong(2) > 0))
   }
+
+  test("pHash60: identical payloads collide, uniform payloads hash to zero") {
+    val a = Array.tabulate[Byte](200)(j => (j * 13).toByte)
+    assert(pHash60(a) == pHash60(a.clone()))
+    // uniform bytes: every block sum equals the mean, no strict exceed
+    assert(pHash60(Array.fill[Byte](240)(42)) == 0L)
+    assert(pHash60(Array.empty[Byte]) == 0L)
+    // a single flipped byte moves few bits
+    val b = a.clone(); b(100) = (b(100) + 120).toByte
+    assert(java.lang.Long.bitCount(pHash60(a) ^ pHash60(b)) <= 3)
+  }
 }
