@@ -16,15 +16,15 @@ import graft.functions.TextFns._
   * surface; these extend the beyond-reference pipeline of SURVEY
   * §2.4.
   *
-  * Scale shape, q121: two data-sized shuffles and nothing else — the
-  * segment rows (doc_id, k, seg) hash-join on the 8-byte segment
-  * fingerprint against the hot-segment set, then regroup by doc_id
-  * for reassembly. The hot set (segments shared by ≥ SegMinDf docs)
-  * is template-mass-sized, not corpus-sized, but is NOT assumed
+  * Scale shape, q121: segment TEXT is never shuffled — the segment
+  * frame carries (doc_id, k, fingerprint, token count), 32
+  * bytes/segment, and the clean text is rebuilt IN-ROW from each
+  * doc's token array against its dropped-index set (duplicate-mass-
+  * sized). The hot set (segments shared by ≥ SegMinDf docs) is
+  * template-mass-sized, not corpus-sized, but is NOT assumed
   * broadcastable: at 100 TB every page's boilerplate header lands in
   * it, so it flows through a shuffled equi-join on the hash — the
-  * q114 rule. The frequency aggregate itself combines map-side
-  * (partial count over (seg_hash, doc_id) distinct pairs).
+  * q114 rule. The frequency aggregate combines map-side.
   *
   * Scale shape, q124: pure single-scan codegen projection — every
   * measure folds over one token array; no join, no aggregation, no
@@ -76,6 +76,11 @@ object Cleanup {
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .repartition(col("doc_id"))
       .withColumn("n", size(col("toks")))
+      .localCheckpoint()
+    // Segment rows carry ONLY (doc_id, k, fingerprint, token count) —
+    // 32 bytes/segment; segment TEXT is never shuffled. Materialized
+    // once: both the frequency aggregate and the dropped-set join read
+    // the same frame.
     val segs = base
       .filter(col("n") > 0)
       .select(col("doc_id"), col("toks"),
@@ -83,29 +88,35 @@ object Cleanup {
           expr(s"(size(toks) + ${SegLen - 1}) div $SegLen").cast("long") - 1))
           .as("k"))
       .select(col("doc_id"), col("k"),
-        concat_ws(" ", slice(col("toks"), (col("k") * SegLen + 1).cast("int"),
-          lit(SegLen))).as("seg"),
+        hash60(concat_ws(" ", slice(col("toks"), (col("k") * SegLen + 1).cast("int"),
+          lit(SegLen)))).as("h"),
         size(slice(col("toks"), (col("k") * SegLen + 1).cast("int"),
           lit(SegLen))).cast("long").as("seg_n"))
-      .withColumn("h", hash60(col("seg")))
+      .localCheckpoint()
     val hot = segs.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") >= SegMinDf)
       .select(col("h"), lit(1).as("__hot"))
-    val agg = segs.join(hot, Seq("h"), "left")
+    // dropped-segment index set per doc (duplicate-mass-sized, tiny
+    // next to the corpus); the clean text is rebuilt IN-ROW from the
+    // original token array against this set
+    val dropped = segs.join(hot, Seq("h"))
       .groupBy(col("doc_id"))
-      .agg(
-        sum(when(col("__hot").isNotNull, col("seg_n")).otherwise(0L)).as("n_removed"),
-        sum(when(col("__hot").isNotNull, 1L).otherwise(0L)).as("n_segs_dropped"),
-        concat_ws(" ", transform(
-          array_sort(collect_list(when(col("__hot").isNull,
-            struct(col("k"), col("seg"))))),
-          x => x.getField("seg"))).as("clean_text"))
-    base.join(agg, Seq("doc_id"), "left")
+      .agg(sum(col("seg_n")).as("n_removed"),
+        count(lit(1)).as("n_segs_dropped"),
+        collect_list(col("k")).as("dks"))
+    base.join(dropped, Seq("doc_id"), "left")
+      .withColumn("dks", coalesce(col("dks"), array().cast("array<bigint>")))
+      .withColumn("clean_text", when(col("n") > 0, expr(
+        s"""array_join(transform(
+           |  filter(sequence(0L, (size(toks) + ${SegLen - 1}) div $SegLen - 1L),
+           |    k -> NOT array_contains(dks, k)),
+           |  k -> array_join(slice(toks, cast(k * $SegLen + 1 as int), $SegLen), ' ')),
+           |  ' ')""".stripMargin)).otherwise(lit("")))
       .select(col("doc_id"), col("n").cast("long").as("n_toks"),
         coalesce(col("n_removed"), lit(0L)).as("n_removed"),
         coalesce(col("n_segs_dropped"), lit(0L)).as("n_segs_dropped"),
-        hash60(coalesce(col("clean_text"), lit(""))).as("clean_hash"))
+        hash60(col("clean_text")).as("clean_hash"))
       .orderBy(col("doc_id"))
   }
 
