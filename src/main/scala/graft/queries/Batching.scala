@@ -84,7 +84,59 @@ object Batching {
       |ORDER BY band, batch_idx""".stripMargin
   }
 
+  /** Output shard count for q129. */
+  val Shards = 8
+
+  // q129 — balanced shard assignment: the training-shard WRITER step.
+  // Docs rank by token count descending (rankDistributed — no global
+  // sort window) and stripe across shards in serpentine (boustrophedon)
+  // order: block b = (rk−1) div S runs left-to-right when even,
+  // right-to-left when odd — the classic LPT-approximation trick that
+  // bounds per-shard token imbalance by one document per block pair
+  // without any driver-side greedy loop (a true first-fit-decreasing
+  // packer is inherently sequential; serpentine striping is its
+  // order-free approximation and the per-shard totals this query
+  // reports make the residual imbalance auditable). Deterministic
+  // across runs, engines, and cluster sizes.
+  private def q129(s: SparkSession, d: String): DataFrame =
+    shardAssignOf(documents(s, d))
+
+  /** The q129 assignment over any (doc_id, text) frame — public for
+    * fixture specs (serpentine direction flip, balance bound).
+    */
+  def shardAssignOf(docs: DataFrame): DataFrame = {
+    val sized = docs.select(col("doc_id"), tokenCount(col("text")).as("n_toks"))
+    Sampling.rankDistributed(sized, Seq.empty,
+        Seq(col("n_toks").desc, col("doc_id")))
+      .withColumn("pos", expr(s"(rk - 1L) % $Shards"))
+      .withColumn("shard", expr(
+        s"CASE WHEN ((rk - 1L) div $Shards) % 2 = 0 THEN pos ELSE ${Shards - 1} - pos END"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("sum_toks"))
+      .orderBy(col("shard"))
+  }
+
+  private val q129Sql =
+    s"""WITH t AS (
+      |  SELECT doc_id, len(regexp_extract_all(lower(text), '$TokenPattern'))
+      |           AS n_toks
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, n_toks,
+      |    row_number() OVER (ORDER BY n_toks DESC, doc_id) AS rk
+      |  FROM t),
+      |a AS (
+      |  SELECT n_toks,
+      |    CASE WHEN ((rk - 1) // $Shards) % 2 = 0 THEN (rk - 1) % $Shards
+      |         ELSE ${Shards - 1} - (rk - 1) % $Shards END AS shard
+      |  FROM r)
+      |SELECT CAST(shard AS BIGINT) AS shard, count(*) AS n_docs,
+      |  CAST(sum(n_toks) AS BIGINT) AS sum_toks
+      |FROM a GROUP BY shard
+      |ORDER BY shard""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q125_length_batching", q125, Some(q125Sql)),
+    Q("q129_shard_balance", q129, Some(q129Sql)),
   )
 }

@@ -583,6 +583,59 @@ object Dedup {
       |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // q128 — dup-cluster size histogram: the dedup REPORT every pipeline
+  // prints before committing a pass (how much mass sits in clusters of
+  // each size, and how many docs a keep-one-per-cluster pass drops).
+  // Size-1 clusters (docs in no candidate pair) are counted
+  // arithmetically from the corpus total — never materialized as rows,
+  // so the histogram costs the q35 component pass plus a
+  // histogram-sized aggregate.
+  private def q128(s: SparkSession, d: String): DataFrame = {
+    val edges = candidatePairs(s, d)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val comp = graft.ops.ConnectedComponents.minLabel(edges)
+    val hist = comp.groupBy(col("comp"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+    val nDocs = documents(s, d).agg(count(lit(1)).as("total"))
+    val inComp = comp.agg(count(lit(1)).as("paired"))
+    val singles = nDocs.crossJoin(inComp)
+      .select(lit(1L).as("cluster_size"),
+        (col("total") - col("paired")).as("n_clusters"),
+        (col("total") - col("paired")).as("n_docs"))
+    singles.unionByName(hist)
+      .withColumn("dropped_by_dedup", col("n_docs") - col("n_clusters"))
+      .orderBy(col("cluster_size"))
+  }
+
+  private val q128Sql =
+    s"""WITH RECURSIVE $pairsCteSql,
+      |undirected(a, b) AS (
+      |  SELECT doc_a, doc_b FROM pairs UNION SELECT doc_b, doc_a FROM pairs
+      |  UNION SELECT doc_a, doc_a FROM pairs UNION SELECT doc_b, doc_b FROM pairs),
+      |reach(a, b) AS (
+      |  SELECT a, b FROM undirected
+      |  UNION
+      |  SELECT r.a, u.b FROM reach r JOIN undirected u ON r.b = u.a),
+      |comp AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+      |cs AS (SELECT cluster_id, count(*) AS cluster_size FROM comp
+      |       GROUP BY cluster_id),
+      |hist AS (SELECT cluster_size, count(*) AS n_clusters,
+      |           cluster_size * count(*) AS n_docs
+      |         FROM cs GROUP BY cluster_size),
+      |singles AS (
+      |  SELECT CAST(1 AS BIGINT) AS cluster_size,
+      |    (SELECT count(*) FROM documents) - (SELECT count(*) FROM comp)
+      |      AS n_clusters,
+      |    (SELECT count(*) FROM documents) - (SELECT count(*) FROM comp)
+      |      AS n_docs)
+      |SELECT cluster_size, n_clusters, n_docs,
+      |  n_docs - n_clusters AS dropped_by_dedup
+      |FROM (SELECT * FROM singles UNION ALL SELECT * FROM hist) t
+      |ORDER BY cluster_size""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q30_dedup_exact", q30, Some(q30Sql)),
     Q("q31_dedup_norm", q31, Some(q31Sql)),
@@ -593,5 +646,6 @@ object Dedup {
     Q("q36_simhash", q36, Some(q36Sql)),
     Q("q86_substring_winnow", q86, Some(q86Sql)),
     Q("q88_containment", q88, Some(q88Sql)),
+    Q("q128_cluster_histogram", q128, Some(q128Sql)),
   )
 }

@@ -33,6 +33,18 @@ class BatchingPairsSpec extends SparkSpec {
     assert(!got.keySet.exists(_._1 > 2L))
   }
 
+  test("serpentine shard striping balances a linear size ramp exactly") {
+    // sizes 31..16 over 16 docs, 8 shards: block 0 assigns ranks 1-8 to
+    // shards 0..7, block 1 reverses — every shard totals 47 tokens
+    val docs = (0 until 16).map(i => (i.toLong, Seq.fill(31 - i)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Batching.shardAssignOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._1).toSeq == (0L until 8L), s"got $got")
+    assert(got.forall(_._2 == 2L), s"doc counts uneven: ${got.toSeq}")
+    assert(got.forall(_._3 == 47L), s"token sums uneven: ${got.toSeq}")
+  }
+
   test("turn pairs: adjacency never crosses a session boundary") {
     val gap = 1800000L
     val ev = Seq(
