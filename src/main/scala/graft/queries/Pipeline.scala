@@ -251,10 +251,170 @@ object Pipeline {
       |  CAST(k AS BIGINT) AS k, vt
       |FROM v ORDER BY pos""".stripMargin
 
+  /** q130 — the round-10 capstone: the document-REWRITE pipeline
+    * composed end to end as one oracle-verified plan. Where q55/q90
+    * select and q100/q110 mix and order, q130 EDITS: every document is
+    * rewritten by segment-frequency boilerplate removal (q121) and
+    * adjacent-repetition collapse (q124), the rewritten corpus is
+    * scored by the hashed-bigram fluency model FIT ON THE REWRITTEN
+    * `en` slice (q122 — clean first, then score, the CCNet order), and
+    * the surviving documents are packed into length-grouped batches
+    * (q125) sized by their REWRITTEN token counts. Output: per-batch
+    * loader stats over the cleaned corpus.
+    *
+    * Scale shape inherits from its stages: segment fingerprints (not
+    * text) shuffle for the hot-set; both rewrites and the per-doc
+    * bigram bucketing run in-row; the fluency model is two ≤1024-row
+    * broadcast aggregates; batching ranks through rankDistributed.
+    * The rewritten token arrays are materialized ONCE behind a doc_id
+    * exchange and every downstream stage (bigram explode, scoring,
+    * batching) reads that frame — the corpus is scanned once.
+    */
+  private def q130(s: SparkSession, d: String): DataFrame = {
+    import Cleanup.{SegLen, SegMinDf}
+    import Fluency.{Buckets, FpScale, KeepMinFpMean}
+    import Batching.{BandWidth, BatchDocs, FpScale => PadScale, PackSeed}
+    val base = documents(s, d)
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
+      .repartition(col("doc_id"))
+      .withColumn("n", size(col("toks")))
+      .localCheckpoint()
+    // q121 stage: dropped-segment index set per doc
+    val segs = base.filter(col("n") > 0)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0L),
+          expr(s"(size(toks) + ${SegLen - 1}) div $SegLen").cast("long") - 1)).as("k"))
+      .select(col("doc_id"), col("k"),
+        hash60(concat_ws(" ", slice(col("toks"),
+          (col("k") * SegLen + 1).cast("int"), lit(SegLen)))).as("h"))
+      .localCheckpoint()
+    val hot = segs.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= SegMinDf).select(col("h"))
+    val dks = segs.join(hot, Seq("h"))
+      .groupBy(col("doc_id")).agg(collect_list(col("k")).as("dks"))
+    // in-row rewrites: segment drop (ct), then repetition trim (tr)
+    val rewritten = base.join(dks, Seq("doc_id"), "left")
+      .withColumn("dks", coalesce(col("dks"), array().cast("array<bigint>")))
+      .withColumn("ct", when(col("n") > 0, expr(
+        s"""flatten(transform(
+           |  filter(sequence(0L, (size(toks) + ${SegLen - 1}) div $SegLen - 1L),
+           |    k -> NOT array_contains(dks, k)),
+           |  k -> slice(toks, cast(k * $SegLen + 1 as int), $SegLen)))""".stripMargin))
+        .otherwise(array().cast("array<string>")))
+      .withColumn("tr", when(size(col("ct")) > 0, expr(
+        """transform(
+          |  filter(sequence(0, size(ct) - 1), i -> i = 0 OR ct[i] != ct[i - 1]),
+          |  i -> ct[i])""".stripMargin))
+        .otherwise(array().cast("array<string>")))
+      .select(col("doc_id"), col("lang"), col("tr"))
+      .repartition(col("doc_id")) // materialize tr before the Generate
+    // q122 stage on the REWRITTEN corpus
+    def h60(e: String) = s"cast(conv(substr(md5($e), 1, 15), 16, 10) as bigint)"
+    val bi = rewritten.filter(size(col("tr")) >= 2)
+      .select(col("doc_id"), col("lang"), size(col("tr")).cast("long").as("nt"),
+        explode(sequence(lit(0), size(col("tr")) - 2)).as("i"), col("tr"))
+      .select(col("doc_id"), col("lang"), col("nt"),
+        expr(s"pmod(${h60("tr[i]")}, ${Buckets}L)").as("b1"),
+        expr(s"pmod(${h60("concat(tr[i], ' ', tr[i+1])")}, ${Buckets}L)").as("b2"))
+      // three consumers (c2, c1, the scoring probe) — materialize the
+      // compact (32 B/row) bucket frame or the rewrite Generates run 3×
+      .localCheckpoint()
+    val ref = bi.filter(col("lang") === "en")
+    val c2 = ref.groupBy(col("b2")).agg(count(lit(1)).as("c2"))
+    val c1 = ref.groupBy(col("b1")).agg(count(lit(1)).as("c1"))
+    val surv = bi.join(broadcast(c2), Seq("b2"), "left")
+      .join(broadcast(c1), Seq("b1"), "left")
+      .select(col("doc_id"), col("nt"),
+        expr(s"((coalesce(c2, 0L) + 1L) * $FpScale) div (coalesce(c1, 0L) + $Buckets)")
+          .as("fp"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("nt")).as("n_toks"), count(lit(1)).as("n_bigrams"),
+        sum(col("fp")).as("fp_sum"))
+      .filter(expr("fp_sum div n_bigrams") >= KeepMinFpMean)
+      .select(col("doc_id"), col("n_toks"))
+    // q125 stage over the survivors, sized by REWRITTEN length
+    val sized = surv
+      .withColumn("band", expr(s"n_toks div $BandWidth"))
+      .withColumn("draw", hash60(concat(lit(PackSeed), col("doc_id").cast("string"))))
+    Sampling.rankDistributed(sized, Seq("band"), Seq(col("draw"), col("doc_id")))
+      .withColumn("batch_idx", expr(s"(rk - 1L) div $BatchDocs"))
+      .groupBy(col("band"), col("batch_idx"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("n_toks")).as("max_len"),
+        sum(col("n_toks")).as("sum_len"))
+      .withColumn("pad_fp", expr(
+        s"((n_docs * max_len - sum_len) * $PadScale) div (n_docs * max_len)"))
+      .orderBy(col("band"), col("batch_idx"))
+  }
+
+  private val q130Sql = {
+    import Cleanup.{SegLen, SegMinDf}
+    import Fluency.{Buckets, FpScale, KeepMinFpMean}
+    import Batching.{BandWidth, BatchDocs, FpScale => PadScale, PackSeed}
+    val slice = s"list_slice(toks, k*$SegLen+1, k*$SegLen+$SegLen)"
+    val draw = hash60Sql(s"'$PackSeed' || CAST(doc_id AS VARCHAR)")
+    s"""WITH t AS (
+      |  SELECT doc_id, lang, regexp_extract_all(lower(text), '$TokenPattern') AS toks
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, k, ${hash60Sql(s"array_to_string($slice, ' ')")} AS h
+      |  FROM (SELECT doc_id, toks,
+      |          unnest(range((len(toks) + ${SegLen - 1}) // $SegLen)) AS k
+      |        FROM t)),
+      |hot AS (SELECT h FROM s GROUP BY h
+      |        HAVING count(DISTINCT doc_id) >= $SegMinDf),
+      |dk AS (SELECT doc_id, list(k) AS dks FROM s
+      |       WHERE h IN (SELECT h FROM hot) GROUP BY doc_id),
+      |ctt AS (
+      |  SELECT t.doc_id, lang, flatten(list_transform(
+      |    list_filter(range((len(toks) + ${SegLen - 1}) // $SegLen),
+      |      k -> NOT list_contains(coalesce(dks, []), k)),
+      |    k -> $slice)) AS ct
+      |  FROM t LEFT JOIN dk USING (doc_id)),
+      |trt AS (
+      |  SELECT doc_id, lang, list_transform(
+      |    list_filter(range(1, len(ct) + 1), i -> i = 1 OR ct[i] <> ct[i-1]),
+      |    i -> ct[i]) AS tr
+      |  FROM ctt),
+      |bi AS (
+      |  SELECT doc_id, lang, len(tr) AS nt,
+      |    ${hash60Sql("tr[i+1]")} % $Buckets AS b1,
+      |    ${hash60Sql("tr[i+1] || ' ' || tr[i+2]")} % $Buckets AS b2
+      |  FROM (SELECT doc_id, lang, tr, unnest(range(len(tr) - 1)) AS i FROM trt)),
+      |c2 AS (SELECT b2, count(*) AS c FROM bi WHERE lang = 'en' GROUP BY b2),
+      |c1 AS (SELECT b1, count(*) AS c FROM bi WHERE lang = 'en' GROUP BY b1),
+      |sc AS (
+      |  SELECT doc_id, max(nt) AS n_toks, count(*) AS n_bigrams,
+      |    SUM((coalesce(c2.c, 0) + 1) * $FpScale
+      |        // (coalesce(c1.c, 0) + $Buckets)) AS fp_sum
+      |  FROM bi LEFT JOIN c2 USING (b2) LEFT JOIN c1 USING (b1)
+      |  GROUP BY doc_id),
+      |surv AS (SELECT doc_id, n_toks FROM sc
+      |         WHERE fp_sum // n_bigrams >= $KeepMinFpMean),
+      |r AS (
+      |  SELECT doc_id, n_toks, n_toks // $BandWidth AS band,
+      |    row_number() OVER (PARTITION BY n_toks // $BandWidth
+      |      ORDER BY $draw, doc_id) AS rk
+      |  FROM surv),
+      |b AS (
+      |  SELECT band, (rk - 1) // $BatchDocs AS batch_idx,
+      |    count(*) AS n_docs, max(n_toks) AS max_len, sum(n_toks) AS sum_len
+      |  FROM r GROUP BY band, (rk - 1) // $BatchDocs)
+      |SELECT CAST(band AS BIGINT) AS band, CAST(batch_idx AS BIGINT) AS batch_idx,
+      |  CAST(n_docs AS BIGINT) AS n_docs, CAST(max_len AS BIGINT) AS max_len,
+      |  CAST(sum_len AS BIGINT) AS sum_len,
+      |  CAST(((n_docs * max_len - sum_len) * $PadScale) // (n_docs * max_len)
+      |    AS BIGINT) AS pad_fp
+      |FROM b
+      |ORDER BY band, batch_idx""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q55_training_pipeline", q55, Some(q55Sql)),
     Q("q90_curation_pipeline", q90, Some(q90Sql)),
     Q("q100_mixing_pipeline", q100, Some(q100Sql)),
     Q("q110_loader_order", q110, Some(q110Sql)),
+    Q("q130_cleanup_capstone", q130, Some(q130Sql)),
   )
 }
