@@ -95,7 +95,11 @@ object ProductQuant {
     * assignments = (vec_id, sub, cell, dist).
     */
   private[queries] def pqAssign(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val sv = subvecs(s, d)
+    // materialize the subvector frame once (each Lloyd iteration plus
+    // the final assignment scans it) and cut each iteration's codebook
+    // lineage (64 rows) — otherwise iteration k re-evaluates the whole
+    // iteration-(k-1) chain from the raw scan
+    val sv = subvecs(s, d).localCheckpoint()
     var cents = sv.filter(col("vec_id") < PqK)
       .select(col("sub"), col("vec_id").cast("int").as("cell"), col("sv").as("cvec"))
     for (_ <- 1 to PqIters) {
@@ -112,6 +116,7 @@ object ProductQuant {
         .groupBy(col("sub"), col("cell"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("sub"), col("cell"), transform(col("pm"), p => p.getField("m")).as("cvec"))
+        .localCheckpoint()
     }
     val fin = argminCell(
       sv.join(broadcast(cents), Seq("sub"))
