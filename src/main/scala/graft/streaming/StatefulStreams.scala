@@ -233,6 +233,46 @@ object StatefulStreams {
       }
   }
 
+  /** Streaming form of batch q126 (graft.queries.EventWindows
+    * .turnPairsOf) — SFT turn-pair extraction over a LIVE event
+    * stream: per-user GroupState holds (last event, session counter),
+    * a gap STRICTLY GREATER than `gapMs` opens a new session (the
+    * q28/q118 boundary), and a 'view' immediately followed within its
+    * session by a 'click' emits one (prompt, response) pair with the
+    * response latency — as the click ARRIVES, not at session close.
+    * State is one 4-field row per user, independent of history length.
+    * Events are sorted (ts, event_id) within each micro-batch;
+    * cross-batch order relies on in-order arrival per user (the same
+    * contract as streamingTokenBudget — put a watermark-sorted stage
+    * upstream if the transport reorders). Output columns match batch
+    * q126, so the parity spec compares them row-for-row.
+    */
+  def streamingTurnPairs(
+      ev: DataFrame, gapMs: Long = 1800000L): Dataset[(Long, Long, Long, Long, Long)] = {
+    val spark = ev.sparkSession
+    import spark.implicits._
+    ev.select(col("user_id"), col("ts_ms"), col("event_id"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        // state: (lastTs, lastType, lastId, nSessions); nSessions == 0
+        // means no event seen yet
+        (user: Long, it: Iterator[(Long, Long, Long, String)],
+            gs: GroupState[(Long, String, Long, Long)]) =>
+          var st = gs.getOption.getOrElse((Long.MinValue, "", 0L, 0L))
+          val out = Vector.newBuilder[(Long, Long, Long, Long, Long)]
+          it.toIndexedSeq.sortBy(e => (e._2, e._3)).foreach { case (_, ts, id, typ) =>
+            val newSession = st._4 == 0L || ts - st._1 > gapMs
+            val sess = if (newSession) st._4 + 1 else st._4
+            if (!newSession && st._2 == "view" && typ == "click")
+              out += ((user, sess, st._3, id, ts - st._1))
+            st = (ts, typ, id, sess)
+          }
+          gs.update(st)
+          out.result().iterator
+      }
+  }
+
   /** Streaming IVF ingest: arriving embedding vectors are assigned to
     * their max-cosine cell of a STATIC codebook — the ingest half of
     * the q41 IVF ANN layout (graft.queries.Similarity): the batch side

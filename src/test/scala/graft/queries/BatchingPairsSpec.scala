@@ -62,4 +62,38 @@ class BatchingPairsSpec extends SparkSpec {
     assert(got.toSet == Set((1L, 10L, 11L, 1000L), (2L, 20L, 21L, 1000L)),
       s"got ${got.toSeq}")
   }
+
+  test("streaming turn pairs match batch q126 across micro-batch splits") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    val gap = 1800000L
+    val events = Seq(
+      (1L, 0L, 10L, "view"), (1L, 1000L, 11L, "click"), (1L, 2000L, 12L, "click"),
+      (1L, 3000L, 13L, "view"), (1L, 3000L + gap + 1L, 14L, "click"),
+      (1L, 3000L + gap + 2000L, 15L, "view"), (1L, 3000L + gap + 3000L, 16L, "click"),
+      (2L, 500L, 20L, "view"), (2L, 1500L, 21L, "click"))
+    val batch = EventWindows.turnPairsOf(
+        events.toDF("user_id", "ts_ms", "event_id", "event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    val in = MemoryStream[(Long, Long, Long, String)]
+    val out = graft.streaming.StatefulStreams.streamingTurnPairs(
+      in.toDF().toDF("user_id", "ts_ms", "event_id", "event_type"))
+    val q = out.toDF().writeStream.format("memory").queryName("turn_stream")
+      .outputMode("append").start()
+    try {
+      // split mid-session AND mid-pair: the view (13) arrives one batch
+      // before its non-pairing cross-session click (14), and the view
+      // (15) one batch before its pairing click (16)
+      val (b1, b2) = events.splitAt(4)
+      val (b2a, b2b) = b2.splitAt(2)
+      in.addData(b1); q.processAllAvailable()
+      in.addData(b2a); q.processAllAvailable()
+      in.addData(b2b); q.processAllAvailable()
+      val got = spark.table("turn_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+      assert(got == batch, s"stream $got != batch $batch")
+    } finally q.stop()
+  }
 }
