@@ -51,13 +51,17 @@ object Fluency {
     */
   private def bigramsOf(docs: DataFrame): DataFrame =
     docs
+      // per-token context buckets (th) hash ONCE per token, BEFORE the
+      // doc_id exchange materializes them — post-explode they are array
+      // lookups, not per-bigram md5 evaluations (the q73 lesson applied
+      // to expressions, not just the tokenizer)
       .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
+      .withColumn("th", transform(col("toks"), t => pmod(hash60(t), lit(Buckets))))
       .repartition(col("doc_id"))
-      .select(col("doc_id"), col("lang"), col("toks"),
+      .select(col("doc_id"), col("lang"), col("toks"), col("th"),
         explode(indices(size(col("toks")) - 1)).as("i"))
       .select(col("doc_id"), col("lang"),
-        pmod(hash60(element_at(col("toks"), (col("i") + 1).cast("int"))),
-          lit(Buckets)).as("b1"),
+        element_at(col("th"), (col("i") + 1).cast("int")).as("b1"),
         pmod(hash60(concat_ws(" ",
           element_at(col("toks"), (col("i") + 1).cast("int")),
           element_at(col("toks"), (col("i") + 2).cast("int")))),

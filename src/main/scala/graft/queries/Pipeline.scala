@@ -309,7 +309,9 @@ object Pipeline {
         .otherwise(array().cast("array<string>")))
       .select(col("doc_id"), col("lang"), col("tr"))
       .repartition(col("doc_id")) // materialize tr before the Generate
-    // q122 stage on the REWRITTEN corpus
+    // q122 stage on the REWRITTEN corpus (b1 hashed per bigram here:
+    // hoisting a per-token hash array would re-evaluate the heavy tr
+    // rewrite inside the same projection — measured slower)
     def h60(e: String) = s"cast(conv(substr(md5($e), 1, 15), 16, 10) as bigint)"
     val bi = rewritten.filter(size(col("tr")) >= 2)
       .select(col("doc_id"), col("lang"), size(col("tr")).cast("long").as("nt"),
