@@ -617,6 +617,56 @@ object Sampling {
           (acc, x) => acc + coalesce(element_at(col("m"), x), lit(unseen))).as("weight"))
   }
 
+  /** Seed for the q131 acceptance draw. */
+  private val DsirDrawSeed = "graft-dsir-draw-1"
+
+  // q131 — DSIR acceptance resampling: the SAMPLING step the q115
+  // weights exist for (Xie et al. resample the raw corpus with
+  // probability proportional to importance). Each document's mean
+  // per-feature importance (weight div n_feats, a 0..DsirScale fixed-
+  // point probability) is compared against a seeded uniform hash draw
+  // on the same scale: accept iff draw < mean importance. Deterministic
+  // across runs/engines/cluster sizes — a resample is reproducible from
+  // (corpus, seed) alone, the property a training-data lineage audit
+  // needs. Emits every document with its draw and verdict (the report
+  // form; a production pass filters accept = 1). One extra projection
+  // over the q115 plan — same scans, same broadcasts.
+  private def q131(s: SparkSession, d: String): DataFrame =
+    dsirWeightsOf(documents(s, d).select(col("doc_id"), col("lang"), col("text")),
+      DsirTargetLang)
+      .withColumn("w_mean", expr("weight div n_feats"))
+      .withColumn("draw",
+        pmod(hash60(concat(lit(DsirDrawSeed), col("doc_id").cast("string"))),
+          lit(DsirScale)))
+      .withColumn("accept", when(col("draw") < col("w_mean"), 1L).otherwise(0L))
+      .orderBy(col("doc_id"))
+
+  private val q131Sql = {
+    val toks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+    val draw = hash60Sql(s"'$DsirDrawSeed' || CAST(doc_id AS VARCHAR)")
+    s"""WITH d AS (SELECT doc_id, lang, $toks AS t FROM documents),
+      |f AS (
+      |  SELECT doc_id, lang, unnest(list_distinct(list_transform(
+      |    range(greatest(len(t) - 1, 0)),
+      |    i -> ${hash60Sql("t[i+1] || ' ' || t[i+2]")} % $DsirBuckets))) AS f
+      |  FROM d),
+      |c AS (SELECT f, count(*) AS r_f,
+      |    CAST(sum(CASE WHEN lang = '$DsirTargetLang' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS t_f
+      |  FROM f GROUP BY f),
+      |w AS (
+      |  SELECT f.doc_id, count(*) AS n_feats,
+      |    CAST(sum(($DsirScale * (c.t_f + 1)) // (c.r_f + 2)) AS BIGINT) AS weight
+      |  FROM f JOIN c USING (f)
+      |  GROUP BY f.doc_id)
+      |SELECT doc_id, n_feats, weight, weight // n_feats AS w_mean,
+      |  $draw % $DsirScale AS draw,
+      |  CAST(CASE WHEN $draw % $DsirScale < weight // n_feats
+      |    THEN 1 ELSE 0 END AS BIGINT) AS accept
+      |FROM w
+      |ORDER BY doc_id""".stripMargin
+  }
+
   private val q115Sql = {
     val toks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
     s"""WITH d AS (SELECT doc_id, lang, $toks AS t FROM documents),
@@ -648,5 +698,6 @@ object Sampling {
     Q("q105_repetition_schedule", q105, Some(q105Sql)),
     Q("q107_stride_interleave", q107, Some(q107Sql)),
     Q("q115_dsir_weights", q115, Some(q115Sql)),
+    Q("q131_dsir_resample", q131, Some(q131Sql)),
   )
 }
