@@ -549,9 +549,9 @@ object Sampling {
   // per-doc feature join, so corpus data shuffles exactly once, keyed
   // by doc_id for the final roll-up. This is the whole point of hashed
   // features: the "model" fits in a broadcast no matter the scale.
-  private val DsirBuckets = 1024L
-  private val DsirScale = 10000L
-  private val DsirTargetLang = "en"
+  private[queries] val DsirBuckets = 1024L
+  private[queries] val DsirScale = 10000L
+  private[queries] val DsirTargetLang = "en"
 
   /** Core over (doc_id, lang, text) — fixture-testable. `targetLang`
     * selects the target slice whose feature distribution defines the
