@@ -76,6 +76,38 @@ class CleanupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("property: segment dedup equals a sequential reference on random corpora") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    // tiny vocab + short docs force shared segments, partial tails,
+    // fully-boilerplate docs, and single-segment docs
+    val word = Gen.oneOf("aa", "bb", "cc")
+    val gen = for {
+      n <- Gen.choose(1, 24)
+      docs <- Gen.listOfN(n, Gen.choose(0, 19).flatMap(len => Gen.listOfN(len, word)))
+    } yield docs.zipWithIndex.map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+    def reference(docs: Seq[(Long, String)]): Map[Long, (Long, Long, Long)] = {
+      val segs = docs.map { case (id, text) =>
+        id -> text.split(" ").filter(_.nonEmpty).grouped(Cleanup.SegLen)
+          .map(_.mkString(" ")).toSeq
+      }.toMap
+      val df = segs.toSeq.flatMap { case (id, ss) => ss.distinct.map(_ -> id) }
+        .groupBy(_._1).map { case (s, m) => s -> m.size }
+      docs.map { case (id, text) =>
+        val n = text.split(" ").count(_.nonEmpty).toLong
+        val dropped = segs(id).filter(s => df(s) >= Cleanup.SegMinDf)
+        id -> ((n, dropped.map(_.split(" ").length.toLong).sum, dropped.size.toLong))
+      }.toMap
+    }
+    val prop = Prop.forAll(gen) { docs =>
+      val got = Cleanup.segmentDedupOf(docs.toDF("doc_id", "text")).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      got == reference(docs)
+    }
+    val res = check(Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("fluency floor: a doc with zero reference overlap scores the smoothed minimum") {
     val docs = Seq(
       (0L, "en", "spark table spark table spark table spark table spark"),
