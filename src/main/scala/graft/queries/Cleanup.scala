@@ -249,8 +249,68 @@ object Cleanup {
         hash60(array_join(col("kept"), " ")).as("clean_hash"))
   }
 
+  // ---- q133: PII scrub (regex redaction pipeline) ------------------------
+
+  /** Redaction patterns — deliberately written in the common subset of
+    * Java regex (Spark, codegen'd RegExpReplace) and RE2 (DuckDB), so
+    * the scrub is oracle-checkable character-for-character. Matches the
+    * standard CC-pipeline scrub lists (email, phone, long digit runs /
+    * IDs); additional patterns are rows in this list, not new code.
+    */
+  val EmailPat = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  val PhonePat = """\+[0-9]{2}-[0-9]{7}"""
+  val IdRunPat = """[0-9]{4,}"""
+
+  // q133 — PII redaction over a contact-log frame: each customer row is
+  // rendered as a message carrying an email, a phone number, and the
+  // numeric customer id (the synthetic corpus itself is digit-free, so
+  // the PII-bearing frame is constructed deterministically from
+  // customer columns — identically in the oracle). The scrub is the
+  // standard sequential pipeline: emails → phones → remaining long
+  // digit runs, counting each pattern against the text the stage
+  // actually sees (so digit runs inside an already-redacted email are
+  // not double-counted). Scale shape: a single-scan whole-stage-codegen
+  // projection — no join, no aggregation, no shuffle beyond the
+  // presentation sort; at 100 TB this runs at scan speed, which is why
+  // production scrubs are regex passes and not lookups.
+  private def q133(s: SparkSession, d: String): DataFrame = {
+    val msg = concat(
+      col("c_name"), lit(" <user"), col("c_custkey").cast("string"),
+      lit("@example.com> tel +00-"),
+      lpad((col("c_custkey") * 7919L % 10000000L).cast("string"), 7, "0"),
+      lit(" seg "), col("c_mktsegment"))
+    customer(s, d)
+      .select(col("c_custkey"), msg.as("msg"))
+      .withColumn("n_email", regexp_count(col("msg"), lit(EmailPat)).cast("long"))
+      .withColumn("r1", regexp_replace(col("msg"), EmailPat, "[EMAIL]"))
+      .withColumn("n_phone", regexp_count(col("r1"), lit(PhonePat)).cast("long"))
+      .withColumn("r2", regexp_replace(col("r1"), PhonePat, "[PHONE]"))
+      .withColumn("n_idrun", regexp_count(col("r2"), lit(IdRunPat)).cast("long"))
+      .withColumn("redacted", regexp_replace(col("r2"), IdRunPat, "[ID]"))
+      .select(col("c_custkey"), col("n_email"), col("n_phone"),
+        col("n_idrun"), col("redacted"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val q133Sql = {
+    val msg = "c_name || ' <user' || CAST(c_custkey AS VARCHAR) || '@example.com> tel +00-' || " +
+      "lpad(CAST(c_custkey * 7919 % 10000000 AS VARCHAR), 7, '0') || ' seg ' || c_mktsegment"
+    s"""WITH m AS (SELECT c_custkey, $msg AS msg FROM customer),
+      |s1 AS (SELECT c_custkey, msg,
+      |         len(regexp_extract_all(msg, '$EmailPat')) AS n_email,
+      |         regexp_replace(msg, '$EmailPat', '[EMAIL]', 'g') AS r1 FROM m),
+      |s2 AS (SELECT *, len(regexp_extract_all(r1, '$PhonePat')) AS n_phone,
+      |         regexp_replace(r1, '$PhonePat', '[PHONE]', 'g') AS r2 FROM s1)
+      |SELECT c_custkey, n_email, n_phone,
+      |  len(regexp_extract_all(r2, '$IdRunPat')) AS n_idrun,
+      |  regexp_replace(r2, '$IdRunPat', '[ID]', 'g') AS redacted
+      |FROM s2
+      |ORDER BY c_custkey""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q121_segment_dedup", q121, Some(q121Sql)),
     Q("q124_repetition_trim", q124, Some(q124Sql)),
+    Q("q133_pii_scrub", q133, Some(q133Sql)),
   )
 }

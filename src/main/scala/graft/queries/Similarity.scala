@@ -613,6 +613,95 @@ object Similarity {
       |  FROM embeddings e LEFT JOIN comp c USING (vec_id)) t
       |ORDER BY vec_id""".stripMargin
 
+  // ---- q135: margin-based bitext mining ----------------------------------
+
+  /** Neighborhood size for the margin denominator (Artetxe & Schwenk's
+    * ratio margin). Power of two so the /k normalization is exact in
+    * binary floating point.
+    */
+  val MarginK = 4
+
+  /** Ratio-margin scoring over a candidate pair frame (a_id, b_id,
+    * cos): each a-side query's best b-side match, scored by
+    * cos(x,y) / ((avg_kNN(x) + avg_kNN(y)) / 2) — the margin criterion
+    * that separates true translation pairs from hubness artifacts
+    * (a vector that is everyone's near-neighbor gets a high denominator
+    * and a low margin). Factored from q135 so the scorer runs over ANY
+    * candidate generator — the brute-force frame here, an IVF (q41) or
+    // SRP-LSH (q95) candidate frame at 100 TB.
+    *
+    * Bit-exactness: the two k-NN sums fold in RANK order (collect the
+    * top-k as (rank, cos) structs, array_sort, sequential aggregate) —
+    * the same (((0+x1)+x2)+x3)+x4 association DuckDB's ordered
+    * list_reduce produces, so the margin hash-compares exactly.
+    */
+  def marginTopPairs(pairs: DataFrame, k: Int): DataFrame = {
+    val wA = Window.partitionBy(col("a_id")).orderBy(col("cos").desc, col("b_id"))
+    val wB = Window.partitionBy(col("b_id")).orderBy(col("cos").desc, col("a_id"))
+    val rk = pairs
+      .withColumn("rka", row_number().over(wA))
+      .withColumn("rkb", row_number().over(wB))
+      .localCheckpoint() // three consumers below; the frame is (ids, cos, ranks) only
+    def rankedSum(rkCol: String, id: String, out: String) =
+      rk.filter(col(rkCol) <= k)
+        .groupBy(col(id))
+        .agg(expr(s"aggregate(array_sort(collect_list(struct($rkCol, cos))), " +
+          s"cast(0.0 as double), (a, x) -> a + x.cos)").as(out))
+    rk.filter(col("rka") === 1)
+      .join(rankedSum("rka", "a_id", "suma"), "a_id")
+      .join(rankedSum("rkb", "b_id", "sumb"), "b_id")
+      .withColumn("margin", col("cos") * lit(2.0 * k) / (col("suma") + col("sumb")))
+      .withColumn("accepted", (col("margin") > lit(1.0)).cast("int"))
+      .select(col("a_id"), col("b_id"), col("cos"), col("margin"), col("accepted"))
+      .orderBy(col("a_id"))
+  }
+
+  // q135 — bitext mining between the label<5 and label>=5 halves of the
+  // embedding table (standing in for source/target language encodings):
+  // a fixed ~64-vector query batch (vec_id < 128 on the a-side — scale-
+  // independent, the "shard of new documents" being aligned) is scored
+  // against the WHOLE b-side. Scale shape: the query batch broadcasts,
+  // the b-side corpus is scanned once and never shuffled at corpus
+  // width — the pair frame (ids + cos only, 24 B/row) is what the two
+  // rank windows exchange; at 100 TB the cross join is replaced by an
+  // IVF/LSH candidate generator feeding the same marginTopPairs scorer.
+  private def q135(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val e = embeddings(s, d)
+    val qs = e.filter(col("label") < 5 && col("vec_id") < 128)
+      .select(col("vec_id").as("a_id"), col("embedding").as("avec"))
+    val tgt = e.filter(col("label") >= 5)
+      .select(col("vec_id").as("b_id"), col("embedding").as("bvec"))
+    val pairs = tgt.join(broadcast(qs))
+      .withColumn("cos", expr("cosine_sim(avec, bvec)"))
+      .select(col("a_id"), col("b_id"), col("cos"))
+    marginTopPairs(pairs, MarginK)
+  }
+
+  private val q135Sql = {
+    val fold = "(a, b) -> a + b"
+    s"""WITH qs AS (SELECT vec_id AS a_id, embedding AS avec FROM embeddings
+      |            WHERE label < 5 AND vec_id < 128),
+      |tgt AS (SELECT vec_id AS b_id, embedding AS bvec FROM embeddings WHERE label >= 5),
+      |p AS (SELECT a_id, b_id, ${cosSql("avec", "bvec")} AS cos FROM qs CROSS JOIN tgt),
+      |rk AS (SELECT *,
+      |    row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id) AS rka,
+      |    row_number() OVER (PARTITION BY b_id ORDER BY cos DESC, a_id) AS rkb
+      |  FROM p),
+      |sa AS (SELECT a_id,
+      |    list_reduce(list_prepend(0.0::DOUBLE, list(cos ORDER BY rka)), $fold) AS suma
+      |  FROM rk WHERE rka <= $MarginK GROUP BY a_id),
+      |sb AS (SELECT b_id,
+      |    list_reduce(list_prepend(0.0::DOUBLE, list(cos ORDER BY rkb)), $fold) AS sumb
+      |  FROM rk WHERE rkb <= $MarginK GROUP BY b_id)
+      |SELECT rk.a_id, rk.b_id, rk.cos,
+      |  rk.cos * ${2.0 * MarginK} / (suma + sumb) AS margin,
+      |  CAST(rk.cos * ${2.0 * MarginK} / (suma + sumb) > 1.0 AS INT) AS accepted
+      |FROM rk JOIN sa USING (a_id) JOIN sb USING (b_id)
+      |WHERE rka = 1
+      |ORDER BY a_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q34_embed_neardup", q34, Some(q34Sql)),
     Q("q40_knn_brute", q40, Some(q40Sql)),
@@ -621,5 +710,6 @@ object Similarity {
     Q("q87_kcenter_diversity", q87, Some(q87Sql)),
     Q("q95_srp_lsh", q95, Some(q95Sql)),
     Q("q112_semdedup", q112, Some(q112Sql)),
+    Q("q135_bitext_margin", q135, Some(q135Sql)),
   )
 }

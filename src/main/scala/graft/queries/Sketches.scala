@@ -169,8 +169,105 @@ object Sketches {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  // ---- q134: HyperLogLog cardinality sketch ------------------------------
+
+  /** HLL precision: p=6 → m=64 registers per group, rho over the
+    * remaining w=54 bits of the 60-bit portable hash. m is deliberately
+    * small so the test-scale relative error (~1.04/√64 = 13%) is
+    * visible next to the exact count; production sizing raises p, never
+    * touches the stream-length-independent structure.
+    */
+  val HllP = 6
+  val HllM = 64 // 1 << HllP
+  val HllW = 54 // 60 - HllP
+
+  /** Register table (group, bucket, reg) of a hashed column: bucket =
+    * top p bits, reg = max over the group's values of rho(lower w
+    * bits), rho = 1-based position of the first set bit (w+1 when the
+    * suffix is all zeros). Everything is integer/bit-string arithmetic
+    * on the md5-based hash60, so DuckDB reproduces the registers — and
+    * therefore the whole sketch state — bit-exactly (the KMV/CMS
+    * principle; unlike those, HLL is the industry-standard mergeable
+    * cardinality sketch, so this is the one a 100 TB distinct-count
+    * dashboard actually runs). The aggregation is max-per-(group,
+    * bucket): map-side combinable, shuffle is groups×64 rows no matter
+    * the corpus size, and registers merge across shards/streams by the
+    * same max — the defining HLL property.
+    */
+  def hllRegistersOf(rows: DataFrame, group: String, hashed: Column): DataFrame = {
+    val bucket = shiftright(hashed, HllW)
+    val rem = hashed % (1L << HllW)
+    val rho = instr(lpad(bin(rem), HllW, "0"), "1")
+    rows
+      .select(col(group), bucket.as("bucket"),
+        when(rho === 0, lit(HllW + 1)).otherwise(rho).cast("long").as("rho"))
+      .groupBy(col(group), col("bucket"))
+      .agg(max(col("rho")).as("reg"))
+  }
+
+  // q134 — HLL distinct-document estimate per language, next to the
+  // exact count. The harmonic-mean denominator is kept in EXACT int64
+  // arithmetic — numerator = Σ_buckets 2^(56−reg) with empty buckets
+  // contributing 2^56 (reg=0) — so the estimate is one correctly-
+  // rounded double division of two exact integers and hash-compares
+  // bit-exactly against DuckDB. (Terms ≤ 2^56, 64 of them → ≤ 2^62, no
+  // overflow.) n_empty is reported for the linear-counting small-range
+  // correction a production read applies; est here is the raw HLL
+  // estimate so the oracle never depends on cross-engine ln().
+  private def q134(s: SparkSession, d: String): DataFrame = {
+    val alpha = 0.709 // alpha_64
+    hllRegistersOf(
+      documents(s, d), "lang", hash60(col("text")))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_present"),
+        max(col("reg")).as("max_reg"),
+        sum(col("reg")).as("sum_reg"),
+        sum(expr("shiftleft(1L, cast(56 - reg as int))")).as("present_num"))
+      .select(
+        col("lang"),
+        (lit(HllM.toLong) - col("n_present")).as("n_empty"),
+        col("max_reg"), col("sum_reg"),
+        (col("present_num") +
+          (lit(HllM.toLong) - col("n_present")) * lit(1L << 56)).as("numerator"))
+      .withColumn("est",
+        lit(alpha) * lit((HllM.toLong * HllM).toDouble) * lit((1L << 56).toDouble)
+          / col("numerator"))
+      .join(
+        documents(s, d).groupBy(col("lang"))
+          .agg(countDistinct(col("text")).as("exact_distinct")),
+        Seq("lang"))
+      .select(col("lang"), col("exact_distinct"), col("n_empty"), col("max_reg"),
+        col("sum_reg"), col("numerator"), col("est"))
+      .orderBy(col("lang"))
+  }
+
+  private val q134Sql =
+    s"""WITH h AS (SELECT lang, ${hash60Sql("text")} AS h FROM documents),
+      |regs AS (
+      |  SELECT lang, h // ${1L << HllW} AS bucket,
+      |    max(CASE WHEN strpos(lpad(bin(h % ${1L << HllW}), $HllW, '0'), '1') = 0
+      |             THEN ${HllW + 1}
+      |             ELSE strpos(lpad(bin(h % ${1L << HllW}), $HllW, '0'), '1') END) AS reg
+      |  FROM h GROUP BY 1, 2),
+      |folded AS (
+      |  SELECT lang, count(*) AS n_present, max(reg) AS max_reg,
+      |    CAST(sum(reg) AS BIGINT) AS sum_reg,
+      |    CAST(sum(1::BIGINT << CAST(56 - reg AS INT)) AS BIGINT) AS present_num
+      |  FROM regs GROUP BY lang),
+      |exact AS (SELECT lang, count(DISTINCT text) AS exact_distinct
+      |          FROM documents GROUP BY lang)
+      |SELECT f.lang, e.exact_distinct, $HllM - f.n_present AS n_empty,
+      |  f.max_reg, f.sum_reg,
+      |  f.present_num + ($HllM - f.n_present) * ${1L << 56} AS numerator,
+      |  0.709 * CAST(${HllM.toLong * HllM} AS DOUBLE) * CAST(${1L << 56} AS DOUBLE)
+      |    / (f.present_num + ($HllM - f.n_present) * ${1L << 56}) AS est
+      |FROM folded f JOIN exact e USING (lang)
+      |ORDER BY f.lang""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q83_cms_heavy_hitters", q83, Some(q83Sql)),
     Q("q84_bloom_semi_join", q84, Some(q84Sql)),
+    Q("q134_hll_distinct", q134, Some(q134Sql)),
   )
 }
