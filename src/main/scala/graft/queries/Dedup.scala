@@ -86,10 +86,10 @@ object Dedup {
     * loop per row; the earlier interpreted-HOF form re-dispatched the
     * expression tree per element).
     */
-  private def shingleHashes(toks: Column): Column =
+  private[queries] def shingleHashes(toks: Column): Column =
     call_function("ngram_hash60", toks, lit(3), lit(P))
 
-  private val shingleHashesSql = {
+  private[queries] val shingleHashesSql = {
     val toks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
     s"""list_transform(
        |    list_transform(range(greatest(len($toks) - 2, 0)),

@@ -114,7 +114,71 @@ object IndexHealth {
       |ORDER BY structure""".stripMargin
   }
 
+  // ---- q136: MinHash estimator calibration -------------------------------
+
+  // q136 — calibration matrix for the q32 MinHash Jaccard estimator:
+  // every LSH candidate pair's ESTIMATED similarity (matching-signature
+  // fraction, k/32) against its EXACT shingle-set Jaccard — the ground
+  // truth the signatures sketch — cross-tabulated into decile buckets.
+  // This is the eval that sizes NumHashes/Bands before a 100 TB dedup
+  // run: off-diagonal mass above the exact-decile diagonal is the
+  // false-positive work the verify stage will pay for, mass missing
+  // below ~0.2 exact is recall the banding already lost. Bucket
+  // arithmetic is INTEGER-only on both engines (est recovers the match
+  // count k exactly — k/32 is dyadic — and the exact side buckets
+  // (inter*10) div union without ever forming the double), so the cells
+  // hash-compare bit-exactly. Scale shape: the pair frame is
+  // candidate-sized (LSH output, not corpus²), the shingle sets join in
+  // by doc_id twice, the intersect is the codegen'd
+  // sorted_intersect_count merge pass, and the matrix aggregate is ≤121
+  // cells.
+  private def q136(s: SparkSession, d: String): DataFrame = {
+    val pairs = Dedup.candidatePairs(s, d)
+    val sets = documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"),
+        array_sort(array_distinct(Dedup.shingleHashes(col("toks")))).as("sset"))
+    pairs
+      .join(sets.select(col("doc_id").as("doc_a"), col("sset").as("sa")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sset").as("sb")), "doc_b")
+      .withColumn("inter", expr("sorted_intersect_count(sa, sb)"))
+      .withColumn("uni",
+        size(col("sa")).cast("long") + size(col("sb")).cast("long") - col("inter"))
+      .withColumn("k_match",
+        floor(col("est_jaccard") * Dedup.NumHashes + lit(0.5)).cast("long"))
+      .withColumn("est_bucket", expr(s"(k_match * 10) div ${Dedup.NumHashes}"))
+      .withColumn("exact_bucket",
+        when(col("uni") === 0, lit(10L)).otherwise(expr("(inter * 10) div uni")))
+      .groupBy(col("est_bucket"), col("exact_bucket"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("est_bucket"), col("exact_bucket"))
+  }
+
+  private val q136Sql =
+    s"""WITH ${Dedup.pairsCteSql},
+      |sets AS (
+      |  SELECT doc_id, list_distinct(${Dedup.shingleHashesSql}) AS sset
+      |  FROM documents),
+      |j AS (
+      |  SELECT p.est_jaccard,
+      |    len(list_intersect(a.sset, b.sset)) AS inter,
+      |    len(a.sset) + len(b.sset) - len(list_intersect(a.sset, b.sset)) AS uni
+      |  FROM pairs p
+      |  JOIN sets a ON a.doc_id = p.doc_a
+      |  JOIN sets b ON b.doc_id = p.doc_b),
+      |b AS (
+      |  SELECT CAST((CAST(floor(est_jaccard * ${Dedup.NumHashes} + 0.5) AS BIGINT)
+      |           * 10) // ${Dedup.NumHashes} AS BIGINT) AS est_bucket,
+      |    CAST(CASE WHEN uni = 0 THEN 10
+      |              ELSE (inter * 10) // uni END AS BIGINT) AS exact_bucket
+      |  FROM j)
+      |SELECT est_bucket, exact_bucket, count(*) AS n_pairs
+      |FROM b GROUP BY est_bucket, exact_bucket
+      |ORDER BY est_bucket, exact_bucket""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q132_index_health", q132, Some(q132Sql)),
+    Q("q136_minhash_calibration", q136, Some(q136Sql)),
   )
 }
