@@ -313,11 +313,85 @@ object Corpus {
       |ORDER BY doc_id""".stripMargin
   }
 
+  // q139 — PMI collocation mining over adjacent token bigrams: the
+  // classic phrase-discovery statistic (word2vec's phrase pass,
+  // Mikolov et al. 2013, uses exactly this count ratio). The score is
+  // the PMI odds ratio in 10^6 fixed point — floor(10^6·c_ab·N /
+  // (c_a·c_b)) — a monotone transform of PMI = ln(·) that avoids ln's
+  // last-ulp libm differences, computed in DECIMAL(38,0) so the
+  // product c_ab·N·10^6 cannot overflow before the divide (safe to
+  // ~10^15-token corpora; int64 would overflow at ~10^6). Min support
+  // c_ab ≥ 5 is the standard noise floor.
+  //
+  // Scale shape: one corpus scan produces in-row bigram arrays (zip of
+  // the token array with its tail — no per-token shuffle); the only
+  // exchanges are vocab-sized (unigram counts, bigram counts, and the
+  // two c_a/c_b lookups, which stay shuffle joins because a 100 TB
+  // vocab outgrows broadcast); N is a 1-row broadcast; the final
+  // top-30 is TakeOrderedAndProject.
+  val PmiScale = 1000000L
+  private val PmiMinSupport = 5L
+  private val PmiTopN = 30
+
+  /** Core: PMI-scored adjacent bigrams over a (text, ...) frame.
+    * Fixture-testable. */
+  private[graft] def pmiCollocationsOf(
+      docs: DataFrame, minSupport: Long = PmiMinSupport,
+      topN: Int = PmiTopN): DataFrame = {
+    val toks = docs.select(tokens(col("text")).as("t"))
+      .localCheckpoint() // materialize the tokenizer output once for all three consumers
+    val uni = toks.select(explode(col("t")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val n = uni.agg(sum(col("c")).as("n"))
+    val len1 = greatest(size(col("t")) - 1, lit(0)) // slice length must be >= 0
+    val cab = toks.select(explode(arrays_zip(
+        slice(col("t"), lit(1), len1).as("a"),
+        slice(col("t"), lit(2), len1).as("b"))).as("pr"))
+      .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
+      .agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minSupport)
+    cab
+      .join(uni.select(col("tok").as("a"), col("c").as("c_a")), "a")
+      .join(uni.select(col("tok").as("b"), col("c").as("c_b")), "b")
+      .crossJoin(broadcast(n))
+      .select(col("a"), col("b"), col("c_ab"),
+        expr(s"CAST((CAST(c_ab AS DECIMAL(38,0)) * $PmiScale * n) DIV " +
+          "(CAST(c_a AS DECIMAL(38,0)) * c_b) AS BIGINT)").as("score"))
+      .orderBy(col("score").desc, col("a"), col("b"))
+      .limit(topN)
+  }
+
+  private def q139(s: SparkSession, d: String): DataFrame =
+    pmiCollocationsOf(documents(s, d))
+
+  private val q139Sql =
+    s"""WITH t AS (
+      |  SELECT regexp_extract_all(lower(text), '$TokenPattern') AS toks
+      |  FROM documents),
+      |uni AS (SELECT u.tok AS tok, count(*) AS c
+      |        FROM t, unnest(t.toks) AS u(tok) GROUP BY 1),
+      |n AS (SELECT sum(c) AS n FROM uni),
+      |bg AS (SELECT unnest(list_transform(range(len(toks) - 1),
+      |         i -> [toks[i + 1], toks[i + 2]])) AS pr FROM t),
+      |cab AS (SELECT pr[1] AS a, pr[2] AS b, count(*) AS c_ab
+      |        FROM bg GROUP BY 1, 2
+      |        HAVING count(*) >= $PmiMinSupport)
+      |SELECT cab.a, cab.b, cab.c_ab,
+      |  CAST((CAST(cab.c_ab AS HUGEINT) * $PmiScale * n.n) //
+      |    (CAST(ua.c AS HUGEINT) * ub.c) AS BIGINT) AS score
+      |FROM cab
+      |  JOIN uni ua ON ua.tok = cab.a
+      |  JOIN uni ub ON ub.tok = cab.b
+      |  CROSS JOIN n
+      |ORDER BY score DESC, cab.a, cab.b
+      |LIMIT $PmiTopN""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q81_boilerplate_ngrams", q81, Some(q81Sql)),
     Q("q82_token_chunking", q82, Some(q82Sql)),
     Q("q94_source_overlap", q94, Some(q94Sql)),
     Q("q97_cdc_chunks", q97, Some(q97Sql)),
     Q("q119_snapshot_diff", q119, Some(q119Sql)),
+    Q("q139_pmi_collocations", q139, Some(q139Sql)),
   )
 }

@@ -100,7 +100,99 @@ object Graph {
       |ORDER BY node_type, key""".stripMargin
   }
 
+  // q137 — triangle counting + local clustering coefficient over the
+  // parts-co-ordered-together graph (an edge between two parts that
+  // appear in the same order). Triangles are counted by DEGREE-ORDERED
+  // ORIENTATION, the published distributed-scale algorithm (Cohen's
+  // MapReduce triangle enumeration / Suri-Vassilvitskii): every
+  // undirected edge is directed from its lower-(degree, id) endpoint to
+  // its higher one, wedges are enumerated only at an edge's LOWER
+  // endpoint, and a wedge (v, w) closes iff the oriented edge v→w
+  // exists. Out-degree under this orientation is O(√m) regardless of
+  // hub size — the id-ordered naive join (what the oracle runs) puts a
+  // celebrity node's full neighborhood on one side and dies at scale;
+  // this form provably cannot. Per-order item counts are bounded (a
+  // TPC-H order has ≤7 lines), so edge generation is a bounded
+  // per-key self-join.
+  //
+  // All joins shuffle on node/edge keys; triangles explode to their 3
+  // vertices for per-node counts, the final top-15 runs as
+  // TakeOrderedAndProject (bounded per-partition heaps, no global
+  // sort). lcc_fp is the local clustering coefficient in 2^20 fixed
+  // point: 2·tri(v)·2^20 DIV (deg(v)·(deg(v)−1)) — exact integer
+  // arithmetic, bit-equal across engines.
+  val LccScale = 1048576L // 2^20
+  private val TriTopN = 15
+
+  /** Core: (part, degree, n_tri, lcc_fp) rows for the `topN`
+    * highest-degree nodes of the undirected graph given as distinct
+    * (a, b) edges with a < b. Fixture-testable.
+    */
+  private[graft] def triangleStatsOf(e0: DataFrame, topN: Int = TriTopN): DataFrame = {
+    val e = e0.localCheckpoint() // edge frame feeds deg + orientation + closure probe
+    val deg = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    // orient each edge low→high under the total order (deg, id)
+    val ka = struct(col("da").as("dd"), col("a").as("nn"))
+    val kb = struct(col("db").as("dd"), col("b").as("nn"))
+    val eor = e
+      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+      .select(
+        when(ka < kb, col("a")).otherwise(col("b")).as("src"),
+        when(ka < kb, kb).otherwise(ka).as("dstk"))
+      .select(col("src"), col("dstk"), col("dstk.nn").as("dst"))
+      .localCheckpoint()
+    // wedges at the lower endpoint, out-neighbors ordered by (deg, id)
+    val wedges = eor.as("l").join(eor.as("r"), Seq("src"))
+      .filter(col("l.dstk") < col("r.dstk"))
+      .select(col("src").as("u"), col("l.dst").as("v"), col("r.dst").as("w"))
+    val tri = wedges.join(
+      eor.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+    val tc = tri.select(explode(array(col("u"), col("v"), col("w"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("nt"))
+    deg.join(tc, Seq("v"), "left")
+      .select(col("v").as("part"), col("d").as("degree"),
+        coalesce(col("nt"), lit(0L)).as("n_tri"),
+        when(col("d") > 1,
+          expr(s"(2 * coalesce(nt, 0) * $LccScale) DIV (d * (d - 1))"))
+          .otherwise(lit(0L)).as("lcc_fp"))
+      .orderBy(col("degree").desc, col("part"))
+      .limit(topN)
+  }
+
+  private def q137(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+    val e = li.as("x").join(li.as("y"), Seq("ok"))
+      .filter(col("x.p") < col("y.p"))
+      .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
+    triangleStatsOf(e)
+  }
+
+  private val q137Sql =
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+      |e AS (SELECT DISTINCT x.p AS a, y.p AS b
+      |      FROM li x JOIN li y ON x.ok = y.ok AND x.p < y.p),
+      |deg AS (SELECT v, count(*) AS d FROM (
+      |  SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e) GROUP BY v),
+      |tri AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w
+      |        FROM e e1 JOIN e e2 ON e2.a = e1.b
+      |          JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+      |tc AS (SELECT v, count(*) AS nt FROM (
+      |  SELECT u AS v FROM tri UNION ALL SELECT v FROM tri
+      |  UNION ALL SELECT w AS v FROM tri) GROUP BY v)
+      |SELECT deg.v AS part, deg.d AS degree,
+      |  coalesce(tc.nt, 0) AS n_tri,
+      |  CASE WHEN deg.d > 1
+      |    THEN (2 * coalesce(tc.nt, 0) * $LccScale) // (deg.d * (deg.d - 1))
+      |    ELSE 0 END AS lcc_fp
+      |FROM deg LEFT JOIN tc ON tc.v = deg.v
+      |ORDER BY degree DESC, part
+      |LIMIT $TriTopN""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q117_pagerank", q117, Some(q117Sql)),
+    Q("q137_triangle_count", q137, Some(q137Sql)),
   )
 }

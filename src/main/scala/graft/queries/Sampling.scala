@@ -686,6 +686,65 @@ object Sampling {
       |ORDER BY doc_id""".stripMargin
   }
 
+  // q138 — priority sampling (Duffield–Lund–Thorup, JACM 2007): a
+  // weight-sensitive sample of fixed size k whose Horvitz-Thompson
+  // estimator ŵ_i = max(w_i, τ) is unbiased for ANY subset-sum query —
+  // the principled way to keep a tiny sample of a 100 TB corpus that
+  // still answers "how many tokens does slice X hold". Each document
+  // draws u_i = (hash+1)/2^60 ∈ (0,1] (deterministic — the q43
+  // principle) and gets priority q_i = w_i/u_i; the sample is the k
+  // largest priorities and τ is the (k+1)-th. Weights are n_chars.
+  //
+  // Scale: priority assignment is one scan inside codegen; "k largest"
+  // plans as TakeOrderedAndProject (bounded per-partition heaps — no
+  // global sort, no data-sized shuffle), and the k+1 survivor frame
+  // (localCheckpointed, 41 rows) feeds both τ and the sample without
+  // recomputing the scan. Priorities are IEEE doubles: ×2^60 is exact
+  // (w ≤ 2^43), int64→double casts and division are correctly rounded
+  // in every engine, so sample AND estimator are bit-reproducible in
+  // the DuckDB oracle.
+  private val PriK = 40
+
+  /** Core: priority sample of size k over (doc_id, n_chars) rows, with
+    * the τ-threshold Horvitz-Thompson weight estimate per kept row.
+    * Fixture-testable; requires more than k input rows.
+    */
+  private[graft] def prioritySampleOf(docs: DataFrame, k: Int): DataFrame = {
+    val pri = docs.select(
+      col("doc_id"),
+      greatest(col("n_chars"), lit(1L)).as("w"),
+      (greatest(col("n_chars"), lit(1L)).cast("double") * lit(1.152921504606846976e18) /
+        (hash60(concat(lit("pri"), col("doc_id").cast("string"))) + lit(1L))
+          .cast("double")).as("priority"))
+    val top = pri.orderBy(col("priority").desc, col("doc_id")).limit(k + 1)
+      .localCheckpoint()
+    val tau = top.agg(min(col("priority")).as("tau")) // (k+1)-th largest
+    top.orderBy(col("priority").desc, col("doc_id")).limit(k)
+      .crossJoin(broadcast(tau))
+      .select(col("doc_id"), col("w"), col("priority"),
+        greatest(col("w").cast("double"), col("tau")).as("est_w"))
+      .orderBy(col("priority").desc, col("doc_id"))
+  }
+
+  private def q138(s: SparkSession, d: String): DataFrame =
+    prioritySampleOf(documents(s, d), PriK)
+
+  private val q138Sql =
+    s"""WITH p AS (
+      |  SELECT doc_id, greatest(n_chars, 1) AS w,
+      |    (CAST(greatest(n_chars, 1) AS DOUBLE) * 1152921504606846976.0) /
+      |      CAST(${hash60Sql("'pri' || CAST(doc_id AS VARCHAR)")} + 1 AS DOUBLE)
+      |      AS priority
+      |  FROM documents),
+      |r AS (SELECT doc_id, w, priority,
+      |        row_number() OVER (ORDER BY priority DESC, doc_id) AS rk
+      |      FROM p)
+      |SELECT doc_id, w, priority,
+      |  greatest(CAST(w AS DOUBLE),
+      |    (SELECT priority FROM r WHERE rk = ${PriK + 1})) AS est_w
+      |FROM r WHERE rk <= $PriK
+      |ORDER BY priority DESC, doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q78_reservoir_stratified", q78, Some(q78Sql)),
     Q("q79_mixture_sample", q79, Some(q79Sql)),
@@ -699,5 +758,6 @@ object Sampling {
     Q("q107_stride_interleave", q107, Some(q107Sql)),
     Q("q115_dsir_weights", q115, Some(q115Sql)),
     Q("q131_dsir_resample", q131, Some(q131Sql)),
+    Q("q138_priority_sample", q138, Some(q138Sql)),
   )
 }

@@ -35,4 +35,25 @@ class GraphSpec extends SparkSpec {
     // hub node 10 (degree 2 in-star) outranks the degree-1 leaf 11
     assert(got(10L) > got(11L))
   }
+
+  test("degree-oriented triangle count: K4 + pendant, exact lcc fixed point") {
+    // K4 on {1,2,3,4} (4 triangles, 3 per node) plus pendant edge 4-5
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+    val got = Graph.triangleStatsOf(e.toDF("a", "b"), topN = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val s = Graph.LccScale
+    // order: degree desc, node asc; K4 nodes have lcc = 1.0 (= 2^20),
+    // node 4's pendant dilutes it to 2*3*S/(4*3) = S/2
+    assert(got.toSeq == Seq(
+      (4L, 4L, 3L, s / 2),
+      (1L, 3L, 3L, s), (2L, 3L, 3L, s), (3L, 3L, 3L, s),
+      (5L, 1L, 0L, 0L)), s"got ${got.toSeq}")
+  }
+
+  test("triangle count: a 4-cycle is triangle-free") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L))
+    val got = Graph.triangleStatsOf(e.toDF("a", "b"), topN = 10).collect()
+    assert(got.forall(r => r.getLong(2) == 0L && r.getLong(3) == 0L))
+    assert(got.length == 4)
+  }
 }
