@@ -135,8 +135,64 @@ object Batching {
       |FROM a GROUP BY shard
       |ORDER BY shard""".stripMargin
 
+  // q142 — shard MANIFEST: the dataset-publishing record a training
+  // run checks before reading a shard. Extends q129's serpentine
+  // assignment with, per shard, the doc_id range and an ORDER-INVARIANT
+  // content checksum — the sum of per-document 60-bit content hashes
+  // mod 2^60, accumulated in DECIMAL(38,0) so it is exact at any shard
+  // size (an int64 sum would wrap engine-dependently after ~8k docs;
+  // DuckDB's sum(BIGINT) promotes to HUGEINT, so the decimal form is
+  // what makes the checksum portable). Order-invariance means any
+  // executor can verify a shard without knowing the write order —
+  // a shard re-written by a different cluster layout still matches.
+  // One scan, the rank's range-exchange, one aggregation.
+  val ChecksumMod = 1152921504606846976L // 2^60
+
+  /** Core: per-shard manifest rows over any (doc_id, text) frame. */
+  def shardManifestOf(docs: DataFrame): DataFrame = {
+    val sized = docs.select(col("doc_id"), tokenCount(col("text")).as("n_toks"),
+      hash60(col("text")).as("h"))
+    Sampling.rankDistributed(sized, Seq.empty,
+        Seq(col("n_toks").desc, col("doc_id")))
+      .withColumn("pos", expr(s"(rk - 1L) % $Shards"))
+      .withColumn("shard", expr(
+        s"CASE WHEN ((rk - 1L) div $Shards) % 2 = 0 THEN pos ELSE ${Shards - 1} - pos END"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("sum_toks"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"),
+        expr(s"CAST(sum(CAST(h AS DECIMAL(38,0))) % $ChecksumMod AS BIGINT)")
+          .as("checksum"))
+      .orderBy(col("shard"))
+  }
+
+  private def q142(s: SparkSession, d: String): DataFrame =
+    shardManifestOf(documents(s, d))
+
+  private val q142Sql =
+    s"""WITH t AS (
+      |  SELECT doc_id, len(regexp_extract_all(lower(text), '$TokenPattern'))
+      |           AS n_toks,
+      |    ${graft.functions.TextFns.hash60Sql("text")} AS h
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, n_toks, h,
+      |    row_number() OVER (ORDER BY n_toks DESC, doc_id) AS rk
+      |  FROM t),
+      |a AS (
+      |  SELECT doc_id, n_toks, h,
+      |    CASE WHEN ((rk - 1) // $Shards) % 2 = 0 THEN (rk - 1) % $Shards
+      |         ELSE ${Shards - 1} - (rk - 1) % $Shards END AS shard
+      |  FROM r)
+      |SELECT CAST(shard AS BIGINT) AS shard, count(*) AS n_docs,
+      |  CAST(sum(n_toks) AS BIGINT) AS sum_toks,
+      |  min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+      |  CAST(sum(h) % $ChecksumMod AS BIGINT) AS checksum
+      |FROM a GROUP BY shard
+      |ORDER BY shard""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q125_length_batching", q125, Some(q125Sql)),
     Q("q129_shard_balance", q129, Some(q129Sql)),
+    Q("q142_shard_manifest", q142, Some(q142Sql)),
   )
 }

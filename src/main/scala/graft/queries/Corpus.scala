@@ -386,6 +386,58 @@ object Corpus {
       |ORDER BY score DESC, cab.a, cab.b
       |LIMIT $PmiTopN""".stripMargin
 
+  // q140 — skip-gram (center, context) pair counts with window ±2,
+  // the word2vec/GloVe training-pair generator (Mikolov et al. 2013:
+  // each position contributes a directed pair to every neighbor within
+  // the window; GloVe's co-occurrence matrix is the same table). Pairs
+  // carry their distance so a consumer can apply 1/d weighting
+  // downstream without regenerating.
+  //
+  // Scale shape: same as q139 — one materialized token-array scan,
+  // pairs formed IN-ROW (zip of the array with its d-shifted self, no
+  // per-token shuffle), one vocab²-sparse aggregation with map-side
+  // combine, top-40 as TakeOrderedAndProject.
+  private val SkipWindow = 2
+  private val SkipTopN = 40
+
+  /** Core: windowed co-occurrence pair counts. Fixture-testable. */
+  private[graft] def skipgramPairsOf(docs: DataFrame, topN: Int = SkipTopN): DataFrame = {
+    val toks = docs.select(tokens(col("text")).as("t")).localCheckpoint()
+    val fw = (1 to SkipWindow).map { dd =>
+      val len = greatest(size(col("t")) - dd, lit(0))
+      toks.select(explode(arrays_zip(
+          slice(col("t"), lit(1), len).as("a"),
+          slice(col("t"), lit(1 + dd), len).as("b"))).as("pr"),
+        lit(dd.toLong).as("dist"))
+    }.reduce(_ union _)
+    val directed = fw.select(col("pr.a").as("center"), col("pr.b").as("context"), col("dist"))
+      .union(fw.select(col("pr.b").as("center"), col("pr.a").as("context"), col("dist")))
+    directed.groupBy(col("center"), col("context"), col("dist"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("center"), col("context"), col("dist"))
+      .limit(topN)
+  }
+
+  private def q140(s: SparkSession, d: String): DataFrame =
+    skipgramPairsOf(documents(s, d))
+
+  private val q140Sql = {
+    def pairs(dd: Int) =
+      s"""SELECT unnest(list_transform(range(len(toks) - $dd),
+         |    i -> [toks[i + 1], toks[i + 1 + $dd]])) AS pr,
+         |  CAST($dd AS BIGINT) AS dist FROM t""".stripMargin
+    s"""WITH t AS (
+      |  SELECT regexp_extract_all(lower(text), '$TokenPattern') AS toks
+      |  FROM documents),
+      |fw AS (${(1 to SkipWindow).map(pairs).mkString("\n  UNION ALL\n")}),
+      |di AS (SELECT pr[1] AS center, pr[2] AS context, dist FROM fw
+      |       UNION ALL SELECT pr[2] AS center, pr[1] AS context, dist FROM fw)
+      |SELECT center, context, dist, count(*) AS cnt
+      |FROM di GROUP BY center, context, dist
+      |ORDER BY cnt DESC, center, context, dist
+      |LIMIT $SkipTopN""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q81_boilerplate_ngrams", q81, Some(q81Sql)),
     Q("q82_token_chunking", q82, Some(q82Sql)),
@@ -393,5 +445,6 @@ object Corpus {
     Q("q97_cdc_chunks", q97, Some(q97Sql)),
     Q("q119_snapshot_diff", q119, Some(q119Sql)),
     Q("q139_pmi_collocations", q139, Some(q139Sql)),
+    Q("q140_skipgram_pairs", q140, Some(q140Sql)),
   )
 }

@@ -636,6 +636,69 @@ object Dedup {
       |FROM (SELECT * FROM singles UNION ALL SELECT * FROM hist) t
       |ORDER BY cluster_size""".stripMargin
 
+  // q141 — INCREMENTAL LSH index maintenance: the nightly-snapshot
+  // form of q32. A persisted corpus index holds banded signatures for
+  // every already-ingested document; a new batch arrives (modeled as
+  // doc_id % 10 == 0) and must be checked for near-duplicates against
+  // the index AND within itself — but the index is NEVER self-joined.
+  // That asymmetry is the entire 100 TB story: per-snapshot work is
+  // O(batch × bucket-density) + O(batch²-within-buckets), independent
+  // of corpus size, where re-running batch q32 over corpus+batch would
+  // re-pay the full corpus×corpus bucket join every night.
+  //
+  // The probe side (batch) shuffles on (band, bkey) against the
+  // index's existing bucket partitioning; batch-internal pairs reuse
+  // the full q32 path, hot-bucket triangle insurance included. The
+  // oracle runs the naive full-corpus bucket join with an
+  // at-least-one-new filter — same pair set, quadratic form.
+  /** Core: near-dup candidate pairs touching the `arrivals` batch,
+    * given the already-indexed `indexed` frame. Fixture-testable.
+    */
+  private[graft] def incrementalPairs(
+      indexed: DataFrame, arrivals: DataFrame): DataFrame = {
+    val bNew = bandedSignatures(arrivals)
+    val bOld = bandedSignatures(indexed)
+    val cross = bNew.as("n")
+      .join(bOld.as("o"), Seq("band", "bkey"))
+      .select(
+        least(col("n.doc_id"), col("o.doc_id")).as("doc_a"),
+        greatest(col("n.doc_id"), col("o.doc_id")).as("doc_b"),
+        (size(filter(zip_with(col("n.sig"), col("o.sig"), (x, y) => x === y),
+          v => v)).cast("double") / NumHashes).as("est_jaccard"))
+      .distinct()
+      .withColumn("src", lit("cross"))
+    val intra = candidatePairsFrom(arrivals).withColumn("src", lit("intra"))
+    cross.unionByName(intra).orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private def q141(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    incrementalPairs(
+      docs.filter(col("doc_id") % 10 =!= 0),
+      docs.filter(col("doc_id") % 10 === 0))
+  }
+
+  private val q141Sql = {
+    val rows = NumHashes / Bands
+    s"""WITH sigs AS (
+      |  SELECT doc_id, $signatureSql AS sig
+      |  FROM (SELECT doc_id, $shingleHashesSql AS shashes FROM documents) t),
+      |banded AS (
+      |  SELECT doc_id, sig, b.band AS band,
+      |    array_to_string(sig[b.band*$rows+1 : b.band*$rows+$rows], ',') AS bkey
+      |  FROM sigs, (SELECT unnest(range($Bands)) AS band) b)
+      |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(len(list_filter(list_transform(range($NumHashes),
+      |    i -> a.sig[i+1] = b.sig[i+1]), x -> x)) AS DOUBLE) / $NumHashes
+      |    AS est_jaccard,
+      |  CASE WHEN a.doc_id % 10 = 0 AND b.doc_id % 10 = 0
+      |    THEN 'intra' ELSE 'cross' END AS src
+      |FROM banded a JOIN banded b
+      |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+      |WHERE a.doc_id % 10 = 0 OR b.doc_id % 10 = 0
+      |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q30_dedup_exact", q30, Some(q30Sql)),
     Q("q31_dedup_norm", q31, Some(q31Sql)),
@@ -647,5 +710,6 @@ object Dedup {
     Q("q86_substring_winnow", q86, Some(q86Sql)),
     Q("q88_containment", q88, Some(q88Sql)),
     Q("q128_cluster_histogram", q128, Some(q128Sql)),
+    Q("q141_incremental_lsh", q141, Some(q141Sql)),
   )
 }
