@@ -233,6 +233,59 @@ object StatefulStreams {
       }
   }
 
+  /** Streaming form of batch q138 (graft.queries.Sampling
+    * .prioritySampleOf) — a CONTINUOUSLY-MAINTAINED priority sample
+    * (Duffield–Lund–Thorup): the arriving corpus keeps exactly k
+    * sampled documents plus the τ threshold, and every micro-batch
+    * re-emits the current sample with fresh Horvitz-Thompson weight
+    * estimates (Update mode — the sample is a changing top-k, not an
+    * append log). Priorities use the identical IEEE arithmetic as the
+    * batch query (w·2^60/(h+1) over the portable md5-prefix hash), so
+    * after any micro-batch split the final emission is row-identical
+    * to batch q138 over the same rows (pinned by
+    * StreamingSampleSpec).
+    *
+    * Scale: each partition pre-prunes its micro-batch to a local
+    * top-(k+1) BEFORE the single global key, so the stateful task
+    * receives ≤ partitions·(k+1) candidate rows per batch and holds
+    * k+1 rows of state — the constant-key funnel carries candidates,
+    * never the stream. Replayed doc_ids dedup against state by id.
+    * Nothing is emitted until k+1 distinct documents have arrived (τ
+    * is undefined before that — matching the batch contract's
+    * requirement of more than k input rows).
+    */
+  def streamingPrioritySample(
+      docs: DataFrame, k: Int): Dataset[(Long, Long, Double, Double)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pri = docs.select(col("doc_id"),
+        greatest(col("n_chars"), lit(1L)).as("w"),
+        (greatest(col("n_chars"), lit(1L)).cast("double") *
+          lit(1.152921504606846976e18) /
+          (graft.functions.TextFns.hash60(
+            concat(lit("pri"), col("doc_id").cast("string"))) + lit(1L))
+            .cast("double")).as("priority"))
+      .as[(Long, Long, Double)]
+    val pruned = pri.mapPartitions { it =>
+      it.toIndexedSeq.sortBy(t => (-t._3, t._1)).take(k + 1).iterator
+    }
+    pruned.groupByKey(_ => 0)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (_: Int, it: Iterator[(Long, Long, Double)],
+         gs: GroupState[List[(Long, Long, Double)]]) =>
+          val merged = (gs.getOption.getOrElse(Nil) ++ it)
+            .distinctBy(_._1)
+            .sortBy(t => (-t._3, t._1)).take(k + 1).toList
+          gs.update(merged)
+          if (merged.sizeIs > k) {
+            val tau = merged(k)._3
+            merged.take(k).iterator.map { case (id, w, p) =>
+              (id, w, p, math.max(w.toDouble, tau))
+            }
+          } else Iterator.empty
+      }
+  }
+
   /** Streaming form of batch q126 (graft.queries.EventWindows
     * .turnPairsOf) — SFT turn-pair extraction over a LIVE event
     * stream: per-user GroupState holds (last event, session counter),

@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.SparkSpec
+
+/** Parity pin for the continuously-maintained priority sample: after
+  * an arbitrary micro-batch split, the final Update emission is
+  * row-identical to batch q138 over the same rows — including the
+  * IEEE-double priorities and τ-thresholded weight estimates.
+  */
+class StreamingSampleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming priority sample converges to batch q138 across micro-batches") {
+    implicit val sql = spark.sqlContext
+    val docs = Seq(
+      (1L, 100L), (2L, 5000L), (3L, 40L), (4L, 900L), (5L, 7L), (6L, 2500L))
+    val k = 3
+    val expect = graft.queries.Sampling
+      .prioritySampleOf(docs.toDF("doc_id", "n_chars"), k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toSet
+
+    val in = MemoryStream[(Long, Long)]
+    val out = StatefulStreams
+      .streamingPrioritySample(in.toDF().toDF("doc_id", "n_chars"), k)
+      .toDF("doc_id", "w", "priority", "est_w")
+    val q = out.writeStream.format("memory").queryName("spri")
+      .outputMode("update").start()
+    try {
+      in.addData(docs.take(2)) // only 2 docs < k+1: no emission yet
+      q.processAllAvailable()
+      assert(spark.table("spri").count() == 0)
+      in.addData(docs.slice(2, 5)) // 5 docs >= k+1: sample live
+      q.processAllAvailable()
+      val mid = spark.table("spri").count()
+      assert(mid == k, s"mid-stream emission: $mid rows")
+      in.addData(docs.drop(5)) // replay-free final batch
+      q.processAllAvailable()
+      val rows = spark.table("spri").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      // Update mode appends each batch's emission; the final k rows are
+      // the current sample
+      assert(rows.takeRight(k).toSet == expect,
+        s"got ${rows.takeRight(k).toSet}\nexp $expect")
+    } finally q.stop()
+  }
+
+  test("replayed doc_ids do not perturb the sample") {
+    implicit val sql = spark.sqlContext
+    val docs = Seq(
+      (1L, 100L), (2L, 5000L), (3L, 40L), (4L, 900L), (5L, 7L), (6L, 2500L))
+    val k = 3
+    val expect = graft.queries.Sampling
+      .prioritySampleOf(docs.toDF("doc_id", "n_chars"), k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toSet
+    val in = MemoryStream[(Long, Long)]
+    val out = StatefulStreams
+      .streamingPrioritySample(in.toDF().toDF("doc_id", "n_chars"), k)
+      .toDF("doc_id", "w", "priority", "est_w")
+    val q = out.writeStream.format("memory").queryName("spri2")
+      .outputMode("update").start()
+    try {
+      in.addData(docs)
+      q.processAllAvailable()
+      in.addData(docs.take(4)) // full replay of earlier rows
+      q.processAllAvailable()
+      val rows = spark.table("spri2").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      assert(rows.takeRight(k).toSet == expect)
+    } finally q.stop()
+  }
+}
