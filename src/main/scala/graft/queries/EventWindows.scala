@@ -281,6 +281,129 @@ object EventWindows {
       |WHERE event_type = 'view' AND nxt_type = 'click'
       |ORDER BY user_id, prompt_id""".stripMargin
 
+  // Shared sessionizer for q143/q144 — the q118 boundary (strict
+  // >30 min gap), one shuffle on user_id for every downstream window.
+  private def sessionized(ev: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("prev_ms", lag(col("ts_ms"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ms").isNull || col("ts_ms") - col("prev_ms") > 1800000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(cum))
+  }
+
+  private val sessCteSql =
+    """t AS (
+      |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms,
+      |    lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_ms(ts), event_id) AS prev_ms
+      |  FROM events),
+      |sess AS (
+      |  SELECT user_id, event_id, event_type, ts_ms,
+      |    CAST(sum(CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms > 1800000
+      |        THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+      |      ORDER BY ts_ms, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS session_id
+      |  FROM t)""".stripMargin
+
+  // q143 — session path mining: corpus-wide counts of within-session
+  // ordered event-type TRIGRAMS ('view>view>click'), the user-journey
+  // n-gram report product analytics builds on clickstreams (and the
+  // behavioral sibling of q81's textual n-grams). q118 assembles each
+  // transcript; this asks which 3-step paths recur ACROSS sessions.
+  //
+  // Scale shape: the sessionizer's one user_id shuffle, a
+  // session-bounded collect (gap-bounded state, q118's argument),
+  // trigrams formed IN-ROW over the sorted type array, one
+  // vocab³-sparse count with map-side combine, top-20 via
+  // TakeOrderedAndProject.
+  private val PathLen = 3
+  private val PathTopN = 20
+
+  /** Core: within-session event-type trigram counts. Fixture-testable. */
+  private[graft] def journeyPathsOf(ev: DataFrame, topN: Int = PathTopN): DataFrame = {
+    val paths = sessionized(ev)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("ts_ms"), col("event_id"), col("event_type")))),
+        x => x.getField("event_type")).as("evs"))
+      .select(explode(when(size(col("evs")) >= PathLen,
+        transform(sequence(lit(0), size(col("evs")) - PathLen), i =>
+          concat_ws(">", element_at(col("evs"), i + 1),
+            element_at(col("evs"), i + 2), element_at(col("evs"), i + 3))))
+        .otherwise(array().cast("array<string>"))).as("path"))
+    paths.groupBy(col("path")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("path"))
+      .limit(topN)
+  }
+
+  private def q143(s: SparkSession, d: String): DataFrame =
+    journeyPathsOf(events(s, d))
+
+  private val q143Sql =
+    s"""WITH $sessCteSql,
+      |tr AS (
+      |  SELECT list(event_type ORDER BY ts_ms, event_id) AS evs
+      |  FROM sess GROUP BY user_id, session_id),
+      |paths AS (
+      |  SELECT unnest(list_transform(range(len(evs) - ${PathLen - 1}),
+      |    i -> evs[i + 1] || '>' || evs[i + 2] || '>' || evs[i + 3])) AS path
+      |  FROM tr)
+      |SELECT path, count(*) AS cnt
+      |FROM paths GROUP BY path
+      |ORDER BY cnt DESC, path
+      |LIMIT $PathTopN""".stripMargin
+
+  // q144 — last-touch attribution: every purchase is credited to the
+  // most recent click STRICTLY before it in the SAME session (or to
+  // nothing — organic purchases keep a NULL click and are part of the
+  // report). The marketing-attribution primitive, and the in-session
+  // as-of-join expressed as one window: last_value(... IGNORE NULLS)
+  // over rows [unbounded, -1] on the session partition — no self-join,
+  // no extra shuffle beyond the sessionizer's user_id exchange. The
+  // click ts and id are picked by two last_value calls over the SAME
+  // frame, so they come from the same row by construction.
+  /** Core: (user_id, session_id, purchase_id, click_id, latency_ms)
+    * per purchase. Fixture-testable.
+    */
+  private[graft] def lastTouchOf(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("session_id"))
+      .orderBy(col("ts_ms"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    sessionized(ev)
+      .withColumn("click_ts",
+        last(when(col("event_type") === "click", col("ts_ms")), ignoreNulls = true).over(w))
+      .withColumn("click_id",
+        last(when(col("event_type") === "click", col("event_id")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("session_id"),
+        col("event_id").as("purchase_id"), col("click_id"),
+        (col("ts_ms") - col("click_ts")).as("latency_ms"))
+      .orderBy(col("purchase_id"))
+  }
+
+  private def q144(s: SparkSession, d: String): DataFrame =
+    lastTouchOf(events(s, d))
+
+  private val q144Sql =
+    s"""WITH $sessCteSql,
+      |a AS (
+      |  SELECT user_id, session_id, event_id, event_type, ts_ms,
+      |    last_value(CASE WHEN event_type = 'click' THEN ts_ms END IGNORE NULLS)
+      |      OVER w AS click_ts,
+      |    last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+      |      OVER w AS click_id
+      |  FROM sess
+      |  WINDOW w AS (PARTITION BY user_id, session_id
+      |    ORDER BY ts_ms, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+      |SELECT user_id, session_id, event_id AS purchase_id, click_id,
+      |  ts_ms - click_ts AS latency_ms
+      |FROM a WHERE event_type = 'purchase'
+      |ORDER BY purchase_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q26_tumbling_window", q26, Some(q26Sql)),
     Q("q27_sliding_window", q27, Some(q27Sql)),
@@ -289,5 +412,7 @@ object EventWindows {
     Q("q108_changelog_apply", q108, Some(q108Sql)),
     Q("q118_transcripts", q118, Some(q118Sql)),
     Q("q126_turn_pairs", q126, Some(q126Sql)),
+    Q("q143_journey_paths", q143, Some(q143Sql)),
+    Q("q144_attribution", q144, Some(q144Sql)),
   )
 }

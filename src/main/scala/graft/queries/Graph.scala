@@ -147,8 +147,14 @@ object Graph {
     val wedges = eor.as("l").join(eor.as("r"), Seq("src"))
       .filter(col("l.dstk") < col("r.dstk"))
       .select(col("src").as("u"), col("l.dst").as("v"), col("r.dst").as("w"))
+    // Closure probe as a SHUFFLED HASH join with the m-row edge list as
+    // build: the wedge side is Σ out-deg² rows (34× the edge count on
+    // the sf corpus) and must stream unsorted — the default sort-merge
+    // join spends its whole budget externally sorting wedges (7 s of a
+    // 13 s query at sf0.1; 2.6 s with the hash probe).
     val tri = wedges.join(
-      eor.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+      eor.select(col("src").as("v"), col("dst").as("w")).hint("shuffle_hash"),
+      Seq("v", "w"))
     val tc = tri.select(explode(array(col("u"), col("v"), col("w"))).as("v"))
       .groupBy(col("v")).agg(count(lit(1)).as("nt"))
     deg.join(tc, Seq("v"), "left")
@@ -162,9 +168,18 @@ object Graph {
   }
 
   private def q137(s: SparkSession, d: String): DataFrame = {
+    // Pairs of parts co-appearing in an order via the bounded per-key
+    // self-join (orders are ≤7 lines in TPC-H, so each key's pair
+    // fan-out is ≤21). An in-row collect_set + nested-HOF pair
+    // expansion was tried and is ~1.5× SLOWER: nested lambda
+    // expressions run interpreted per element, outside codegen,
+    // while the join path stays fully codegen'd.
+    // No pre-join distinct: the pair-level distinct below already
+    // dedups, and (ok, p) duplicates only add a bounded few join rows —
+    // dropping it saves a full 600k-row exchange.
     val li = lineitem(s, d)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
-    val e = li.as("x").join(li.as("y"), Seq("ok"))
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+    val e = li.as("x").join(li.as("y").hint("shuffle_hash"), Seq("ok"))
       .filter(col("x.p") < col("y.p"))
       .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
     triangleStatsOf(e)

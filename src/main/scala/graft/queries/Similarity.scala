@@ -702,6 +702,84 @@ object Similarity {
       |ORDER BY a_id""".stripMargin
   }
 
+  // q145 — label-centroid audit: per-label embedding centroids plus
+  // the distribution of each member's dot product against its own
+  // centroid — the "class purity" report that catches mislabeled or
+  // drifted clusters before they poison contrastive training (the
+  // same audit SemDeDup-style pipelines run on cluster assignments).
+  // All arithmetic is the q41 fixed-point discipline: vectors quantize
+  // to 2^20 longs (exact float→double widening, exponent-exact ×2^20,
+  // round half-away-from-zero in both engines), per-dimension sums are
+  // order-invariant int64, and the per-dim mean is integral division —
+  // both Spark's DIV and DuckDB's integer // truncate toward zero, so
+  // negative centroid dimensions agree bit-for-bit. Dots accumulate in
+  // DECIMAL(38,0) so the per-label sum cannot wrap at corpus scale.
+  //
+  // Scale: one exploded pass builds the centroids (64·|labels| rows
+  // out of the map-side combine); the centroid table is
+  // labels-sized → broadcast; every member's dot is computed IN-ROW
+  // (zip_with + aggregate, codegen'd), so the corpus is scanned twice
+  // and shuffled only by the final labels-sized aggregation.
+  /** Core: per-label centroid/purity stats. Fixture-testable. */
+  private[graft] def labelCentroidAudit(e: DataFrame): DataFrame = {
+    val eq = e.select(col("vec_id"), col("label"),
+      transform(col("embedding"),
+        x => round(x.cast("double") * FixScale).cast("long")).as("qv"))
+    val cent = eq.select(col("label"), posexplode(col("qv")).as(Seq("pos", "q")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+      .withColumn("c", expr("sq DIV n"))
+    val carr = cent.groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+          x => x.getField("c")).as("cvec"),
+        first(col("n")).as("n_vecs"))
+    val dots = eq.join(broadcast(carr.select(col("label"), col("cvec"))), "label")
+      .select(col("label"),
+        aggregate(zip_with(col("qv"), col("cvec"), (x, y) => x * y),
+          lit(0L), (acc, x) => acc + x).as("dot"))
+      .groupBy(col("label"))
+      .agg(expr("CAST(sum(CAST(dot AS DECIMAL(38,0))) AS BIGINT)").as("sum_dot"),
+        min(col("dot")).as("min_dot"), max(col("dot")).as("max_dot"))
+    carr.join(dots, "label")
+      .select(col("label").cast("long").as("label"), col("n_vecs"),
+        aggregate(col("cvec"), lit(0L), (acc, x) => acc + x * x).as("centroid_norm2"),
+        col("sum_dot"), col("min_dot"), col("max_dot"))
+      .orderBy(col("label"))
+  }
+
+  private def q145(s: SparkSession, d: String): DataFrame =
+    labelCentroidAudit(embeddings(s, d))
+
+  private val q145Sql =
+    s"""WITH q AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding,
+      |      x -> CAST(round(CAST(x AS DOUBLE) * $FixScale) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |cent AS (
+      |  SELECT label, r.i AS pos, sum(qv[r.i + 1]) // count(*) AS c,
+      |    count(*) AS n
+      |  FROM q, range(64) r(i)
+      |  GROUP BY label, r.i),
+      |carr AS (
+      |  SELECT label, list(c ORDER BY pos) AS cvec, max(n) AS n_vecs
+      |  FROM cent GROUP BY label),
+      |d AS (
+      |  SELECT q.label,
+      |    CAST(list_sum(list_transform(range(64),
+      |      i -> qv[i + 1] * cvec[i + 1])) AS BIGINT) AS dot
+      |  FROM q JOIN carr USING (label)),
+      |ds AS (
+      |  SELECT label, CAST(sum(dot) AS BIGINT) AS sum_dot,
+      |    min(dot) AS min_dot, max(dot) AS max_dot
+      |  FROM d GROUP BY label)
+      |SELECT CAST(carr.label AS BIGINT) AS label, n_vecs,
+      |  CAST(list_sum(list_transform(cvec, x -> x * x)) AS BIGINT)
+      |    AS centroid_norm2,
+      |  sum_dot, min_dot, max_dot
+      |FROM carr JOIN ds USING (label)
+      |ORDER BY label""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q34_embed_neardup", q34, Some(q34Sql)),
     Q("q40_knn_brute", q40, Some(q40Sql)),
@@ -711,5 +789,6 @@ object Similarity {
     Q("q95_srp_lsh", q95, Some(q95Sql)),
     Q("q112_semdedup", q112, Some(q112Sql)),
     Q("q135_bitext_margin", q135, Some(q135Sql)),
+    Q("q145_label_centroids", q145, Some(q145Sql)),
   )
 }

@@ -45,4 +45,43 @@ class SessionBoundarySpec extends SparkSpec {
       .map(r => (r.getInt(0), r.getLong(1))).toMap
     assert(got == Map(0 -> 1L, 1 -> 1L, 2 -> 1L, 3 -> 1L), s"got $got")
   }
+
+  test("journey trigrams: exact 3-event session, short sessions, no cross-session grams") {
+    val gap = 1800001L
+    val ev = Seq(
+      // user 1, session 1: view view click (exactly one trigram)
+      (1L, "view", 1000L, 10L), (1L, "view", 2000L, 11L), (1L, "click", 3000L, 12L),
+      // user 1, session 2 (past the gap): view click — too short, AND the
+      // pair must not chain with session 1's tail into a phantom trigram
+      (1L, "view", 3000L + gap, 13L), (1L, "click", 4000L + gap, 14L),
+      // user 2: four events → two overlapping trigrams
+      (2L, "view", 1000L, 20L), (2L, "view", 2000L, 21L),
+      (2L, "click", 3000L, 22L), (2L, "purchase", 4000L, 23L))
+      .toDF("user_id", "event_type", "ts_ms", "event_id")
+    val got = EventWindows.journeyPathsOf(ev, topN = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == Map("view>view>click" -> 2L, "view>click>purchase" -> 1L),
+      s"got $got")
+  }
+
+  test("last-touch attribution: organic, superseded, and cross-session clicks") {
+    val gap = 1800001L
+    val ev = Seq(
+      // user 1: click click purchase — the LATER click wins
+      (1L, "click", 1000L, 10L), (1L, "click", 2000L, 11L),
+      (1L, "purchase", 5000L, 12L),
+      // user 2: purchase before any click (organic), then a click, then a
+      // purchase in a NEW session — the old click must not attribute
+      (2L, "purchase", 1000L, 20L), (2L, "click", 2000L, 21L),
+      (2L, "purchase", 2000L + gap + 1000L, 22L))
+      .toDF("user_id", "event_type", "ts_ms", "event_id")
+    val got = EventWindows.lastTouchOf(ev).collect()
+      .map(r => (r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(4)).map(_.asInstanceOf[Long]))).toSeq
+    assert(got == Seq(
+      (12L, Some(11L), Some(3000L)), // later click, 3 s latency
+      (20L, None, None),             // organic purchase
+      (22L, None, None)),            // previous-session click ignored
+      s"got $got")
+  }
 }
