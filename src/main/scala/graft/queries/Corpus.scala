@@ -410,10 +410,17 @@ object Corpus {
           slice(col("t"), lit(1 + dd), len).as("b"))).as("pr"),
         lit(dd.toLong).as("dist"))
     }.reduce(_ union _)
-    val directed = fw.select(col("pr.a").as("center"), col("pr.b").as("context"), col("dist"))
-      .union(fw.select(col("pr.b").as("center"), col("pr.a").as("context"), col("dist")))
-    directed.groupBy(col("center"), col("context"), col("dist"))
-      .agg(count(lit(1)).as("cnt"))
+    // Aggregate FORWARD occurrences once (the only corpus-sized
+    // shuffle, map-side combined), then derive both directions from
+    // the vocab²-sparse counts: directed(a→b,d) = fw(a,b,d) + fw(b,a,d).
+    // Unioning raw directed rows instead would push 2× the corpus
+    // through the aggregation and evaluate the explode twice.
+    val g = fw.groupBy(col("pr.a").as("a"), col("pr.b").as("b"), col("dist"))
+      .agg(count(lit(1)).as("c"))
+    g.select(col("a").as("center"), col("b").as("context"), col("dist"), col("c"))
+      .union(g.select(col("b").as("center"), col("a").as("context"), col("dist"), col("c")))
+      .groupBy(col("center"), col("context"), col("dist"))
+      .agg(sum(col("c")).as("cnt"))
       .orderBy(col("cnt").desc, col("center"), col("context"), col("dist"))
       .limit(topN)
   }
