@@ -404,6 +404,72 @@ object EventWindows {
       |FROM a WHERE event_type = 'purchase'
       |ORDER BY purchase_id""".stripMargin
 
+  // q147 — watermark-lateness audit: for every event, reconstruct the
+  // watermark that was IN FORCE when it arrived (max event time over
+  // all STRICTLY-EARLIER arrivals, minus the allowed delay) and report
+  // per event type how many records a streaming job with that
+  // watermark would have treated as late, and by how much. This is the
+  // observability query every production watermark is tuned from —
+  // run it over yesterday's log to pick tomorrow's delay.
+  //
+  // The arrival-order prefix max is DISTRIBUTED (the rankDistributed
+  // pattern): range-partition on arrival sequence, per-partition
+  // running max over strictly-preceding rows, plus a broadcast
+  // carry-in of each earlier partition's max — no single-partition
+  // window anywhere (the naive ORDER BY event_id window the oracle
+  // states would serialize the corpus through one task).
+  val LateDelayMs = 600000L // 10 min allowed delay
+
+  /** Core: per-type lateness stats over (event_id, event_type, ts_ms)
+    * rows, arrival order = event_id. Fixture-testable.
+    */
+  private[graft] def latenessAuditOf(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
+    val nParts = s.conf.get("spark.sql.shuffle.partitions").toIntOption
+      .getOrElse(s.sparkContext.defaultParallelism)
+    val parted = ev.select(col("event_id"), col("event_type"), col("ts_ms"))
+      .repartitionByRange(nParts, col("event_id"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(false) // one __pid assignment for both branches
+    val wLocal = Window.partitionBy(col("__pid")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCarry = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = parted.groupBy(col("__pid"))
+      .agg(max(col("ts_ms")).as("__pmax"))
+      .withColumn("__carry", max(col("__pmax")).over(wCarry))
+      .select(col("__pid"), col("__carry"))
+    parted
+      .withColumn("__lmax", max(col("ts_ms")).over(wLocal))
+      .join(broadcast(carry), Seq("__pid"))
+      .withColumn("wm", greatest(col("__lmax"), col("__carry")) - LateDelayMs)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("ts_ms") < col("wm"), 1L).otherwise(0L)).as("n_late"),
+        coalesce(max(when(col("ts_ms") < col("wm"), col("wm") - col("ts_ms"))),
+          lit(0L)).as("max_lateness_ms"))
+      .orderBy(col("event_type"))
+  }
+
+  private def q147(s: SparkSession, d: String): DataFrame =
+    latenessAuditOf(events(s, d))
+
+  private val q147Sql =
+    s"""WITH t AS (
+      |  SELECT event_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+      |w AS (
+      |  SELECT event_type, ts_ms,
+      |    max(ts_ms) OVER (ORDER BY event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      - $LateDelayMs AS wm
+      |  FROM t)
+      |SELECT event_type, count(*) AS n_events,
+      |  CAST(sum(CASE WHEN ts_ms < wm THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+      |  coalesce(max(CASE WHEN ts_ms < wm THEN wm - ts_ms END), 0)
+      |    AS max_lateness_ms
+      |FROM w GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q26_tumbling_window", q26, Some(q26Sql)),
     Q("q27_sliding_window", q27, Some(q27Sql)),
@@ -414,5 +480,6 @@ object EventWindows {
     Q("q126_turn_pairs", q126, Some(q126Sql)),
     Q("q143_journey_paths", q143, Some(q143Sql)),
     Q("q144_attribution", q144, Some(q144Sql)),
+    Q("q147_lateness_audit", q147, Some(q147Sql)),
   )
 }

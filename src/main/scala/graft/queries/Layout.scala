@@ -1,0 +1,82 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Data-layout engineering: Z-ORDER (Morton) clustering audit — the
+  * multi-dimensional locality layout Delta/Iceberg `OPTIMIZE ZORDER BY`
+  * applies before writing files, so that a scan filtered on EITHER key
+  * prunes most files. The reference (affo/ssp) has no storage layout
+  * surface; this is the beyond-reference scale-engineering category.
+  *
+  * q146 interleaves the bits of the two join keys' grid coordinates
+  * into a Morton code and reports, per 1024-z-value bucket (a
+  * candidate output file), the covered rectangle of (part, supplier)
+  * space: a z-ordered file covers a SMALL rectangle (span ≈ bucket
+  * population), where a linear sort on one key covers a full stripe of
+  * the other — the audit quantifies exactly the locality that makes
+  * multi-key file-skipping work. Everything is integer bit arithmetic
+  * (shifts/masks evaluate identically in Spark and DuckDB), one scan,
+  * one 1024-group aggregate; nothing data-sized shuffles.
+  */
+object Layout {
+
+  /** Grid bits per dimension (2^10 × 2^10 cells, 20-bit z codes). */
+  val ZBits = 10
+  /** z values per reported bucket (= rows per notional output file). */
+  val ZBucket = 1024L
+
+  /** The interleaved Morton code of two ZBits-wide grid coords, as an
+    * arithmetic SQL fragment valid in both Spark SQL and DuckDB.
+    */
+  private[graft] def zExprSql(x: String, y: String): String =
+    (0 until ZBits).map { i =>
+      s"((($x >> $i) & 1) << ${2 * i}) + ((($y >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" + ")
+
+  /** Core: per-z-bucket coverage rectangles for two key columns of any
+    * frame. Fixture-testable.
+    */
+  private[graft] def zorderAuditOf(df: DataFrame, kx: String, ky: String): DataFrame = {
+    val mx = df.agg(max(col(kx)).as("mx"), max(col(ky)).as("my"))
+    df.crossJoin(broadcast(mx))
+      .select(
+        expr(s"($kx * ${1L << ZBits}) DIV (mx + 1)").as("px"),
+        expr(s"($ky * ${1L << ZBits}) DIV (my + 1)").as("sy"))
+      .select(expr(zExprSql("px", "sy")).as("z"), col("px"), col("sy"))
+      .groupBy(expr(s"z DIV $ZBucket").as("zbucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("px")).as("min_px"), max(col("px")).as("max_px"),
+        min(col("sy")).as("min_sy"), max(col("sy")).as("max_sy"))
+      .withColumn("span",
+        (col("max_px") - col("min_px") + 1) * (col("max_sy") - col("min_sy") + 1))
+      .orderBy(col("zbucket"))
+  }
+
+  private def q146(s: SparkSession, d: String): DataFrame =
+    zorderAuditOf(
+      lineitem(s, d).select(col("l_partkey"), col("l_suppkey")),
+      "l_partkey", "l_suppkey")
+
+  private val q146Sql = {
+    val n = 1L << ZBits
+    s"""WITH mx AS (
+      |  SELECT max(l_partkey) AS mx, max(l_suppkey) AS my FROM lineitem),
+      |g AS (
+      |  SELECT (l_partkey * $n) // (mx + 1) AS px,
+      |    (l_suppkey * $n) // (my + 1) AS sy
+      |  FROM lineitem CROSS JOIN mx),
+      |z AS (SELECT ${zExprSql("px", "sy")} AS z, px, sy FROM g)
+      |SELECT z // $ZBucket AS zbucket, count(*) AS n_rows,
+      |  min(px) AS min_px, max(px) AS max_px,
+      |  min(sy) AS min_sy, max(sy) AS max_sy,
+      |  (max(px) - min(px) + 1) * (max(sy) - min(sy) + 1) AS span
+      |FROM z GROUP BY zbucket
+      |ORDER BY zbucket""".stripMargin
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("q146_zorder_layout", q146, Some(q146Sql)),
+  )
+}
