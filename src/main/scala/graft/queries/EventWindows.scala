@@ -470,6 +470,43 @@ object EventWindows {
       |FROM w GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  // q149 — retention cohorts: users grouped by first-seen day, counted
+  // as active at each later day offset — the classic retention
+  // triangle every growth dashboard draws. Day arithmetic stays on
+  // ts_ms DIV 86400000 (identical integers in both engines; no
+  // timezone/date-type coupling).
+  //
+  // Scale shape: (user, day) pairs dedup first (map-side combinable —
+  // the activity stream never reaches the later joins), the per-user
+  // min-day is one user-keyed aggregate, and the cohort×offset count
+  // joins the two USER-KEYED frames before aggregating to the tiny
+  // triangle. All three shuffles are keyed on user or
+  // (cohort, offset); nothing quadratic, no windows.
+  /** Core: retention triangle over (user_id, ts_ms) rows. */
+  private[graft] def retentionCohortsOf(ev: DataFrame): DataFrame = {
+    val days = ev
+      .select(col("user_id"), expr("ts_ms div 86400000").as("day")).distinct()
+    val cohorts = days.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    days.join(cohorts, Seq("user_id"))
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
+  private def q149(s: SparkSession, d: String): DataFrame =
+    retentionCohortsOf(events(s, d))
+
+  private val q149Sql =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events),
+      |cohorts AS (
+      |  SELECT user_id, min(day) AS cohort_day FROM days GROUP BY user_id)
+      |SELECT c.cohort_day, d.day - c.cohort_day AS day_offset,
+      |  count(DISTINCT d.user_id) AS n_active
+      |FROM days d JOIN cohorts c USING (user_id)
+      |GROUP BY c.cohort_day, d.day - c.cohort_day
+      |ORDER BY cohort_day, day_offset""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q26_tumbling_window", q26, Some(q26Sql)),
     Q("q27_sliding_window", q27, Some(q27Sql)),
@@ -481,5 +518,6 @@ object EventWindows {
     Q("q143_journey_paths", q143, Some(q143Sql)),
     Q("q144_attribution", q144, Some(q144Sql)),
     Q("q147_lateness_audit", q147, Some(q147Sql)),
+    Q("q149_retention_cohorts", q149, Some(q149Sql)),
   )
 }

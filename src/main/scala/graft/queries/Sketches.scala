@@ -265,9 +265,91 @@ object Sketches {
       |FROM folded f JOIN exact e USING (lang)
       |ORDER BY f.lang""".stripMargin
 
+  // ---- q148: sliding-window HLL union ------------------------------------
+
+  // q148 — the property that makes HLL the scale sketch, exercised as
+  // a query: per-hour user registers UNION into 3-hour sliding windows
+  // by register-wise max — computing each window's distinct-user
+  // estimate from the hourly sketch table alone, never re-touching the
+  // event stream. The expansion is hours×64×3 rows (sketch-sized, not
+  // data-sized); this is exactly how a distinct-count dashboard serves
+  // arbitrary window queries over 100 TB of logs from megabytes of
+  // registers. The exact sliding distinct runs alongside (that side IS
+  // data-sized — the point of the comparison) and the estimate reuses
+  // q134's exact-integer numerator, so every column hash-matches
+  // DuckDB.
+  val HllWinHours = 3
+
+  private def q148(s: SparkSession, d: String): DataFrame = {
+    val alpha = 0.709 // alpha_64
+    val ev = events(s, d)
+      .select(expr("ts_ms div 3600000").as("hr"), col("user_id"))
+    val regs = hllRegistersOf(ev, "hr", hash60(col("user_id").cast("string")))
+      .localCheckpoint() // sketch-sized; feeds the expansion and the hour list
+    val hours = regs.select(col("hr").as("wend")).distinct()
+    val offs = (0 until HllWinHours).map(o => col("hr") + o)
+    val win = regs.select(explode(array(offs: _*)).as("wend"), col("bucket"), col("reg"))
+      .join(broadcast(hours), Seq("wend")) // only windows ending at a real hour
+      .groupBy(col("wend"), col("bucket")).agg(max(col("reg")).as("reg"))
+    val folded = win.groupBy(col("wend"))
+      .agg(count(lit(1)).as("n_present"),
+        sum(expr("shiftleft(1L, cast(56 - reg as int))")).as("present_num"))
+      .select(col("wend"), col("n_present"),
+        (col("present_num") +
+          (lit(HllM.toLong) - col("n_present")) * lit(1L << 56)).as("numerator"))
+      .withColumn("est",
+        lit(alpha) * lit((HllM.toLong * HllM).toDouble) * lit((1L << 56).toDouble)
+          / col("numerator"))
+    val exOffs = (0 until HllWinHours).map(o => col("hr") + o)
+    val exact = ev.select(explode(array(exOffs: _*)).as("wend"), col("user_id"))
+      .join(broadcast(hours), Seq("wend"))
+      .groupBy(col("wend")).agg(countDistinct(col("user_id")).as("exact_distinct"))
+    folded.join(exact, Seq("wend"))
+      .select(col("wend").as("window_end_hr"), col("exact_distinct"),
+        col("n_present"), col("numerator"), col("est"))
+      .orderBy(col("window_end_hr"))
+  }
+
+  private val q148Sql = {
+    val rho = (h: String) =>
+      s"""CASE WHEN strpos(lpad(bin($h % ${1L << HllW}), $HllW, '0'), '1') = 0
+         |     THEN ${HllW + 1}
+         |     ELSE strpos(lpad(bin($h % ${1L << HllW}), $HllW, '0'), '1') END""".stripMargin
+    s"""WITH ev AS (
+      |  SELECT epoch_ms(ts) // 3600000 AS hr, user_id FROM events),
+      |hh AS (SELECT hr, ${hash60Sql("CAST(user_id AS VARCHAR)")} AS h FROM ev),
+      |regs AS (
+      |  SELECT hr, h // ${1L << HllW} AS bucket, max(${rho("h")}) AS reg
+      |  FROM hh GROUP BY 1, 2),
+      |hours AS (SELECT DISTINCT hr FROM regs),
+      |win AS (
+      |  SELECT x.wend, x.bucket, max(x.reg) AS reg
+      |  FROM (SELECT r.hr + o.o AS wend, bucket, reg
+      |        FROM regs r, (SELECT unnest([${(0 until HllWinHours).mkString(", ")}]) AS o) o) x
+      |  JOIN hours ON x.wend = hours.hr
+      |  GROUP BY 1, 2),
+      |folded AS (
+      |  SELECT wend, count(*) AS n_present,
+      |    CAST(sum(1::BIGINT << CAST(56 - reg AS INT)) AS BIGINT) AS present_num
+      |  FROM win GROUP BY wend),
+      |exact AS (
+      |  SELECT x.wend, count(DISTINCT x.user_id) AS exact_distinct
+      |  FROM (SELECT e.hr + o.o AS wend, user_id
+      |        FROM ev e, (SELECT unnest([${(0 until HllWinHours).mkString(", ")}]) AS o) o) x
+      |  JOIN hours ON x.wend = hours.hr
+      |  GROUP BY x.wend)
+      |SELECT f.wend AS window_end_hr, e.exact_distinct, f.n_present,
+      |  f.present_num + ($HllM - f.n_present) * ${1L << 56} AS numerator,
+      |  0.709 * CAST(${HllM.toLong * HllM} AS DOUBLE) * CAST(${1L << 56} AS DOUBLE)
+      |    / (f.present_num + ($HllM - f.n_present) * ${1L << 56}) AS est
+      |FROM folded f JOIN exact e ON e.wend = f.wend
+      |ORDER BY window_end_hr""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q83_cms_heavy_hitters", q83, Some(q83Sql)),
     Q("q84_bloom_semi_join", q84, Some(q84Sql)),
     Q("q134_hll_distinct", q134, Some(q134Sql)),
+    Q("q148_hll_sliding", q148, Some(q148Sql)),
   )
 }

@@ -40,4 +40,15 @@ class OpsAuditSpec extends SparkSpec {
       ("a", 3L, 1L, 5L * min),
       ("b", 2L, 1L, 1L * min)), s"got ${got.toSeq}")
   }
+
+  test("retention cohorts: offsets anchor to each user's first-seen day") {
+    val day = 86400000L
+    // u1 first seen day 0, active again day 2 (twice — dedups to one);
+    // u2 first seen day 2 only
+    val ev = Seq((1L, 0L), (1L, 2 * day), (1L, 2 * day + 5L), (2L, 2 * day))
+      .toDF("user_id", "ts_ms")
+    val res = EventWindows.retentionCohortsOf(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(res == Seq((0L, 0L, 1L), (0L, 2L, 1L), (2L, 0L, 1L)), s"got $res")
+  }
 }
