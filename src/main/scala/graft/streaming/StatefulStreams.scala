@@ -233,6 +233,40 @@ object StatefulStreams {
       }
   }
 
+  /** Streaming form of batch q147 (graft.queries.EventWindows
+    * .latenessAuditOf) — tag each arriving event with the watermark in
+    * force when it arrived (max event time over all STRICTLY earlier
+    * arrivals minus the allowed delay) and whether it is late. This is
+    * what Spark's own watermark does internally, surfaced as data: run
+    * it beside a production stream to audit what a given delay WOULD
+    * drop before committing to it. State is one long (the running max
+    * event time); events sort by event_id within each micro-batch,
+    * cross-batch order relies on in-order arrival (the
+    * streamingTokenBudget contract). Batch q147 over the same rows
+    * aggregates these exact tags — pinned by StreamingSampleSpec.
+    */
+  def streamingLatenessTags(
+      ev: DataFrame,
+      delayMs: Long = graft.queries.EventWindows.LateDelayMs): Dataset[(Long, String, Long, Long, Boolean)] = {
+    val spark = ev.sparkSession
+    import spark.implicits._
+    ev.select(col("event_id"), col("event_type"), col("ts_ms"))
+      .as[(Long, String, Long)]
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Int, it: Iterator[(Long, String, Long)], gs: GroupState[Long]) =>
+          var maxTs = gs.getOption.getOrElse(Long.MinValue)
+          val out = Vector.newBuilder[(Long, String, Long, Long, Boolean)]
+          it.toIndexedSeq.sortBy(_._1).foreach { case (id, tp, ts) =>
+            val wm = if (maxTs == Long.MinValue) Long.MinValue else maxTs - delayMs
+            out += ((id, tp, ts, wm, wm != Long.MinValue && ts < wm))
+            if (ts > maxTs) maxTs = ts
+          }
+          gs.update(maxTs)
+          out.result().iterator
+      }
+  }
+
   /** Streaming form of batch q138 (graft.queries.Sampling
     * .prioritySampleOf) — a CONTINUOUSLY-MAINTAINED priority sample
     * (Duffield–Lund–Thorup): the arriving corpus keeps exactly k

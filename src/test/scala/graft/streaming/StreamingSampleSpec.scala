@@ -46,6 +46,40 @@ class StreamingSampleSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming lateness tags match batch q147 across micro-batches") {
+    implicit val sql = spark.sqlContext
+    val min = 60000L
+    val rows = Seq(
+      (1L, "a", 0L), (2L, "a", 20L * min), (3L, "a", 5L * min),
+      (4L, "b", 9L * min), (5L, "b", 21L * min))
+    val expect = graft.queries.EventWindows
+      .latenessAuditOf(rows.toDF("event_id", "event_type", "ts_ms"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+
+    val in = MemoryStream[(Long, String, Long)]
+    val out = StatefulStreams
+      .streamingLatenessTags(in.toDF().toDF("event_id", "event_type", "ts_ms"))
+      .toDF("event_id", "event_type", "ts_ms", "wm", "late")
+    val q = out.writeStream.format("memory").queryName("slate")
+      .outputMode("append").start()
+    try {
+      in.addData(rows.take(2)); q.processAllAvailable()
+      in.addData(rows.drop(2)); q.processAllAvailable()
+      val tags = spark.table("slate").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getBoolean(4)))
+      // aggregate the streamed tags the way batch q147 does
+      val agg = tags.groupBy(_._2).map { case (tp, ts) =>
+        val late = ts.filter(_._4)
+        val wmOf = spark.table("slate").collect()
+          .map(r => r.getLong(0) -> r.getLong(3)).toMap
+        (tp, ts.size.toLong, late.size.toLong,
+          if (late.isEmpty) 0L else late.map(t => wmOf(t._1) - t._3).max)
+      }.toSeq.sortBy(_._1)
+      assert(agg == expect, s"got $agg\nexp $expect")
+    } finally q.stop()
+  }
+
   test("replayed doc_ids do not perturb the sample") {
     implicit val sql = spark.sqlContext
     val docs = Seq(
