@@ -507,6 +507,114 @@ object EventWindows {
       |GROUP BY c.cohort_day, d.day - c.cohort_day
       |ORDER BY cohort_day, day_offset""".stripMargin
 
+  // q150 — exponentially-decayed activity scores: each event's value
+  // contributes value·2^(−age_days) to its user's score — the standard
+  // recency weighting for engagement ranking / churn features. The
+  // decay is EXACT integer arithmetic: value quantizes to 2^20 fixed
+  // point (floor of a double is correctly rounded everywhere) and a
+  // day of age is one right-shift (DIV by 1<<age) — so the sum is
+  // order-invariant and bit-identical across engines and cluster
+  // sizes, where the float Σv·exp(−λ·age) every naive implementation
+  // writes is neither (addition order varies per run). Ages ≥ 63 days
+  // contribute zero explicitly (the shift would overflow; the true
+  // value is < 1 fixed-point unit anyway).
+  //
+  // One scan, a 1-row now-day broadcast, one user-keyed aggregate,
+  // top-50 via TakeOrderedAndProject.
+  val DecayFp = 1048576L // 2^20
+  private val DecayTopN = 50
+
+  /** Core: per-user decayed scores over (user_id, ts_ms, value) rows. */
+  private[graft] def decayedActivityOf(ev: DataFrame, topN: Int = DecayTopN): DataFrame = {
+    val days = ev.select(col("user_id"),
+      expr("ts_ms div 86400000").as("day"),
+      expr(s"CAST(floor(value * $DecayFp) AS BIGINT)").as("v_fp"))
+    val now = days.agg(max(col("day")).as("now_day"))
+    days.crossJoin(broadcast(now))
+      .withColumn("age", col("now_day") - col("day"))
+      .withColumn("decayed",
+        when(col("age") >= 63, lit(0L))
+          .otherwise(expr("v_fp DIV shiftleft(1L, CAST(age AS INT))")))
+      .groupBy(col("user_id"))
+      .agg(sum(col("decayed")).as("score_fp"),
+        count(lit(1)).as("n_events"), max(col("day")).as("last_day"))
+      .orderBy(col("score_fp").desc, col("user_id"))
+      .limit(topN)
+  }
+
+  private def q150(s: SparkSession, d: String): DataFrame =
+    decayedActivityOf(events(s, d))
+
+  private val q150Sql =
+    s"""WITH days AS (
+      |  SELECT user_id, epoch_ms(ts) // 86400000 AS day,
+      |    CAST(floor(value * $DecayFp) AS BIGINT) AS v_fp
+      |  FROM events),
+      |now_d AS (SELECT max(day) AS now_day FROM days),
+      |dec AS (
+      |  SELECT user_id, day,
+      |    CASE WHEN now_day - day >= 63 THEN 0
+      |         ELSE v_fp // (1::BIGINT << CAST(now_day - day AS INT)) END
+      |      AS decayed
+      |  FROM days CROSS JOIN now_d)
+      |SELECT user_id, CAST(sum(decayed) AS BIGINT) AS score_fp,
+      |  count(*) AS n_events, max(day) AS last_day
+      |FROM dec GROUP BY user_id
+      |ORDER BY score_fp DESC, user_id
+      |LIMIT $DecayTopN""".stripMargin
+
+  // q151 — burst detection: each (event_type, hour)'s count compared
+  // to its own trailing-24h baseline, as the fixed-point rate ratio
+  // cnt·24·2^20 DIV trailing_sum — the ops alert that pages before a
+  // hot partition melts. The trailing sum is computed SKETCH-SIDED:
+  // hourly counts (a |types|×|hours| frame, independent of event
+  // volume) explode into the 24 windows each hour baselines, so the
+  // event stream is touched exactly once for the counting aggregate —
+  // the q148 expansion trick applied to plain counts. Hours with an
+  // empty trailing window are excluded (no baseline, no alert).
+  val BurstFp = 1048576L // 2^20
+  private val BurstWindow = 24
+  private val BurstTopN = 20
+
+  /** Core: trailing-baseline burst ratios over (event_type, ts_ms). */
+  private[graft] def burstsOf(ev: DataFrame, topN: Int = BurstTopN): DataFrame = {
+    val counts = ev
+      .groupBy(col("event_type"), expr("ts_ms div 3600000").as("hr"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // sketch-sized; feeds both the expansion and the probe
+    val trail = counts
+      .select(col("event_type"), col("cnt"),
+        explode(expr(s"sequence(hr + 1L, hr + ${BurstWindow}L)")).as("hr"))
+      .groupBy(col("event_type"), col("hr"))
+      .agg(sum(col("cnt")).as("trail_sum"), count(lit(1)).as("trail_hours"))
+    counts.join(trail, Seq("event_type", "hr"))
+      .select(col("event_type"), col("hr"), col("cnt"),
+        col("trail_sum"), col("trail_hours"),
+        expr(s"(cnt * $BurstWindow * $BurstFp) DIV trail_sum").as("burst_fp"))
+      .orderBy(col("burst_fp").desc, col("event_type"), col("hr"))
+      .limit(topN)
+  }
+
+  private def q151(s: SparkSession, d: String): DataFrame =
+    burstsOf(events(s, d))
+
+  private val q151Sql =
+    s"""WITH counts AS (
+      |  SELECT event_type, epoch_ms(ts) // 3600000 AS hr, count(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |trail AS (
+      |  SELECT event_type, x.hr, CAST(sum(cnt) AS BIGINT) AS trail_sum,
+      |    count(*) AS trail_hours
+      |  FROM (SELECT event_type, cnt, c.hr + o.o AS hr
+      |        FROM counts c,
+      |          (SELECT unnest(range(1, ${BurstWindow + 1})) AS o) o) x
+      |  GROUP BY 1, 2)
+      |SELECT c.event_type, c.hr, c.cnt, t.trail_sum, t.trail_hours,
+      |  (c.cnt * $BurstWindow * $BurstFp) // t.trail_sum AS burst_fp
+      |FROM counts c JOIN trail t ON t.event_type = c.event_type AND t.hr = c.hr
+      |ORDER BY burst_fp DESC, c.event_type, c.hr
+      |LIMIT $BurstTopN""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q26_tumbling_window", q26, Some(q26Sql)),
     Q("q27_sliding_window", q27, Some(q27Sql)),
@@ -519,5 +627,7 @@ object EventWindows {
     Q("q144_attribution", q144, Some(q144Sql)),
     Q("q147_lateness_audit", q147, Some(q147Sql)),
     Q("q149_retention_cohorts", q149, Some(q149Sql)),
+    Q("q150_decayed_activity", q150, Some(q150Sql)),
+    Q("q151_burst_detection", q151, Some(q151Sql)),
   )
 }

@@ -76,7 +76,59 @@ object Layout {
       |ORDER BY zbucket""".stripMargin
   }
 
+  // q152 — equi-depth histogram build: the column statistic a
+  // cost-based optimizer (and every ANALYZE TABLE) actually stores —
+  // k buckets of equal row count with their upper-boundary values.
+  // Boundary ranks are exact integer arithmetic (rank_i = i·n DIV k),
+  // the global rank comes from the distributed rankDistributed
+  // pattern (range exchange + broadcast carry — no single-partition
+  // window), and per-bucket row counts fall out of the boundary ranks
+  // by subtraction, so beyond the ranking pass NO per-row bucketing is
+  // needed: only the k boundary rows survive the broadcast join.
+  // Prices are put on the exact cents grid (round(x·100) — correctly
+  // rounded in both engines) so boundary values hash-compare.
+  // Rank assignment within tied values is nondeterministic, but the
+  // VALUE at a given rank is not — which is all the histogram exposes.
+  val HistBuckets = 16
+
+  /** Core: equi-depth histogram of an integer column. */
+  private[graft] def equiDepthOf(vals: DataFrame, valCol: String): DataFrame = {
+    val ranked = Sampling.rankDistributed(vals, Seq.empty, Seq(col(valCol)))
+    val n = vals.agg(count(lit(1)).as("n"))
+    val bounds = n
+      .select(explode(expr(s"sequence(1L, ${HistBuckets}L)")).as("bucket"), col("n"))
+      .select(col("bucket"),
+        expr(s"(bucket * n) DIV $HistBuckets").as("rk"),
+        expr(s"((bucket - 1) * n) DIV $HistBuckets").as("prev"))
+    ranked.join(broadcast(bounds), Seq("rk"))
+      .select(col("bucket"), col("rk").as("upper_rank"),
+        col(valCol).as("upper_value"), (col("rk") - col("prev")).as("n_rows"))
+      .orderBy(col("bucket"))
+  }
+
+  private def q152(s: SparkSession, d: String): DataFrame =
+    equiDepthOf(
+      lineitem(s, d).select(
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents")),
+      "cents")
+
+  private val q152Sql =
+    s"""WITH c AS (
+      |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      |  FROM lineitem),
+      |r AS (SELECT cents, row_number() OVER (ORDER BY cents) AS rk FROM c),
+      |n AS (SELECT count(*) AS n FROM c),
+      |b AS (
+      |  SELECT o.o AS bucket, (o.o * n) // $HistBuckets AS rk,
+      |    ((o.o - 1) * n) // $HistBuckets AS prev
+      |  FROM (SELECT unnest(range(1, ${HistBuckets + 1})) AS o) o CROSS JOIN n)
+      |SELECT b.bucket, b.rk AS upper_rank, r.cents AS upper_value,
+      |  b.rk - b.prev AS n_rows
+      |FROM b JOIN r ON r.rk = b.rk
+      |ORDER BY bucket""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q146_zorder_layout", q146, Some(q146Sql)),
+    Q("q152_equidepth_stats", q152, Some(q152Sql)),
   )
 }

@@ -51,4 +51,51 @@ class OpsAuditSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(res == Seq((0L, 0L, 1L), (0L, 2L, 1L), (2L, 0L, 1L)), s"got $res")
   }
+
+  test("decayed activity: exact shift decay, 63-day cutoff, truncation") {
+    val day = 86400000L
+    val fp = EventWindows.DecayFp
+    val ev = Seq(
+      (1L, 70 * day, 0.5),  // now-day anchor: age 0 -> floor(.5*2^20) = 2^19
+      (1L, 69 * day, 1.0),  // age 1 -> 2^20 DIV 2 = 2^19
+      (1L, 68 * day, 1.5),  // age 2 -> floor(1.5*2^20) DIV 4 = 393216
+      (1L, 0L, 1e9),        // age 70 >= 63 -> exactly 0
+      (2L, 70 * day, 0.25)) // age 0 -> 2^18
+      .toDF("user_id", "ts_ms", "value")
+    val got = EventWindows.decayedActivityOf(ev, topN = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(
+      (1L, fp / 2 + fp / 2 + 393216L, 4L, 70L),
+      (2L, fp / 4, 1L, 70L)), s"got $got")
+  }
+
+  test("burst detection: trailing-24h baseline, empty-baseline hours excluded") {
+    val hr = 3600000L
+    val fp = EventWindows.BurstFp
+    // type a: 2 events at hr0, 1 at hr1, 5 at hr25; hr0 has no
+    // baseline, hr25's window [1,24] sees only hr1's single event
+    val ev = (Seq.fill(2)(0L) ++ Seq(1L) ++ Seq.fill(5)(25L))
+      .zipWithIndex.map { case (h, i) => (i.toLong, "a", h * hr + 1) }
+      .toDF("event_id", "event_type", "ts_ms")
+    val got = EventWindows.burstsOf(ev, topN = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == Seq(
+      ("a", 25L, 5L, 1L, 1L, 5L * 24 * fp),  // 5x vs one baseline event
+      ("a", 1L, 1L, 2L, 1L, 24L * fp / 2)),  // hr1 vs hr0's two events
+      s"got $got")
+  }
+
+  test("equi-depth histogram: exact boundaries on a ramp and under ties") {
+    import org.apache.spark.sql.functions.col
+    val ramp = (1L to 32L).toDF("v")
+    val got = Layout.equiDepthOf(ramp, "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val expect = (1 to 16).map(i => (i.toLong, 2L * i, 2L * i, 2L))
+    assert(got == expect, s"got $got")
+    val ties = Seq.fill(32)(7L).toDF("v")
+    val gotT = Layout.equiDepthOf(ties, "v").collect()
+      .map(r => (r.getLong(2), r.getLong(3))).toSeq
+    assert(gotT == Seq.fill(16)((7L, 2L)), s"got $gotT")
+  }
 }
