@@ -573,7 +573,7 @@ object EventWindows {
   // the q148 expansion trick applied to plain counts. Hours with an
   // empty trailing window are excluded (no baseline, no alert).
   val BurstFp = 1048576L // 2^20
-  private val BurstWindow = 24
+  val BurstWindowHours = 24
   private val BurstTopN = 20
 
   /** Core: trailing-baseline burst ratios over (event_type, ts_ms). */
@@ -584,13 +584,13 @@ object EventWindows {
       .localCheckpoint() // sketch-sized; feeds both the expansion and the probe
     val trail = counts
       .select(col("event_type"), col("cnt"),
-        explode(expr(s"sequence(hr + 1L, hr + ${BurstWindow}L)")).as("hr"))
+        explode(expr(s"sequence(hr + 1L, hr + ${BurstWindowHours}L)")).as("hr"))
       .groupBy(col("event_type"), col("hr"))
       .agg(sum(col("cnt")).as("trail_sum"), count(lit(1)).as("trail_hours"))
     counts.join(trail, Seq("event_type", "hr"))
       .select(col("event_type"), col("hr"), col("cnt"),
         col("trail_sum"), col("trail_hours"),
-        expr(s"(cnt * $BurstWindow * $BurstFp) DIV trail_sum").as("burst_fp"))
+        expr(s"(cnt * $BurstWindowHours * $BurstFp) DIV trail_sum").as("burst_fp"))
       .orderBy(col("burst_fp").desc, col("event_type"), col("hr"))
       .limit(topN)
   }
@@ -607,10 +607,10 @@ object EventWindows {
       |    count(*) AS trail_hours
       |  FROM (SELECT event_type, cnt, c.hr + o.o AS hr
       |        FROM counts c,
-      |          (SELECT unnest(range(1, ${BurstWindow + 1})) AS o) o) x
+      |          (SELECT unnest(range(1, ${BurstWindowHours + 1})) AS o) o) x
       |  GROUP BY 1, 2)
       |SELECT c.event_type, c.hr, c.cnt, t.trail_sum, t.trail_hours,
-      |  (c.cnt * $BurstWindow * $BurstFp) // t.trail_sum AS burst_fp
+      |  (c.cnt * $BurstWindowHours * $BurstFp) // t.trail_sum AS burst_fp
       |FROM counts c JOIN trail t ON t.event_type = c.event_type AND t.hr = c.hr
       |ORDER BY burst_fp DESC, c.event_type, c.hr
       |LIMIT $BurstTopN""".stripMargin

@@ -267,6 +267,48 @@ object StatefulStreams {
       }
   }
 
+  /** Streaming form of batch q151 (graft.queries.EventWindows
+    * .burstsOf) — per-type hourly counts maintained in GroupState with
+    * the burst ratio against the trailing-24h baseline emitted (Update
+    * mode) every time an hour's count changes. State is BOUNDED: only
+    * the trailing 25 hours survive each update (older hours can never
+    * be a baseline again), so a year-long stream holds the same 25
+    * longs per type as an hour-long one. With in-order arrival (the
+    * streamingTokenBudget contract) every hour's baseline is complete
+    * by the time the hour starts filling, so the LAST emission per
+    * (type, hour) carries exactly batch q151's row — pinned by
+    * StreamingSampleSpec. Hours with an empty baseline emit nothing,
+    * matching the batch exclusion.
+    */
+  def streamingBursts(
+      ev: DataFrame): Dataset[(String, Long, Long, Long, Long, Long)] = {
+    val w = graft.queries.EventWindows.BurstWindowHours
+    val fp = graft.queries.EventWindows.BurstFp
+    val spark = ev.sparkSession
+    import spark.implicits._
+    ev.select(col("event_type"), expr("ts_ms div 3600000").as("hr"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (tp: String, it: Iterator[(String, Long)], gs: GroupState[Map[Long, Long]]) =>
+          var counts = gs.getOption.getOrElse(Map.empty[Long, Long])
+          val out = Vector.newBuilder[(String, Long, Long, Long, Long, Long)]
+          it.map(_._2).toIndexedSeq.sorted.foreach { hr =>
+            counts = counts.updated(hr, counts.getOrElse(hr, 0L) + 1L)
+            val trail = counts.filter { case (h, _) => h >= hr - w && h < hr }
+            if (trail.nonEmpty) {
+              val tSum = trail.valuesIterator.sum
+              val cnt = counts(hr)
+              out += ((tp, hr, cnt, tSum, trail.size.toLong, cnt * w * fp / tSum))
+            }
+            val horizon = counts.keysIterator.max - w
+            counts = counts.filter { case (h, _) => h >= horizon }
+          }
+          gs.update(counts)
+          out.result().iterator
+      }
+  }
+
   /** Streaming form of batch q138 (graft.queries.Sampling
     * .prioritySampleOf) — a CONTINUOUSLY-MAINTAINED priority sample
     * (Duffield–Lund–Thorup): the arriving corpus keeps exactly k

@@ -80,6 +80,38 @@ class StreamingSampleSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming bursts: last emission per hour matches batch q151") {
+    implicit val sql = spark.sqlContext
+    val hr = 3600000L
+    // in-order events: type a gets 2@hr0, 1@hr1, 5@hr25; type b 3@hr1, 1@hr2
+    val rows = ((Seq.fill(2)(("a", 0L)) ++ Seq(("a", 1L)) ++ Seq.fill(3)(("b", 1L)) ++
+      Seq(("b", 2L)) ++ Seq.fill(5)(("a", 25L)))
+      .zipWithIndex.map { case ((tp, h), i) => (i.toLong, tp, h * hr + 7) })
+    val expect = graft.queries.EventWindows
+      .burstsOf(rows.toDF("event_id", "event_type", "ts_ms"), topN = 100)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+
+    val in = MemoryStream[(Long, String, Long)]
+    val out = StatefulStreams
+      .streamingBursts(in.toDF().toDF("event_id", "event_type", "ts_ms"))
+      .toDF("event_type", "hr", "cnt", "trail_sum", "trail_hours", "burst_fp")
+    val q = out.writeStream.format("memory").queryName("sburst")
+      .outputMode("update").start()
+    try {
+      in.addData(rows.take(4)); q.processAllAvailable()
+      in.addData(rows.drop(4)); q.processAllAvailable()
+      // Update mode re-emits as hours fill; keep the LAST row per (type, hr)
+      val emitted = spark.table("sburst").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5)))
+      val last = emitted.zipWithIndex
+        .groupBy { case (t, _) => (t._1, t._2) }
+        .map { case (_, vs) => vs.maxBy(_._2)._1 }.toSet
+      assert(last == expect, s"got $last\nexp $expect")
+    } finally q.stop()
+  }
+
   test("replayed doc_ids do not perturb the sample") {
     implicit val sql = spark.sqlContext
     val docs = Seq(
