@@ -1,0 +1,185 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables._
+
+/** Order-statistics analytics over the relational tables: Pareto
+  * frontier (skyline), interval-sweep peak concurrency, and the native
+  * pivot/unpivot relational operators. The reference (affo/ssp) has no
+  * comparable surface — its users would hand-roll these inside a
+  * stateful node callback (reference node.go:66-82); here each is a
+  * declarative plan whose only sequential piece is a
+  * partition-count-sized carry frame.
+  *
+  * Both q153 and q154 are instances of the DISTRIBUTED PREFIX pattern
+  * already used by q147/rankDistributed: range-partition on the sweep
+  * order, compute the running aggregate per partition, and join a
+  * broadcast carry-in of each earlier partition's total — no
+  * single-partition window over the data anywhere. The carry frame has
+  * one row per partition (32 here, a few thousand on a real cluster),
+  * so the one global window it needs is free.
+  */
+object Frontier {
+
+  private def nPartsOf(s: SparkSession): Int =
+    s.conf.get("spark.sql.shuffle.partitions").toIntOption
+      .getOrElse(s.sparkContext.defaultParallelism)
+
+  // q153 — skyline / Pareto frontier: the set of (x, y) points not
+  // dominated by any other point (minimize x, maximize y). The naive
+  // formulation (what the oracle runs) is the quadratic NOT EXISTS
+  // anti-join; the scalable form used here is the sort-order sweep: on
+  // distinct points ordered (x asc, y desc), a point is on the
+  // frontier iff its y strictly exceeds every preceding y — one
+  // distributed prefix max, O(n log n), no self-join. Skylines are
+  // small by nature (4 points here), so the join back to the fact
+  // table broadcasts.
+
+  /** Core: skyline of distinct (x, y) points — minimize x, maximize y,
+    * strict domination. Fixture-testable.
+    */
+  private[graft] def skylineOf(pts0: DataFrame): DataFrame = {
+    val s = pts0.sparkSession
+    val parted = pts0.repartitionByRange(nPartsOf(s), col("x").asc, col("y").desc)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(false) // one __pid assignment for both branches
+    val wLocal = Window.partitionBy(col("__pid"))
+      .orderBy(col("x").asc, col("y").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCarry = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = parted.groupBy(col("__pid"))
+      .agg(max(col("y")).as("__pmax"))
+      .withColumn("__carry", max(col("__pmax")).over(wCarry))
+      .select(col("__pid"), col("__carry"))
+    parted
+      .withColumn("__lmax", max(col("y")).over(wLocal))
+      .join(broadcast(carry), Seq("__pid"))
+      // greatest() ignores nulls; null prefix = first point overall
+      .withColumn("__pref", greatest(col("__lmax"), col("__carry")))
+      .filter(col("__pref").isNull || col("y") > col("__pref"))
+      .select(col("x"), col("y"))
+  }
+
+  // Cheapest-per-size frontier of the part catalog: minimize
+  // p_retailprice, maximize p_size. All part rows sitting on a
+  // frontier point are returned (ties share the point).
+  private def q153(s: SparkSession, d: String): DataFrame = {
+    val p = part(s, d)
+    val sky = skylineOf(
+      p.select(col("p_retailprice").as("x"), col("p_size").as("y")).distinct())
+    p.join(broadcast(sky),
+        p("p_retailprice") === sky("x") && p("p_size") === sky("y"))
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+      .orderBy(col("p_partkey"))
+  }
+
+  private val q153Sql =
+    """WITH pts AS (SELECT DISTINCT p_retailprice AS x, p_size AS y FROM part),
+      |sky AS (
+      |  SELECT x, y FROM pts p
+      |  WHERE NOT EXISTS (
+      |    SELECT 1 FROM pts q
+      |    WHERE q.x <= p.x AND q.y >= p.y AND (q.x < p.x OR q.y > p.y)))
+      |SELECT p_partkey, p_retailprice, p_size
+      |FROM part JOIN sky ON p_retailprice = sky.x AND p_size = sky.y
+      |ORDER BY p_partkey""".stripMargin
+
+  // q154 — peak concurrency by interval sweep: each event opens a
+  // [ts, ts + HoldMs) activity interval; the peak number of
+  // simultaneously-open intervals per event type is the classic
+  // +1/−1 endpoint sweep with a running sum. Ends sort before starts
+  // at the same instant (d asc), so touching intervals never count as
+  // concurrent (half-open semantics). Within a tie group all deltas
+  // are equal, so the running-sum MULTISET over the group — and hence
+  // the max — is permutation-invariant: the result is deterministic
+  // even though neither engine breaks the tie the same way.
+  val HoldMs = 300000L // 5 min activity window per event
+
+  /** Core: (event_type, peak, n_events) over (event_type, ts_ms) rows.
+    * Fixture-testable.
+    */
+  private[graft] def peakConcurrencyOf(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
+    val e = ev.select(col("event_type"), col("ts_ms"))
+    val ends = e.select(col("event_type"), (col("ts_ms") + HoldMs).as("t"),
+      lit(-1L).as("d"))
+    val pts = e.select(col("event_type"), col("ts_ms").as("t"), lit(1L).as("d"))
+      .unionAll(ends)
+    val parted = pts.repartitionByRange(nPartsOf(s),
+        col("event_type"), col("t"), col("d"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(false)
+    val wLocal = Window.partitionBy(col("__pid"), col("event_type"))
+      .orderBy(col("t"), col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wCarry = Window.partitionBy(col("event_type")).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = parted.groupBy(col("__pid"), col("event_type"))
+      .agg(sum(col("d")).as("__psum"))
+      .withColumn("__carry", sum(col("__psum")).over(wCarry))
+      .select(col("__pid"), col("event_type"), col("__carry"))
+    parted
+      .withColumn("__lsum", sum(col("d")).over(wLocal))
+      .join(broadcast(carry), Seq("__pid", "event_type"))
+      .withColumn("conc", col("__lsum") + coalesce(col("__carry"), lit(0L)))
+      .groupBy(col("event_type"))
+      .agg(max(col("conc")).as("peak"),
+        (count(lit(1)) / 2).cast("long").as("n_events"))
+      .orderBy(col("event_type"))
+  }
+
+  private def q154(s: SparkSession, d: String): DataFrame =
+    peakConcurrencyOf(events(s, d))
+
+  private val q154Sql =
+    s"""WITH pe AS (
+      |  SELECT event_type, epoch_ms(ts) AS t, 1 AS d FROM events
+      |  UNION ALL
+      |  SELECT event_type, epoch_ms(ts) + $HoldMs AS t, -1 AS d FROM events),
+      |r AS (
+      |  SELECT event_type,
+      |    sum(d) OVER (PARTITION BY event_type ORDER BY t, d
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+      |  FROM pe)
+      |SELECT event_type, CAST(max(conc) AS BIGINT) AS peak,
+      |  CAST(count(*) / 2 AS BIGINT) AS n_events
+      |FROM r GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  // q155 — native pivot/unpivot roundtrip: RelationalGroupedDataset
+  // .pivot with an EXPLICIT value list (no extra distinct-values job —
+  // the two-arg form a production pipeline should use) widens
+  // (flag × status) quantity sums to columns; Dataset.unpivot melts
+  // them back to long form. Absent combinations surface as nulls in
+  // the wide frame and are dropped on the way back, so the roundtrip
+  // equals the plain group-by the oracle states — one scan, one
+  // shuffle of grouped partials, nothing resembling the wide shape
+  // ever materializes per-row.
+  private def q155(s: SparkSession, d: String): DataFrame = {
+    val wide = lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(sum(col("l_quantity").cast(DecimalType(14, 2))).cast("double"))
+    wide.unpivot(Array(col("l_returnflag")), Array(col("F"), col("O")),
+        "l_linestatus", "sum_qty")
+      .filter(col("sum_qty").isNotNull)
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  private val q155Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("q153_skyline", q153, Some(q153Sql)),
+    Q("q154_peak_concurrency", q154, Some(q154Sql)),
+    Q("q155_pivot_unpivot", q155, Some(q155Sql)),
+  )
+}
