@@ -206,8 +206,88 @@ object Graph {
       |ORDER BY degree DESC, part
       |LIMIT $TriTopN""".stripMargin
 
+  // q157 — k-core peeling: repeatedly delete nodes of degree < k (the
+  // standard dense-subgraph / spam-farm / community-seed primitive;
+  // Batagelj-Zaversnik sequentially, Montresor et al. distributed).
+  // Like q117's PageRank, the iteration is a FIXED number of
+  // declarative rounds — each round is a degree aggregate plus two
+  // LEFT SEMI joins against the surviving-node list, all shuffling on
+  // the node key (no driver-side node set, no broadcast of anything
+  // node-sized), with the edge frame re-materialized per round so the
+  // plan stays flat. Emitted is the per-round summary (nodes, edges,
+  // degree range) — the cascade profile a capacity planner reads —
+  // rather than the node list, so the result stays bounded and
+  // meaningful at any scale. k = 34 cascades to the empty core in 3
+  // rounds on the sf0.01 part↔supplier graph (183 → 97 → 0 nodes).
+  val CoreK = 34L
+  val CoreRounds = 3
+
+  /** Core: per-round (round, n_nodes, n_edges, min_deg, max_deg) of
+    * k-core peeling over an undirected graph given as distinct
+    * directed edges (src, dst), both directions derived here.
+    * Fixture-testable.
+    */
+  private[graft] def kcorePeelOf(e0: DataFrame, k: Long, rounds: Int): DataFrame = {
+    val e1 = e0.localCheckpoint()
+    var e = e1.union(e1.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    val summaries = (1 to rounds).map { r =>
+      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("c"))
+        .filter(col("c") >= k)
+      e = e.join(keep.select(col("src")), Seq("src"), "left_semi")
+        .join(keep.select(col("src").as("dst")), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst"))
+        .localCheckpoint()
+      e.groupBy(col("src")).agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("n_nodes"),
+          coalesce(sum(col("c")), lit(0L)).as("n_dir"),
+          coalesce(min(col("c")), lit(0L)).as("min_deg"),
+          coalesce(max(col("c")), lit(0L)).as("max_deg"))
+        .select(lit(r.toLong).as("round"), col("n_nodes"),
+          expr("CAST(n_dir DIV 2 AS BIGINT)").as("n_edges"),
+          col("min_deg"), col("max_deg"))
+    }
+    summaries.reduce(_ unionAll _).orderBy(col("round"))
+  }
+
+  private def q157(s: SparkSession, d: String): DataFrame = {
+    val e0 = lineitem(s, d)
+      .select((col("l_partkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    kcorePeelOf(e0, CoreK, CoreRounds)
+  }
+
+  private val q157Sql = {
+    def round(prev: String, i: Int) =
+      s"""k$i AS (SELECT src FROM (SELECT src, count(*) AS c FROM $prev GROUP BY src)
+        |  WHERE c >= $CoreK),
+        |e$i AS (SELECT p.src, p.dst FROM $prev p
+        |  JOIN k$i a ON p.src = a.src JOIN k$i b ON p.dst = b.src)""".stripMargin
+    def summary(ei: String, i: Int) =
+      s"""SELECT CAST($i AS BIGINT) AS round, count(*) AS n_nodes,
+        |  CAST(coalesce(sum(c), 0) // 2 AS BIGINT) AS n_edges,
+        |  coalesce(min(c), 0) AS min_deg, coalesce(max(c), 0) AS max_deg
+        |FROM (SELECT src, count(*) AS c FROM $ei GROUP BY src)""".stripMargin
+    s"""WITH e0 AS (
+      |  SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      |  FROM lineitem),
+      |e AS (SELECT src, dst FROM e0
+      |      UNION ALL SELECT dst AS src, src AS dst FROM e0),
+      |${round("e", 1)},
+      |${round("e1", 2)},
+      |${round("e2", 3)}
+      |SELECT * FROM (
+      |${summary("e1", 1)}
+      |UNION ALL
+      |${summary("e2", 2)}
+      |UNION ALL
+      |${summary("e3", 3)})
+      |ORDER BY round""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q117_pagerank", q117, Some(q117Sql)),
     Q("q137_triangle_count", q137, Some(q137Sql)),
+    Q("q157_kcore_peel", q157, Some(q157Sql)),
   )
 }

@@ -169,8 +169,90 @@ object Retrieval {
       |FROM c GROUP BY doc_id
       |ORDER BY score DESC, doc_id LIMIT $Bm25TopK""".stripMargin
 
+  // q156 — reciprocal-rank fusion, the standard hybrid-retrieval
+  // combiner (Cormack/Clarke/Buettcher's RRF): fuse a LEXICAL ranking
+  // (total tf of the query terms) with a SEMANTIC ranking (cosine to a
+  // query embedding) by summing 1/(60 + rank) over the lists each
+  // candidate appears in. Scores are 2^20-fixed-point integer
+  // (2^20 DIV (60 + rank)), so fusion arithmetic is bit-equal across
+  // engines.
+  //
+  // Scale shape: each list is produced by orderBy+limit — Spark plans
+  // TakeOrderedAndProject (per-partition bounded heaps, no global
+  // sort) — and rank assignment runs AFTER the cut, as a window over a
+  // candidate frame bounded by the constant RrfCand (the
+  // single-partition window is over ≤50 rows by construction). The
+  // fusion join is a full outer over two ≤50-row frames. The corpus is
+  // touched once per modality; nothing unbounded ever sits in one
+  // partition.
+  private val RrfK = 60L
+  private val RrfScale = 1048576L // 2^20
+  private val RrfCand = 50
+  private val RrfTopN = 15
+
+  private def q156(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(s)
+    // lexical: total query-term tf per doc; doc 0 is the query doc and
+    // is excluded from both lists
+    val lex = documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .filter(col("term").isin(Bm25Terms: _*) && col("doc_id") =!= 0)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("doc_id")).limit(RrfCand)
+      .withColumn("lex_rk",
+        row_number().over(Window.orderBy(col("tf").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id").as("id"), col("lex_rk"))
+    // semantic: cosine to the embedding of vec_id 0 (the query vector)
+    val e = embeddings(s, d)
+    val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    val sem = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(qv))
+      .withColumn("cos", expr("cosine_sim(qvec, embedding)"))
+      .select(col("vec_id"), col("cos"))
+      .orderBy(col("cos").desc, col("vec_id")).limit(RrfCand)
+      .withColumn("sem_rk",
+        row_number().over(Window.orderBy(col("cos").desc, col("vec_id"))).cast("long"))
+      .select(col("vec_id").as("id"), col("sem_rk"))
+    lex.join(sem, Seq("id"), "full_outer")
+      .withColumn("rrf_fp", // from the RAW nullable ranks
+        coalesce(expr(s"$RrfScale DIV ($RrfK + lex_rk)"), lit(0L)) +
+          coalesce(expr(s"$RrfScale DIV ($RrfK + sem_rk)"), lit(0L)))
+      .select(col("id"), coalesce(col("lex_rk"), lit(0L)).as("lex_rk"),
+        coalesce(col("sem_rk"), lit(0L)).as("sem_rk"), col("rrf_fp"))
+      .orderBy(col("rrf_fp").desc, col("id")).limit(RrfTopN)
+  }
+
+  private val q156Sql = {
+    val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      |  FROM documents),
+      |lex0 AS (
+      |  SELECT doc_id, count(*) AS tf FROM toks
+      |  WHERE term IN ($terms) AND doc_id <> 0 GROUP BY doc_id),
+      |lex AS (
+      |  SELECT doc_id AS id, row_number() OVER (ORDER BY tf DESC, doc_id) AS lex_rk
+      |  FROM lex0 QUALIFY lex_rk <= $RrfCand),
+      |qv AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+      |sem0 AS (
+      |  SELECT vec_id, ${Similarity.cosSql("qvec", "embedding")} AS cos
+      |  FROM embeddings, qv WHERE vec_id <> 0),
+      |sem AS (
+      |  SELECT vec_id AS id, row_number() OVER (ORDER BY cos DESC, vec_id) AS sem_rk
+      |  FROM sem0 QUALIFY sem_rk <= $RrfCand),
+      |f AS (
+      |  SELECT coalesce(lex.id, sem.id) AS id,
+      |    coalesce(lex.lex_rk, 0) AS lex_rk, coalesce(sem.sem_rk, 0) AS sem_rk,
+      |    CAST(coalesce($RrfScale // ($RrfK + lex.lex_rk), 0)
+      |       + coalesce($RrfScale // ($RrfK + sem.sem_rk), 0) AS BIGINT) AS rrf_fp
+      |  FROM lex FULL OUTER JOIN sem ON lex.id = sem.id)
+      |SELECT id, lex_rk, sem_rk, rrf_fp FROM f
+      |ORDER BY rrf_fp DESC, id LIMIT $RrfTopN""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q85_phrase_search", q85, Some(q85Sql)),
     Q("q106_bm25", q106, Some(q106Sql)),
+    Q("q156_rrf_fusion", q156, Some(q156Sql)),
   )
 }

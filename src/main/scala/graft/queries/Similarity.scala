@@ -29,7 +29,7 @@ object Similarity {
   /** DuckDB fragment: cosine over two list<float> columns, same
     * arithmetic order as CosineSimilarity.
     */
-  private def cosSql(a: String, b: String): String = {
+  private[queries] def cosSql(a: String, b: String): String = {
     def dot(u: String, v: String) =
       s"list_reduce(list_transform(range(64), i -> CAST($u[i+1] AS DOUBLE) * CAST($v[i+1] AS DOUBLE)), (x, y) -> x + y)"
     s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"

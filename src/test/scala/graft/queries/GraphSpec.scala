@@ -56,4 +56,26 @@ class GraphSpec extends SparkSpec {
     assert(got.forall(r => r.getLong(2) == 0L && r.getLong(3) == 0L))
     assert(got.length == 4)
   }
+
+  test("k-core peel: pendant chain cascades off a triangle, core survives") {
+    // triangle {1,2,3} plus chain 3-4-5: k=2 peeling removes 5 in
+    // round 1 (deg 1), then 4 in round 2 (its degree fell to 1), then
+    // stabilizes at the triangle in round 3
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val got = Graph.kcorePeelOf(e, k = 2L, rounds = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, 4L, 4L, 1L, 3L),  // 5 gone; 4 now degree 1
+      (2L, 3L, 3L, 2L, 2L),  // 4 gone; triangle left
+      (3L, 3L, 3L, 2L, 2L)), // fixed point
+      s"got ${got.toSeq}")
+  }
+
+  test("k-core peel: k above max degree empties in one round, stays empty") {
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val got = Graph.kcorePeelOf(e, k = 5L, rounds = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq((1L, 0L, 0L, 0L, 0L), (2L, 0L, 0L, 0L, 0L)),
+      s"got ${got.toSeq}")
+  }
 }
