@@ -309,6 +309,45 @@ object StatefulStreams {
       }
   }
 
+  /** Streaming form of batch q153 (graft.queries.Frontier.skylineOf) —
+    * a CONTINUOUSLY-MAINTAINED Pareto frontier (minimize x, maximize
+    * y). Each micro-batch partition first folds its own rows down to a
+    * LOCAL skyline (the candidate funnel: dominated points die in
+    * place, partition-parallel), and only those candidates reach the
+    * single global key, whose state IS the current skyline — bounded
+    * by the frontier size, which is small by nature, never by the
+    * stream. Whenever a batch changes the frontier, the full frontier
+    * is re-emitted under an incremented version (Update mode); the
+    * max-version emission set equals batch skylineOf over the same
+    * rows (pinned by StreamingSampleSpec). Duplicate/replayed points
+    * and dominated arrivals leave state untouched and emit nothing.
+    */
+  def streamingSkyline(pts: DataFrame): Dataset[(Long, Double, Long)] = {
+    val spark = pts.sparkSession
+    import spark.implicits._
+    def dominatesOrEq(a: (Double, Long), b: (Double, Long)): Boolean =
+      a._1 <= b._1 && a._2 >= b._2
+    def insert(sky: List[(Double, Long)],
+        p: (Double, Long)): List[(Double, Long)] =
+      if (sky.exists(q => dominatesOrEq(q, p))) sky
+      else p :: sky.filterNot(q => dominatesOrEq(p, q))
+    pts.select(col("x").cast("double"), col("y").cast("long"))
+      .as[(Double, Long)]
+      .mapPartitions(it => it.foldLeft(List.empty[(Double, Long)])(insert).iterator)
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (_: Int, it: Iterator[(Double, Long)],
+            gs: GroupState[(Long, List[(Double, Long)])]) =>
+          val (v0, sky0) = gs.getOption.getOrElse((0L, List.empty[(Double, Long)]))
+          val sky = it.foldLeft(sky0)(insert)
+          if (sky == sky0) Iterator.empty
+          else {
+            gs.update((v0 + 1, sky))
+            sky.iterator.map(p => (v0 + 1, p._1, p._2))
+          }
+      }
+  }
+
   /** Streaming form of batch q138 (graft.queries.Sampling
     * .prioritySampleOf) — a CONTINUOUSLY-MAINTAINED priority sample
     * (Duffield–Lund–Thorup): the arriving corpus keeps exactly k

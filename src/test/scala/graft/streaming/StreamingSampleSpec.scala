@@ -137,4 +137,37 @@ class StreamingSampleSpec extends SparkSpec {
       assert(rows.takeRight(k).toSet == expect)
     } finally q.stop()
   }
+
+  test("streaming skyline converges to batch q153 across micro-batches") {
+    implicit val sql = spark.sqlContext
+    // includes duplicates, a same-x pair, a same-y pair, and points
+    // that enter the frontier then get dominated by later arrivals
+    val pts = Seq(
+      (5.0, 3L), (4.0, 2L), (4.0, 7L), (6.0, 9L), (4.0, 7L),
+      (2.0, 1L), (3.0, 7L), (2.0, 6L), (9.0, 9L), (6.0, 9L), (1.0, 1L))
+    val expect = graft.queries.Frontier
+      .skylineOf(pts.toDF("x", "y").distinct())
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).toSet
+
+    val in = MemoryStream[(Double, Long)]
+    val out = StatefulStreams.streamingSkyline(in.toDF().toDF("x", "y"))
+      .toDF("version", "x", "y")
+    val q = out.writeStream.format("memory").queryName("ssky")
+      .outputMode("update").start()
+    try {
+      in.addData(pts.take(4)); q.processAllAvailable()
+      in.addData(pts.slice(4, 8)); q.processAllAvailable()
+      in.addData(pts.drop(8)); q.processAllAvailable()
+      in.addData(pts.take(3)) // full replay: dominated + duplicate arrivals
+      q.processAllAvailable()
+      val rows = spark.table("ssky").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      val vMax = rows.map(_._1).max
+      val last = rows.filter(_._1 == vMax).map(t => (t._2, t._3)).toSet
+      assert(last == expect, s"got $last\nexp $expect")
+      // the replay batch changed nothing, so it emitted nothing:
+      // version count == number of CHANGING batches
+      assert(vMax <= 3L, s"replay incremented version to $vMax")
+    } finally q.stop()
+  }
 }
