@@ -177,9 +177,50 @@ object Frontier {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  // q158 — rank-trimmed robust mean: per-group mean of the middle 80%
+  // (drop the lowest and highest ⌊n/10⌋ rows under a deterministic
+  // total order — value, then the unique (orderkey, linenumber) pair).
+  // Rank-based trimming is the outlier-robust aggregate a metrics
+  // pipeline wants when a handful of corrupt rows would drag a plain
+  // mean; unlike percentile interpolation it is integer-exact, so the
+  // only float op is the final single division of an exact DECIMAL sum
+  // (the q01 dsum discipline). Ranks come from rankDistributed (range
+  // partition + broadcast carry) — a billion-row group never sits in
+  // one window partition; the per-group counts are a group-cardinality
+  // broadcast.
+  private def q158(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d).select(col("l_returnflag"), col("l_quantity"),
+      col("l_orderkey"), col("l_linenumber"))
+    val ranked = Sampling.rankDistributed(li, Seq("l_returnflag"),
+      Seq(col("l_quantity"), col("l_orderkey"), col("l_linenumber")))
+    val counts = ranked.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+    ranked.join(broadcast(counts), Seq("l_returnflag"))
+      .filter(col("rk") > expr("n DIV 10") && col("rk") <= col("n") - expr("n DIV 10"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_kept"),
+        (sum(col("l_quantity").cast(DecimalType(14, 2))).cast("double") /
+          count(lit(1))).as("trimmed_mean"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val q158Sql =
+    """WITH r AS (
+      |  SELECT l_returnflag, l_quantity,
+      |    row_number() OVER (PARTITION BY l_returnflag
+      |      ORDER BY l_quantity, l_orderkey, l_linenumber) AS rk,
+      |    count(*) OVER (PARTITION BY l_returnflag) AS n
+      |  FROM lineitem)
+      |SELECT l_returnflag, count(*) AS n_kept,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) / count(*)
+      |    AS trimmed_mean
+      |FROM r WHERE rk > n // 10 AND rk <= n - n // 10
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q153_skyline", q153, Some(q153Sql)),
     Q("q154_peak_concurrency", q154, Some(q154Sql)),
     Q("q155_pivot_unpivot", q155, Some(q155Sql)),
+    Q("q158_trimmed_mean", q158, Some(q158Sql)),
   )
 }
