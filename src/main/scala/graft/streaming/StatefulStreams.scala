@@ -348,6 +348,40 @@ object StatefulStreams {
       }
   }
 
+  /** Streaming form of batch q154 (graft.queries.Frontier
+    * .peakConcurrencyOf) — per-type running peak of simultaneously-open
+    * [ts, ts+HoldMs) activity intervals, maintained in GroupState under
+    * the in-order arrival contract (streamingTokenBudget /
+    * streamingBursts). Because Hold is constant, end times arrive
+    * non-decreasing, so the active set is a DEQUE: expire from the
+    * head (end <= t — half-open, matching the batch sweep's
+    * ends-before-starts tie order), append at the tail. State is
+    * bounded by the peak concurrency itself, never the stream; each
+    * batch emits one (type, peak, n_events) row (Update mode), and the
+    * last emission per type equals batch q154's row (pinned by
+    * StreamingSampleSpec).
+    */
+  def streamingPeakConcurrency(ev: DataFrame): Dataset[(String, Long, Long)] = {
+    val hold = graft.queries.Frontier.HoldMs
+    val spark = ev.sparkSession
+    import spark.implicits._
+    ev.select(col("event_type"), col("ts_ms")).as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (tp: String, it: Iterator[(String, Long)],
+            gs: GroupState[(Seq[Long], Long, Long)]) =>
+          var (active, peak, n) = gs.getOption
+            .getOrElse((Seq.empty[Long], 0L, 0L))
+          it.map(_._2).toIndexedSeq.sorted.foreach { t =>
+            active = active.dropWhile(_ <= t) :+ (t + hold)
+            n += 1
+            if (active.size > peak) peak = active.size.toLong
+          }
+          gs.update((active, peak, n))
+          Iterator.single((tp, peak, n))
+      }
+  }
+
   /** Streaming form of batch q138 (graft.queries.Sampling
     * .prioritySampleOf) — a CONTINUOUSLY-MAINTAINED priority sample
     * (Duffield–Lund–Thorup): the arriving corpus keeps exactly k

@@ -170,4 +170,33 @@ class StreamingSampleSpec extends SparkSpec {
       assert(vMax <= 3L, s"replay incremented version to $vMax")
     } finally q.stop()
   }
+
+  test("streaming peak concurrency converges to batch q154 (in-order)") {
+    implicit val sql = spark.sqlContext
+    val h = graft.queries.Frontier.HoldMs
+    val ev = Seq(
+      ("a", 0L), ("a", 100L), ("a", 200L),   // overlap of 3
+      ("a", h + 300L),                        // all expired: back to 1
+      ("b", 0L), ("b", h),                    // touching: never concurrent
+      ("c", 42L))
+    val expect = graft.queries.Frontier
+      .peakConcurrencyOf(ev.toDF("event_type", "ts_ms"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+    val in = MemoryStream[(String, Long)]
+    val out = StatefulStreams
+      .streamingPeakConcurrency(in.toDF().toDF("event_type", "ts_ms"))
+      .toDF("event_type", "peak", "n_events")
+    val q = out.writeStream.format("memory").queryName("speak")
+      .outputMode("update").start()
+    try {
+      in.addData(ev.take(2)); q.processAllAvailable()
+      in.addData(ev.drop(2)); q.processAllAvailable()
+      val rows = spark.table("speak").collect().zipWithIndex
+        .map { case (r, i) => (r.getString(0), r.getLong(1), r.getLong(2), i) }
+      val last = rows.groupBy(_._1)
+        .map { case (_, vs) => val m = vs.maxBy(_._4); (m._1, m._2, m._3) }.toSet
+      assert(last == expect, s"got $last\nexp $expect")
+    } finally q.stop()
+  }
 }
