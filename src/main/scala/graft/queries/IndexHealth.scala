@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.Tables._
 import graft.functions.TextFns._
 
@@ -177,8 +178,61 @@ object IndexHealth {
       |FROM b GROUP BY est_bucket, exact_bucket
       |ORDER BY est_bucket, exact_bucket""".stripMargin
 
+  // q159 — join-key skew audit with exact Gini: for each candidate
+  // shuffle key of the fact table, the per-key row-count distribution
+  // summarized as (#keys, rows, heaviest key, Gini coefficient in 2^20
+  // fixed point). This is the pre-flight a 100 TB join runs BEFORE
+  // picking its shuffle key: a Gini near 0 shuffles evenly, a Gini
+  // near 2^20 means one straggler task — the number that decides
+  // between a plain shuffle join, salting (q45's SkewedJoins), or AQE
+  // skew splitting. Gini comes from the rank identity
+  // Σ(2·rk − n − 1)·c / (n·Σc) over counts ranked ascending — ranks
+  // via rankDistributed (range partition + broadcast carry, no global
+  // window), the product sum in DECIMAL(38,0) so a trillion-row key
+  // count cannot overflow, and one integer DIV at the end — bit-equal
+  // in DuckDB's HUGEINT arithmetic.
+  private def q159(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+    val keys = li.select(lit("l_partkey").as("kc"), col("l_partkey").as("key"))
+      .unionAll(li.select(lit("l_suppkey").as("kc"), col("l_suppkey").as("key")))
+      .unionAll(li.select(lit("l_orderkey").as("kc"), col("l_orderkey").as("key")))
+    val counts = keys.groupBy(col("kc"), col("key")).agg(count(lit(1)).as("c"))
+    val ranked = Sampling.rankDistributed(counts, Seq("kc"),
+      Seq(col("c"), col("key")))
+    val per = ranked.groupBy(col("kc")).agg(
+      count(lit(1)).as("n_keys"),
+      sum(col("c")).as("total"),
+      max(col("c")).as("max_cnt"),
+      sum((col("rk") * 2 - 1).cast(DecimalType(38, 0)) * col("c"))
+        .as("wsum")) // Σ(2rk−1)c; the −n·Σc term folds in below
+    per.select(col("kc").as("key_col"), col("n_keys"), col("total"),
+        col("max_cnt"),
+        expr(s"CAST((wsum - CAST(n_keys AS DECIMAL(38,0)) * total) " +
+          s"* $FpScale DIV (CAST(n_keys AS DECIMAL(38,0)) * total) AS BIGINT)")
+          .as("gini_fp"))
+      .orderBy(col("key_col"))
+  }
+
+  private val q159Sql =
+    s"""WITH k AS (
+      |  SELECT 'l_partkey' AS kc, l_partkey AS key FROM lineitem
+      |  UNION ALL SELECT 'l_suppkey', l_suppkey FROM lineitem
+      |  UNION ALL SELECT 'l_orderkey', l_orderkey FROM lineitem),
+      |c AS (SELECT kc, key, count(*) AS c FROM k GROUP BY kc, key),
+      |r AS (SELECT kc, c,
+      |    row_number() OVER (PARTITION BY kc ORDER BY c, key) AS rk
+      |  FROM c),
+      |p AS (SELECT kc, count(*) AS n_keys, sum(c) AS total, max(c) AS max_cnt,
+      |    sum((2 * rk - 1) * c) AS wsum
+      |  FROM r GROUP BY kc)
+      |SELECT kc AS key_col, n_keys, CAST(total AS BIGINT) AS total, max_cnt,
+      |  CAST((wsum - n_keys * total) * $FpScale
+      |    // (n_keys * total) AS BIGINT) AS gini_fp
+      |FROM p ORDER BY key_col""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q132_index_health", q132, Some(q132Sql)),
     Q("q136_minhash_calibration", q136, Some(q136Sql)),
+    Q("q159_join_skew_audit", q159, Some(q159Sql)),
   )
 }
