@@ -217,10 +217,62 @@ object Frontier {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  // q160 — per-group OLS trend (closed-form linear regression): the
+  // revenue-per-day slope for each order priority, computed entirely
+  // from the five sufficient statistics (n, Σx, Σy, Σxy, Σx²) of one
+  // map-side-combined aggregation pass — the canonical "reduce a model
+  // fit to sums" pattern that makes regression free at 100 TB (no
+  // iteration, no per-group data movement beyond the 5-number
+  // partials). All arithmetic is integer: x = days since 1992-01-01,
+  // y = cents (through the DECIMAL bridge — never a double→int cast),
+  // the cross sums accumulate in DECIMAL(38,0) (HUGEINT in the
+  // oracle), and the slope ships as cents/day in 2^20 fixed point via
+  // one integer DIV — bit-equal across engines, negative slopes
+  // included (Spark DIV and DuckDB // both truncate toward zero).
+  val TrendScale = 1048576L // 2^20
+
+  private def q160(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d).select(col("o_orderpriority"),
+      datediff(col("o_orderdate").cast("date"),
+        lit("1992-01-01").cast("date")).cast("long").as("x"),
+      expr("CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)").as("yc"))
+    o.groupBy(col("o_orderpriority")).agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("yc").cast(DecimalType(38, 0))).as("sy"),
+        // per-row products fit a long comfortably (x ≤ ~2.5k days,
+        // yc ≤ ~6·10^7 cents); the SUM is what needs 38 digits
+        sum((col("x") * col("yc")).cast(DecimalType(38, 0))).as("sxy"),
+        sum((col("x") * col("x")).cast(DecimalType(38, 0))).as("sxx"))
+      .select(col("o_orderpriority"), col("n"),
+        expr(s"""CAST((CAST(n AS DECIMAL(38,0)) * sxy
+                |  - CAST(sx AS DECIMAL(38,0)) * sy) * $TrendScale
+                |  DIV (CAST(n AS DECIMAL(38,0)) * sxx
+                |  - CAST(sx AS DECIMAL(38,0)) * sx) AS BIGINT)""".stripMargin)
+          .as("slope_fp"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val q160Sql =
+    s"""WITH o AS (
+      |  SELECT o_orderpriority,
+      |    date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS x,
+      |    CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS yc
+      |  FROM orders),
+      |a AS (
+      |  SELECT o_orderpriority, count(*) AS n, sum(x) AS sx, sum(yc) AS sy,
+      |    sum(x * yc) AS sxy, sum(x * x) AS sxx
+      |  FROM o GROUP BY o_orderpriority)
+      |SELECT o_orderpriority, n,
+      |  CAST((n * sxy - sx * sy) * $TrendScale
+      |    // (n * sxx - sx * sx) AS BIGINT) AS slope_fp
+      |FROM a ORDER BY o_orderpriority""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q153_skyline", q153, Some(q153Sql)),
     Q("q154_peak_concurrency", q154, Some(q154Sql)),
     Q("q155_pivot_unpivot", q155, Some(q155Sql)),
     Q("q158_trimmed_mean", q158, Some(q158Sql)),
+    Q("q160_trend_regression", q160, Some(q160Sql)),
   )
 }
