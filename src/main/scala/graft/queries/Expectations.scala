@@ -1,0 +1,115 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** q161 — declarative data-expectations audit (the Deequ/Great-
+  * Expectations pattern): a fixed suite of constraints validated in
+  * one pass per table, emitted as a (table, constraint, violations,
+  * n_rows, status) report. This is the admission gate a training-data
+  * pipeline runs on every ingest batch before anything downstream
+  * trusts the data.
+  *
+  * Scale shape: every range/domain/null constraint on a table folds
+  * into conditional aggregates of the SAME single scan (map-side
+  * combined, one 1-row result each); uniqueness is count −
+  * count(DISTINCT key) over partial aggregates; referential integrity
+  * is a LEFT ANTI join count on the key — each check is a bounded
+  * 1-row frame and the report is their union, so the audit costs one
+  * scan per table plus one shuffle per uniqueness/FK constraint, at
+  * any scale. The reference (affo/ssp) has no validation surface at
+  * all — its sinks accept whatever arrives (collect.go:7-13).
+  */
+object Expectations {
+
+  private def check(tbl: String, con: String, df: DataFrame,
+      violations: Column): DataFrame =
+    df.agg(coalesce(sum(violations.cast("long")), lit(0L)).as("violations"),
+        count(lit(1)).as("n_rows"))
+      .select(lit(tbl).as("tbl"), lit(con).as("con"),
+        col("violations"), col("n_rows"))
+
+  private def dupCheck(tbl: String, con: String, df: DataFrame,
+      key: Column*): DataFrame =
+    df.agg((count(lit(1)) - countDistinct(key.head, key.tail: _*))
+        .as("violations"), count(lit(1)).as("n_rows"))
+      .select(lit(tbl).as("tbl"), lit(con).as("con"),
+        col("violations"), col("n_rows"))
+
+  private def fkCheck(tbl: String, con: String, child: DataFrame,
+      parent: DataFrame, key: String): DataFrame = {
+    val orphans = child.join(parent, Seq(key), "left_anti")
+      .agg(count(lit(1)).as("violations"))
+    val total = child.agg(count(lit(1)).as("n_rows"))
+    orphans.crossJoin(total)
+      .select(lit(tbl).as("tbl"), lit(con).as("con"),
+        col("violations"), col("n_rows"))
+  }
+
+  private def q161(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+    val o = orders(s, d)
+    val c = customer(s, d)
+    val checks = Seq(
+      check("lineitem", "qty_range", li,
+        when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L).otherwise(0L)),
+      check("lineitem", "discount_range", li,
+        when(col("l_discount") < 0.0 || col("l_discount") > 0.1, 1L).otherwise(0L)),
+      dupCheck("lineitem", "pk_unique", li,
+        col("l_orderkey"), col("l_linenumber")),
+      fkCheck("lineitem", "fk_orders",
+        li.select(col("l_orderkey").as("k")), o.select(col("o_orderkey").as("k")), "k"),
+      dupCheck("orders", "pk_unique", o, col("o_orderkey")),
+      check("orders", "status_domain", o,
+        when(!col("o_orderstatus").isin("F", "O", "P"), 1L).otherwise(0L)),
+      check("orders", "totalprice_positive", o,
+        when(col("o_totalprice") <= 0.0, 1L).otherwise(0L)),
+      fkCheck("orders", "fk_customer",
+        o.select(col("o_custkey").as("k")), c.select(col("c_custkey").as("k")), "k"),
+      check("customer", "acctbal_nonnull", c,
+        when(col("c_acctbal").isNull, 1L).otherwise(0L)),
+    )
+    checks.reduce(_ unionAll _)
+      .withColumn("status",
+        when(col("violations") === 0L, "pass").otherwise("fail"))
+      .orderBy(col("tbl"), col("con"))
+  }
+
+  private val q161Sql = {
+    def chk(tbl: String, con: String, pred: String) =
+      s"""SELECT '$tbl' AS tbl, '$con' AS con,
+        |  CAST(coalesce(sum(CASE WHEN $pred THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |    AS violations, count(*) AS n_rows FROM $tbl""".stripMargin
+    def dup(tbl: String, con: String, keys: String) =
+      s"""SELECT '$tbl' AS tbl, '$con' AS con,
+        |  CAST(count(*) - (SELECT count(*)
+        |    FROM (SELECT DISTINCT $keys FROM $tbl)) AS BIGINT) AS violations,
+        |  count(*) AS n_rows FROM $tbl""".stripMargin
+    def fk(tbl: String, con: String, ck: String, ptbl: String, pk: String) =
+      s"""SELECT '$tbl' AS tbl, '$con' AS con,
+        |  CAST((SELECT count(*) FROM $tbl ch WHERE NOT EXISTS
+        |    (SELECT 1 FROM $ptbl p WHERE p.$pk = ch.$ck)) AS BIGINT)
+        |    AS violations, count(*) AS n_rows FROM $tbl""".stripMargin
+    val rows = Seq(
+      chk("lineitem", "qty_range", "l_quantity < 1 OR l_quantity > 50"),
+      chk("lineitem", "discount_range", "l_discount < 0.0 OR l_discount > 0.1"),
+      dup("lineitem", "pk_unique", "l_orderkey, l_linenumber"),
+      fk("lineitem", "fk_orders", "l_orderkey", "orders", "o_orderkey"),
+      dup("orders", "pk_unique", "o_orderkey"),
+      chk("orders", "status_domain", "o_orderstatus NOT IN ('F', 'O', 'P')"),
+      chk("orders", "totalprice_positive", "o_totalprice <= 0.0"),
+      fk("orders", "fk_customer", "o_custkey", "customer", "c_custkey"),
+      chk("customer", "acctbal_nonnull", "c_acctbal IS NULL"),
+    ).mkString("\nUNION ALL\n")
+    s"""SELECT tbl, con, violations, n_rows,
+      |  CASE WHEN violations = 0 THEN 'pass' ELSE 'fail' END AS status
+      |FROM (
+      |$rows
+      |) ORDER BY tbl, con""".stripMargin
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("q161_data_expectations", q161, Some(q161Sql)),
+  )
+}
