@@ -285,9 +285,73 @@ object Graph {
       |ORDER BY round""".stripMargin
   }
 
+  // q163 — categorical label propagation over the part↔supplier
+  // bipartite graph: suppliers are seeded with their nation, parts
+  // adopt the MAJORITY nation of their suppliers (ties → smallest
+  // label), then suppliers adopt the majority over their parts — the
+  // community-inference primitive (Raghavan et al.'s LPA) in its
+  // deterministic synchronous form. Where q117 propagates a numeric
+  // mass, this propagates an argmax — and the argmax is computed as
+  // max(struct(count, −label)) inside a plain aggregate, so each round
+  // is two key-partitioned aggregations and a join: no window over a
+  // node's edges, no per-node sort, nothing driver-side. Output: each
+  // supplier's seed vs propagated label and whether two hops changed
+  // it (the label-flip rate is LPA's convergence signal).
+  private def q163(s: SparkSession, d: String): DataFrame = {
+    val e = lineitem(s, d)
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("s")).distinct()
+    val seed = supplier(s, d)
+      .select(col("s_suppkey").as("s"), col("s_nationkey").cast("long").as("seed"))
+    // round 1: part label = majority supplier seed (tie -> min label)
+    val pl = e.join(seed, Seq("s"))
+      .groupBy(col("p"), col("seed")).agg(count(lit(1)).as("c"))
+      .groupBy(col("p"))
+      .agg(max(struct(col("c"), (-col("seed")).as("neg"))).as("m"))
+      .select(col("p"), (-col("m.neg")).as("plabel"))
+    // round 2: supplier label = majority part label
+    val sl = e.join(pl, Seq("p"))
+      .groupBy(col("s"), col("plabel")).agg(count(lit(1)).as("c"))
+      .groupBy(col("s"))
+      .agg(max(struct(col("c"), (-col("plabel")).as("neg"))).as("m"))
+      .select(col("s"), (-col("m.neg")).as("prop"))
+    seed.join(sl, Seq("s"))
+      .select(col("s").as("s_suppkey"), col("seed").as("seed_label"),
+        col("prop").as("prop_label"),
+        (col("prop") =!= col("seed")).as("changed"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  private val q163Sql =
+    """WITH e AS (
+      |  SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+      |seed AS (
+      |  SELECT s_suppkey AS s, CAST(s_nationkey AS BIGINT) AS seed
+      |  FROM supplier),
+      |pc AS (
+      |  SELECT p, seed, count(*) AS c FROM e JOIN seed USING (s)
+      |  GROUP BY p, seed),
+      |pl AS (
+      |  SELECT p, seed AS plabel FROM (
+      |    SELECT p, seed, row_number() OVER (PARTITION BY p
+      |      ORDER BY c DESC, seed ASC) AS rk FROM pc)
+      |  WHERE rk = 1),
+      |sc AS (
+      |  SELECT s, plabel, count(*) AS c FROM e JOIN pl USING (p)
+      |  GROUP BY s, plabel),
+      |sl AS (
+      |  SELECT s, plabel AS prop FROM (
+      |    SELECT s, plabel, row_number() OVER (PARTITION BY s
+      |      ORDER BY c DESC, plabel ASC) AS rk FROM sc)
+      |  WHERE rk = 1)
+      |SELECT seed.s AS s_suppkey, seed.seed AS seed_label,
+      |  sl.prop AS prop_label, sl.prop <> seed.seed AS changed
+      |FROM seed JOIN sl ON seed.s = sl.s
+      |ORDER BY s_suppkey""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q117_pagerank", q117, Some(q117Sql)),
     Q("q137_triangle_count", q137, Some(q137Sql)),
     Q("q157_kcore_peel", q157, Some(q157Sql)),
+    Q("q163_label_propagation", q163, Some(q163Sql)),
   )
 }

@@ -1,0 +1,102 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables._
+
+/** Time-series signal statistics over the event log: cross-type
+  * covariance and lag-1 autocovariance on the dense hourly grid.
+  * Correlation-style analytics reduce to exact integer sufficient
+  * statistics (the q160 discipline): the engines only ever exchange
+  * and compare integers, and anything involving a square root (the
+  * normalized coefficients) is left to the consumer, who divides two
+  * exact numbers however they like.
+  */
+object Signals {
+
+  // q162 — click↔purchase co-movement: hourly counts of the two event
+  // types on the DENSE hour grid (zero-filled via an exploded
+  // sequence between the global min/max hour — absent hours are real
+  // zeros, not missing rows), then one aggregation pass yields the
+  // covariance numerator n·Σxy − Σx·Σy, both variance numerators, and
+  // the lag-1 autocovariance numerator of the click series (pairs
+  // joined hr→hr+1 — a key-equi self-join, never a global-order
+  // window). All sums accumulate in DECIMAL(38,0)/HUGEINT.
+  //
+  // Scale shape: the raw scan aggregates to per-hour counts first
+  // (map-side combined, output is hours-sized, not events-sized); the
+  // grid explode is a 1-row broadcast source; the lag join shuffles
+  // the hours frame on the hour key.
+  private def q162(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+      .select(expr("ts_ms div 3600000").as("hr"), col("event_type"))
+      .filter(col("event_type").isin("click", "purchase"))
+    val counts = ev.groupBy(col("hr")).agg(
+      sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+      sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+    val bounds = counts.agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+    val grid = bounds
+      .select(explode(sequence(col("h0"), col("h1"))).as("hr"))
+    val xy = grid.join(counts, Seq("hr"), "left")
+      .select(col("hr"),
+        coalesce(col("x"), lit(0L)).as("x"), coalesce(col("y"), lit(0L)).as("y"))
+    val base = xy.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum((col("x") * col("y")).cast(DecimalType(38, 0))).as("sxy"),
+      sum((col("x") * col("x")).cast(DecimalType(38, 0))).as("sxx"),
+      sum((col("y") * col("y")).cast(DecimalType(38, 0))).as("syy"),
+      min(struct(col("hr"), col("x"))).as("fst"),
+      max(struct(col("hr"), col("x"))).as("lst"))
+    val lag = xy.select(col("hr"), col("x"))
+      .join(xy.select((col("hr") - 1).as("hr"), col("x").as("xn")), Seq("hr"))
+      .agg(coalesce(sum((col("x") * col("xn")).cast(DecimalType(38, 0))),
+        lit(0).cast(DecimalType(38, 0))).as("sll"))
+    base.crossJoin(lag).select(
+      col("n").as("n_hours"),
+      expr("CAST(CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS BIGINT)")
+        .as("cov_num"),
+      expr("CAST(CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS BIGINT)")
+        .as("varx_num"),
+      expr("CAST(CAST(n AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy AS BIGINT)")
+        .as("vary_num"),
+      expr("""CAST(CAST(n - 1 AS DECIMAL(38,0)) * sll
+             |  - CAST(sx - lst.x AS DECIMAL(38,0)) * (sx - fst.x) AS BIGINT)"""
+        .stripMargin).as("lag1_num"))
+  }
+
+  private val q162Sql =
+    """WITH ev AS (
+      |  SELECT epoch_ms(ts) // 3600000 AS hr, event_type FROM events
+      |  WHERE event_type IN ('click', 'purchase')),
+      |c AS (
+      |  SELECT hr,
+      |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
+      |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+      |  FROM ev GROUP BY hr),
+      |b AS (SELECT min(hr) AS h0, max(hr) AS h1 FROM c),
+      |g AS (SELECT unnest(range(h0, h1 + 1)) AS hr FROM b),
+      |xy AS (
+      |  SELECT g.hr, CAST(coalesce(c.x, 0) AS BIGINT) AS x,
+      |    CAST(coalesce(c.y, 0) AS BIGINT) AS y
+      |  FROM g LEFT JOIN c ON g.hr = c.hr),
+      |base AS (
+      |  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+      |    sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy,
+      |    arg_min(x, hr) AS x_first, arg_max(x, hr) AS x_last
+      |  FROM xy),
+      |lag AS (
+      |  SELECT coalesce(sum(a.x * b2.x), 0) AS sll
+      |  FROM xy a JOIN xy b2 ON b2.hr = a.hr + 1)
+      |SELECT n AS n_hours,
+      |  CAST(n * sxy - sx * sy AS BIGINT) AS cov_num,
+      |  CAST(n * sxx - sx * sx AS BIGINT) AS varx_num,
+      |  CAST(n * syy - sy * sy AS BIGINT) AS vary_num,
+      |  CAST((n - 1) * sll - (sx - x_last) * (sx - x_first) AS BIGINT) AS lag1_num
+      |FROM base, lag""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("q162_signal_correlation", q162, Some(q162Sql)),
+  )
+}
