@@ -297,23 +297,31 @@ object Graph {
   // node's edges, no per-node sort, nothing driver-side. Output: each
   // supplier's seed vs propagated label and whether two hops changed
   // it (the label-flip rate is LPA's convergence signal).
+  private val LpCap = 1048576L // 2^20 — label id upper bound
+
   private def q163(s: SparkSession, d: String): DataFrame = {
     val e = lineitem(s, d)
       .select(col("l_partkey").as("p"), col("l_suppkey").as("s")).distinct()
     val seed = supplier(s, d)
       .select(col("s_suppkey").as("s"), col("s_nationkey").cast("long").as("seed"))
+    // argmax((count, min label)) packed into ONE long — max(c·2^20 +
+    // (2^20−1−label)) — so both rounds stay in hash aggregation
+    // (max(struct(...)) falls back to SortAggregate); labels < 2^20,
+    // counts < 2^43 by contract
+    def argmaxLabel(grouped: DataFrame, key: String, lbl: String): DataFrame =
+      grouped.groupBy(col(key))
+        .agg(max(col("c") * LpCap + (lit(LpCap - 1) - col(lbl))).as("m"))
+        .select(col(key), (lit(LpCap - 1) - pmod(col("m"), lit(LpCap))).as(lbl))
     // round 1: part label = majority supplier seed (tie -> min label)
-    val pl = e.join(seed, Seq("s"))
-      .groupBy(col("p"), col("seed")).agg(count(lit(1)).as("c"))
-      .groupBy(col("p"))
-      .agg(max(struct(col("c"), (-col("seed")).as("neg"))).as("m"))
-      .select(col("p"), (-col("m.neg")).as("plabel"))
+    val pl = argmaxLabel(
+      e.join(seed, Seq("s")).groupBy(col("p"), col("seed"))
+        .agg(count(lit(1)).as("c")), "p", "seed")
+      .withColumnRenamed("seed", "plabel")
     // round 2: supplier label = majority part label
-    val sl = e.join(pl, Seq("p"))
-      .groupBy(col("s"), col("plabel")).agg(count(lit(1)).as("c"))
-      .groupBy(col("s"))
-      .agg(max(struct(col("c"), (-col("plabel")).as("neg"))).as("m"))
-      .select(col("s"), (-col("m.neg")).as("prop"))
+    val sl = argmaxLabel(
+      e.join(pl, Seq("p")).groupBy(col("s"), col("plabel"))
+        .agg(count(lit(1)).as("c")), "s", "plabel")
+      .withColumnRenamed("plabel", "prop")
     seed.join(sl, Seq("s"))
       .select(col("s").as("s_suppkey"), col("seed").as("seed_label"),
         col("prop").as("prop_label"),
