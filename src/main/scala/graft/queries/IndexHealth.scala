@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.Tables._
@@ -230,9 +230,112 @@ object IndexHealth {
       |    // (n_keys * total) AS BIGINT) AS gini_fp
       |FROM p ORDER BY key_col""".stripMargin
 
+  // q164 — join-size planner: the exact output cardinality of each
+  // candidate fact↔dim join, computed WITHOUT running the join —
+  // |A ⋈ B| = Σ_k cA(k)·cB(k) over the per-key count frames. With
+  // q159's Gini this is the planner dashboard: predicted rows decide
+  // broadcast-vs-shuffle and pre-size shuffle partitions; at 100 TB
+  // the count frames are keyspace-sized (not data-sized) and the
+  // product join shuffles only those. The DECIMAL(38,0) product sum
+  // survives trillion-row keys. Each row also carries the fan-out
+  // ratio (output rows per fact row, 2^20 fixed point).
+  private def q164(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+    def est(name: String, factKey: Column, dim: DataFrame,
+        dimKey: Column): DataFrame = {
+      val ca = li.groupBy(factKey.as("k")).agg(count(lit(1)).as("ca"))
+      val cb = dim.groupBy(dimKey.as("k")).agg(count(lit(1)).as("cb"))
+      ca.join(cb, Seq("k"))
+        .agg(coalesce(sum((col("ca") * col("cb")).cast(DecimalType(38, 0))),
+          lit(0).cast(DecimalType(38, 0))).as("est"),
+          coalesce(sum(col("ca")), lit(0L)).as("fact_rows"))
+        .select(lit(name).as("join_name"),
+          expr("CAST(est AS BIGINT)").as("est_rows"),
+          col("fact_rows"),
+          expr(s"CAST(est * $FpScale DIV CAST(fact_rows AS DECIMAL(38,0)) AS BIGINT)")
+            .as("fanout_fp"))
+    }
+    est("lineitem_orders", col("l_orderkey"),
+        orders(s, d), col("o_orderkey"))
+      .unionAll(est("lineitem_part", col("l_partkey"), part(s, d), col("p_partkey")))
+      .unionAll(est("lineitem_supplier", col("l_suppkey"),
+        supplier(s, d), col("s_suppkey")))
+      .orderBy(col("join_name"))
+  }
+
+  private val q164Sql = {
+    def est(name: String, fk: String, dim: String, dk: String) =
+      s"""SELECT '$name' AS join_name,
+        |  CAST(coalesce(sum(ca * cb), 0) AS BIGINT) AS est_rows,
+        |  CAST(coalesce(sum(ca), 0) AS BIGINT) AS fact_rows,
+        |  CAST(coalesce(sum(ca * cb), 0) * $FpScale
+        |    // coalesce(sum(ca), 0) AS BIGINT) AS fanout_fp
+        |FROM (SELECT $fk AS k, count(*) AS ca FROM lineitem GROUP BY $fk) a
+        |JOIN (SELECT $dk AS k, count(*) AS cb FROM $dim GROUP BY $dk) b
+        |USING (k)""".stripMargin
+    s"""SELECT * FROM (
+      |${est("lineitem_orders", "l_orderkey", "orders", "o_orderkey")}
+      |UNION ALL
+      |${est("lineitem_part", "l_partkey", "part", "p_partkey")}
+      |UNION ALL
+      |${est("lineitem_supplier", "l_suppkey", "supplier", "s_suppkey")})
+      |ORDER BY join_name""".stripMargin
+  }
+
+  // q165 — Benford first-digit audit: the leading-digit distribution
+  // of order totals against Benford's law, the classic
+  // synthetic-data / fraud smoke test. The digit comes from the
+  // DECIMAL string form (never float math), expected shares are
+  // log10(1 + 1/d) pinned as 2^20 fixed-point CONSTANTS (identical
+  // literals in both engines — no cross-engine log), and the deviation
+  // is |observed − expected| in the same fixed point. One scan,
+  // 9-row output.
+  private val BenfordFp: Map[Int, Long] = Map(
+    // floor(log10(1 + 1/d) * 2^20) for d = 1..9
+    1 -> 315652L, 2 -> 184645L, 3 -> 131007L, 4 -> 101617L,
+    5 -> 83027L, 6 -> 70198L, 7 -> 60808L, 8 -> 53637L, 9 -> 47980L)
+
+  private def q165(s: SparkSession, d: String): DataFrame = {
+    val expected = BenfordFp.toSeq.map { case (dg, fp) =>
+      s"WHEN $dg THEN ${fp}L" }.sorted.mkString(" ")
+    orders(s, d)
+      .select(expr("CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(14,2)) " +
+        "AS STRING), 1, 1) AS INT)").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("observed"))
+      .withColumn("n_total", sum(col("observed")).over())
+      .withColumn("observed_fp",
+        expr(s"observed * $FpScale DIV n_total"))
+      .withColumn("expected_fp",
+        expr(s"CAST(CASE digit $expected END AS BIGINT)"))
+      .withColumn("dev_fp", abs(col("observed_fp") - col("expected_fp")))
+      .select(col("digit"), col("observed"), col("observed_fp"),
+        col("expected_fp"), col("dev_fp"))
+      .orderBy(col("digit"))
+  }
+
+  private val q165Sql = {
+    val expected = BenfordFp.toSeq.map { case (dg, fp) =>
+      s"WHEN $dg THEN $fp" }.sorted.mkString(" ")
+    s"""WITH c AS (
+      |  SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(14,2))
+      |      AS VARCHAR), 1, 1) AS INT) AS digit,
+      |    count(*) AS observed
+      |  FROM orders GROUP BY 1),
+      |t AS (SELECT c.*, sum(observed) OVER () AS n_total FROM c),
+      |f AS (SELECT digit, observed,
+      |    observed * $FpScale // n_total AS observed_fp,
+      |    CAST(CASE digit $expected END AS BIGINT) AS expected_fp
+      |  FROM t)
+      |SELECT digit, observed, CAST(observed_fp AS BIGINT) AS observed_fp,
+      |  expected_fp, CAST(abs(observed_fp - expected_fp) AS BIGINT) AS dev_fp
+      |FROM f ORDER BY digit""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q132_index_health", q132, Some(q132Sql)),
     Q("q136_minhash_calibration", q136, Some(q136Sql)),
     Q("q159_join_skew_audit", q159, Some(q159Sql)),
+    Q("q164_join_size_planner", q164, Some(q164Sql)),
+    Q("q165_benford_audit", q165, Some(q165Sql)),
   )
 }
