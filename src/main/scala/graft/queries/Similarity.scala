@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
 import graft.Tables._
 import graft.functions.GraftFunctions
 
@@ -780,6 +781,56 @@ object Similarity {
       |FROM carr JOIN ds USING (label)
       |ORDER BY label""".stripMargin
 
+  // q166 — embedding-matrix health: per-dimension count, mean,
+  // variance, and absolute range of the whole embedding table — the
+  // ML-observability audit that catches dead dimensions (a projection
+  // that collapsed to ~0 everywhere), scale drift between ingest
+  // batches, and un-normalized columns before they poison ANN recall.
+  // Values enter fixed point as trunc(v·2^20) — a power-of-two scale,
+  // so the float→fixed step is EXACT (only the exponent changes) and
+  // identical across engines; moments then follow the q160 sufficient-
+  // statistics discipline (DECIMAL(38,0) sums, integer DIV, variance
+  // emitted as (n·Σq²−(Σq)²) DIV n² so the output fits a BIGINT at any
+  // corpus size). One posexplode scan, 64 grouped rows, map-side
+  // combined.
+  private val DimDeadMax = 1024L // |v| < 2^-10 everywhere => dead
+
+  private def q166(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("dim").cast("long").as("dim"),
+        expr("CAST(CAST(v AS DOUBLE) * 1048576 AS BIGINT)").as("q"))
+      .groupBy(col("dim")).agg(
+        count(lit(1)).as("n_vecs"),
+        sum(col("q")).as("sq"),
+        sum((col("q") * col("q")).cast(DecimalType(38, 0))).as("sqq"),
+        max(abs(col("q"))).as("maxabs_fp"))
+      .select(col("dim"), col("n_vecs"),
+        expr("sq DIV n_vecs").as("mean_fp"),
+        expr(s"""CAST((CAST(n_vecs AS DECIMAL(38,0)) * sqq
+                |  - CAST(sq AS DECIMAL(38,0)) * sq)
+                |  DIV (CAST(n_vecs AS DECIMAL(38,0)) * n_vecs) AS BIGINT)"""
+          .stripMargin).as("var_fp2"),
+        col("maxabs_fp"),
+        (col("maxabs_fp") < DimDeadMax).as("is_dead"))
+      .orderBy(col("dim"))
+
+  private val q166Sql =
+    s"""WITH q AS (
+      |  SELECT i.i AS dim,
+      |    CAST(trunc(CAST(embedding[i.i + 1] AS DOUBLE) * 1048576) AS BIGINT)
+      |      AS q
+      |  FROM embeddings, (SELECT unnest(range(64)) AS i) i),
+      |a AS (
+      |  SELECT dim, count(*) AS n_vecs, sum(q) AS sq, sum(q * q) AS sqq,
+      |    max(abs(q)) AS maxabs_fp
+      |  FROM q GROUP BY dim)
+      |SELECT dim, n_vecs, CAST(sq // n_vecs AS BIGINT) AS mean_fp,
+      |  CAST((n_vecs * sqq - sq * sq) // (n_vecs * n_vecs) AS BIGINT)
+      |    AS var_fp2,
+      |  maxabs_fp, maxabs_fp < $DimDeadMax AS is_dead
+      |FROM a ORDER BY dim""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q34_embed_neardup", q34, Some(q34Sql)),
     Q("q40_knn_brute", q40, Some(q40Sql)),
@@ -790,5 +841,6 @@ object Similarity {
     Q("q112_semdedup", q112, Some(q112Sql)),
     Q("q135_bitext_margin", q135, Some(q135Sql)),
     Q("q145_label_centroids", q145, Some(q145Sql)),
+    Q("q166_embedding_stats", q166, Some(q166Sql)),
   )
 }
