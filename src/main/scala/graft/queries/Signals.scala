@@ -28,13 +28,12 @@ object Signals {
   // (map-side combined, output is hours-sized, not events-sized); the
   // grid explode is a 1-row broadcast source; the lag join shuffles
   // the hours frame on the hour key.
-  private def q162(s: SparkSession, d: String): DataFrame = {
-    val ev = events(s, d)
-      .select(expr("ts_ms div 3600000").as("hr"), col("event_type"))
-      .filter(col("event_type").isin("click", "purchase"))
-    val counts = ev.groupBy(col("hr")).agg(
-      sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
-      sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+  /** Core: the q162 statistics over a sparse (hr, x, y) count frame —
+    * zero-fills the dense [min hr, max hr] grid, then emits the one-row
+    * (n_hours, cov_num, varx_num, vary_num, lag1_num) frame.
+    * Fixture-testable.
+    */
+  private[graft] def signalStatsOf(counts: DataFrame): DataFrame = {
     val bounds = counts.agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
     val grid = bounds
       .select(explode(sequence(col("h0"), col("h1"))).as("hr"))
@@ -64,6 +63,15 @@ object Signals {
       expr("""CAST(CAST(n - 1 AS DECIMAL(38,0)) * sll
              |  - CAST(sx - lst.x AS DECIMAL(38,0)) * (sx - fst.x) AS BIGINT)"""
         .stripMargin).as("lag1_num"))
+  }
+
+  private def q162(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+      .select(expr("ts_ms div 3600000").as("hr"), col("event_type"))
+      .filter(col("event_type").isin("click", "purchase"))
+    signalStatsOf(ev.groupBy(col("hr")).agg(
+      sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+      sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y")))
   }
 
   private val q162Sql =
