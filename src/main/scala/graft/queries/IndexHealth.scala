@@ -331,11 +331,87 @@ object IndexHealth {
       |FROM f ORDER BY digit""".stripMargin
   }
 
+  // q167 — the round-12 capstone: a join-strategy ADVISOR composing
+  // the q159 skew Gini and the q164 cardinality estimate into the
+  // decision a 100 TB physical planner makes per join — broadcast the
+  // dim (when it fits the q05 broadcast budget), salt the fact key
+  // (when its count distribution is pathologically unequal — the
+  // SkewedJoins mitigation), or take the plain shuffle. All inputs are
+  // keyspace-sized aggregates of single scans; the thresholds are
+  // pinned constants so the recommendation is oracle-checkable.
+  private val AdvisorBroadcastMaxRows = 10000L // dim fits executor memory
+  private val AdvisorSaltGini = 400000L // ~0.38 in 2^20 fixed point
+
+  private def q167(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+    def advise(name: String, factKey: Column, dim: DataFrame,
+        dimKey: Column): DataFrame = {
+      val ca = li.groupBy(factKey.as("key")).agg(count(lit(1)).as("c"))
+      val cb = dim.groupBy(dimKey.as("key")).agg(count(lit(1)).as("cb"))
+      val ranked = Sampling.rankDistributed(
+        ca.select(lit(name).as("kc"), col("key"), col("c")),
+        Seq("kc"), Seq(col("c"), col("key")))
+      val skew = ranked.groupBy(col("kc")).agg(
+        count(lit(1)).as("n_keys"), sum(col("c")).as("total"),
+        sum((col("rk") * 2 - 1).cast(DecimalType(38, 0)) * col("c")).as("wsum"))
+        .select(col("kc"),
+          expr(s"CAST((wsum - CAST(n_keys AS DECIMAL(38,0)) * total) " +
+            s"* $FpScale DIV (CAST(n_keys AS DECIMAL(38,0)) * total) AS BIGINT)")
+            .as("gini_fp"))
+      val size = ca.join(cb, Seq("key"))
+        .agg(coalesce(sum((col("c") * col("cb")).cast(DecimalType(38, 0))),
+          lit(0).cast(DecimalType(38, 0))).as("est"))
+        .crossJoin(cb.agg(count(lit(1)).as("dim_rows")))
+        .select(lit(name).as("kc"), expr("CAST(est AS BIGINT)").as("est_rows"),
+          col("dim_rows"))
+      skew.join(size, Seq("kc"))
+        .select(col("kc").as("join_name"), col("dim_rows"), col("est_rows"),
+          col("gini_fp"),
+          when(col("dim_rows") <= AdvisorBroadcastMaxRows, "broadcast")
+            .when(col("gini_fp") >= AdvisorSaltGini, "salted_shuffle")
+            .otherwise("shuffle").as("strategy"))
+    }
+    advise("lineitem_orders", col("l_orderkey"), orders(s, d), col("o_orderkey"))
+      .unionAll(advise("lineitem_part", col("l_partkey"),
+        part(s, d), col("p_partkey")))
+      .unionAll(advise("lineitem_supplier", col("l_suppkey"),
+        supplier(s, d), col("s_suppkey")))
+      .orderBy(col("join_name"))
+  }
+
+  private val q167Sql = {
+    def one(name: String, fk: String, dim: String, dk: String) =
+      s"""SELECT '$name' AS join_name,
+        |  (SELECT count(*) FROM (SELECT DISTINCT $dk FROM $dim)) AS dim_rows,
+        |  (SELECT CAST(coalesce(sum(ca * cb), 0) AS BIGINT)
+        |   FROM (SELECT $fk AS key, count(*) AS ca FROM lineitem GROUP BY $fk) a
+        |   JOIN (SELECT $dk AS key, count(*) AS cb FROM $dim GROUP BY $dk) b
+        |   USING (key)) AS est_rows,
+        |  (SELECT CAST((sum((2 * rk - 1) * c) - count(*) * sum(c))
+        |      * $FpScale // (count(*) * sum(c)) AS BIGINT)
+        |   FROM (SELECT c, row_number() OVER (ORDER BY c, key) AS rk
+        |         FROM (SELECT $fk AS key, count(*) AS c FROM lineitem
+        |               GROUP BY $fk))) AS gini_fp""".stripMargin
+    val rows = Seq(
+      one("lineitem_orders", "l_orderkey", "orders", "o_orderkey"),
+      one("lineitem_part", "l_partkey", "part", "p_partkey"),
+      one("lineitem_supplier", "l_suppkey", "supplier", "s_suppkey"),
+    ).mkString("\nUNION ALL\n")
+    s"""SELECT join_name, dim_rows, est_rows, gini_fp,
+      |  CASE WHEN dim_rows <= $AdvisorBroadcastMaxRows THEN 'broadcast'
+      |    WHEN gini_fp >= $AdvisorSaltGini THEN 'salted_shuffle'
+      |    ELSE 'shuffle' END AS strategy
+      |FROM (
+      |$rows
+      |) ORDER BY join_name""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q132_index_health", q132, Some(q132Sql)),
     Q("q136_minhash_calibration", q136, Some(q136Sql)),
     Q("q159_join_skew_audit", q159, Some(q159Sql)),
     Q("q164_join_size_planner", q164, Some(q164Sql)),
     Q("q165_benford_audit", q165, Some(q165Sql)),
+    Q("q167_join_advisor", q167, Some(q167Sql)),
   )
 }
