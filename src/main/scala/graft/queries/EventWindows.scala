@@ -615,6 +615,55 @@ object EventWindows {
       |ORDER BY burst_fp DESC, c.event_type, c.hr
       |LIMIT $BurstTopN""".stripMargin
 
+  // q168 — first-order Markov transition matrix over within-session
+  // event sequences: for every (from_type → to_type) pair of
+  // CONSECUTIVE events in a session, the count and the row-normalized
+  // transition probability in 2^20 fixed point — the behavior-model
+  // estimator behind next-action prediction and anomaly scoring
+  // (q143's trigram paths are the 3-gram cousin; this is the
+  // normalized 2-gram MODEL). Transitions never cross the 30-min
+  // session boundary.
+  //
+  // Scale shape: the shared sessionizer's one user_id shuffle; the
+  // successor comes from lead() in the same (user, time) window
+  // partition order (per-user partitions, bounded by a user's
+  // activity); counts aggregate to a |types|² frame; the row totals
+  // for normalization are a |types|-row broadcast.
+  private def q168(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    val tr = sessionized(events(s, d))
+      .withColumn("nxt_type", lead(col("event_type"), 1).over(byUser))
+      .withColumn("nxt_sess", lead(col("session_id"), 1).over(byUser))
+      .filter(col("nxt_type").isNotNull && col("nxt_sess") === col("session_id"))
+      .groupBy(col("event_type").as("from_type"), col("nxt_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = tr.groupBy(col("from_type")).agg(sum(col("n")).as("row_n"))
+    tr.join(broadcast(totals), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("n * 1048576 DIV row_n").as("p_fp"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  private val q168Sql =
+    s"""WITH $sessCteSql,
+      |nx AS (
+      |  SELECT event_type, session_id,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts_ms, event_id) AS nxt_type,
+      |    lead(session_id) OVER (PARTITION BY user_id
+      |      ORDER BY ts_ms, event_id) AS nxt_sess
+      |  FROM sess),
+      |tr AS (
+      |  SELECT event_type AS from_type, nxt_type AS to_type, count(*) AS n
+      |  FROM nx WHERE nxt_type IS NOT NULL AND nxt_sess = session_id
+      |  GROUP BY 1, 2),
+      |tot AS (SELECT from_type, sum(n) AS row_n FROM tr GROUP BY from_type)
+      |SELECT from_type, to_type, n,
+      |  CAST(n * 1048576 // row_n AS BIGINT) AS p_fp
+      |FROM tr JOIN tot USING (from_type)
+      |ORDER BY from_type, to_type""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q26_tumbling_window", q26, Some(q26Sql)),
     Q("q27_sliding_window", q27, Some(q27Sql)),
@@ -629,5 +678,6 @@ object EventWindows {
     Q("q149_retention_cohorts", q149, Some(q149Sql)),
     Q("q150_decayed_activity", q150, Some(q150Sql)),
     Q("q151_burst_detection", q151, Some(q151Sql)),
+    Q("q168_markov_transitions", q168, Some(q168Sql)),
   )
 }

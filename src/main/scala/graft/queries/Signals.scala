@@ -104,7 +104,83 @@ object Signals {
       |  CAST((n - 1) * sll - (sx - x_last) * (sx - x_first) AS BIGINT) AS lag1_num
       |FROM base, lag""".stripMargin
 
+  // q169 — A/B conversion audit with the exact 2×2 chi-square: users
+  // split deterministically by id parity (the seeded-bucket assignment
+  // a real experiment platform derives from a hashed unit id — q89's
+  // discipline), "converted" = has ≥1 purchase event. Emitted: per-arm
+  // user and converter counts, conversion rates in 2^20 fixed point,
+  // and the chi-square statistic n·(ad−bc)²/(margins product) in the
+  // same fixed point — every operand an exact integer, one staged
+  // DECIMAL(38,0) division at the end. (At 10^9-user scale the
+  // (ad−bc)² term still fits DECIMAL(38,0); the n· multiplier is the
+  // first thing to stage through an extra DIV if units outgrow that.)
+  private def q169(s: SparkSession, d: String): DataFrame = {
+    // conversion = a big-ticket purchase; a plain "any purchase" is
+    // degenerate in this dense synthetic log (every user has one)
+    val u = events(s, d)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" && col("value") > 80.0, 1L)
+        .otherwise(0L)).as("conv"))
+      .select(pmod(col("user_id"), lit(2)).as("arm"), col("conv"))
+    val cells = u.groupBy(col("arm")).agg(
+      count(lit(1)).as("n_users"), sum(col("conv")).as("n_conv"))
+    // 2x2: a/b = arm-0 conv/non-conv, c/d = arm-1 conv/non-conv
+    val wide = cells.agg(
+      sum(when(col("arm") === 0, col("n_conv"))).as("a"),
+      sum(when(col("arm") === 0, col("n_users") - col("n_conv"))).as("b"),
+      sum(when(col("arm") === 1, col("n_conv"))).as("c"),
+      sum(when(col("arm") === 1, col("n_users") - col("n_conv"))).as("d"))
+    wide.select(
+      (col("a") + col("b")).as("n_a"), col("a").as("conv_a"),
+      (col("c") + col("d")).as("n_b"), col("c").as("conv_b"),
+      expr("CASE WHEN a + b = 0 THEN 0 ELSE a * 1048576 DIV (a + b) END")
+        .as("cr_a_fp"),
+      expr("CASE WHEN c + d = 0 THEN 0 ELSE c * 1048576 DIV (c + d) END")
+        .as("cr_b_fp"),
+      // degenerate margins (an empty arm, or all/none converting) make
+      // chi-square undefined — report 0 ("no evidence"), same CASE in
+      // the oracle
+      expr("""CAST(CASE WHEN a + b = 0 OR c + d = 0 OR a + c = 0 OR b + d = 0
+             |  THEN 0 ELSE
+             |  (CAST(a AS DECIMAL(38,0)) + b + c + d)
+             |  * (CAST(a AS DECIMAL(38,0)) * d - CAST(b AS DECIMAL(38,0)) * c)
+             |  * (CAST(a AS DECIMAL(38,0)) * d - CAST(b AS DECIMAL(38,0)) * c)
+             |  * 1048576
+             |  DIV ((CAST(a AS DECIMAL(38,0)) + b) * (CAST(c AS DECIMAL(38,0)) + d)
+             |    * (CAST(a AS DECIMAL(38,0)) + c) * (CAST(b AS DECIMAL(38,0)) + d))
+             |  END AS BIGINT)""".stripMargin).as("chi2_fp"))
+  }
+
+  private val q169Sql =
+    """WITH u AS (
+      |  SELECT user_id % 2 AS arm,
+      |    max(CASE WHEN event_type = 'purchase' AND value > 80.0
+      |        THEN 1 ELSE 0 END) AS conv
+      |  FROM events GROUP BY user_id),
+      |cells AS (
+      |  SELECT arm, count(*) AS n_users, sum(conv) AS n_conv
+      |  FROM u GROUP BY arm),
+      |w AS (
+      |  SELECT
+      |    sum(CASE WHEN arm = 0 THEN n_conv END) AS a,
+      |    sum(CASE WHEN arm = 0 THEN n_users - n_conv END) AS b,
+      |    sum(CASE WHEN arm = 1 THEN n_conv END) AS c,
+      |    sum(CASE WHEN arm = 1 THEN n_users - n_conv END) AS d
+      |  FROM cells)
+      |SELECT CAST(a + b AS BIGINT) AS n_a, CAST(a AS BIGINT) AS conv_a,
+      |  CAST(c + d AS BIGINT) AS n_b, CAST(c AS BIGINT) AS conv_b,
+      |  CAST(CASE WHEN a + b = 0 THEN 0
+      |    ELSE a * 1048576 // (a + b) END AS BIGINT) AS cr_a_fp,
+      |  CAST(CASE WHEN c + d = 0 THEN 0
+      |    ELSE c * 1048576 // (c + d) END AS BIGINT) AS cr_b_fp,
+      |  CAST(CASE WHEN a + b = 0 OR c + d = 0 OR a + c = 0 OR b + d = 0
+      |    THEN 0 ELSE
+      |    (a + b + c + d) * (a * d - b * c) * (a * d - b * c) * 1048576
+      |    // ((a + b) * (c + d) * (a + c) * (b + d)) END AS BIGINT) AS chi2_fp
+      |FROM w""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q162_signal_correlation", q162, Some(q162Sql)),
+    Q("q169_ab_conversion", q169, Some(q169Sql)),
   )
 }
