@@ -629,10 +629,13 @@ object EventWindows {
   // partition order (per-user partitions, bounded by a user's
   // activity); counts aggregate to a |types|² frame; the row totals
   // for normalization are a |types|-row broadcast.
-  private def q168(s: SparkSession, d: String): DataFrame = {
+  /** Core: within-session consecutive-pair transition matrix over
+    * (user_id, event_id, event_type, ts_ms) rows. Fixture-testable.
+    */
+  private[graft] def transitionMatrixOf(ev: DataFrame): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_ms"), col("event_id"))
-    val tr = sessionized(events(s, d))
+    val tr = sessionized(ev)
       .withColumn("nxt_type", lead(col("event_type"), 1).over(byUser))
       .withColumn("nxt_sess", lead(col("session_id"), 1).over(byUser))
       .filter(col("nxt_type").isNotNull && col("nxt_sess") === col("session_id"))
@@ -644,6 +647,9 @@ object EventWindows {
         expr("n * 1048576 DIV row_n").as("p_fp"))
       .orderBy(col("from_type"), col("to_type"))
   }
+
+  private def q168(s: SparkSession, d: String): DataFrame =
+    transitionMatrixOf(events(s, d))
 
   private val q168Sql =
     s"""WITH $sessCteSql,

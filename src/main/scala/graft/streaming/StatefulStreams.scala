@@ -382,6 +382,43 @@ object StatefulStreams {
       }
   }
 
+  /** Streaming form of batch q168 (graft.queries.EventWindows
+    * .transitionMatrixOf) — Markov transitions emitted ON ARRIVAL:
+    * per-user state is one (last_type, last_ts) pair; an arrival
+    * within the 30-min session gap emits its (from, to) transition,
+    * a gap-crossing arrival emits nothing and restarts the session
+    * (the q118/q143 boundary). In-order arrival per user
+    * (streamingTokenBudget contract); within a micro-batch rows sort
+    * by (ts, event_id), the batch window order. State is 2 values per
+    * user regardless of history; Append mode — transitions are facts,
+    * never revised. Aggregating the emitted pairs reproduces batch
+    * q168's count matrix exactly (pinned by StreamingSampleSpec).
+    */
+  def streamingTransitions(ev: DataFrame): Dataset[(String, String)] = {
+    val gapMs = 1800000L
+    val spark = ev.sparkSession
+    import spark.implicits._
+    ev.select(col("user_id"), col("event_id"), col("event_type"), col("ts_ms"))
+      .as[(Long, Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, it: Iterator[(Long, Long, String, Long)],
+            gs: GroupState[(String, Long)]) =>
+          var prev = gs.getOption
+          val out = Vector.newBuilder[(String, String)]
+          it.toIndexedSeq.sortBy(t => (t._4, t._2)).foreach {
+            case (_, _, tp, ts) =>
+              prev match {
+                case Some((pt, pts)) if ts - pts <= gapMs => out += ((pt, tp))
+                case _ => ()
+              }
+              prev = Some((tp, ts))
+          }
+          prev.foreach(gs.update)
+          out.result().iterator
+      }
+  }
+
   /** Streaming form of batch q138 (graft.queries.Sampling
     * .prioritySampleOf) — a CONTINUOUSLY-MAINTAINED priority sample
     * (Duffield–Lund–Thorup): the arriving corpus keeps exactly k

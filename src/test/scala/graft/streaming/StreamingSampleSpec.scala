@@ -199,4 +199,34 @@ class StreamingSampleSpec extends SparkSpec {
       assert(last == expect, s"got $last\nexp $expect")
     } finally q.stop()
   }
+
+  test("streaming transitions aggregate to the batch q168 matrix") {
+    implicit val sql = spark.sqlContext
+    val gap = 1800000L
+    // user 1: a->b->c in one session, session break, c->a in the next;
+    // user 2: single session b->b->a
+    val ev = Seq(
+      (1L, 1L, "a", 0L), (1L, 2L, "b", 1000L), (1L, 3L, "c", 2000L),
+      (1L, 4L, "c", 2000L + gap + 1), (1L, 5L, "a", 2000L + gap + 500),
+      (2L, 6L, "b", 0L), (2L, 7L, "b", 10L), (2L, 8L, "a", 20L))
+    val expect = graft.queries.EventWindows
+      .transitionMatrixOf(ev.toDF("user_id", "event_id", "event_type", "ts_ms"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+
+    val in = MemoryStream[(Long, Long, String, Long)]
+    val out = StatefulStreams
+      .streamingTransitions(in.toDF().toDF("user_id", "event_id", "event_type", "ts_ms"))
+      .toDF("from_type", "to_type")
+    val q = out.writeStream.format("memory").queryName("strans")
+      .outputMode("append").start()
+    try {
+      in.addData(ev.take(3)); q.processAllAvailable()
+      in.addData(ev.drop(3)); q.processAllAvailable()
+      val got = spark.table("strans").collect()
+        .map(r => (r.getString(0), r.getString(1)))
+        .groupBy(identity).map { case (k, vs) => (k._1, k._2, vs.size.toLong) }
+        .toSet
+      assert(got == expect, s"got $got\nexp $expect")
+    } finally q.stop()
+  }
 }
