@@ -268,11 +268,58 @@ object Frontier {
       |    // (n * sxx - sx * sx) AS BIGINT) AS slope_fp
       |FROM a ORDER BY o_orderpriority""".stripMargin
 
+  // q170 — distributed exact discrete percentiles: the value at rank
+  // ⌈p·n⌉ under a deterministic total order, per group. q57's
+  // `percentile` UDAF is exact but buffers every group member in one
+  // aggregation buffer — fine for dims, a straggler-OOM at 100 TB
+  // groups; this form ranks through rankDistributed (range partition +
+  // carry broadcast), joins the group-cardinality broadcast, and
+  // keeps only the two rows per group whose rank hits a target — no
+  // value array ever materializes anywhere. No interpolation: the
+  // emitted number is a real row's value, bit-identical by
+  // construction (the oracle replays the same rank arithmetic rather
+  // than trusting quantile_disc's convention).
+  private def q170(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d).select(col("o_orderpriority"), col("o_totalprice"),
+      col("o_orderkey"))
+    val ranked = Sampling.rankDistributed(o, Seq("o_orderpriority"),
+      Seq(col("o_totalprice"), col("o_orderkey")))
+    val counts = ranked.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+    ranked.join(broadcast(counts), Seq("o_orderpriority"))
+      .filter(col("rk") === expr("(n + 1) DIV 2") ||
+        col("rk") === expr("(9 * n + 9) DIV 10"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        max(when(col("rk") === expr("(n + 1) DIV 2"), col("o_totalprice")))
+          .as("p50_disc"),
+        max(when(col("rk") === expr("(9 * n + 9) DIV 10"), col("o_totalprice")))
+          .as("p90_disc"),
+        max(col("n")).as("n"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val q170Sql =
+    """WITH r AS (
+      |  SELECT o_orderpriority, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY o_totalprice, o_orderkey) AS rk,
+      |    count(*) OVER (PARTITION BY o_orderpriority) AS n
+      |  FROM orders)
+      |SELECT o_orderpriority,
+      |  max(CASE WHEN rk = (n + 1) // 2 THEN o_totalprice END) AS p50_disc,
+      |  max(CASE WHEN rk = (9 * n + 9) // 10 THEN o_totalprice END) AS p90_disc,
+      |  CAST(max(n) AS BIGINT) AS n
+      |FROM r WHERE rk = (n + 1) // 2 OR rk = (9 * n + 9) // 10
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q153_skyline", q153, Some(q153Sql)),
     Q("q154_peak_concurrency", q154, Some(q154Sql)),
     Q("q155_pivot_unpivot", q155, Some(q155Sql)),
     Q("q158_trimmed_mean", q158, Some(q158Sql)),
     Q("q160_trend_regression", q160, Some(q160Sql)),
+    Q("q170_percentile_rank", q170, Some(q170Sql)),
   )
 }
