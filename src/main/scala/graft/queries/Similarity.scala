@@ -831,6 +831,84 @@ object Similarity {
       |  maxabs_fp, maxabs_fp < $DimDeadMax AS is_dead
       |FROM a ORDER BY dim""".stripMargin
 
+
+  // q171 — retrieval EVALUATION as a first-class query: MRR and
+  // recall@5 of cosine search against label ground truth, for query
+  // vectors 0..9 — the metrics harness every embedding-search change
+  // ships behind. The rank of the first relevant hit is computed
+  // WITHOUT ranking the corpus: it equals 1 + |candidates strictly
+  // better than the best relevant one| — an argmax plus a conditional
+  // count, both plain aggregates — and the top-5 cut plans through the
+  // bounded-heap TopK operator (the row_number<=k rewrite), so nothing
+  // corpus-sized ever sits in one window partition. The oracle states
+  // the naive full ranking; the two derivations agree because the
+  // (cos desc, vec_id) order is total. Metrics ship in 2^20 fixed
+  // point (rank arithmetic only — the only floats compared are raw
+  // cosine values inside max/argmax).
+  private def q171(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val e = embeddings(s, d)
+    val qs = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+        col("label").as("qlabel"))
+    val scored = e.join(broadcast(qs), col("vec_id") =!= col("query_id"))
+      .withColumn("cos", expr("cosine_sim(qvec, embedding)"))
+      .select(col("query_id"), col("qlabel"), col("vec_id"), col("label"),
+        col("cos"))
+      .repartition(col("query_id")) // one materialization, three consumers
+      .localCheckpoint()
+    val best = scored.filter(col("label") === col("qlabel"))
+      .groupBy(col("query_id"))
+      .agg(max(struct(col("cos"), (-col("vec_id")).as("nv"))).as("b"),
+        count(lit(1)).as("n_rel"))
+      .select(col("query_id"), col("n_rel"), col("b.cos").as("bcos"),
+        (-col("b.nv")).as("bvid"))
+    val better = scored.join(broadcast(best), Seq("query_id"))
+      .filter(col("cos") > col("bcos") ||
+        (col("cos") === col("bcos") && col("vec_id") < col("bvid")))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_better"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val rel5 = scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .filter(col("label") === col("qlabel"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("rel5"))
+    best.join(better, Seq("query_id"), "left")
+      .join(rel5, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_rel"),
+        (coalesce(col("n_better"), lit(0L)) + 1).as("first_rel_rank"),
+        expr("1048576 DIV (coalesce(n_better, 0L) + 1)").as("rr_fp"),
+        coalesce(col("rel5"), lit(0L)).as("rel5"),
+        expr("coalesce(rel5, 0L) * 1048576 DIV least(5L, n_rel)")
+          .as("recall5_fp"))
+      .orderBy(col("query_id"))
+  }
+
+  private val q171Sql =
+    s"""WITH qs AS (
+      |  SELECT vec_id AS query_id, embedding AS qvec, label AS qlabel
+      |  FROM embeddings WHERE vec_id < 10),
+      |sc AS (
+      |  SELECT query_id, qlabel, e.vec_id, e.label,
+      |    ${cosSql("qvec", "e.embedding")} AS cos
+      |  FROM embeddings e JOIN qs ON e.vec_id <> qs.query_id),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY cos DESC, vec_id) AS rk FROM sc),
+      |rel AS (
+      |  SELECT query_id, count(*) AS n_rel, min(rk) AS frr
+      |  FROM r WHERE label = qlabel GROUP BY query_id),
+      |r5 AS (
+      |  SELECT query_id, count(*) AS rel5
+      |  FROM r WHERE rk <= 5 AND label = qlabel GROUP BY query_id)
+      |SELECT query_id, n_rel, CAST(frr AS BIGINT) AS first_rel_rank,
+      |  CAST(1048576 // frr AS BIGINT) AS rr_fp,
+      |  CAST(coalesce(rel5, 0) AS BIGINT) AS rel5,
+      |  CAST(coalesce(rel5, 0) * 1048576 // least(5, n_rel) AS BIGINT)
+      |    AS recall5_fp
+      |FROM rel LEFT JOIN r5 USING (query_id)
+      |ORDER BY query_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q34_embed_neardup", q34, Some(q34Sql)),
     Q("q40_knn_brute", q40, Some(q40Sql)),
@@ -842,5 +920,6 @@ object Similarity {
     Q("q135_bitext_margin", q135, Some(q135Sql)),
     Q("q145_label_centroids", q145, Some(q145Sql)),
     Q("q166_embedding_stats", q166, Some(q166Sql)),
+    Q("q171_retrieval_eval", q171, Some(q171Sql)),
   )
 }
