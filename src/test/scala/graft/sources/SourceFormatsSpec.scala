@@ -56,6 +56,23 @@ class SourceFormatsSpec extends SparkSpec {
     assert(distinct == 100, s"expected the full 100-word corpus, got $distinct")
   }
 
+  test("ORC round-trip with predicate pushdown reaching the scan") {
+    val dir = Files.createTempDirectory("graft_orc").toString
+    val src = graft.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    src.write.mode("overwrite").option("compression", "zlib").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.count() == src.count())
+    val filtered = back.filter(col("l_returnflag") === "R")
+    val plan = filtered.queryExecution.executedPlan.toString
+    // the ORC reader must receive the filter (searchArgument pushdown),
+    // not evaluate it post-scan only
+    assert(plan.contains("PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)"),
+      plan.take(800))
+    assert(filtered.count() ==
+      src.filter(col("l_returnflag") === "R").count())
+  }
+
   test("partitioned parquet write prunes partitions on read") {
     val dir = Files.createTempDirectory("graft_part").toString
     graft.Tables.documents(spark, sf)
