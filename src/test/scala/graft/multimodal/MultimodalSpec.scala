@@ -1,10 +1,36 @@
 package graft.multimodal
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.{col, lit, regexp_extract}
 
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
   import Multimodal._
+
+  test("binaryFile source ingests raw payloads into the media pipeline") {
+    // the production ingest path: a directory of opaque media blobs read
+    // by Spark's binaryFile source (path, modificationTime, length,
+    // content), mapped to MediaRecord, features extracted batched —
+    // end-to-end from files on disk, no parquet intermediary
+    val dir = java.nio.file.Files.createTempDirectory("graft_media")
+    val payloads = (0L until 20L).map { i =>
+      val bytes = Array.tabulate[Byte]((i % 30).toInt + 2)(j => (i * 3 + j).toByte)
+      java.nio.file.Files.write(dir.resolve(f"m$i%04d.bin"), bytes)
+      i -> bytes
+    }.toMap
+    val recs = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.bin").load(dir.toString)
+      .select(
+        regexp_extract(col("path"), "m(\\d+)\\.bin$", 1).cast("long").as("media_id"),
+        lit("image").as("kind"), col("content").as("payload"))
+      .as[MediaRecord]
+    val got = extractFeatures(recs).collect().map(f => f.media_id -> f).toMap
+    assert(got.size == 20)
+    payloads.foreach { case (id, bytes) =>
+      assert(got(id).byte_len == bytes.length.toLong)
+      assert(got(id).checksum == bytes.map(_ & 0xff).sum.toLong % 997)
+    }
+  }
 
   test("decode stub is deterministic and batch-shape independent") {
     val recs = (0L until 150L).map(i =>
