@@ -243,9 +243,86 @@ object Filtering {
       |ORDER BY doc_id""".stripMargin
   }
 
+  // q172 — quality-score calibration curve: does the CHEAP heuristic
+  // score (q52's ttr·len_ok) predict the verdict of the FULL Gopher
+  // rule gate (q113)? Documents rank into score deciles
+  // (rankDistributed — no corpus-wide sort window) and each decile
+  // reports its rule-gate pass rate in 2^20 fixed point. A monotone
+  // curve certifies the cheap score as a pre-filter; a flat one says
+  // it's noise — the reliability-diagram audit run before replacing an
+  // expensive gate with a cheap proxy. Ordering on the score doubles
+  // is deterministic: each is one IEEE division (ttr), identical bits
+  // in both engines; ties break by doc_id.
+  private def q172(s: SparkSession, d: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val base = documents(s, d)
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_words"),
+        aggregate(col("toks"), lit(0L), (a, x) => a + length(x)).as("sum_chars"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+        Stopwords.map(w => array_contains(col("toks"), w)).reduce(_ && _)
+          .cast("long").as("stop_ok"))
+      .select(col("doc_id"), col("n_words"), col("sum_chars"),
+        col("n_distinct"), col("stop_ok"),
+        ((col("n_distinct").cast("double") / greatest(col("n_words"), lit(1L))) *
+          when(col("n_words") >= 20 && col("n_words") <= 1000, 1.0)
+            .otherwise(0.0)).as("quality"),
+        ((col("n_words") >= MinWords && col("n_words") <= MaxWords) &&
+          (col("sum_chars") * 10 >= col("n_words") * MinMeanLenTenths &&
+            col("sum_chars") * 10 <= col("n_words") * MaxMeanLenTenths) &&
+          col("stop_ok") === 1 &&
+          ((col("n_words") - col("n_distinct")) * 10 <=
+            col("n_words") * MaxDupFracTenths)).cast("long").as("keep"))
+    val ranked = Sampling.rankDistributed(
+      base.select(col("doc_id"), col("quality"), col("keep")),
+      Seq.empty, Seq(col("quality"), col("doc_id")))
+    val n = ranked.agg(count(lit(1)).as("n_docs"))
+    ranked.crossJoin(broadcast(n))
+      .withColumn("decile", expr("(rk - 1) * 10 DIV n_docs"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("keep")).as("n_keep"))
+      .withColumn("keep_rate_fp", expr("n_keep * 1048576 DIV n_docs"))
+      .orderBy(col("decile"))
+  }
+
+  private val q172Sql = {
+    val toks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+    val stopPred = Stopwords.map(w => s"list_contains(toks, '$w')")
+      .mkString(" AND ")
+    s"""WITH t AS (
+      |  SELECT doc_id, len(toks) AS n_words,
+      |    CAST(coalesce(list_sum(list_transform(toks, x -> len(x))), 0)
+      |      AS BIGINT) AS sum_chars,
+      |    len(list_distinct(toks)) AS n_distinct,
+      |    CASE WHEN $stopPred THEN 1 ELSE 0 END AS stop_ok
+      |  FROM (SELECT doc_id, $toks AS toks FROM documents) t0),
+      |b AS (
+      |  SELECT doc_id,
+      |    (CAST(n_distinct AS DOUBLE) / greatest(n_words, 1)) *
+      |      (CASE WHEN n_words BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.0 END)
+      |      AS quality,
+      |    CASE WHEN n_words BETWEEN $MinWords AND $MaxWords
+      |      AND sum_chars * 10 >= n_words * $MinMeanLenTenths
+      |      AND sum_chars * 10 <= n_words * $MaxMeanLenTenths
+      |      AND stop_ok = 1
+      |      AND (n_words - n_distinct) * 10 <= n_words * $MaxDupFracTenths
+      |      THEN 1 ELSE 0 END AS keep
+      |  FROM t),
+      |r AS (
+      |  SELECT keep, row_number() OVER (ORDER BY quality, doc_id) AS rk,
+      |    count(*) OVER () AS n_docs
+      |  FROM b)
+      |SELECT (rk - 1) * 10 // n_docs AS decile, count(*) AS n_docs,
+      |  CAST(sum(keep) AS BIGINT) AS n_keep,
+      |  CAST(sum(keep) * 1048576 // count(*) AS BIGINT) AS keep_rate_fp
+      |FROM r GROUP BY 1 ORDER BY decile""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q111_blocklist_filter", q111, Some(q111Sql)),
     Q("q113_gopher_rules", q113, Some(q113Sql)),
     Q("q120_drop_reasons", q120, Some(q120Sql)),
+    Q("q172_score_calibration", q172, Some(q172Sql)),
   )
 }
