@@ -382,6 +382,30 @@ object StatefulStreams {
       }
   }
 
+  /** Streaming form of batch q161's scan-only constraint checks
+    * (graft.queries.Expectations) — a CONTINUOUS data-quality monitor:
+    * every micro-batch folds its rows into per-constraint running
+    * (violations, n_rows) counters via a native streaming aggregation
+    * (Update mode — partial aggregation map-side, |constraints| rows of
+    * state total, no custom state code needed). This is the admission
+    * dashboard for an always-on ingest: the batch report audits a
+    * snapshot, this watches the stream. Uniqueness/referential checks
+    * stay batch-side by design — they need corpus-wide joins, not
+    * counters.
+    */
+  def streamingExpectations(li: DataFrame): DataFrame = {
+    val checks = Seq(
+      ("qty_range",
+        when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L).otherwise(0L)),
+      ("discount_range",
+        when(col("l_discount") < 0.0 || col("l_discount") > 0.1, 1L).otherwise(0L)))
+    li.select(explode(array(checks.map { case (n, v) =>
+        struct(lit(n).as("con"), v.as("viol")) }: _*)).as("c"))
+      .select(col("c.con").as("con"), col("c.viol").as("viol"))
+      .groupBy(col("con"))
+      .agg(sum(col("viol")).as("violations"), count(lit(1)).as("n_rows"))
+  }
+
   /** Streaming form of batch q168 (graft.queries.EventWindows
     * .transitionMatrixOf) — Markov transitions emitted ON ARRIVAL:
     * per-user state is one (last_type, last_ts) pair; an arrival

@@ -229,4 +229,26 @@ class StreamingSampleSpec extends SparkSpec {
       assert(got == expect, s"got $got\nexp $expect")
     } finally q.stop()
   }
+
+  test("streaming expectations keep running violation counters") {
+    implicit val sql = spark.sqlContext
+    // (l_quantity, l_discount): 2 qty violations, 1 discount violation
+    val rows = Seq((5.0, 0.05), (0.0, 0.02), (60.0, 0.0), (10.0, 0.5), (49.0, 0.1))
+    val in = MemoryStream[(Double, Double)]
+    val out = StatefulStreams
+      .streamingExpectations(in.toDF().toDF("l_quantity", "l_discount"))
+    val q = out.writeStream.format("memory").queryName("sexp")
+      .outputMode("update").start()
+    try {
+      in.addData(rows.take(2)); q.processAllAvailable()
+      in.addData(rows.drop(2)); q.processAllAvailable()
+      // Update mode re-emits per batch; last row per constraint wins
+      val last = spark.table("sexp").collect().zipWithIndex
+        .map { case (r, i) => (r.getString(0), r.getLong(1), r.getLong(2), i) }
+        .groupBy(_._1).map { case (_, vs) =>
+          val m = vs.maxBy(_._4); (m._1, m._2, m._3) }.toSet
+      assert(last == Set(("qty_range", 2L, 5L), ("discount_range", 1L, 5L)),
+        s"got $last")
+    } finally q.stop()
+  }
 }
