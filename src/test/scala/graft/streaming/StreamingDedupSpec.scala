@@ -32,6 +32,36 @@ class StreamingDedupSpec extends SparkSpec {
     assert(got == Seq(1L, 2L, 3L))
   }
 
+  test("dropDuplicatesWithinWatermark evicts dedup state by event time") {
+    // the Spark 3.5+ native form of the TTL-dedup contract: a key's
+    // state lives only while inside the watermark, so a re-arrival
+    // BEYOND the horizon is re-emitted (unlike plain dropDuplicates,
+    // whose keyed state never expires) — the bounded-state default a
+    // year-long stream needs
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, Long)]
+    val out = in.toDF().toDF("ts", "doc_id")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("doc_id")
+    val q = out.writeStream.format("memory").queryName("sdedupwm")
+      .outputMode("append").start()
+    try {
+      in.addData(Seq((ts("2024-01-01 00:00:01"), 1L)))
+      q.processAllAvailable()
+      // same key within the watermark: dropped
+      in.addData(Seq((ts("2024-01-01 00:05:00"), 1L)))
+      q.processAllAvailable()
+      // advance the watermark far past the key's horizon, then replay it
+      in.addData(Seq((ts("2024-01-01 02:00:00"), 99L)))
+      q.processAllAvailable()
+      in.addData(Seq((ts("2024-01-01 02:00:01"), 1L))) // state expired: re-emitted
+      q.processAllAvailable()
+      val got = spark.table("sdedupwm").select("doc_id").as[Long]
+        .collect().toSeq
+      assert(got == Seq(1L, 99L, 1L), s"got $got")
+    } finally q.stop()
+  }
+
   test("stream-static join enriches micro-batches against a dimension table") {
     implicit val sql = spark.sqlContext
     val dim = Seq((1L, "en"), (2L, "de"), (3L, "fr")).toDF("doc_id", "lang")
