@@ -299,11 +299,13 @@ object Graph {
   // it (the label-flip rate is LPA's convergence signal).
   private val LpCap = 1048576L // 2^20 — label id upper bound
 
-  private def q163(s: SparkSession, d: String): DataFrame = {
-    val e = lineitem(s, d)
-      .select(col("l_partkey").as("p"), col("l_suppkey").as("s")).distinct()
-    val seed = supplier(s, d)
-      .select(col("s_suppkey").as("s"), col("s_nationkey").cast("long").as("seed"))
+  /** Core: two synchronous LPA rounds over bipartite edges (p, s) with
+    * supplier-side seed labels (s, seed) — returns (s, seed, prop).
+    * Fixture-testable.
+    */
+  private[graft] def labelPropagationOf(e0: DataFrame, seed0: DataFrame): DataFrame = {
+    val e = e0
+    val seed = seed0
     // argmax((count, min label)) packed into ONE long — max(c·2^20 +
     // (2^20−1−label)) — so both rounds stay in hash aggregation
     // (max(struct(...)) falls back to SortAggregate); labels < 2^20,
@@ -323,6 +325,16 @@ object Graph {
         .agg(count(lit(1)).as("c")), "s", "plabel")
       .withColumnRenamed("plabel", "prop")
     seed.join(sl, Seq("s"))
+      .select(col("s"), col("seed"), col("prop"))
+      .orderBy(col("s"))
+  }
+
+  private def q163(s: SparkSession, d: String): DataFrame = {
+    val e = lineitem(s, d)
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("s")).distinct()
+    val seed = supplier(s, d)
+      .select(col("s_suppkey").as("s"), col("s_nationkey").cast("long").as("seed"))
+    labelPropagationOf(e, seed)
       .select(col("s").as("s_suppkey"), col("seed").as("seed_label"),
         col("prop").as("prop_label"),
         (col("prop") =!= col("seed")).as("changed"))

@@ -9,6 +9,7 @@ import graft.SparkSpec
   */
 class FrontierPropertySpec extends SparkSpec {
   import spark.implicits._
+  import org.apache.spark.sql.functions.col
 
   test("property: skyline equals the quadratic domination definition") {
     import org.scalacheck.{Gen, Prop}
@@ -99,6 +100,68 @@ class FrontierPropertySpec extends SparkSpec {
         }
         got == exp
       }
+    }
+    val res = check(Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("property: trimmed-mean row selection equals the sequential trim") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    // pin the TRIM SEMANTICS (which rows survive) on integer values —
+    // the oracle covers the decimal mean; here the rank arithmetic is
+    // the thing under test, including heavy ties
+    val gen = for {
+      n <- Gen.choose(1, 40)
+      vs <- Gen.listOfN(n, Gen.choose(0L, 5L))
+    } yield vs
+    val prop = Prop.forAll(gen) { vs =>
+      val rows = vs.zipWithIndex.map { case (v, i) => ("g", v, i.toLong, 1L) }
+      val df = rows.toDF("l_returnflag", "l_quantity", "l_orderkey", "l_linenumber")
+      val ranked = Sampling.rankDistributed(df, Seq("l_returnflag"),
+        Seq(col("l_quantity"), col("l_orderkey"), col("l_linenumber")))
+      val n = vs.size.toLong
+      val t = n / 10
+      val kept = ranked.filter(col("rk") > t && col("rk") <= n - t)
+        .select("l_orderkey").collect().map(_.getLong(0)).toSet
+      val exp = vs.zipWithIndex.sortBy { case (v, i) => (v, i) }
+        .slice(t.toInt, (n - t).toInt).map(_._2.toLong).toSet
+      kept == exp
+    }
+    val res = check(Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("property: label propagation equals sequential majority rounds") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    val gen = for {
+      np <- Gen.choose(1, 6)
+      ns <- Gen.choose(1, 5)
+      m <- Gen.choose(1, 15)
+      es <- Gen.listOfN(m, for {
+        p <- Gen.choose(0, np - 1); sp <- Gen.choose(0, ns - 1)
+      } yield (p.toLong, sp.toLong))
+      seeds <- Gen.listOfN(ns, Gen.choose(0L, 3L))
+    } yield (es.distinct, seeds.zipWithIndex.map { case (l, i) => (i.toLong, l) })
+    val prop = Prop.forAll(gen) { case (edges, seeds) =>
+      val got = Graph.labelPropagationOf(
+        edges.toDF("p", "s"), seeds.toDF("s", "seed"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+
+      // sequential reference: majority with min-label tie-break
+      def majority(votes: Seq[Long]): Long =
+        votes.groupBy(identity).toSeq
+          .maxBy { case (l, vs) => (vs.size, -l) }._1
+      val seedMap = seeds.toMap
+      val plabel = edges.groupBy(_._1).map { case (p, es) =>
+        p -> majority(es.map(e => seedMap(e._2)))
+      }
+      val exp = edges.groupBy(_._2).map { case (sp, es) =>
+        sp -> ((seedMap(sp), majority(es.map(e => plabel(e._1)))))
+      }
+      got == exp
     }
     val res = check(Parameters.default.withMinSuccessfulTests(20), prop)
     assert(res.passed, res.status.toString)

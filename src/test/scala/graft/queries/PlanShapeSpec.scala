@@ -59,4 +59,19 @@ class PlanShapeSpec extends SparkSpec {
     val cols = scans(df).head.requiredSchema.fieldNames.toSet
     assert(cols == Set("lang"), s"lang-only aggregate read: $cols")
   }
+
+  test("q171's top-5 cut plans through the bounded-heap TopK operator") {
+    // the docs claim the rank<=k rewrite fires here; pin it so a
+    // refactor that reintroduces a corpus-sized rank window fails.
+    // AQE off: the adaptive wrapper hides subtrees behind stage leaves
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = graft.SparkEntry.queries("q171_retrieval_eval")(spark, sf)
+      val execs = df.queryExecution.executedPlan.collect {
+        case t: graft.plans.TopKPerKeyExec => t
+      }
+      assert(execs.nonEmpty, "expected TopKPerKeyExec in the q171 plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
 }
