@@ -56,6 +56,39 @@ class SourceFormatsSpec extends SparkSpec {
     assert(distinct == 100, s"expected the full 100-word corpus, got $distinct")
   }
 
+  test("malformed JSON rows are captured, not silently dropped") {
+    // ingestion robustness: PERMISSIVE mode routes undecodable rows to
+    // _corrupt_record so the pipeline can quarantine and count them
+    // (the q161 admission-gate discipline applied at decode time);
+    // FAILFAST turns the same input into a loud error
+    val dir = Files.createTempDirectory("graft_badjson")
+    Files.write(dir.resolve("part0.json"), java.util.Arrays.asList(
+      """{"id": 1, "v": "ok"}""",
+      """{"id": 2 "v": "missing comma"}""",
+      """{"id": 3, "v": "fine"}""",
+      """not json at all"""))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType),
+      StructField("_corrupt_record", StringType)))
+    val df = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir.toString).cache() // corrupt-record queries need the full row cached
+    try {
+      assert(df.count() == 4)
+      val bad = df.filter(col("_corrupt_record").isNotNull)
+      assert(bad.count() == 2)
+      val good = df.filter(col("_corrupt_record").isNull)
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(good == Set(1L, 3L))
+      // FAILFAST on the same files throws at action time
+      val strict = spark.read
+        .schema(StructType(schema.fields.filter(_.name != "_corrupt_record")))
+        .option("mode", "FAILFAST").json(dir.toString)
+      intercept[org.apache.spark.SparkException](strict.collect())
+    } finally df.unpersist()
+  }
+
   test("ORC round-trip with predicate pushdown reaching the scan") {
     val dir = Files.createTempDirectory("graft_orc").toString
     val src = graft.Tables.lineitem(spark, sf)
