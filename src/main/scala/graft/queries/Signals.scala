@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.Tables._
@@ -179,8 +180,106 @@ object Signals {
       |    // ((a + b) * (c + d) * (a + c) * (b + d)) END AS BIGINT) AS chi2_fp
       |FROM w""".stripMargin
 
+  // q173 — deterministic Poisson-style bootstrap confidence intervals:
+  // B = 32 resample replicates of the mean order value per priority,
+  // with each row's multiplicity in replicate b drawn NOT from an RNG
+  // but from four 2-bit fields of the portable md5 hash of
+  // ('boot' || b || ':' || orderkey) — Binomial(4, 1/4), mean 1, the
+  // online-bootstrap trick that makes resampling a per-row pure
+  // function (re-runnable bit-for-bit, mergeable, streamable). The CI
+  // is rank-based over the 32 replicate means (2nd and (n−1)th — the
+  // ~5th/95th percentile of B = 32), so the only float op anywhere is
+  // one IEEE division per (group, replicate).
+  //
+  // Scale shape: the explode factor is exactly B (the accepted cost of
+  // bootstrap at scale; partial aggregation combines (group, b) cells
+  // map-side so the shuffle is |groups|·B rows); the rank window runs
+  // over B = 32 rows per group, a constant.
+  private val BootReps = 32
+
+  private def q173(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextFns.hash60
+    val o = orders(s, d).select(col("o_orderpriority").as("pri"),
+      col("o_orderkey").as("k"),
+      expr("CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)").as("yc"))
+    val pt = o.groupBy(col("pri")).agg(count(lit(1)).as("n_orders"),
+      (sum(col("yc").cast(DecimalType(38, 0))).cast("double") /
+        count(lit(1))).as("mean_cents"))
+    val mult = "CASE WHEN hv % 4 = 0 THEN 1 ELSE 0 END" +
+      " + CASE WHEN (hv DIV 4) % 4 = 0 THEN 1 ELSE 0 END" +
+      " + CASE WHEN (hv DIV 16) % 4 = 0 THEN 1 ELSE 0 END" +
+      " + CASE WHEN (hv DIV 64) % 4 = 0 THEN 1 ELSE 0 END"
+    val reps = o
+      .select(col("pri"), col("k"), col("yc"),
+        explode(sequence(lit(0), lit(BootReps - 1))).as("b"))
+      .withColumn("hv", hash60(concat(lit("boot"), col("b").cast("string"),
+        lit(":"), col("k").cast("string"))))
+      .withColumn("m", expr(mult))
+      .groupBy(col("pri"), col("b"))
+      .agg(sum(col("m")).as("n_b"),
+        sum((col("m") * col("yc")).cast(DecimalType(38, 0))).as("s_b"))
+      .filter(col("n_b") > 0)
+      .withColumn("mean_b", col("s_b").cast("double") / col("n_b").cast("double"))
+    val w = Window.partitionBy(col("pri")) // B = 32 rows per group
+    val wr = w.orderBy(col("mean_b"), col("b"))
+    val ci = reps
+      .withColumn("rk", row_number().over(wr))
+      .withColumn("cnt", count(lit(1)).over(w))
+      .groupBy(col("pri"))
+      .agg(max(when(col("rk") === 2, col("mean_b"))).as("ci_lo_cents"),
+        max(when(col("rk") === col("cnt") - 1, col("mean_b"))).as("ci_hi_cents"),
+        count(lit(1)).as("n_reps"))
+    pt.join(ci, Seq("pri"))
+      .select(col("pri").as("o_orderpriority"), col("n_orders"),
+        col("mean_cents"), col("ci_lo_cents"), col("ci_hi_cents"),
+        col("n_reps"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val q173Sql = {
+    val hv = graft.functions.TextFns.hash60Sql("'boot' || b || ':' || k")
+    s"""WITH o AS (
+      |  SELECT o_orderpriority AS pri, o_orderkey AS k,
+      |    CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS yc
+      |  FROM orders),
+      |pt AS (
+      |  SELECT pri, count(*) AS n_orders,
+      |    CAST(sum(yc) AS DOUBLE) / count(*) AS mean_cents
+      |  FROM o GROUP BY pri),
+      |e AS (SELECT pri, k, yc, unnest(range($BootReps)) AS b FROM o),
+      |h AS (SELECT pri, b, yc, $hv AS hv FROM e),
+      |r AS (
+      |  SELECT pri, b,
+      |    sum(CASE WHEN hv % 4 = 0 THEN 1 ELSE 0 END
+      |      + CASE WHEN (hv // 4) % 4 = 0 THEN 1 ELSE 0 END
+      |      + CASE WHEN (hv // 16) % 4 = 0 THEN 1 ELSE 0 END
+      |      + CASE WHEN (hv // 64) % 4 = 0 THEN 1 ELSE 0 END) AS n_b,
+      |    sum((CASE WHEN hv % 4 = 0 THEN 1 ELSE 0 END
+      |      + CASE WHEN (hv // 4) % 4 = 0 THEN 1 ELSE 0 END
+      |      + CASE WHEN (hv // 16) % 4 = 0 THEN 1 ELSE 0 END
+      |      + CASE WHEN (hv // 64) % 4 = 0 THEN 1 ELSE 0 END) * yc) AS s_b
+      |  FROM h GROUP BY pri, b),
+      |rm AS (
+      |  SELECT pri, b, CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mean_b,
+      |    row_number() OVER (PARTITION BY pri ORDER BY
+      |      CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE), b) AS rk,
+      |    count(*) OVER (PARTITION BY pri) AS cnt
+      |  FROM r WHERE n_b > 0),
+      |ci AS (
+      |  SELECT pri,
+      |    max(CASE WHEN rk = 2 THEN mean_b END) AS ci_lo_cents,
+      |    max(CASE WHEN rk = cnt - 1 THEN mean_b END) AS ci_hi_cents,
+      |    count(*) AS n_reps
+      |  FROM rm GROUP BY pri)
+      |SELECT pri AS o_orderpriority, n_orders, mean_cents,
+      |  ci_lo_cents, ci_hi_cents, n_reps
+      |FROM pt JOIN ci USING (pri)
+      |ORDER BY o_orderpriority""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q162_signal_correlation", q162, Some(q162Sql)),
     Q("q169_ab_conversion", q169, Some(q169Sql)),
+    Q("q173_bootstrap_ci", q173, Some(q173Sql)),
   )
 }
