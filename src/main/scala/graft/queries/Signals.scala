@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -277,9 +277,101 @@ object Signals {
       |ORDER BY o_orderpriority""".stripMargin
   }
 
+  // q174 — randomization test for the q169 conversion difference: the
+  // observed |rate_A − rate_B| compared against B = 32 deterministic
+  // re-randomizations (each user's pseudo-arm in replicate p is a bit
+  // of the portable md5 hash of 'perm' || p || ':' || user_id — the
+  // Bernoulli-reassignment randomization test, the resampling
+  // counterpart of q169's parametric chi-square). p-value = share of
+  // replicates whose diff reaches the observed one, in 2^20 fixed
+  // point; rates are fixed-point integers, so every comparison is
+  // exact. Same scale shape as q173: one users-sized frame exploded
+  // B ways into a (replicate, pseudo-arm) aggregate — |B|·2 cells.
+  private val PermReps = 32
+
+  private def q174(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextFns.hash60
+    val u = events(s, d)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" && col("value") > 80.0, 1L)
+        .otherwise(0L)).as("conv"))
+    // |cA·2^20 DIV nA − cB·2^20 DIV nB| over the (ca, na, cb, nb) cells
+    def diffFp(): Column =
+      abs(expr("CASE WHEN na = 0 THEN 0 ELSE ca * 1048576 DIV na END") -
+        expr("CASE WHEN nb = 0 THEN 0 ELSE cb * 1048576 DIV nb END"))
+    val obs = u.select(pmod(col("user_id"), lit(2)).as("arm"), col("conv"))
+      .agg(sum(when(col("arm") === 0, col("conv"))).as("ca"),
+        sum(when(col("arm") === 0, 1L)).as("na"),
+        sum(when(col("arm") === 1, col("conv"))).as("cb"),
+        sum(when(col("arm") === 1, 1L)).as("nb"))
+      .select((col("na") + col("nb")).as("n_users"),
+        diffFp().as("obs_diff_fp"))
+    val perms = u
+      .select(col("user_id"), col("conv"),
+        explode(sequence(lit(0), lit(PermReps - 1))).as("p"))
+      .withColumn("parm", pmod(hash60(concat(lit("perm"),
+        col("p").cast("string"), lit(":"), col("user_id").cast("string"))),
+        lit(2)))
+      .groupBy(col("p"))
+      .agg(sum(when(col("parm") === 0, col("conv"))).as("ca"),
+        sum(when(col("parm") === 0, 1L)).as("na"),
+        sum(when(col("parm") === 1, col("conv"))).as("cb"),
+        sum(when(col("parm") === 1, 1L)).as("nb"))
+      .select(col("p"), diffFp().as("diff_fp"))
+    perms.crossJoin(broadcast(obs))
+      .agg(max(col("n_users")).as("n_users"),
+        max(col("obs_diff_fp")).as("obs_diff_fp"),
+        sum(when(col("diff_fp") >= col("obs_diff_fp"), 1L).otherwise(0L))
+          .as("n_ge"),
+        count(lit(1)).as("n_perms"))
+      .withColumn("p_value_fp", expr("n_ge * 1048576 DIV n_perms"))
+  }
+
+  private val q174Sql = {
+    val hv = graft.functions.TextFns
+      .hash60Sql("'perm' || p || ':' || user_id")
+    s"""WITH u AS (
+      |  SELECT user_id,
+      |    max(CASE WHEN event_type = 'purchase' AND value > 80.0
+      |        THEN 1 ELSE 0 END) AS conv
+      |  FROM events GROUP BY user_id),
+      |obs0 AS (
+      |  SELECT sum(CASE WHEN user_id % 2 = 0 THEN conv ELSE 0 END) AS ca,
+      |    sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS na,
+      |    sum(CASE WHEN user_id % 2 = 1 THEN conv ELSE 0 END) AS cb,
+      |    sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS nb
+      |  FROM u),
+      |obs AS (
+      |  SELECT CAST(na + nb AS BIGINT) AS n_users,
+      |    abs(CASE WHEN na = 0 THEN 0 ELSE ca * 1048576 // na END
+      |      - CASE WHEN nb = 0 THEN 0 ELSE cb * 1048576 // nb END)
+      |      AS obs_diff_fp
+      |  FROM obs0),
+      |e AS (SELECT user_id, conv, unnest(range($PermReps)) AS p FROM u),
+      |pa AS (SELECT p, conv, $hv % 2 AS parm FROM e),
+      |r AS (
+      |  SELECT p,
+      |    abs(CASE WHEN sum(CASE WHEN parm = 0 THEN 1 ELSE 0 END) = 0 THEN 0
+      |      ELSE sum(CASE WHEN parm = 0 THEN conv ELSE 0 END) * 1048576
+      |        // sum(CASE WHEN parm = 0 THEN 1 ELSE 0 END) END
+      |      - CASE WHEN sum(CASE WHEN parm = 1 THEN 1 ELSE 0 END) = 0 THEN 0
+      |      ELSE sum(CASE WHEN parm = 1 THEN conv ELSE 0 END) * 1048576
+      |        // sum(CASE WHEN parm = 1 THEN 1 ELSE 0 END) END) AS diff_fp
+      |  FROM pa GROUP BY p)
+      |SELECT n_users, CAST(obs_diff_fp AS BIGINT) AS obs_diff_fp,
+      |  CAST(sum(CASE WHEN diff_fp >= obs_diff_fp THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_ge,
+      |  count(*) AS n_perms,
+      |  CAST(sum(CASE WHEN diff_fp >= obs_diff_fp THEN 1 ELSE 0 END)
+      |    * 1048576 // count(*) AS BIGINT) AS p_value_fp
+      |FROM r, obs
+      |GROUP BY n_users, obs_diff_fp""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q162_signal_correlation", q162, Some(q162Sql)),
     Q("q169_ab_conversion", q169, Some(q169Sql)),
     Q("q173_bootstrap_ci", q173, Some(q173Sql)),
+    Q("q174_randomization_test", q174, Some(q174Sql)),
   )
 }
