@@ -280,6 +280,69 @@ object Extras2 {
       |WHERE word <> ''
       |ORDER BY doc_id, pos""".stripMargin
 
+  // q175 — funnel with per-step CONVERSION WINDOWS: q64's
+  // view→click→purchase progression, but each step only counts within
+  // its deadline (click within a day of the first view, purchase
+  // within a day of the qualifying click — deadlines sized to this
+  // log's ~hourly per-user event density; a web-scale log would use
+  // minutes) — the form every product-analytics funnel
+  // actually ships, where an eventual purchase three days later is NOT
+  // attributed. Same single-shuffle shape as q64: three chained
+  // min-over-partition conditional windows on ONE user_id
+  // partitioning, window bounds as plain predicates — the deadline
+  // adds zero exchanges.
+  val ClickWindowMs = 86400000L // 1 day after first view
+  val PurchaseWindowMs = 86400000L // 1 day after qualifying click
+
+  /** Fixture-testable core over (user_id, event_type, ts_ms). */
+  private[graft] def windowedFunnelOf(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ev
+      .withColumn("v",
+        min(when(col("event_type") === "view", col("ts_ms"))).over(w))
+      .withColumn("c",
+        min(when(col("event_type") === "click" && col("ts_ms") > col("v") &&
+          col("ts_ms") <= col("v") + ClickWindowMs, col("ts_ms"))).over(w))
+      .withColumn("p",
+        min(when(col("event_type") === "purchase" && col("ts_ms") > col("c") &&
+          col("ts_ms") <= col("c") + PurchaseWindowMs, col("ts_ms"))).over(w))
+      .select(col("user_id"), col("v"), col("c"), col("p"))
+      .distinct()
+      .withColumn("stage",
+        when(col("p").isNotNull, 3).when(col("c").isNotNull, 2)
+          .when(col("v").isNotNull, 1).otherwise(0))
+      .groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("stage"))
+  }
+
+  private def q175(s: SparkSession, d: String): DataFrame =
+    windowedFunnelOf(events(s, d))
+
+  private val q175Sql =
+    s"""WITH u AS (
+      |  SELECT user_id,
+      |    min(CASE WHEN event_type = 'view' THEN epoch_ms(ts) END) AS v
+      |  FROM events GROUP BY 1),
+      |uc AS (
+      |  SELECT u.user_id, u.v,
+      |    min(CASE WHEN e.event_type = 'click' AND epoch_ms(e.ts) > u.v
+      |        AND epoch_ms(e.ts) <= u.v + $ClickWindowMs
+      |        THEN epoch_ms(e.ts) END) AS c
+      |  FROM u JOIN events e USING (user_id) GROUP BY 1, 2),
+      |up AS (
+      |  SELECT uc.user_id, uc.v, uc.c,
+      |    min(CASE WHEN e.event_type = 'purchase' AND epoch_ms(e.ts) > uc.c
+      |        AND epoch_ms(e.ts) <= uc.c + $PurchaseWindowMs
+      |        THEN epoch_ms(e.ts) END) AS p
+      |  FROM uc JOIN events e USING (user_id) GROUP BY 1, 2, 3)
+      |SELECT CASE WHEN p IS NOT NULL THEN 3 WHEN c IS NOT NULL THEN 2
+      |            WHEN v IS NOT NULL THEN 1 ELSE 0 END AS stage,
+      |  count(*) AS n_users
+      |FROM up
+      |GROUP BY 1
+      |ORDER BY stage""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q59_range_frame", q59, Some(q59Sql)),
     Q("q60_word_freq", q60, Some(q60Sql)),
@@ -289,5 +352,6 @@ object Extras2 {
     Q("q64_funnel", q64, Some(q64Sql)),
     Q("q65_session_native", q65, Some(q65Sql)),
     Q("q66_posexplode", q66, Some(q66Sql)),
+    Q("q175_windowed_funnel", q175, Some(q175Sql)),
   )
 }
