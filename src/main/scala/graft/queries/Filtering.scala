@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables._
 import graft.functions.TextFns._
 
@@ -319,10 +320,91 @@ object Filtering {
       |FROM r GROUP BY 1 ORDER BY decile""".stripMargin
   }
 
+  // q176 — distribution-drift monitor: the quality-score decile
+  // distribution of one ingest half against the other (halves proxied
+  // by doc_id parity; production compares batch N to batch N−1), with
+  // the total-variation distance in 2^20 fixed point as the drift
+  // alarm. TVD = ½·Σ|share_A − share_B| over GLOBAL decile buckets
+  // (boundaries from the combined corpus, so both halves are measured
+  // on the same ruler — the PSI/KS-class check a training pipeline
+  // runs before letting a new crawl batch in; TVD instead of PSI keeps
+  // every operand an exact integer, no cross-engine log). Ranks via
+  // rankDistributed; everything after is 10-row arithmetic.
+  private def q176(s: SparkSession, d: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val base = documents(s, d)
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_words"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"))
+      .select(col("doc_id"),
+        ((col("n_distinct").cast("double") / greatest(col("n_words"), lit(1L))) *
+          when(col("n_words") >= 20 && col("n_words") <= 1000, 1.0)
+            .otherwise(0.0)).as("quality"))
+    val ranked = Sampling.rankDistributed(base, Seq.empty,
+      Seq(col("quality"), col("doc_id")))
+    val n = ranked.agg(count(lit(1)).as("n_docs"))
+    val cells = ranked.crossJoin(broadcast(n))
+      .withColumn("decile", expr("(rk - 1) * 10 DIV n_docs"))
+      .groupBy(col("decile"))
+      .agg(sum(when(pmod(col("doc_id"), lit(2)) === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(pmod(col("doc_id"), lit(2)) === 1, 1L).otherwise(0L)).as("n_b"))
+    val w = Window.partitionBy(lit(1)) // 10 decile rows
+    cells
+      .withColumn("tot_a", sum(col("n_a")).over(w))
+      .withColumn("tot_b", sum(col("n_b")).over(w))
+      .withColumn("share_a_fp", expr("n_a * 1048576 DIV tot_a"))
+      .withColumn("share_b_fp", expr("n_b * 1048576 DIV tot_b"))
+      .withColumn("dev_fp", abs(col("share_a_fp") - col("share_b_fp")))
+      .withColumn("tvd_fp", expr("CAST(sum(dev_fp) OVER " +
+        "(PARTITION BY 1) DIV 2 AS BIGINT)"))
+      .select(col("decile"), col("n_a"), col("n_b"),
+        col("share_a_fp"), col("share_b_fp"), col("dev_fp"), col("tvd_fp"))
+      .orderBy(col("decile"))
+  }
+
+  private val q176Sql = {
+    val toks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+    s"""WITH t AS (
+      |  SELECT doc_id, len(toks) AS n_words, len(list_distinct(toks)) AS n_distinct
+      |  FROM (SELECT doc_id, $toks AS toks FROM documents) t0),
+      |b AS (
+      |  SELECT doc_id,
+      |    (CAST(n_distinct AS DOUBLE) / greatest(n_words, 1)) *
+      |      (CASE WHEN n_words BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.0 END)
+      |      AS quality
+      |  FROM t),
+      |r AS (
+      |  SELECT doc_id, row_number() OVER (ORDER BY quality, doc_id) AS rk,
+      |    count(*) OVER () AS n_docs
+      |  FROM b),
+      |c AS (
+      |  SELECT (rk - 1) * 10 // n_docs AS decile,
+      |    sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS n_a,
+      |    sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS n_b
+      |  FROM r GROUP BY 1),
+      |s AS (
+      |  SELECT decile, n_a, n_b,
+      |    n_a * 1048576 // sum(n_a) OVER () AS share_a_fp,
+      |    n_b * 1048576 // sum(n_b) OVER () AS share_b_fp
+      |  FROM c),
+      |f AS (
+      |  SELECT decile, n_a, n_b, share_a_fp, share_b_fp,
+      |    abs(share_a_fp - share_b_fp) AS dev_fp
+      |  FROM s)
+      |SELECT decile, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+      |  CAST(share_a_fp AS BIGINT) AS share_a_fp,
+      |  CAST(share_b_fp AS BIGINT) AS share_b_fp,
+      |  CAST(dev_fp AS BIGINT) AS dev_fp,
+      |  CAST(sum(dev_fp) OVER () // 2 AS BIGINT) AS tvd_fp
+      |FROM f ORDER BY decile""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q111_blocklist_filter", q111, Some(q111Sql)),
     Q("q113_gopher_rules", q113, Some(q113Sql)),
     Q("q120_drop_reasons", q120, Some(q120Sql)),
     Q("q172_score_calibration", q172, Some(q172Sql)),
+    Q("q176_drift_monitor", q176, Some(q176Sql)),
   )
 }
