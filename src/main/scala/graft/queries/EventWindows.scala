@@ -507,6 +507,66 @@ object EventWindows {
       |GROUP BY c.cohort_day, d.day - c.cohort_day
       |ORDER BY cohort_day, day_offset""".stripMargin
 
+  // q177 — cohort LTV curve: cumulative purchase revenue per user
+  // cohort (first-seen day) by age offset — q149's retention triangle
+  // with money on it, the growth dashboard's second panel. Revenue
+  // quantizes to cents through the DECIMAL bridge; the cumulative sum
+  // runs as a window along each cohort's offsets (bounded by the span
+  // in days — a calendar-sized partition, never user- or event-sized);
+  // ltv_cents_per_user = cum DIV cohort size stays integer.
+  /** Core: (cohort_day, day_offset, n_users, rev_cents, cum_rev_cents,
+    * ltv_cents_per_user) over (user_id, ts_ms, event_type, value).
+    */
+  private[graft] def ltvCohortsOf(ev: DataFrame): DataFrame = {
+    val e = ev.select(col("user_id"), expr("ts_ms div 86400000").as("day"),
+      when(col("event_type") === "purchase",
+        expr("CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT)"))
+        .otherwise(lit(0L)).as("cents"))
+    val cohorts = e.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    val sizes = cohorts.groupBy(col("cohort_day"))
+      .agg(count(lit(1)).as("n_users"))
+    val cells = e.join(cohorts, Seq("user_id"))
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(sum(col("cents")).as("rev_cents"))
+    val w = Window.partitionBy(col("cohort_day")).orderBy(col("day_offset"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("cum_rev_cents", sum(col("rev_cents")).over(w))
+      .join(broadcast(sizes), Seq("cohort_day"))
+      .select(col("cohort_day"), col("day_offset"), col("n_users"),
+        col("rev_cents"), col("cum_rev_cents"),
+        expr("cum_rev_cents DIV n_users").as("ltv_cents_per_user"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
+  private def q177(s: SparkSession, d: String): DataFrame =
+    ltvCohortsOf(events(s, d))
+
+  private val q177Sql =
+    """WITH e AS (
+      |  SELECT user_id, epoch_ms(ts) // 86400000 AS day,
+      |    CASE WHEN event_type = 'purchase'
+      |      THEN CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT)
+      |      ELSE 0 END AS cents
+      |  FROM events),
+      |cohorts AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id),
+      |sizes AS (SELECT cohort_day, count(*) AS n_users FROM cohorts GROUP BY 1),
+      |cells AS (
+      |  SELECT c.cohort_day, e.day - c.cohort_day AS day_offset,
+      |    CAST(sum(e.cents) AS BIGINT) AS rev_cents
+      |  FROM e JOIN cohorts c USING (user_id)
+      |  GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT cohort_day, day_offset, rev_cents,
+      |    CAST(sum(rev_cents) OVER (PARTITION BY cohort_day ORDER BY day_offset
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum_rev_cents
+      |  FROM cells)
+      |SELECT cohort_day, day_offset, n_users, rev_cents, cum_rev_cents,
+      |  CAST(cum_rev_cents // n_users AS BIGINT) AS ltv_cents_per_user
+      |FROM cum JOIN sizes USING (cohort_day)
+      |ORDER BY cohort_day, day_offset""".stripMargin
+
   // q150 — exponentially-decayed activity scores: each event's value
   // contributes value·2^(−age_days) to its user's score — the standard
   // recency weighting for engagement ranking / churn features. The
@@ -685,5 +745,6 @@ object EventWindows {
     Q("q150_decayed_activity", q150, Some(q150Sql)),
     Q("q151_burst_detection", q151, Some(q151Sql)),
     Q("q168_markov_transitions", q168, Some(q168Sql)),
+    Q("q177_ltv_cohorts", q177, Some(q177Sql)),
   )
 }
