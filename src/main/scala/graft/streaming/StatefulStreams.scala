@@ -406,6 +406,35 @@ object StatefulStreams {
       .agg(sum(col("viol")).as("violations"), count(lit(1)).as("n_rows"))
   }
 
+  /** Streaming form of batch q177's attribution stage
+    * (graft.queries.EventWindows.ltvCohortsOf): each arriving event is
+    * attributed ON ARRIVAL to its user's cohort (first-seen day — one
+    * long of state per user) and age offset, emitting
+    * (cohort_day, day_offset, cents) facts in Append mode; a
+    * downstream aggregation over the emissions reproduces the batch
+    * (cohort, offset) revenue cells exactly (pinned by
+    * StreamingSampleSpec). In-order arrival per user
+    * (streamingTokenBudget contract); within a micro-batch rows sort
+    * by day.
+    */
+  def streamingLtvAttribution(ev: DataFrame): Dataset[(Long, Long, Long)] = {
+    val spark = ev.sparkSession
+    import spark.implicits._
+    ev.select(col("user_id"), col("day"), col("cents"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, it: Iterator[(Long, Long, Long)], gs: GroupState[Long]) =>
+          var cohort = gs.getOption.getOrElse(Long.MaxValue)
+          val out = it.toIndexedSeq.sortBy(_._2).map { case (_, day, cents) =>
+            if (day < cohort) cohort = day
+            (cohort, day - cohort, cents)
+          }
+          gs.update(cohort)
+          out.iterator
+      }
+  }
+
   /** Streaming form of batch q168 (graft.queries.EventWindows
     * .transitionMatrixOf) — Markov transitions emitted ON ARRIVAL:
     * per-user state is one (last_type, last_ts) pair; an arrival

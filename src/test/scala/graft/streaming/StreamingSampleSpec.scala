@@ -230,6 +230,39 @@ class StreamingSampleSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming LTV attribution aggregates to the batch q177 cells") {
+    implicit val sql = spark.sqlContext
+    val day = 86400000L
+    // u1: cohort day 0, purchases on days 0 and 2, activity day 1;
+    // u2: cohort day 2, purchase same day
+    val ev = Seq(
+      (1L, 0L, "purchase", 150.0), (1L, day + 5, "view", 0.0),
+      (1L, 2 * day, "purchase", 50.0),
+      (2L, 2 * day, "purchase", 300.0))
+    val evDf = ev.toDF("user_id", "ts_ms", "event_type", "value")
+    val expect = graft.queries.EventWindows.ltvCohortsOf(evDf)
+      .select("cohort_day", "day_offset", "rev_cents")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val in = MemoryStream[(Long, Long, Long)]
+    val out = StatefulStreams
+      .streamingLtvAttribution(in.toDF().toDF("user_id", "day", "cents"))
+      .toDF("cohort_day", "day_offset", "cents")
+    val q = out.writeStream.format("memory").queryName("sltv")
+      .outputMode("append").start()
+    try {
+      val rows = ev.map { case (u, ts, tp, v) =>
+        (u, ts / day, if (tp == "purchase") math.round(v * 100) else 0L) }
+      in.addData(rows.take(2)); q.processAllAvailable()
+      in.addData(rows.drop(2)); q.processAllAvailable()
+      val got = spark.table("sltv").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .groupBy(t => (t._1, t._2))
+        .map { case ((c, o), vs) => (c, o, vs.map(_._3).sum) }.toSet
+      assert(got == expect, s"got $got\nexp $expect")
+    } finally q.stop()
+  }
+
   test("streaming expectations keep running violation counters") {
     implicit val sql = spark.sqlContext
     // (l_quantity, l_discount): 2 qty violations, 1 discount violation
