@@ -522,6 +522,53 @@ object TextAnalysis {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
+  // q178 — trending terms: the words whose FREQUENCY RANK moves most
+  // between two corpus halves (doc_id parity as the batch proxy —
+  // production compares crawl N to crawl N−1). Where q176 alarms on
+  // the aggregate score distribution, this names the individual
+  // movers — the vocabulary-shift report reviewed when a drift alarm
+  // fires. Ranks per half via rankDistributed (vocab-sized frames,
+  // range exchange + carry, no global sort window), inner-joined on
+  // the word (present-in-both contract stated by the oracle), top 20
+  // by |rank shift| via TakeOrderedAndProject. Rank 1 = most frequent;
+  // ties break by word, so every rank is deterministic.
+  private val TrendTopN = 20
+
+  private def q178(s: SparkSession, d: String): DataFrame = {
+    val counts = documents(s, d)
+      .select(pmod(col("doc_id"), lit(2)).as("half"),
+        explode(tokens(col("text"))).as("word"))
+      .groupBy(col("half"), col("word")).agg(count(lit(1)).as("n"))
+    val ranked = Sampling.rankDistributed(counts, Seq("half"),
+      Seq(col("n").desc, col("word")))
+    val a = ranked.filter(col("half") === 0)
+      .select(col("word"), col("n").as("n_a"), col("rk").as("rk_a"))
+    val b = ranked.filter(col("half") === 1)
+      .select(col("word"), col("n").as("n_b"), col("rk").as("rk_b"))
+    a.join(b, Seq("word"))
+      .withColumn("shift", abs(col("rk_a") - col("rk_b")))
+      .orderBy(col("shift").desc, col("word"))
+      .limit(TrendTopN)
+      .select(col("word"), col("n_a"), col("rk_a"), col("n_b"), col("rk_b"),
+        col("shift"))
+  }
+
+  private val q178Sql =
+    s"""WITH t AS (
+      |  SELECT doc_id % 2 AS half,
+      |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+      |  FROM documents),
+      |c AS (SELECT half, word, count(*) AS n FROM t GROUP BY half, word),
+      |r AS (
+      |  SELECT half, word, n,
+      |    row_number() OVER (PARTITION BY half ORDER BY n DESC, word) AS rk
+      |  FROM c)
+      |SELECT a.word AS word, a.n AS n_a, a.rk AS rk_a,
+      |  b.n AS n_b, b.rk AS rk_b, abs(a.rk - b.rk) AS shift
+      |FROM (SELECT * FROM r WHERE half = 0) a
+      |JOIN (SELECT * FROM r WHERE half = 1) b ON a.word = b.word
+      |ORDER BY shift DESC, word LIMIT $TrendTopN""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q50_token_stats", q50, Some(q50Sql)),
     Q("q51_lang_id", q51, Some(q51Sql)),
@@ -533,6 +580,7 @@ object TextAnalysis {
     Q("q91_bpe_tokens", q91, Some(q91Sql)),
     Q("q96_feature_hash", q96, Some(q96Sql)),
     Q("q99_token_novelty", q99, Some(q99Sql)),
+    Q("q178_trending_terms", q178, Some(q178Sql)),
     Q("q109_vocab_encode", q109, Some(q109Sql)),
     Q("q116_corpus_profile", q116, Some(q116Sql)),
   )
