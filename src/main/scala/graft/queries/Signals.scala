@@ -371,10 +371,46 @@ object Signals {
       |GROUP BY n_users, obs_diff_fp""".stripMargin
   }
 
+  // q179 — weekly seasonality profile: the (day-of-week × hour-of-day)
+  // activity heatmap with each cell's share of its day in 2^20 fixed
+  // point and a peak flag — the baseline every anomaly detector and
+  // capacity plan is drawn against. Day/hour come from epoch-ms
+  // integer arithmetic ((ts_ms DIV 86400000 + 4) % 7 — the epoch was a
+  // Thursday — and ts_ms DIV 3600000 % 24), so no calendar/timezone
+  // machinery is consulted in either engine. One scan, a 168-cell
+  // aggregate, per-day shares off a 7-row broadcast.
+  private def q179(s: SparkSession, d: String): DataFrame = {
+    val cells = events(s, d)
+      .select(expr("(ts_ms div 86400000 + 4) % 7").as("dow"),
+        expr("(ts_ms div 3600000) % 24").as("hod"))
+      .groupBy(col("dow"), col("hod")).agg(count(lit(1)).as("n_events"))
+    val dayTotals = cells.groupBy(col("dow")).agg(sum(col("n_events")).as("day_n"),
+      max(col("n_events")).as("day_max"))
+    cells.join(broadcast(dayTotals), Seq("dow"))
+      .select(col("dow"), col("hod"), col("n_events"),
+        expr("n_events * 1048576 DIV day_n").as("share_fp"),
+        (col("n_events") === col("day_max")).as("is_day_peak"))
+      .orderBy(col("dow"), col("hod"))
+  }
+
+  private val q179Sql =
+    """WITH c AS (
+      |  SELECT (epoch_ms(ts) // 86400000 + 4) % 7 AS dow,
+      |    (epoch_ms(ts) // 3600000) % 24 AS hod, count(*) AS n_events
+      |  FROM events GROUP BY 1, 2),
+      |d AS (SELECT dow, sum(n_events) AS day_n, max(n_events) AS day_max
+      |      FROM c GROUP BY dow)
+      |SELECT c.dow, c.hod, c.n_events,
+      |  CAST(c.n_events * 1048576 // d.day_n AS BIGINT) AS share_fp,
+      |  c.n_events = d.day_max AS is_day_peak
+      |FROM c JOIN d USING (dow)
+      |ORDER BY dow, hod""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q162_signal_correlation", q162, Some(q162Sql)),
     Q("q169_ab_conversion", q169, Some(q169Sql)),
     Q("q173_bootstrap_ci", q173, Some(q173Sql)),
     Q("q174_randomization_test", q174, Some(q174Sql)),
+    Q("q179_seasonality", q179, Some(q179Sql)),
   )
 }
