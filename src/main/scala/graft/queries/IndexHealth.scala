@@ -406,6 +406,61 @@ object IndexHealth {
       |) ORDER BY join_name""".stripMargin
   }
 
+  // q180 — ANALYZE-style column statistics for the fact table: per
+  // column, null count, exact distinct count, and numeric min/max —
+  // the stats a cost-based optimizer (and q159/q164/q167's planning
+  // family) is fed from. Numeric bounds are emitted as exact BIGINTs
+  // (ints directly, money through the cents DECIMAL bridge, the date
+  // as epoch millis; strings get NULL bounds), so no float-formatting
+  // ambiguity reaches the oracle. One scan; the multi-distinct
+  // aggregate plans through Spark's Expand (|cols|× row replication —
+  // the real price of exact ANALYZE, paid once per ingest; swap in
+  // approx_count_distinct when 2% error is acceptable).
+  private def q180(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+    val ints = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+    val money = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val strs = Seq("l_returnflag", "l_linestatus")
+    def cents(c: String) = expr(s"CAST(CAST($c AS DECIMAL(14,2)) * 100 AS BIGINT)")
+    val numOf: Seq[(String, Column)] =
+      ints.map(c => c -> col(c).cast("long")) ++
+        money.map(c => c -> cents(c)) ++
+        strs.map(c => c -> lit(null).cast("long")) :+
+        ("l_shipdate" -> expr("unix_millis(CAST(l_shipdate AS TIMESTAMP))"))
+    val aggs = numOf.flatMap { case (c, num) => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"n_$c"),
+      countDistinct(col(c)).as(s"d_$c"),
+      min(num).as(s"mn_$c"),
+      max(num).as(s"mx_$c")) }
+    val wide = li.agg(aggs.head, aggs.tail: _*)
+    val stacked = explode(array(numOf.map { case (c, _) =>
+      struct(lit(c).as("col_name"), col(s"n_$c").as("n_nulls"),
+        col(s"d_$c").as("n_distinct"), col(s"mn_$c").as("min_num"),
+        col(s"mx_$c").as("max_num")) }: _*)).as("s")
+    wide.select(stacked).select(col("s.*")).orderBy(col("col_name"))
+  }
+
+  private val q180Sql = {
+    def row(c: String, num: String) =
+      s"""SELECT '$c' AS col_name,
+        |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_nulls,
+        |  count(DISTINCT $c) AS n_distinct,
+        |  $num AS min_num,
+        |  ${num.replace("min(", "max(")} AS max_num
+        |FROM lineitem""".stripMargin
+    val ints = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+      .map(c => row(c, s"min(CAST($c AS BIGINT))"))
+    val money = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      .map(c => row(c, s"min(CAST(CAST($c AS DECIMAL(14,2)) * 100 AS BIGINT))"))
+    val strs = Seq("l_returnflag", "l_linestatus")
+      .map(c => row(c, "min(CAST(NULL AS BIGINT))"))
+    val date = row("l_shipdate", "min(epoch_ms(CAST(l_shipdate AS TIMESTAMP)))")
+    s"""SELECT * FROM (
+      |${(ints ++ money ++ strs :+ date).mkString("\nUNION ALL\n")}
+      |) ORDER BY col_name""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q132_index_health", q132, Some(q132Sql)),
     Q("q136_minhash_calibration", q136, Some(q136Sql)),
@@ -413,5 +468,6 @@ object IndexHealth {
     Q("q164_join_size_planner", q164, Some(q164Sql)),
     Q("q165_benford_audit", q165, Some(q165Sql)),
     Q("q167_join_advisor", q167, Some(q167Sql)),
+    Q("q180_column_stats", q180, Some(q180Sql)),
   )
 }
