@@ -28,7 +28,9 @@ class DeterminismSpec extends SparkSpec {
     "q125_length_batching", "q129_shard_balance", "q131_dsir_resample",
     "q137_triangle_count", "q138_priority_sample", "q141_incremental_lsh",
     "q153_skyline", "q157_kcore_peel", "q158_trimmed_mean",
-    "q163_label_propagation", "q167_join_advisor", "q170_percentile_rank")
+    "q163_label_propagation", "q167_join_advisor", "q170_percentile_rank",
+    "q173_bootstrap_ci", "q174_randomization_test", "q176_drift_monitor",
+    "q178_trending_terms")
 
   private def canon(rows: Array[org.apache.spark.sql.Row]): Seq[String] =
     rows.map(_.toString).sorted.toSeq
