@@ -67,29 +67,49 @@ object Bench {
     // the artifact itself shows which numbers are host noise — a query
     // whose spread is 3x did not get slower, its box did.
     val spreads = samples.map { case (n, ss) => n -> ss.max / math.max(ss.min, 1e-9) }
-    // The driver captures only the TAIL of stdout: round 7's line used
-    // full query names (~2.5 KB) and the capture started mid-line →
-    // BENCH_r07 parsed:null. The stdout line therefore uses the SHORT
-    // query ids ("q01".."q84" — the driver contract's example form),
-    // keeping it well under the capture window; the full-name map goes
-    // to a file and stderr for human diagnosis.
-    def shortId(name: String): String = name.takeWhile(_ != '_')
-    val qs = results.map { case (k, v) => "\"" + shortId(k) + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
     val qsFull = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val sp = spreads.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val maxSpread = spreads.map(_._2).max
+
+    // Reference-parity word count as a machine-readable named metric:
+    // the reference's only benchmark (bench/wordcount_test.go:12-49) is
+    // a 10 MiB corpus through the stateful running-count path. Timed
+    // here in the same warm session via the DSv2 generator source, so
+    // the words/s figure lands in every round's bench artifact instead
+    // of only in BASELINE.md prose.
+    import spark.implicits._
+    val avgLen = graft.sources.WordGenSource.corpus(0L).map(_.length + 1).sum / 100.0
+    val wcWords = (10L * 1024 * 1024 / avgLen).toLong
+    val wcWordsDf = spark.read.format("graft.sources.WordGenSource")
+      .option("rows", wcWords.toString).option("partitions", "12")
+      .option("seed", "0").load()
+    val wcSec = {
+      val t0 = System.nanoTime()
+      wcWordsDf.as[(Long, String)].groupByKey(_._2)
+        .flatMapGroups { (word: String, it: Iterator[(Long, String)]) =>
+          var n = 0L
+          it.map { _ => n += 1; s"$word: $n" }
+        }
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val wordsPerS = wcWords / wcSec
+
     // Dispersion diagnostics go to stderr: the stdout metric line must
     // stay one short parseable JSON line (adding the spread map inlined
     // pushed it past the consumer's line buffer and it failed to parse).
     System.err.println(f"""[bench] spread=$sp max_spread=$maxSpread%.2f""")
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // Belt and braces: persist the full-name form where the tail capture
-    // cannot truncate it.
-    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsFull,"sf":"$sfDir"}"""
+    // The driver captures only the TAIL of stdout and parses ONE JSON
+    // line. Per-query maps outgrew that window twice (r7 full names,
+    // r9 ~174 short ids), so stdout now carries ONLY the total (+ sf,
+    // query count, wordcount parity metric) — a fixed-size line that
+    // parses at any query count. The full per-query map and spreads
+    // persist in bench_last.json, committed every round.
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"wordcount_words_per_s":$wordsPerS%.0f,"sf":"$sfDir"}"""
+    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"wordcount_words_per_s":$wordsPerS%.0f,"queries":$qsFull,"spreads":$sp,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_last.json"),
       (full + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }

@@ -21,9 +21,17 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        // Array/Map top-level columns crash the driver's pandas
+        // canonicalization (round-9 q101) — fail the query LOUDLY here
+        // so the row goes red with a readable cause instead of a
+        // harness traceback. SchemaLintSpec blocks these pre-driver.
+        val lint = SchemaLint.violations(df.schema)
+        if (lint.nonEmpty)
+          sys.error(s"SCHEMA LINT: non-scalar output columns ${lint.mkString("; ")}")
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -126,15 +126,19 @@ object ProductQuant {
   }
 
   // q101 — PQ codes + quantization distortion: every vector's PqSub
-  // codes (subspace-ordered) and its total integer-L2 reconstruction
-  // error. One row per vector; the distortion column is the quality
-  // gauge a PQ deployment monitors (rising qerr = codebook drift).
+  // codes (subspace-ordered, dash-joined into one string so the
+  // top-level output stays scalar — the driver oracle canonicalizes
+  // by sorting columns, and array-typed cells are unsortable there)
+  // and its total integer-L2 reconstruction error. One row per
+  // vector; the distortion column is the quality gauge a PQ
+  // deployment monitors (rising qerr = codebook drift).
   private def q101(s: SparkSession, d: String): DataFrame = {
     val (_, fin) = pqAssign(s, d)
     fin.groupBy(col("vec_id"))
       .agg(array_sort(collect_list(struct(col("sub"), col("cell"), col("dist")))).as("scd"))
       .select(col("vec_id"),
-        transform(col("scd"), t => t.getField("cell")).as("codes"),
+        concat_ws("-",
+          transform(col("scd"), t => t.getField("cell").cast("string"))).as("codes"),
         aggregate(transform(col("scd"), t => t.getField("dist")),
           lit(0L), (acc, x) => acc + x).as("qerr"))
       .orderBy(col("vec_id"))
@@ -187,7 +191,8 @@ object ProductQuant {
 
   private val q101Sql =
     s"""WITH $pqBaseSql
-      |SELECT vec_id, list(CAST(cell AS INT) ORDER BY sub) AS codes,
+      |SELECT vec_id,
+      |  array_to_string(list(CAST(cell AS INT) ORDER BY sub), '-') AS codes,
       |  CAST(sum(dist) AS BIGINT) AS qerr
       |FROM fin GROUP BY vec_id
       |ORDER BY vec_id""".stripMargin

@@ -310,8 +310,10 @@ class QueryPackSpec extends SparkSpec {
   }
 
   test("q101 PQ codes are well-formed, deterministic, and distortion-consistent") {
+    // codes come out dash-joined ("3-0-7-2") so the top-level column is
+    // scalar (driver-oracle sortability — see SchemaLint)
     val rows = SparkEntry.queries("q101_pq_codes")(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getSeq[Int](1), r.getLong(2)))
+      .map(r => (r.getLong(0), r.getString(1).split('-').map(_.toInt).toSeq, r.getLong(2)))
     assert(rows.length == 500)
     rows.foreach { case (id, codes, qerr) =>
       assert(codes.length == ProductQuant.PqSub, s"vec $id has ${codes.length} codes")
@@ -326,7 +328,7 @@ class QueryPackSpec extends SparkSpec {
     assert(rows.count(_._3 == 0L) < 10)
     // pure function of the corpus: no RNG, no partition-order term
     val again = SparkEntry.queries("q101_pq_codes")(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getSeq[Int](1), r.getLong(2)))
+      .map(r => (r.getLong(0), r.getString(1).split('-').map(_.toInt).toSeq, r.getLong(2)))
     assert(rows.toSeq == again.toSeq)
   }
 
