@@ -32,7 +32,15 @@ object Expectations {
 
   private def dupCheck(tbl: String, con: String, df: DataFrame,
       key: Column*): DataFrame =
-    df.agg((count(lit(1)) - countDistinct(key.head, key.tail: _*))
+    // distinct over a STRUCT of the keys, not countDistinct(keys):
+    // countDistinct drops any row with a null key (it would count
+    // null-keyed rows as violations), while the oracle's SELECT
+    // DISTINCT keeps one NULL group — a struct is never null, and both
+    // engines group its null FIELDS as equal, so the two sides agree
+    // even on null-key data (TPC-H keys are non-null; the guard is for
+    // real ingest batches, where a null PK is exactly what this
+    // constraint must flag as at most one distinct group)
+    df.agg((count(lit(1)) - countDistinct(struct(key: _*)))
         .as("violations"), count(lit(1)).as("n_rows"))
       .select(lit(tbl).as("tbl"), lit(con).as("con"),
         col("violations"), col("n_rows"))

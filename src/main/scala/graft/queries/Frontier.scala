@@ -128,7 +128,10 @@ object Frontier {
       .withColumn("conc", col("__lsum") + coalesce(col("__carry"), lit(0L)))
       .groupBy(col("event_type"))
       .agg(max(col("conc")).as("peak"),
-        (count(lit(1)) / 2).cast("long").as("n_events"))
+        // DIV, not `/`: Spark's `/` on longs is IEEE double division,
+        // exact only below 2^53 rows — integral division keeps the
+        // count exact at any scale (file-wide exact-integer rule)
+        expr("count(1) DIV 2").as("n_events"))
       .orderBy(col("event_type"))
   }
 
@@ -146,7 +149,7 @@ object Frontier {
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
       |  FROM pe)
       |SELECT event_type, CAST(max(conc) AS BIGINT) AS peak,
-      |  CAST(count(*) / 2 AS BIGINT) AS n_events
+      |  CAST(count(*) // 2 AS BIGINT) AS n_events
       |FROM r GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 

@@ -241,14 +241,21 @@ object IndexHealth {
   // ratio (output rows per fact row, 2^20 fixed point).
   private def q164(s: SparkSession, d: String): DataFrame = {
     val li = lineitem(s, d)
+    // fact_rows is the UNJOINED fact count (1-row frame, cross-joined
+    // into each advisory): summing ca after the inner join would count
+    // only keys that matched the dim, silently inflating "output rows
+    // per fact row" whenever orphan fact keys exist — correct only
+    // under referential integrity, which a planner dashboard must not
+    // assume of the data it is auditing
+    val factTotal = li.agg(count(lit(1)).as("fact_rows"))
     def est(name: String, factKey: Column, dim: DataFrame,
         dimKey: Column): DataFrame = {
       val ca = li.groupBy(factKey.as("k")).agg(count(lit(1)).as("ca"))
       val cb = dim.groupBy(dimKey.as("k")).agg(count(lit(1)).as("cb"))
       ca.join(cb, Seq("k"))
         .agg(coalesce(sum((col("ca") * col("cb")).cast(DecimalType(38, 0))),
-          lit(0).cast(DecimalType(38, 0))).as("est"),
-          coalesce(sum(col("ca")), lit(0L)).as("fact_rows"))
+          lit(0).cast(DecimalType(38, 0))).as("est"))
+        .crossJoin(factTotal)
         .select(lit(name).as("join_name"),
           expr("CAST(est AS BIGINT)").as("est_rows"),
           col("fact_rows"),
@@ -267,9 +274,9 @@ object IndexHealth {
     def est(name: String, fk: String, dim: String, dk: String) =
       s"""SELECT '$name' AS join_name,
         |  CAST(coalesce(sum(ca * cb), 0) AS BIGINT) AS est_rows,
-        |  CAST(coalesce(sum(ca), 0) AS BIGINT) AS fact_rows,
+        |  (SELECT count(*) FROM lineitem) AS fact_rows,
         |  CAST(coalesce(sum(ca * cb), 0) * $FpScale
-        |    // coalesce(sum(ca), 0) AS BIGINT) AS fanout_fp
+        |    // (SELECT count(*) FROM lineitem) AS BIGINT) AS fanout_fp
         |FROM (SELECT $fk AS k, count(*) AS ca FROM lineitem GROUP BY $fk) a
         |JOIN (SELECT $dk AS k, count(*) AS cb FROM $dim GROUP BY $dk) b
         |USING (k)""".stripMargin
