@@ -330,9 +330,13 @@ object Filtering {
   // runs before letting a new crawl batch in; TVD instead of PSI keeps
   // every operand an exact integer, no cross-engine log). Ranks via
   // rankDistributed; everything after is 10-row arithmetic.
-  private def q176(s: SparkSession, d: String): DataFrame = {
+  /** (doc_id, quality) — q176's quality scorer over any frame with
+    * (doc_id, text), factored out so the streaming drift twin scores
+    * arriving documents with the identical expression.
+    */
+  private[graft] def qualityScored(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
-    val base = documents(s, d)
+    docs
       .select(col("doc_id"), toks.as("toks"))
       .select(col("doc_id"),
         size(col("toks")).cast("long").as("n_words"),
@@ -341,6 +345,10 @@ object Filtering {
         ((col("n_distinct").cast("double") / greatest(col("n_words"), lit(1L))) *
           when(col("n_words") >= 20 && col("n_words") <= 1000, 1.0)
             .otherwise(0.0)).as("quality"))
+  }
+
+  private def q176(s: SparkSession, d: String): DataFrame = {
+    val base = qualityScored(documents(s, d))
     val ranked = Sampling.rankDistributed(base, Seq.empty,
       Seq(col("quality"), col("doc_id")))
     val n = ranked.agg(count(lit(1)).as("n_docs"))

@@ -379,8 +379,12 @@ object Signals {
   // Thursday — and ts_ms DIV 3600000 % 24), so no calendar/timezone
   // machinery is consulted in either engine. One scan, a 168-cell
   // aggregate, per-day shares off a 7-row broadcast.
-  private def q179(s: SparkSession, d: String): DataFrame = {
-    val cells = events(s, d)
+  /** Batch seasonality profile over any frame with a `ts_ms` column —
+    * the q179 body, factored so the streaming twin's spec can pin its
+    * converged cells against the same arithmetic on the same rows.
+    */
+  private[graft] def seasonalityOf(ev: DataFrame): DataFrame = {
+    val cells = ev
       .select(expr("(ts_ms div 86400000 + 4) % 7").as("dow"),
         expr("(ts_ms div 3600000) % 24").as("hod"))
       .groupBy(col("dow"), col("hod")).agg(count(lit(1)).as("n_events"))
@@ -392,6 +396,9 @@ object Signals {
         (col("n_events") === col("day_max")).as("is_day_peak"))
       .orderBy(col("dow"), col("hod"))
   }
+
+  private def q179(s: SparkSession, d: String): DataFrame =
+    seasonalityOf(events(s, d))
 
   private val q179Sql =
     """WITH c AS (

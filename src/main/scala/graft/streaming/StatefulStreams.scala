@@ -721,6 +721,46 @@ object StatefulStreams {
         new FirstSeenEventTimeProcessor[K, T](ttl.toMillis, eventTimeMs),
         TimeMode.EventTime(), OutputMode.Append())
 
+  /** Streaming form of batch q179 (graft.queries.Signals
+    * .seasonalityOf): the (day-of-week × hour-of-day) activity cells
+    * maintained as a live streaming aggregation in Update mode — the
+    * state is at most 168 cell counts regardless of stream length, the
+    * canonical running-aggregate shape. Day/hour come from the same
+    * epoch-ms integer arithmetic as the batch query (no calendar
+    * machinery), so the converged cells equal the batch cells exactly;
+    * the per-day shares and peak flag are a 7-row derivation OVER the
+    * final cell snapshot (a second streaming agg is not composable in
+    * Update mode), which the parity spec applies and pins row-identical
+    * to batch q179 (StreamingSeasonalitySpec).
+    */
+  def streamingSeasonality(ev: DataFrame): DataFrame =
+    ev.select(expr("(ts_ms div 86400000 + 4) % 7").as("dow"),
+        expr("(ts_ms div 3600000) % 24").as("hod"))
+      .groupBy(col("dow"), col("hod"))
+      .agg(count(lit(1)).as("n_events"))
+
+  /** Streaming form of batch q176's drift cells: per-bucket (n_a, n_b)
+    * half-vs-half counts of arriving scored documents, maintained as a
+    * live Update-mode aggregation (state = at most 10 bucket rows).
+    * One deliberate, documented delta from batch q176: the bucket
+    * ruler is FIXED-WIDTH over the quality value (floor(q·10), capped
+    * at 9) rather than batch q176's global rank deciles — an
+    * equal-mass rank boundary needs the full corpus ordering and is
+    * not incrementally maintainable with bounded state, while the
+    * fixed ruler is the streaming-native PSI/TVD form every production
+    * drift monitor uses. Given the same ruler the cells, shares and
+    * TVD match the batch computation exactly across any micro-batch
+    * split (StreamingSeasonalitySpec pins this); quality comes from
+    * the identical scorer expression (Filtering.qualityScored).
+    */
+  def streamingDriftCells(scored: DataFrame): DataFrame =
+    scored
+      .withColumn("bucket",
+        least(floor(col("quality") * 10).cast("long"), lit(9L)))
+      .groupBy(col("bucket"))
+      .agg(sum(when(pmod(col("doc_id"), lit(2)) === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(pmod(col("doc_id"), lit(2)) === 1, 1L).otherwise(0L)).as("n_b"))
+
   /** O7 (broadcast fan-out, engine.go:196-211) for streams: one source
     * micro-batch delivered to N sinks via foreachBatch. The batch
     * DataFrame is persisted so the plan is computed once per epoch, not
