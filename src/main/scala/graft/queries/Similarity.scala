@@ -831,6 +831,65 @@ object Similarity {
       |  maxabs_fp, maxabs_fp < $DimDeadMax AS is_dead
       |FROM a ORDER BY dim""".stripMargin
 
+  // q183 — embedding-centroid drift between corpus halves (vec_id
+  // parity as the batch proxy; production compares embedder version N
+  // to N−1 or crawl batch to crawl batch): per label, the exact
+  // fixed-point L2 between the two halves' centroids plus the worst
+  // single dimension — the embedding-pipeline regression gate that
+  // catches a silently retrained/renormalized encoder before it
+  // poisons ANN recall (q176 plays this role for quality scores;
+  // this is the vector-space analogue). Arithmetic is the q145
+  // centroid recipe: components quantize to 2^20 fixed-point longs,
+  // centroid components are integer DIV of 64-bit-exact sums (Spark
+  // DIV and DuckDB // both truncate toward zero, so negative
+  // components agree), and the distance is exact integer math — at
+  // most 64·(2^21)² ≈ 2^48, no overflow.
+  //
+  // Scale shape: one posexplode scan into a (label × half × 64)-row
+  // aggregate (map-side combined); everything downstream is
+  // codebook-sized. Nothing corpus-shaped shuffles or broadcasts.
+  private def q183(s: SparkSession, d: String): DataFrame = {
+    val q = embeddings(s, d)
+      .select(col("label").cast("long").as("label"),
+        pmod(col("vec_id"), lit(2)).as("half"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("label"), col("half"), col("pos"),
+        expr(s"CAST(round(CAST(v AS DOUBLE) * $FixScale) AS BIGINT)").as("q"))
+    val cent = q.groupBy(col("label"), col("half"), col("pos"))
+      .agg(sum(col("q")).as("sq"), count(lit(1)).as("cnt"))
+      .select(col("label"), col("half"), col("pos"),
+        expr("sq DIV cnt").as("m"), col("cnt"))
+    val a = cent.filter(col("half") === 0)
+      .select(col("label"), col("pos"), col("m").as("ma"), col("cnt").as("na"))
+    val b = cent.filter(col("half") === 1)
+      .select(col("label"), col("pos"), col("m").as("mb"), col("cnt").as("nb"))
+    a.join(b, Seq("label", "pos"))
+      .groupBy(col("label"))
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        sum((col("ma") - col("mb")) * (col("ma") - col("mb"))).as("dist2_fp2"),
+        max(abs(col("ma") - col("mb"))).as("maxdim_fp"))
+      .orderBy(col("label"))
+  }
+
+  private val q183Sql =
+    s"""WITH q AS (
+      |  SELECT CAST(label AS BIGINT) AS label, vec_id % 2 AS half,
+      |    r.i AS pos,
+      |    CAST(round(CAST(embedding[r.i + 1] AS DOUBLE) * $FixScale)
+      |      AS BIGINT) AS q
+      |  FROM embeddings, range(64) r(i)),
+      |c AS (
+      |  SELECT label, half, pos, sum(q) // count(*) AS m, count(*) AS cnt
+      |  FROM q GROUP BY label, half, pos)
+      |SELECT a.label, CAST(max(a.cnt) AS BIGINT) AS n_a,
+      |  CAST(max(b.cnt) AS BIGINT) AS n_b,
+      |  CAST(sum((a.m - b.m) * (a.m - b.m)) AS BIGINT) AS dist2_fp2,
+      |  CAST(max(abs(a.m - b.m)) AS BIGINT) AS maxdim_fp
+      |FROM (SELECT * FROM c WHERE half = 0) a
+      |JOIN (SELECT * FROM c WHERE half = 1) b
+      |  ON a.label = b.label AND a.pos = b.pos
+      |GROUP BY a.label ORDER BY a.label""".stripMargin
+
 
   // q171 — retrieval EVALUATION as a first-class query: MRR and
   // recall@5 of cosine search against label ground truth, for query
@@ -921,5 +980,6 @@ object Similarity {
     Q("q145_label_centroids", q145, Some(q145Sql)),
     Q("q166_embedding_stats", q166, Some(q166Sql)),
     Q("q171_retrieval_eval", q171, Some(q171Sql)),
+    Q("q183_embedding_drift", q183, Some(q183Sql)),
   )
 }

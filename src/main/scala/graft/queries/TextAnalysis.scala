@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables._
 import graft.functions.GraftFunctions
 import graft.functions.TextFns._
@@ -569,6 +570,115 @@ object TextAnalysis {
       |JOIN (SELECT * FROM r WHERE half = 1) b ON a.word = b.word
       |ORDER BY shift DESC, word LIMIT $TrendTopN""".stripMargin
 
+  // q181 — term-frequency spectrum (count-of-counts by log2 bucket):
+  // how many vocabulary terms occur [2^k, 2^{k+1}) times, with each
+  // bucket's share of total token mass in 2^20 fixed point — the
+  // Good-Turing / vocabulary-truncation planning view (how much mass
+  // do hapaxes carry? where does the head end?). The log2 bucket is
+  // computed as length(bin(c)) − 1 — pure integer bit-length in BOTH
+  // engines (DuckDB printf('%b')), never floor(log2(double)), whose
+  // rounding near powers of two is not cross-engine portable.
+  //
+  // Scale shape: one explode scan into a vocab-sized count aggregate
+  // (map-side combined), then a ~20-row bucket aggregate; the mass
+  // share goes through DECIMAL(38,0)/HUGEINT so 100 TB token totals
+  // (≫ 2^63 after the 2^20 scale-up) cannot overflow. The window runs
+  // over the bucket frame only.
+  private def q181(s: SparkSession, d: String): DataFrame = {
+    val counts = documents(s, d)
+      .select(explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(lit(1))
+    counts
+      .select(expr("CAST(length(bin(c)) - 1 AS BIGINT)").as("bucket"), col("c"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("c")).as("n_occ"),
+        min(col("c")).as("min_c"), max(col("c")).as("max_c"))
+      .withColumn("tot", sum(col("n_occ")).over(w))
+      .withColumn("mass_fp",
+        expr("CAST(CAST(n_occ AS DECIMAL(38,0)) * 1048576 DIV tot AS BIGINT)"))
+      .drop("tot")
+      .orderBy(col("bucket"))
+  }
+
+  private val q181Sql =
+    s"""WITH c AS (
+      |  SELECT term, count(*) AS c FROM (
+      |    SELECT unnest(regexp_extract_all(lower(text), '$TokenPattern')) AS term
+      |    FROM documents) t
+      |  GROUP BY term),
+      |b AS (
+      |  SELECT CAST(length(printf('%b', c)) - 1 AS BIGINT) AS bucket,
+      |    count(*) AS n_terms, CAST(sum(c) AS BIGINT) AS n_occ,
+      |    CAST(min(c) AS BIGINT) AS min_c, CAST(max(c) AS BIGINT) AS max_c
+      |  FROM c GROUP BY 1)
+      |SELECT bucket, n_terms, n_occ, min_c, max_c,
+      |  CAST(CAST(n_occ AS HUGEINT) * 1048576 // sum(n_occ) OVER () AS BIGINT)
+      |    AS mass_fp
+      |FROM b ORDER BY bucket""".stripMargin
+
+  // q182 — vocabulary growth curve (Heaps-law audit): new distinct
+  // terms contributed by each doubling block of the ingest order
+  // (docs at positions [2^k, 2^{k+1})), with the cumulative vocabulary
+  // after each block — the curve that decides whether a tokenizer's
+  // vocab budget saturates or the corpus keeps minting terms (a
+  // flattening curve at 100 TB means more data buys no new coverage).
+  // First-seen attribution is the q99 machinery (min doc over distinct
+  // (doc, term) pairs — vocab-sized shuffles, never per-token rows);
+  // ingest positions come from rankDistributed (range exchange +
+  // carry, no single-partition sort); block boundaries are emitted as
+  // the observed min/max positions so the output is self-describing.
+  // The cumulative sum runs over the ~log2(N)-row block frame only.
+  private def q182(s: SparkSession, d: String): DataFrame = {
+    val docsPos = Sampling.rankDistributed(
+      documents(s, d).select(col("doc_id")), Seq.empty, Seq(col("doc_id")))
+      .select(col("doc_id"), col("rk").as("pos"))
+    val firstSeen = documents(s, d)
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tk"))
+      .groupBy(col("tk")).agg(min(col("doc_id")).as("doc_id"))
+    val newTerms = firstSeen.join(docsPos, Seq("doc_id"))
+      .select(expr("CAST(length(bin(pos)) - 1 AS BIGINT)").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("new_terms"))
+    val docsB = docsPos
+      .select(expr("CAST(length(bin(pos)) - 1 AS BIGINT)").as("bucket"), col("pos"))
+      .groupBy(col("bucket"))
+      .agg(min(col("pos")).as("first_pos"), max(col("pos")).as("last_pos"),
+        count(lit(1)).as("n_docs"))
+    val wCum = Window.partitionBy(lit(1)).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docsB.join(newTerms, Seq("bucket"), "left")
+      .withColumn("new_terms", coalesce(col("new_terms"), lit(0L)))
+      .withColumn("cum_vocab", sum(col("new_terms")).over(wCum))
+      .select(col("bucket"), col("first_pos"), col("last_pos"), col("n_docs"),
+        col("new_terms"), col("cum_vocab"))
+      .orderBy(col("bucket"))
+  }
+
+  private val q182Sql =
+    s"""WITH dp AS (
+      |  SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS pos
+      |  FROM documents),
+      |dt AS (SELECT DISTINCT doc_id, tk FROM (
+      |    SELECT doc_id,
+      |      unnest(regexp_extract_all(lower(text), '$TokenPattern')) AS tk
+      |    FROM documents)),
+      |fs AS (SELECT tk, min(doc_id) AS doc_id FROM dt GROUP BY tk),
+      |nt AS (
+      |  SELECT CAST(length(printf('%b', pos)) - 1 AS BIGINT) AS bucket,
+      |    count(*) AS new_terms
+      |  FROM fs JOIN dp USING (doc_id) GROUP BY 1),
+      |db AS (
+      |  SELECT CAST(length(printf('%b', pos)) - 1 AS BIGINT) AS bucket,
+      |    CAST(min(pos) AS BIGINT) AS first_pos,
+      |    CAST(max(pos) AS BIGINT) AS last_pos, count(*) AS n_docs
+      |  FROM dp GROUP BY 1)
+      |SELECT bucket, first_pos, last_pos, n_docs,
+      |  coalesce(new_terms, 0) AS new_terms,
+      |  CAST(sum(coalesce(new_terms, 0)) OVER (ORDER BY bucket
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cum_vocab
+      |FROM db LEFT JOIN nt USING (bucket) ORDER BY bucket""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q50_token_stats", q50, Some(q50Sql)),
     Q("q51_lang_id", q51, Some(q51Sql)),
@@ -583,5 +693,7 @@ object TextAnalysis {
     Q("q178_trending_terms", q178, Some(q178Sql)),
     Q("q109_vocab_encode", q109, Some(q109Sql)),
     Q("q116_corpus_profile", q116, Some(q116Sql)),
+    Q("q181_freq_spectrum", q181, Some(q181Sql)),
+    Q("q182_vocab_growth", q182, Some(q182Sql)),
   )
 }
