@@ -413,11 +413,116 @@ object Signals {
       |FROM c JOIN d USING (dow)
       |ORDER BY dow, hod""".stripMargin
 
+  // q184 — seasonality-adjusted anomaly report: the top-20 absolute
+  // hours whose event count deviates most from their (day-of-week ×
+  // hour-of-day) seasonal baseline — the alarm q179's profile exists
+  // to feed. The hour grid is DENSE (q162's explode between global
+  // min/max hour), so silent hours score against a busy cell's
+  // baseline instead of being invisible — the outage case a
+  // sparse-only join misses. Expected counts are cell_total·2^20 DIV
+  // n_slots (exact integers; DECIMAL/HUGEINT headroom for 100 TB cell
+  // totals), the score is |n·2^20 − expected_fp|, and the top-20 cut
+  // orders by the total (score desc, hr) key, planning as
+  // TakeOrdered over the hours-sized frame — nothing events-sized
+  // survives the first aggregation.
+  private val AnomalyTopN = 20
+
+  private def q184(s: SparkSession, d: String): DataFrame = {
+    val counts = events(s, d)
+      .select(expr("ts_ms div 3600000").as("hr"))
+      .groupBy(col("hr")).agg(count(lit(1)).as("n"))
+    val bounds = counts.agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+    val grid = bounds.select(explode(sequence(col("h0"), col("h1"))).as("hr"))
+    val slots = grid.join(counts, Seq("hr"), "left")
+      .select(col("hr"), coalesce(col("n"), lit(0L)).as("n"),
+        expr("(hr div 24 + 4) % 7").as("dow"), expr("hr % 24").as("hod"))
+    val cells = slots.groupBy(col("dow"), col("hod"))
+      .agg(sum(col("n")).as("cell_total"), count(lit(1)).as("n_slots"))
+    slots.join(broadcast(cells), Seq("dow", "hod"))
+      .withColumn("expected_fp", expr(
+        "CAST(CAST(cell_total AS DECIMAL(38,0)) * 1048576 DIV n_slots AS BIGINT)"))
+      .withColumn("score_fp", abs(col("n") * lit(1048576L) - col("expected_fp")))
+      .orderBy(col("score_fp").desc, col("hr"))
+      .limit(AnomalyTopN)
+      .select(col("hr"), col("dow"), col("hod"), col("n").as("n_events"),
+        col("expected_fp"), col("score_fp"))
+  }
+
+  private val q184Sql =
+    s"""WITH c AS (
+      |  SELECT epoch_ms(ts) // 3600000 AS hr, count(*) AS n
+      |  FROM events GROUP BY 1),
+      |b AS (SELECT min(hr) AS h0, max(hr) AS h1 FROM c),
+      |g AS (SELECT unnest(range(h0, h1 + 1)) AS hr FROM b),
+      |s AS (
+      |  SELECT g.hr, CAST(coalesce(c.n, 0) AS BIGINT) AS n,
+      |    (g.hr // 24 + 4) % 7 AS dow, g.hr % 24 AS hod
+      |  FROM g LEFT JOIN c ON g.hr = c.hr),
+      |cl AS (
+      |  SELECT dow, hod, sum(n) AS cell_total, count(*) AS n_slots
+      |  FROM s GROUP BY dow, hod)
+      |SELECT s.hr, s.dow, s.hod, s.n AS n_events,
+      |  CAST(CAST(cell_total AS HUGEINT) * 1048576 // n_slots AS BIGINT)
+      |    AS expected_fp,
+      |  CAST(abs(CAST(s.n AS HUGEINT) * 1048576
+      |    - CAST(cell_total AS HUGEINT) * 1048576 // n_slots) AS BIGINT)
+      |    AS score_fp
+      |FROM s JOIN cl USING (dow, hod)
+      |ORDER BY score_fp DESC, hr LIMIT $AnomalyTopN""".stripMargin
+
+  // q185 — inter-arrival-time spectrum: per-user gaps between
+  // consecutive events, bucketed by log2 milliseconds (the q181
+  // bit-length trick — no float log2), with each bucket's share of
+  // all gaps in 2^20 fixed point — the latency/heartbeat fingerprint
+  // that separates bot-like sub-second cadences from humans and
+  // surfaces dead sessions. The lag window partitions BY USER (state
+  // is per-user and bounded; no global sort), ordered by the total
+  // (ts_ms, event_id) key so ties cannot flake; everything after the
+  // per-pair delta is a ~40-row bucket aggregate.
+  private def q185(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    val deltas = events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts_ms"))
+      .withColumn("prev", lag(col("ts_ms"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select((col("ts_ms") - col("prev")).as("delta"))
+    val wT = Window.partitionBy(lit(1))
+    deltas
+      .select(expr("CAST(length(bin(delta + 1)) - 1 AS BIGINT)").as("bucket"),
+        col("delta"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"), min(col("delta")).as("min_ms"),
+        max(col("delta")).as("max_ms"))
+      .withColumn("tot", sum(col("n_pairs")).over(wT))
+      .withColumn("share_fp",
+        expr("CAST(CAST(n_pairs AS DECIMAL(38,0)) * 1048576 DIV tot AS BIGINT)"))
+      .drop("tot")
+      .orderBy(col("bucket"))
+  }
+
+  private val q185Sql =
+    s"""WITH d AS (
+      |  SELECT epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+      |      PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS delta
+      |  FROM events),
+      |b AS (
+      |  SELECT CAST(length(printf('%b', delta + 1)) - 1 AS BIGINT) AS bucket,
+      |    count(*) AS n_pairs, CAST(min(delta) AS BIGINT) AS min_ms,
+      |    CAST(max(delta) AS BIGINT) AS max_ms
+      |  FROM d WHERE delta IS NOT NULL GROUP BY 1)
+      |SELECT bucket, n_pairs, min_ms, max_ms,
+      |  CAST(CAST(n_pairs AS HUGEINT) * 1048576 // sum(n_pairs) OVER ()
+      |    AS BIGINT) AS share_fp
+      |FROM b ORDER BY bucket""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q162_signal_correlation", q162, Some(q162Sql)),
     Q("q169_ab_conversion", q169, Some(q169Sql)),
     Q("q173_bootstrap_ci", q173, Some(q173Sql)),
     Q("q174_randomization_test", q174, Some(q174Sql)),
     Q("q179_seasonality", q179, Some(q179Sql)),
+    Q("q184_seasonal_anomaly", q184, Some(q184Sql)),
+    Q("q185_interarrival_spectrum", q185, Some(q185Sql)),
   )
 }
