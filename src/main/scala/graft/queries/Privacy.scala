@@ -1,0 +1,107 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables._
+
+/** Privacy / re-identification audits and incremental-maintenance
+  * demonstrations — release gates a data pipeline runs before a corpus
+  * or derived table leaves the boundary. The reference (affo/ssp) has
+  * no privacy surface; this is beyond-reference LLM-pipeline
+  * capability, sibling to the PII scrub (q133).
+  */
+object Privacy {
+
+  /** k-anonymity threshold: a quasi-identifier group smaller than K
+    * re-identifies its members.
+    */
+  val AnonK = 8L
+  /** l-diversity threshold on the sensitive attribute. */
+  val DiversityL = 2L
+
+  // q186 — k-anonymity / l-diversity audit over the customer table:
+  // quasi-identifiers (nation, market segment) partition the table
+  // into equivalence classes; a class with fewer than K members
+  // re-identifies, and a class whose sensitive attribute (account
+  // balance bucket) takes fewer than L distinct values leaks it even
+  // at size ≥ K — the two checks every tabular release gate runs
+  // (generalize or suppress the failing classes before export). The
+  // sensitive bucket is exact integer cents DIV 200000 (≈$2000 bands;
+  // round(v·100) recovers the cent grid exactly in both engines, and
+  // Spark DIV / DuckDB // both truncate toward zero on negatives).
+  //
+  // Scale shape: one scan into a QI-sized hash aggregate with
+  // count + count(DISTINCT bucket) (Expand ×2, partials map-side
+  // combined) — the shuffle carries equivalence classes, never rows.
+  private def q186(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .select(col("c_nationkey").cast("long").as("nationkey"),
+        col("c_mktsegment").as("mktsegment"),
+        expr("CAST(round(c_acctbal * 100) AS BIGINT) DIV 200000").as("bal_bucket"))
+      .groupBy(col("nationkey"), col("mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("bal_bucket")).as("l_distinct"))
+      .select(col("nationkey"), col("mktsegment"), col("n"), col("l_distinct"),
+        (col("n") >= AnonK).as("k_ok"),
+        (col("l_distinct") >= DiversityL).as("l_ok"))
+      .orderBy(col("nationkey"), col("mktsegment"))
+
+  private val q186Sql =
+    s"""SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+      |  c_mktsegment AS mktsegment, count(*) AS n,
+      |  count(DISTINCT CAST(round(c_acctbal * 100) AS BIGINT) // 200000)
+      |    AS l_distinct,
+      |  count(*) >= $AnonK AS k_ok,
+      |  count(DISTINCT CAST(round(c_acctbal * 100) AS BIGINT) // 200000)
+      |    >= $DiversityL AS l_ok
+      |FROM customer
+      |GROUP BY 1, 2
+      |ORDER BY nationkey, mktsegment""".stripMargin
+
+  // q187 — incremental aggregate maintenance (the materialized-view
+  // pattern that makes 100 TB aggregates affordable): the pricing
+  // cells are maintained by MERGING the previous snapshot's partial
+  // aggregates (orderkey-parity 0 proxies "history") with the new
+  // batch's partials (parity 1) — sums add, counts add, mins combine —
+  // instead of rescanning history. The query's PLAN is the point: two
+  // independent partial aggregations unioned into a cells-sized merge,
+  // where at production scale the history partials are a stored table
+  // and only the delta scans. The oracle computes the same cells
+  // directly over the full table, verifying the merge is algebraically
+  // exact (DECIMAL(14,2) sums — the q01 dsum discipline, no float
+  // reassociation).
+  private def q187(s: SparkSession, d: String): DataFrame = {
+    def partials(df: DataFrame): DataFrame =
+      df.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast(DecimalType(14, 2))).as("sq"),
+          sum(col("l_extendedprice").cast(DecimalType(14, 2))).as("sp"),
+          count(lit(1)).as("cnt"),
+          min(col("l_quantity").cast(DecimalType(14, 2))).as("mq"))
+    val li = lineitem(s, d)
+    val hist = partials(li.filter(pmod(col("l_orderkey"), lit(2)) === 0))
+    val delta = partials(li.filter(pmod(col("l_orderkey"), lit(2)) === 1))
+    hist.unionAll(delta)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("sq")).cast("double").as("sum_qty"),
+        sum(col("sp")).cast("double").as("sum_price"),
+        sum(col("cnt")).as("n_rows"),
+        min(col("mq")).cast("double").as("min_qty"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  private val q187Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price,
+      |  count(*) AS n_rows,
+      |  CAST(min(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS min_qty
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("q186_k_anonymity", q186, Some(q186Sql)),
+    Q("q187_incremental_agg", q187, Some(q187Sql)),
+  )
+}

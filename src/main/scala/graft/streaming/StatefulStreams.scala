@@ -761,6 +761,35 @@ object StatefulStreams {
       .agg(sum(when(pmod(col("doc_id"), lit(2)) === 0, 1L).otherwise(0L)).as("n_a"),
         sum(when(pmod(col("doc_id"), lit(2)) === 1, 1L).otherwise(0L)).as("n_b"))
 
+  /** Streaming form of batch q185's per-user inter-arrival deltas —
+    * gaps emitted ON ARRIVAL: per-user state is one (last_ts,
+    * last_event_id) pair; each arrival after the first emits
+    * (user_id, delta_ms). In-order arrival per user
+    * (streamingTokenBudget contract); within a micro-batch rows sort
+    * by the batch order key (ts_ms, event_id). Append mode — deltas
+    * are facts, never revised; bucketing the emissions by log2 delta
+    * reproduces batch q185's spectrum exactly
+    * (StreamingSeasonalitySpec pins it).
+    */
+  def streamingInterarrival(ev: DataFrame): Dataset[(Long, Long)] = {
+    val spark = ev.sparkSession
+    import spark.implicits._
+    ev.select(col("user_id"), col("event_id"), col("ts_ms"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[(Long, Long, Long)], gs: GroupState[Long]) =>
+          var prev = gs.getOption
+          val out = Vector.newBuilder[(Long, Long)]
+          it.toIndexedSeq.sortBy(t => (t._3, t._2)).foreach { case (_, _, ts) =>
+            prev.foreach(pts => out += ((user, ts - pts)))
+            prev = Some(ts)
+          }
+          prev.foreach(gs.update)
+          out.result().iterator
+      }
+  }
+
   /** O7 (broadcast fan-out, engine.go:196-211) for streams: one source
     * micro-batch delivered to N sinks via foreachBatch. The batch
     * DataFrame is persisted so the plan is computed once per epoch, not

@@ -98,4 +98,38 @@ class StreamingSeasonalitySpec extends SparkSpec {
       assert(tvd(cells) > 0L, "degenerate fixture: halves identical")
     } finally q.stop()
   }
+
+  test("streaming inter-arrival deltas reproduce batch q185's spectrum") {
+    implicit val sql = spark.sqlContext
+    // two users, interleaved, with sub-second / minute / hour gaps and
+    // a same-ts tie broken by event_id
+    val rows = Seq( // (event_id, user_id, ts_ms)
+      (1L, 7L, 1000L), (2L, 7L, 1200L), (3L, 9L, 500L),
+      (4L, 7L, 61200L), (5L, 9L, 500L), (6L, 9L, 3600500L),
+      (7L, 7L, 61200L + hr))
+    def spectrum(deltas: Seq[Long]): Map[Long, Long] =
+      deltas.groupBy(d => 63 - java.lang.Long.numberOfLeadingZeros(d + 1))
+        .map { case (b, ds) => b.toLong -> ds.size.toLong }
+    // batch deltas per user over the (ts, event_id) order
+    val batchDeltas = rows.groupBy(_._2).values.flatMap { evs =>
+      val ts = evs.sortBy(e => (e._3, e._1)).map(_._3)
+      ts.zip(ts.drop(1)).map { case (a, b) => b - a }
+    }.toSeq
+
+    val in = MemoryStream[(Long, Long, Long)]
+    val out = StatefulStreams
+      .streamingInterarrival(in.toDF().toDF("event_id", "user_id", "ts_ms"))
+      .toDF("user_id", "delta")
+    val q = out.writeStream.format("memory").queryName("sgap")
+      .outputMode("append").start()
+    try {
+      in.addData(rows.take(3)); q.processAllAvailable()
+      in.addData(rows.slice(3, 5)); q.processAllAvailable()
+      in.addData(rows.drop(5)); q.processAllAvailable()
+      val streamed = spark.table("sgap").collect().map(_.getLong(1)).toSeq
+      assert(spectrum(streamed) == spectrum(batchDeltas),
+        s"got ${spectrum(streamed)}\nexp ${spectrum(batchDeltas)}")
+      assert(streamed.size == rows.size - 2, "one delta per non-first event")
+    } finally q.stop()
+  }
 }
