@@ -699,6 +699,128 @@ object Dedup {
       |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // q189 — EXACT set-similarity join by prefix filtering (the
+  // AllPairs/PPJoin operator class): every document pair whose
+  // 3-shingle-set Jaccard ≥ τ = 9/10, found WITHOUT LSH and without
+  // the all-pairs cross join. The set elements are the hashed word
+  // 3-shingles (the q32 codegen ngram_hash60 — 8-byte keys, and the
+  // shingle space is what makes prefix filtering WORK on this corpus:
+  // its unigram vocabulary is 31 words, so the "rarest" unigram still
+  // hits 3816 docs at sf0.1 and unigram prefixes fan out to ~45M
+  // candidate pairs, while the rarest shingles hit ≤7 docs and the
+  // candidate bound drops to ~125k — measured before this rewrite).
+  // The theorem: order the shingle vocabulary by global rarity (df
+  // asc, hash asc); if |A∩B|/|A∪B| ≥ τ, then A and B must share an
+  // element among each one's first n − ⌈τ·n⌉ + 1 rarest (else the
+  // overlap is too small) — so candidate generation is an equi-join
+  // on PREFIX elements only, the lowest-fanout keys. Candidates then
+  // verify exactly with an in-row array_intersect of the two docs'
+  // shingle-hash arrays. τ arithmetic is integer throughout
+  // (⌈9n/10⌉ = (9n+9) DIV 10; keep test inter·10 ≥ 9·(na+nb−inter)).
+  // Complements q32 (MinHash-LSH is probabilistic recall; this is
+  // exact) and q33 (which verifies LSH candidates; this generates its
+  // own, with a completeness theorem). The output is the per-DOC
+  // summary (match count + best partner), not the raw pair list: this
+  // corpus is a near-dup soup by construction, so pair rows would be
+  // quadratic in cluster size — exactly the shape a 100 TB report
+  // must not have — while the per-doc frame is bounded by the corpus.
+  //
+  // Scale shape: shingle-vocab-sized rank + per-doc prefix cut
+  // (doc-bounded window); the pair join runs on rare 8-byte keys with
+  // the standard length filter (10·na ≥ 9·nb) cutting mismatched
+  // sizes before the distinct; shingle arrays travel only for
+  // surviving candidate pairs. The oracle replays the identical
+  // algorithm (the q33 discipline — the quadratic naive form would be
+  // the oracle's own scale-killer).
+  private def q189(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(s)
+    val dt = documents(s, d)
+      .select(col("doc_id"),
+        explode(array_distinct(shingleHashes(tokens(col("text"))))).as("tk"))
+    val dfc = dt.groupBy(col("tk")).agg(count(lit(1)).as("df"))
+    val tokRank = Sampling.rankDistributed(dfc, Seq.empty,
+        Seq(col("df"), col("tk")))
+      .select(col("tk"), col("rk").as("trk"))
+    val dtr = dt.join(tokRank, Seq("tk"))
+    val nOf = dtr.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("trk"))
+    val prefix = dtr.withColumn("p", row_number().over(wd))
+      .join(nOf, Seq("doc_id"))
+      .filter(col("p") <= col("n") - expr("(9 * n + 9) DIV 10") + 1)
+      .select(col("tk"), col("doc_id"), col("n"))
+    val cands = prefix.as("a").join(prefix.as("b"),
+        col("a.tk") === col("b.tk") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.n") * 10 >= col("b.n") * 9 && col("b.n") * 10 >= col("a.n") * 9)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .distinct()
+    val arrs = dt.groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(col("tk"))).as("toks"))
+    val pairs = cands
+      .join(arrs.select(col("doc_id").as("doc_a"), col("toks").as("ta")), Seq("doc_a"))
+      .join(arrs.select(col("doc_id").as("doc_b"), col("toks").as("tb")), Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .filter(col("inter") * 10 >= (col("na") + col("nb") - col("inter")) * 9)
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        expr("inter * 1048576 DIV (na + nb - inter)").as("jac_fp"))
+    val sym = pairs.select(col("doc_a").as("doc_id"), col("doc_b").as("partner"),
+        col("inter"), col("jac_fp"))
+      .unionAll(pairs.select(col("doc_b").as("doc_id"), col("doc_a").as("partner"),
+        col("inter"), col("jac_fp")))
+    sym.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"),
+        max(struct(col("jac_fp"), (-col("partner")).as("np"), col("inter"))).as("b"))
+      .select(col("doc_id"), col("n_matches"), (-col("b.np")).as("best_match"),
+        col("b.inter").as("best_inter"), col("b.jac_fp").as("best_jac_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q189Sql =
+    s"""WITH dt AS (SELECT DISTINCT doc_id, tk FROM (
+      |    SELECT doc_id, unnest($shingleHashesSql) AS tk
+      |    FROM documents)),
+      |df AS (SELECT tk, count(*) AS df FROM dt GROUP BY tk),
+      |tr AS (SELECT tk, row_number() OVER (ORDER BY df, tk) AS trk FROM df),
+      |dtr AS (SELECT d.doc_id, d.tk, trk FROM dt d JOIN tr USING (tk)),
+      |n AS (SELECT doc_id, count(*) AS n FROM dtr GROUP BY doc_id),
+      |pos AS (SELECT doc_id, tk,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY trk) AS p
+      |  FROM dtr),
+      |pref AS (
+      |  SELECT pos.doc_id, tk, n FROM pos JOIN n USING (doc_id)
+      |  WHERE p <= n - (9 * n + 9) // 10 + 1),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    a.n AS na, b.n AS nb
+      |  FROM pref a JOIN pref b ON a.tk = b.tk AND a.doc_id < b.doc_id
+      |    AND a.n * 10 >= b.n * 9 AND b.n * 10 >= a.n * 9),
+      |arr AS (SELECT doc_id, list(tk) AS toks FROM dt GROUP BY doc_id),
+      |iv AS (
+      |  SELECT doc_a, doc_b,
+      |    CAST(len(list_intersect(x.toks, y.toks)) AS BIGINT) AS inter,
+      |    na, nb
+      |  FROM cand JOIN arr x ON x.doc_id = doc_a
+      |  JOIN arr y ON y.doc_id = doc_b),
+      |p2 AS (
+      |  SELECT doc_a, doc_b, inter,
+      |    CAST(inter * 1048576 // (na + nb - inter) AS BIGINT) AS jac_fp
+      |  FROM iv WHERE inter * 10 >= 9 * (na + nb - inter)),
+      |sym AS (
+      |  SELECT doc_a AS doc_id, doc_b AS partner, inter, jac_fp FROM p2
+      |  UNION ALL
+      |  SELECT doc_b AS doc_id, doc_a AS partner, inter, jac_fp FROM p2),
+      |r AS (
+      |  SELECT doc_id, partner, inter, jac_fp,
+      |    count(*) OVER (PARTITION BY doc_id) AS n_matches,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY jac_fp DESC, partner) AS rk
+      |  FROM sym)
+      |SELECT doc_id, CAST(n_matches AS BIGINT) AS n_matches,
+      |  partner AS best_match, inter AS best_inter, jac_fp AS best_jac_fp
+      |FROM r WHERE rk = 1
+      |ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q30_dedup_exact", q30, Some(q30Sql)),
     Q("q31_dedup_norm", q31, Some(q31Sql)),
@@ -711,5 +833,6 @@ object Dedup {
     Q("q88_containment", q88, Some(q88Sql)),
     Q("q128_cluster_histogram", q128, Some(q128Sql)),
     Q("q141_incremental_lsh", q141, Some(q141Sql)),
+    Q("q189_prefix_filter_join", q189, Some(q189Sql)),
   )
 }

@@ -317,6 +317,76 @@ object Frontier {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  // q188 — robust outlier gate (median / MAD): per event type, the
+  // exact lower median of `value`, the median absolute deviation, and
+  // the count past the classic 3·MAD fence — the robust analogue of
+  // z-scoring that a heavy-tailed metric needs (mean/stddev fences
+  // move with the outliers they should catch; the median/MAD pair
+  // does not). Both medians are SELECTED (rank ⌈(n+1)/2⌉ under a
+  // total order, the q170 machinery — rankDistributed + broadcast
+  // cardinalities, no buffering UDAF, no interpolation), so every
+  // emitted number is a real row's value or an exact |difference| of
+  // two — bit-identical across engines with no float accumulation.
+  //
+  // Scale shape: two rank passes (range exchange + carry) and two
+  // per-type aggregates; the only broadcasts are |event types|-sized.
+  private def q188(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d).select(col("event_type"), col("event_id"), col("value"))
+    val r1 = Sampling.rankDistributed(e, Seq("event_type"),
+      Seq(col("value"), col("event_id")))
+    val n1 = r1.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val med = r1.join(broadcast(n1), Seq("event_type"))
+      .filter(col("rk") === expr("(n + 1) DIV 2"))
+      .select(col("event_type"), col("value").as("median"), col("n"))
+    val dev = e.join(broadcast(med.select(col("event_type"), col("median"))),
+        Seq("event_type"))
+      .select(col("event_type"), col("event_id"),
+        abs(col("value") - col("median")).as("dev"))
+    val r2 = Sampling.rankDistributed(dev, Seq("event_type"),
+      Seq(col("dev"), col("event_id")))
+    val mad = r2.join(broadcast(n1), Seq("event_type"))
+      .filter(col("rk") === expr("(n + 1) DIV 2"))
+      .select(col("event_type"), col("dev").as("mad"))
+    val outl = dev.join(broadcast(mad), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("dev") > col("mad") * 3, 1L).otherwise(0L))
+        .as("n_outliers"))
+    med.join(mad, Seq("event_type")).join(outl, Seq("event_type"))
+      .select(col("event_type"), col("n").as("n_events"), col("median"),
+        col("mad"), col("n_outliers"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q188Sql =
+    """WITH e AS (
+      |  SELECT event_type, event_id, value FROM events),
+      |r1 AS (
+      |  SELECT event_type, event_id, value,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY value, event_id) AS rk,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM e),
+      |med AS (SELECT event_type, value AS median, n FROM r1
+      |  WHERE rk = (n + 1) // 2),
+      |dev AS (
+      |  SELECT e.event_type, e.event_id, abs(e.value - m.median) AS dev
+      |  FROM e JOIN med m USING (event_type)),
+      |r2 AS (
+      |  SELECT event_type, dev,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY dev, event_id) AS rk,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM dev),
+      |mad AS (SELECT event_type, dev AS mad FROM r2 WHERE rk = (n + 1) // 2),
+      |o AS (
+      |  SELECT d.event_type,
+      |    sum(CASE WHEN d.dev > m.mad * 3 THEN 1 ELSE 0 END) AS n_outliers
+      |  FROM dev d JOIN mad m USING (event_type) GROUP BY 1)
+      |SELECT med.event_type, CAST(med.n AS BIGINT) AS n_events, med.median,
+      |  mad.mad, CAST(o.n_outliers AS BIGINT) AS n_outliers
+      |FROM med JOIN mad USING (event_type) JOIN o USING (event_type)
+      |ORDER BY event_type""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q153_skyline", q153, Some(q153Sql)),
     Q("q154_peak_concurrency", q154, Some(q154Sql)),
@@ -324,5 +394,6 @@ object Frontier {
     Q("q158_trimmed_mean", q158, Some(q158Sql)),
     Q("q160_trend_regression", q160, Some(q160Sql)),
     Q("q170_percentile_rank", q170, Some(q170Sql)),
+    Q("q188_mad_outliers", q188, Some(q188Sql)),
   )
 }
