@@ -127,8 +127,93 @@ object Layout {
       |FROM b JOIN r ON r.rk = b.rk
       |ORDER BY bucket""".stripMargin
 
+  // q190 — zone-map prune-effectiveness audit: simulate the file
+  // layout (4096 order keys per file, the natural ingest order),
+  // collect per-file min/max zone maps for four columns, and report
+  // for each of four candidate predicates how many files a
+  // min/max-based reader (parquet row-group stats, Delta/Iceberg file
+  // stats) would skip and how many rows that avoids — the
+  // data-skipping audit that tells a 100 TB table owner whether the
+  // current sort/cluster order serves the workload or a q146-style
+  // re-layout is worth the rewrite. The fixture tells both stories:
+  // the orderkey predicate prunes ~everything (files ARE orderkey
+  // ranges; 36/37 files, 97% of rows skipped at sf0.1), while the
+  // shipdate/quantity/price predicates prune nothing (values spread
+  // through every file) — the audit's whole point. Predicate
+  // evaluation is interval logic on the zone bounds (no arithmetic —
+  // dates and doubles only COMPARE, so cross-engine exact); shares in
+  // 2^20 fixed point.
+  //
+  // Scale shape: one scan into a files-sized zone aggregate (this IS
+  // how real lakehouse stats are built), then a 4-row report. The
+  // explode is over 4 predicate structs per file row.
+  private val ZoneFileRows = 4096L
+
+  private def q190(s: SparkSession, d: String): DataFrame = {
+    val z = lineitem(s, d)
+      .select(expr(s"l_orderkey DIV $ZoneFileRows").as("file_id"),
+        col("l_orderkey").as("ok"),
+        to_date(col("l_shipdate")).as("sd"), col("l_quantity").as("q"),
+        col("l_extendedprice").as("p"))
+      .groupBy(col("file_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("ok")).as("min_ok"), max(col("ok")).as("max_ok"),
+        min(col("sd")).as("min_sd"), max(col("sd")).as("max_sd"),
+        min(col("q")).as("min_q"), max(col("q")).as("max_q"),
+        min(col("p")).as("min_p"), max(col("p")).as("max_p"))
+    z.select(col("n_rows"), explode(array(
+        struct(lit("orderkey_lt_4096").as("predicate"),
+          (col("min_ok") >= ZoneFileRows).as("pruned")),
+        struct(lit("shipdate_ge_1997").as("predicate"),
+          (col("max_sd") < to_date(lit("1997-01-01"))).as("pruned")),
+        struct(lit("quantity_eq_50").as("predicate"),
+          (col("min_q") > 50.0 || col("max_q") < 50.0).as("pruned")),
+        struct(lit("price_lt_1000").as("predicate"),
+          (col("min_p") >= 1000.0).as("pruned")))).as("pr"))
+      .select(col("pr.predicate").as("predicate"),
+        col("pr.pruned").as("pruned"), col("n_rows"))
+      .groupBy(col("predicate"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(when(col("pruned"), 1L).otherwise(0L)).as("n_pruned"),
+        sum(col("n_rows")).as("rows_total"),
+        sum(when(col("pruned"), col("n_rows")).otherwise(0L)).as("rows_skipped"))
+      .withColumn("prune_fp",
+        expr("CAST(CAST(rows_skipped AS DECIMAL(38,0)) * 1048576 DIV rows_total AS BIGINT)"))
+      .orderBy(col("predicate"))
+  }
+
+  private val q190Sql =
+    s"""WITH z AS (
+      |  SELECT l_orderkey // $ZoneFileRows AS file_id, count(*) AS n_rows,
+      |    min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
+      |    min(CAST(l_shipdate AS DATE)) AS min_sd,
+      |    max(CAST(l_shipdate AS DATE)) AS max_sd,
+      |    min(l_quantity) AS min_q, max(l_quantity) AS max_q,
+      |    min(l_extendedprice) AS min_p, max(l_extendedprice) AS max_p
+      |  FROM lineitem GROUP BY 1),
+      |pr AS (
+      |  SELECT 'orderkey_lt_4096' AS predicate,
+      |    min_ok >= $ZoneFileRows AS pruned, n_rows FROM z
+      |  UNION ALL
+      |  SELECT 'shipdate_ge_1997',
+      |    max_sd < DATE '1997-01-01', n_rows FROM z
+      |  UNION ALL
+      |  SELECT 'quantity_eq_50', min_q > 50.0 OR max_q < 50.0, n_rows FROM z
+      |  UNION ALL
+      |  SELECT 'price_lt_1000', min_p >= 1000.0, n_rows FROM z)
+      |SELECT predicate, count(*) AS n_files,
+      |  CAST(sum(CASE WHEN pruned THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned,
+      |  CAST(sum(n_rows) AS BIGINT) AS rows_total,
+      |  CAST(sum(CASE WHEN pruned THEN n_rows ELSE 0 END) AS BIGINT)
+      |    AS rows_skipped,
+      |  CAST(CAST(sum(CASE WHEN pruned THEN n_rows ELSE 0 END) AS HUGEINT)
+      |    * 1048576 // sum(n_rows) AS BIGINT) AS prune_fp
+      |FROM pr GROUP BY predicate
+      |ORDER BY predicate""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q146_zorder_layout", q146, Some(q146Sql)),
     Q("q152_equidepth_stats", q152, Some(q152Sql)),
+    Q("q190_zone_map_prune", q190, Some(q190Sql)),
   )
 }
