@@ -732,10 +732,16 @@ object Dedup {
   // surviving candidate pairs. The oracle replays the identical
   // algorithm (the q33 discipline — the quadratic naive form would be
   // the oracle's own scale-killer).
-  private def q189(s: SparkSession, d: String): DataFrame = {
+  /** Core of q189 over any (doc_id, text, ...) frame — split out so
+    * the spec can compare it against a brute-force all-pairs Jaccard
+    * on synthetic corpora (the oracle replays the same prefix-filter
+    * algorithm, so an algorithmic bug would be invisible to it; the
+    * brute-force spec is what pins completeness).
+    */
+  private[graft] def similarityJoinOf(docsDf: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    graft.functions.GraftFunctions.register(s)
-    val dt = documents(s, d)
+    graft.functions.GraftFunctions.register(docsDf.sparkSession)
+    val dt = docsDf
       .select(col("doc_id"),
         explode(array_distinct(shingleHashes(tokens(col("text"))))).as("tk"))
     val dfc = dt.groupBy(col("tk")).agg(count(lit(1)).as("df"))
@@ -775,6 +781,9 @@ object Dedup {
         col("b.inter").as("best_inter"), col("b.jac_fp").as("best_jac_fp"))
       .orderBy(col("doc_id"))
   }
+
+  private def q189(s: SparkSession, d: String): DataFrame =
+    similarityJoinOf(documents(s, d))
 
   private val q189Sql =
     s"""WITH dt AS (SELECT DISTINCT doc_id, tk FROM (
