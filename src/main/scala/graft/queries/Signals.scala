@@ -427,8 +427,11 @@ object Signals {
   // survives the first aggregation.
   private val AnomalyTopN = 20
 
-  private def q184(s: SparkSession, d: String): DataFrame = {
-    val counts = events(s, d)
+  /** Core of q184 over any frame with `ts_ms` — split out so the spec
+    * can pin the silent-hour story on a crafted fixture.
+    */
+  private[graft] def seasonalAnomaliesOf(ev: DataFrame): DataFrame = {
+    val counts = ev
       .select(expr("ts_ms div 3600000").as("hr"))
       .groupBy(col("hr")).agg(count(lit(1)).as("n"))
     val bounds = counts.agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
@@ -447,6 +450,65 @@ object Signals {
       .select(col("hr"), col("dow"), col("hod"), col("n").as("n_events"),
         col("expected_fp"), col("score_fp"))
   }
+
+  private def q184(s: SparkSession, d: String): DataFrame =
+    seasonalAnomaliesOf(events(s, d))
+
+  // q191 — time-in-state occupancy from SCD-2 style intervals: each
+  // user's event stream becomes validity intervals [ts, next_ts) —
+  // the type-2 slowly-changing-dimension reconstruction every
+  // warehouse runs on a changelog — and the report is the
+  // time-weighted state occupancy: total/max milliseconds the user
+  // base spent in each event_type state and its share of all tracked
+  // time. Open last intervals close at the GLOBAL horizon (max ts),
+  // the as-of-now convention, via a 1-row broadcast. Where q108 keeps
+  // the latest state and q168 counts transitions, this weights states
+  // by DURATION — the missing axis. Exact epoch-ms integers end to
+  // end; shares in 2^20 fixed point (DECIMAL/HUGEINT headroom).
+  //
+  // Scale shape: the lead() window partitions BY USER (bounded
+  // per-user state, no global sort); everything after is a
+  // |event types|-row aggregate with one 1-row horizon broadcast.
+  private def q191(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d).select(col("user_id"), col("event_id"),
+      col("event_type"), col("ts_ms"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    val horizon = e.agg(max(col("ts_ms")).as("hz"))
+    val iv = e.withColumn("next_ts", lead(col("ts_ms"), 1).over(w))
+      .crossJoin(broadcast(horizon))
+      .select(col("event_type"),
+        (coalesce(col("next_ts"), col("hz")) - col("ts_ms")).as("dur"))
+    val wT = Window.partitionBy(lit(1))
+    iv.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("dur")).as("total_ms"), max(col("dur")).as("max_ms"))
+      .withColumn("tot", sum(col("total_ms")).over(wT))
+      .withColumn("share_fp",
+        expr("CAST(CAST(total_ms AS DECIMAL(38,0)) * 1048576 DIV tot AS BIGINT)"))
+      .drop("tot")
+      .orderBy(col("event_type"))
+  }
+
+  private val q191Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms
+      |  FROM events),
+      |hz AS (SELECT max(ts_ms) AS hz FROM e),
+      |iv AS (
+      |  SELECT event_type,
+      |    coalesce(lead(ts_ms) OVER (PARTITION BY user_id
+      |      ORDER BY ts_ms, event_id), hz) - ts_ms AS dur
+      |  FROM e CROSS JOIN hz),
+      |a AS (
+      |  SELECT event_type, count(*) AS n_intervals,
+      |    CAST(sum(dur) AS BIGINT) AS total_ms,
+      |    CAST(max(dur) AS BIGINT) AS max_ms
+      |  FROM iv GROUP BY event_type)
+      |SELECT event_type, n_intervals, total_ms, max_ms,
+      |  CAST(CAST(total_ms AS HUGEINT) * 1048576 // sum(total_ms) OVER ()
+      |    AS BIGINT) AS share_fp
+      |FROM a ORDER BY event_type""".stripMargin
 
   private val q184Sql =
     s"""WITH c AS (
@@ -524,5 +586,6 @@ object Signals {
     Q("q179_seasonality", q179, Some(q179Sql)),
     Q("q184_seasonal_anomaly", q184, Some(q184Sql)),
     Q("q185_interarrival_spectrum", q185, Some(q185Sql)),
+    Q("q191_time_in_state", q191, Some(q191Sql)),
   )
 }
