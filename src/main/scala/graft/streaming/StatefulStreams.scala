@@ -790,6 +790,37 @@ object StatefulStreams {
       }
   }
 
+  /** Streaming form of batch q191's interval construction — CLOSED
+    * validity intervals emitted on arrival: per-user state is the
+    * current (event_type, since_ts); each arrival closes the previous
+    * interval and emits (event_type, duration_ms). Append mode —
+    * closed intervals are facts, never revised; the OPEN interval per
+    * user stays in state (batch q191 closes it at the global horizon,
+    * an as-of-now reporting convention the stream cannot know — the
+    * parity spec therefore pins the closed-interval aggregate, which
+    * is the part both sides define identically). In-order arrival per
+    * user; within a micro-batch rows sort by (ts_ms, event_id).
+    */
+  def streamingIntervals(ev: DataFrame): Dataset[(String, Long)] = {
+    val spark = ev.sparkSession
+    import spark.implicits._
+    ev.select(col("user_id"), col("event_id"), col("event_type"), col("ts_ms"))
+      .as[(Long, Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, it: Iterator[(Long, Long, String, Long)],
+            gs: GroupState[(String, Long)]) =>
+          var cur = gs.getOption
+          val out = Vector.newBuilder[(String, Long)]
+          it.toIndexedSeq.sortBy(t => (t._4, t._2)).foreach { case (_, _, tp, ts) =>
+            cur.foreach { case (pt, pts) => out += ((pt, ts - pts)) }
+            cur = Some((tp, ts))
+          }
+          cur.foreach(gs.update)
+          out.result().iterator
+      }
+  }
+
   /** O7 (broadcast fan-out, engine.go:196-211) for streams: one source
     * micro-batch delivered to N sinks via foreachBatch. The batch
     * DataFrame is persisted so the plan is computed once per epoch, not

@@ -132,4 +132,37 @@ class StreamingSeasonalitySpec extends SparkSpec {
       assert(streamed.size == rows.size - 2, "one delta per non-first event")
     } finally q.stop()
   }
+
+  test("streaming intervals reproduce batch q191's closed-interval occupancy") {
+    implicit val sql = spark.sqlContext
+    // (event_id, user_id, event_type, ts_ms): two users switching states
+    val rows = Seq(
+      (1L, 7L, "click", 0L), (2L, 7L, "view", 1000L), (3L, 9L, "click", 500L),
+      (4L, 7L, "click", 5000L), (5L, 9L, "purchase", 2500L),
+      (6L, 9L, "click", 9000L), (7L, 7L, "view", 6000L))
+    // batch closed intervals: per user in (ts, event_id) order, every
+    // event except the user's last contributes (its_type, next_ts - ts)
+    val expect = rows.groupBy(_._2).values.flatMap { evs =>
+      val o = evs.sortBy(e => (e._4, e._1))
+      o.zip(o.drop(1)).map { case (a, b) => (a._3, b._4 - a._4) }
+    }.groupBy(_._1).map { case (tp, ds) =>
+      (tp, ds.size.toLong, ds.map(_._2).sum) }.toSet
+
+    val in = MemoryStream[(Long, Long, String, Long)]
+    val out = StatefulStreams
+      .streamingIntervals(in.toDF().toDF("event_id", "user_id", "event_type", "ts_ms"))
+      .toDF("event_type", "dur")
+    val q = out.writeStream.format("memory").queryName("sints")
+      .outputMode("append").start()
+    try {
+      in.addData(rows.take(3)); q.processAllAvailable()
+      in.addData(rows.slice(3, 5)); q.processAllAvailable()
+      in.addData(rows.drop(5)); q.processAllAvailable()
+      val got = spark.table("sints").collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+        .groupBy(_._1).map { case (tp, ds) =>
+          (tp, ds.size.toLong, ds.map(_._2).sum) }.toSet
+      assert(got == expect, s"got $got\nexp $expect")
+    } finally q.stop()
+  }
 }
