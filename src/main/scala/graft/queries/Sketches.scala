@@ -346,10 +346,74 @@ object Sketches {
       |ORDER BY window_end_hr""".stripMargin
   }
 
+  // q192 — EXACT sliding distinct actives (trailing-24h DAU per hour)
+  // WITHOUT the ×W data explosion: q148's exact side multiplies every
+  // event row by the window width (fine at W=3, fatal at W=24 over
+  // 100 TB); this is the scale-shaped exact algorithm. Per user, the
+  // distinct event hours become COVERAGE INTERVALS of window-ends
+  // (event at hour h makes the user active for window-ends
+  // [h, h+W−1]; runs with gaps ≤ W merge — the q28 session pattern on
+  // the hour domain), each interval emits ±1 boundary deltas, and the
+  // per-hour active count is the running sum of deltas over the dense
+  // hour grid. Work is O(distinct (user, hour)) regardless of W; the
+  // final prefix runs over the HOURS-sized frame (a decade is ~88k
+  // rows — bounded, so a plain ordered window is the right tool, not
+  // the distributed prefix). Dense grid: silent hours still report
+  // their trailing actives, and a fully-idle hour reports 0.
+  //
+  // The DuckDB oracle is DELIBERATELY the naive data-sized form (a
+  // range join of the grid against events) — a structurally different
+  // derivation, so it actually checks the sweep instead of replaying
+  // it.
+  val SlideWinHours = 24
+
+  private def q192(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = events(s, d)
+      .select(col("user_id"), expr("ts_ms div 3600000").as("hr"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("hr"))
+    val iv = ev
+      .withColumn("prev", lag(col("hr"), 1).over(w))
+      .withColumn("newiv",
+        when(col("prev").isNull || col("hr") - col("prev") > SlideWinHours, 1L)
+          .otherwise(0L))
+      .withColumn("ivid", sum(col("newiv"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("ivid"))
+      .agg(min(col("hr")).as("s"),
+        (max(col("hr")) + SlideWinHours - 1).as("e"))
+    val deltas = iv.select(col("s").as("wend"), lit(1L).as("d"))
+      .unionAll(iv.select((col("e") + 1).as("wend"), lit(-1L).as("d")))
+      .groupBy(col("wend")).agg(sum(col("d")).as("d"))
+    val bounds = ev.agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+    val grid = bounds.select(explode(sequence(col("h0"), col("h1"))).as("wend"))
+    val wg = Window.partitionBy(lit(1)).orderBy(col("wend"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(deltas, Seq("wend"), "left")
+      .withColumn("d", coalesce(col("d"), lit(0L)))
+      .withColumn("n_active", sum(col("d")).over(wg))
+      .select(col("wend").as("window_end_hr"), col("n_active"))
+      .orderBy(col("window_end_hr"))
+  }
+
+  private val q192Sql =
+    s"""WITH ev AS (
+      |  SELECT DISTINCT user_id, epoch_ms(ts) // 3600000 AS hr FROM events),
+      |b AS (SELECT min(hr) AS h0, max(hr) AS h1 FROM ev),
+      |g AS (SELECT unnest(range(h0, h1 + 1)) AS wend FROM b)
+      |SELECT g.wend AS window_end_hr,
+      |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active
+      |FROM g LEFT JOIN ev e
+      |  ON e.hr BETWEEN g.wend - ${SlideWinHours - 1} AND g.wend
+      |GROUP BY g.wend
+      |ORDER BY window_end_hr""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q83_cms_heavy_hitters", q83, Some(q83Sql)),
     Q("q84_bloom_semi_join", q84, Some(q84Sql)),
     Q("q134_hll_distinct", q134, Some(q134Sql)),
     Q("q148_hll_sliding", q148, Some(q148Sql)),
+    Q("q192_sliding_distinct_exact", q192, Some(q192Sql)),
   )
 }
