@@ -490,6 +490,77 @@ object Signals {
       .orderBy(col("event_type"))
   }
 
+  // q193 — exact Mann-Whitney U (rank-sum) test: does the English
+  // slice's quality-score distribution stochastically dominate the
+  // rest of the corpus? The nonparametric two-sample comparison a
+  // fairness/mixture audit runs when means (q158) and variances are
+  // not trustworthy — no normality assumption, outlier-immune. All
+  // arithmetic is exact: ranks come from rankDistributed over
+  // (quality, doc_id); ties take MIDRANKS computed per distinct value
+  // as min(rk)+max(rk) (twice the midrank, so everything stays
+  // integer); U is reported doubled (u2 = 2U = Σ2·midrank_A −
+  // n_a(n_a+1)) plus the bounded common-language effect size
+  // AUC = U/(n_a·n_b) in 2^20 fixed point. Sums stage through
+  // DECIMAL(38,0)/HUGEINT (rank sums are O(N²)); at extreme corpus
+  // sizes the bounded auc_fp is the headline number while u2 is the
+  // raw statistic.
+  //
+  // Scale shape: one rank pass (range exchange + carry), one
+  // values-sized midrank aggregate, a 1-row reduction.
+  private def q193(s: SparkSession, d: String): DataFrame = {
+    val sc = Filtering.qualityScored(documents(s, d))
+      .join(documents(s, d).select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val ranked = Sampling.rankDistributed(sc, Seq.empty,
+      Seq(col("quality"), col("doc_id")))
+    val byValue = ranked.groupBy(col("quality"))
+      .agg((min(col("rk")) + max(col("rk"))).as("mr2"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ca"),
+        count(lit(1)).as("c"))
+    byValue.agg(
+        sum(col("ca")).as("n_a"),
+        sum(col("c") - col("ca")).as("n_b"),
+        sum((col("ca") * col("mr2")).cast(DecimalType(38, 0))).as("r2a"))
+      .select(col("n_a"), col("n_b"),
+        expr("CAST(r2a - CAST(n_a AS DECIMAL(38,0)) * (n_a + 1) AS BIGINT)")
+          .as("u2_a"),
+        expr("""CAST((r2a - CAST(n_a AS DECIMAL(38,0)) * (n_a + 1)) * 1048576
+               |  DIV (CAST(n_a AS DECIMAL(38,0)) * n_b * 2) AS BIGINT)"""
+          .stripMargin).as("auc_fp"))
+  }
+
+  private val q193Sql = {
+    val toks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+    s"""WITH t AS (
+      |  SELECT doc_id, lang, len(toks) AS n_words,
+      |    len(list_distinct(toks)) AS n_distinct
+      |  FROM (SELECT doc_id, lang, $toks AS toks FROM documents) t0),
+      |s AS (
+      |  SELECT doc_id, lang,
+      |    (CAST(n_distinct AS DOUBLE) / greatest(n_words, 1)) *
+      |      (CASE WHEN n_words BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.0 END)
+      |      AS quality
+      |  FROM t),
+      |r AS (
+      |  SELECT quality, lang,
+      |    row_number() OVER (ORDER BY quality, doc_id) AS rk
+      |  FROM s),
+      |v AS (
+      |  SELECT quality, min(rk) + max(rk) AS mr2,
+      |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ca,
+      |    count(*) AS c
+      |  FROM r GROUP BY quality),
+      |a AS (
+      |  SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+      |    CAST(sum(c - ca) AS BIGINT) AS n_b,
+      |    sum(CAST(ca AS HUGEINT) * mr2) AS r2a
+      |  FROM v)
+      |SELECT n_a, n_b,
+      |  CAST(r2a - CAST(n_a AS HUGEINT) * (n_a + 1) AS BIGINT) AS u2_a,
+      |  CAST((r2a - CAST(n_a AS HUGEINT) * (n_a + 1)) * 1048576
+      |    // (CAST(n_a AS HUGEINT) * n_b * 2) AS BIGINT) AS auc_fp
+      |FROM a""".stripMargin
+  }
+
   private val q191Sql =
     """WITH e AS (
       |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms
@@ -587,5 +658,6 @@ object Signals {
     Q("q184_seasonal_anomaly", q184, Some(q184Sql)),
     Q("q185_interarrival_spectrum", q185, Some(q185Sql)),
     Q("q191_time_in_state", q191, Some(q191Sql)),
+    Q("q193_mann_whitney", q193, Some(q193Sql)),
   )
 }
