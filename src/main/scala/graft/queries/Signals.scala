@@ -561,6 +561,176 @@ object Signals {
       |FROM a""".stripMargin
   }
 
+  // q194 — exact two-sample Kolmogorov-Smirnov statistic: the maximum
+  // CDF gap between the English slice's quality distribution and the
+  // rest — THE classic distribution-drift test, the continuous
+  // counterpart of q176's bucketed TVD (no ruler to choose: the sup
+  // runs over every distinct value). Exact integer form: per distinct
+  // quality value, (ca, cb) group counts; cumulative counts via the
+  // tokenBudgetOver distributed-prefix pattern (range exchange on the
+  // value + per-partition window + broadcast carry — the VALUES frame
+  // can approach corpus cardinality for a continuous score, so a
+  // single-partition running window would be the classic
+  // scale-killer); the gap numerator is |cumA·n_b − cumB·n_a| in
+  // DECIMAL(38,0) (exact to N ≈ 10^19), and D ships as
+  // d_fp = max·2^20 DIV (n_a·n_b) plus the value where the sup is
+  // attained (ties → smallest value).
+  private def q194(s: SparkSession, d: String): DataFrame = {
+    val sc = Filtering.qualityScored(documents(s, d))
+      .join(documents(s, d).select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val v = sc.groupBy(col("quality"))
+      .agg(sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ca"),
+        sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("cb"))
+    val nParts = s.conf.get("spark.sql.shuffle.partitions").toIntOption
+      .getOrElse(s.sparkContext.defaultParallelism)
+    val parted = v.repartitionByRange(nParts, col("quality"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(false)
+    val wLocal = Window.partitionBy(col("__pid")).orderBy(col("quality"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wCarry = Window.partitionBy(lit(1)).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = parted.groupBy(col("__pid"))
+      .agg(sum(col("ca")).as("pa"), sum(col("cb")).as("pb"))
+      .withColumn("carrya", sum(col("pa")).over(wCarry))
+      .withColumn("carryb", sum(col("pb")).over(wCarry))
+      .select(col("__pid"), col("carrya"), col("carryb"))
+    val tot = v.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+    parted
+      .withColumn("la", sum(col("ca")).over(wLocal))
+      .withColumn("lb", sum(col("cb")).over(wLocal))
+      .join(broadcast(carry), Seq("__pid"))
+      .withColumn("cuma", col("la") + coalesce(col("carrya"), lit(0L)))
+      .withColumn("cumb", col("lb") + coalesce(col("carryb"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("dnum", expr(
+        "abs(CAST(cuma AS DECIMAL(38,0)) * n_b - CAST(cumb AS DECIMAL(38,0)) * n_a)"))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        max(struct(col("dnum"), (-col("quality")).as("nq"))).as("m"))
+      .select(col("n_a"), col("n_b"),
+        expr("CAST(m.dnum * 1048576 DIV (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)")
+          .as("d_fp"),
+        (-col("m.nq")).as("at_quality"))
+  }
+
+  private val q194Sql = {
+    val toks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+    s"""WITH t AS (
+      |  SELECT doc_id, lang, len(toks) AS n_words,
+      |    len(list_distinct(toks)) AS n_distinct
+      |  FROM (SELECT doc_id, lang, $toks AS toks FROM documents) t0),
+      |s AS (
+      |  SELECT doc_id, lang,
+      |    (CAST(n_distinct AS DOUBLE) / greatest(n_words, 1)) *
+      |      (CASE WHEN n_words BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.0 END)
+      |      AS quality
+      |  FROM t),
+      |v AS (
+      |  SELECT quality,
+      |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ca,
+      |    sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS cb
+      |  FROM s GROUP BY quality),
+      |c AS (
+      |  SELECT quality,
+      |    sum(ca) OVER (ORDER BY quality
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+      |    sum(cb) OVER (ORDER BY quality
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb
+      |  FROM v),
+      |tt AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+      |  CAST(sum(cb) AS BIGINT) AS n_b FROM v),
+      |g AS (
+      |  SELECT quality,
+      |    abs(CAST(cuma AS HUGEINT) * n_b - CAST(cumb AS HUGEINT) * n_a) AS dnum
+      |  FROM c, tt)
+      |SELECT tt.n_a, tt.n_b,
+      |  CAST((SELECT max(dnum) FROM g) * 1048576
+      |    // (CAST(tt.n_a AS HUGEINT) * tt.n_b) AS BIGINT) AS d_fp,
+      |  (SELECT quality FROM g ORDER BY dnum DESC, quality LIMIT 1)
+      |    AS at_quality
+      |FROM tt""".stripMargin
+  }
+
+  // q195 — exact Spearman rank correlation between per-document
+  // quality and token count: Pearson's sufficient statistics computed
+  // on tie-aware DOUBLED midranks (the q193 midrank trick per
+  // variable, the q160 integer-numerator discipline for the moments)
+  // — the monotone-association audit that answers "does the quality
+  // score just measure length?" without assuming linearity. Emitted
+  // as exact integer numerators (consumer divides/sqrt's as they
+  // like): ρ = cov_num / √(varx_num·vary_num). DECIMAL(38,0) keeps
+  // the numerators exact to N ≈ 10^8 docs; past that the production
+  // form stages the same sums through scaled DIVs.
+  //
+  // Scale shape: two rank passes, two values-sized midrank joins, one
+  // 1-row reduction.
+  private def q195(s: SparkSession, d: String): DataFrame = {
+    val sc = Filtering.qualityScored(documents(s, d))
+      .join(documents(s, d)
+        .select(col("doc_id"), graft.functions.TextFns.tokenCount(col("text")).as("nt")),
+        Seq("doc_id"))
+    def midranks2(df: DataFrame, v: String, out: String): DataFrame = {
+      val ranked = Sampling.rankDistributed(df.select(col("doc_id"), col(v)),
+        Seq.empty, Seq(col(v), col("doc_id")))
+      val mr = ranked.groupBy(col(v))
+        .agg((min(col("rk")) + max(col("rk"))).as(out))
+      ranked.join(mr, Seq(v)).select(col("doc_id"), col(out))
+    }
+    val mx = midranks2(sc, "quality", "mx2")
+    val my = midranks2(sc, "nt", "my2")
+    mx.join(my, Seq("doc_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("mx2")).as("sx"), sum(col("my2")).as("sy"),
+        sum((col("mx2") * col("my2")).cast(DecimalType(38, 0))).as("sxy"),
+        sum((col("mx2") * col("mx2")).cast(DecimalType(38, 0))).as("sxx"),
+        sum((col("my2") * col("my2")).cast(DecimalType(38, 0))).as("syy"))
+      .select(col("n"),
+        expr("CAST(CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS BIGINT)")
+          .as("cov_num"),
+        expr("CAST(CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS BIGINT)")
+          .as("varx_num"),
+        expr("CAST(CAST(n AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy AS BIGINT)")
+          .as("vary_num"))
+  }
+
+  private val q195Sql = {
+    val toks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+    s"""WITH t AS (
+      |  SELECT doc_id, len(toks) AS n_words,
+      |    len(list_distinct(toks)) AS n_distinct, len(toks) AS nt
+      |  FROM (SELECT doc_id, $toks AS toks FROM documents) t0),
+      |s AS (
+      |  SELECT doc_id,
+      |    (CAST(n_distinct AS DOUBLE) / greatest(n_words, 1)) *
+      |      (CASE WHEN n_words BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.0 END)
+      |      AS quality,
+      |    CAST(nt AS BIGINT) AS nt
+      |  FROM t),
+      |rx AS (SELECT doc_id, quality,
+      |    row_number() OVER (ORDER BY quality, doc_id) AS rk FROM s),
+      |mxv AS (SELECT quality, min(rk) + max(rk) AS mx2 FROM rx GROUP BY quality),
+      |mx AS (SELECT doc_id, mx2 FROM rx JOIN mxv USING (quality)),
+      |ry AS (SELECT doc_id, nt,
+      |    row_number() OVER (ORDER BY nt, doc_id) AS rk FROM s),
+      |myv AS (SELECT nt, min(rk) + max(rk) AS my2 FROM ry GROUP BY nt),
+      |my AS (SELECT doc_id, my2 FROM ry JOIN myv USING (nt)),
+      |j AS (SELECT mx2, my2 FROM mx JOIN my USING (doc_id)),
+      |a AS (
+      |  SELECT count(*) AS n, sum(mx2) AS sx, sum(my2) AS sy,
+      |    sum(CAST(mx2 AS HUGEINT) * my2) AS sxy,
+      |    sum(CAST(mx2 AS HUGEINT) * mx2) AS sxx,
+      |    sum(CAST(my2 AS HUGEINT) * my2) AS syy
+      |  FROM j)
+      |SELECT n,
+      |  CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS BIGINT)
+      |    AS cov_num,
+      |  CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS BIGINT)
+      |    AS varx_num,
+      |  CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS BIGINT)
+      |    AS vary_num
+      |FROM a""".stripMargin
+  }
+
   private val q191Sql =
     """WITH e AS (
       |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms
@@ -659,5 +829,7 @@ object Signals {
     Q("q185_interarrival_spectrum", q185, Some(q185Sql)),
     Q("q191_time_in_state", q191, Some(q191Sql)),
     Q("q193_mann_whitney", q193, Some(q193Sql)),
+    Q("q194_ks_test", q194, Some(q194Sql)),
+    Q("q195_spearman", q195, Some(q195Sql)),
   )
 }
