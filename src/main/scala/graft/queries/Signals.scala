@@ -731,6 +731,64 @@ object Signals {
       |FROM a""".stripMargin
   }
 
+  // q196 — CUSUM changepoint locator on the hourly event-count
+  // series: the hour t maximizing |S_t·T − t·S_T| (the cumulative sum
+  // against the fitted constant rate), which is the exact-integer
+  // CUSUM estimate of WHERE the level shifted — the "when did the
+  // pipeline change" question q176/q184 alarms hand off to. Dense
+  // grid (q162's zero-filled hours: a dead stretch is a level shift,
+  // not missing data); the numerator is DECIMAL-exact; the magnitude
+  // ships as max·2^20 DIV (T·S_T). The cumulative runs over the
+  // HOURS-sized frame (bounded — a decade ≈ 88k rows), so a plain
+  // ordered window is the right tool.
+  private def q196(s: SparkSession, d: String): DataFrame = {
+    val counts = events(s, d)
+      .select(expr("ts_ms div 3600000").as("hr"))
+      .groupBy(col("hr")).agg(count(lit(1)).as("n"))
+    val bounds = counts.agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+    val grid = bounds.select(explode(sequence(col("h0"), col("h1"))).as("hr"),
+      col("h0"))
+    val w = Window.partitionBy(lit(1)).orderBy(col("hr"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = grid.join(counts, Seq("hr"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("t", col("hr") - col("h0") + 1)
+      .withColumn("st", sum(col("n")).over(w))
+    val tot = cum.agg(max(col("t")).as("bigt"), max(col("st")).as("stot"))
+    cum.crossJoin(broadcast(tot))
+      .withColumn("dnum", expr(
+        "abs(CAST(st AS DECIMAL(38,0)) * bigt - CAST(t AS DECIMAL(38,0)) * stot)"))
+      .agg(max(col("bigt")).as("n_hours"), max(col("stot")).as("n_events"),
+        max(struct(col("dnum"), (-col("hr")).as("nh"))).as("m"))
+      .select(col("n_hours"), col("n_events"),
+        (-col("m.nh")).as("changepoint_hr"),
+        expr("CAST(m.dnum * 1048576 DIV (CAST(n_hours AS DECIMAL(38,0)) * n_events) AS BIGINT)")
+          .as("mag_fp"))
+  }
+
+  private val q196Sql =
+    """WITH c AS (
+      |  SELECT epoch_ms(ts) // 3600000 AS hr, count(*) AS n
+      |  FROM events GROUP BY 1),
+      |b AS (SELECT min(hr) AS h0, max(hr) AS h1 FROM c),
+      |g AS (SELECT unnest(range(h0, h1 + 1)) AS hr, h0 FROM b),
+      |cu AS (
+      |  SELECT g.hr, g.hr - g.h0 + 1 AS t,
+      |    sum(coalesce(c.n, 0)) OVER (ORDER BY g.hr
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS st
+      |  FROM g LEFT JOIN c ON g.hr = c.hr),
+      |tt AS (SELECT max(t) AS bigt, max(st) AS stot FROM cu),
+      |d AS (
+      |  SELECT hr, abs(CAST(st AS HUGEINT) * bigt - CAST(t AS HUGEINT) * stot)
+      |    AS dnum
+      |  FROM cu, tt)
+      |SELECT CAST(tt.bigt AS BIGINT) AS n_hours,
+      |  CAST(tt.stot AS BIGINT) AS n_events,
+      |  (SELECT hr FROM d ORDER BY dnum DESC, hr LIMIT 1) AS changepoint_hr,
+      |  CAST((SELECT max(dnum) FROM d) * 1048576
+      |    // (CAST(tt.bigt AS HUGEINT) * tt.stot) AS BIGINT) AS mag_fp
+      |FROM tt""".stripMargin
+
   private val q191Sql =
     """WITH e AS (
       |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms
@@ -831,5 +889,6 @@ object Signals {
     Q("q193_mann_whitney", q193, Some(q193Sql)),
     Q("q194_ks_test", q194, Some(q194Sql)),
     Q("q195_spearman", q195, Some(q195Sql)),
+    Q("q196_cusum_changepoint", q196, Some(q196Sql)),
   )
 }
