@@ -789,6 +789,109 @@ object Signals {
       |    // (CAST(tt.bigt AS HUGEINT) * tt.stot) AS BIGINT) AS mag_fp
       |FROM tt""".stripMargin
 
+  // q197 — co-engagement matrix: for every PAIR of event types, the
+  // exact number of users who do both, with per-type totals and the
+  // pairwise Jaccard in fixed point — the audience-overlap report
+  // behind cross-sell and cannibalization questions, and the exact
+  // counterpart of sketch-based set-intersection estimates. The pair
+  // join runs on the distinct (user, type) frame whose per-user
+  // fanout is bounded by the type-set size (≤ C(|types|, 2) pair rows
+  // per user — type vocabularies are small by nature), so the join is
+  // users-sized, never quadratic in events.
+  private def q197(s: SparkSession, d: String): DataFrame = {
+    val dt = events(s, d).select(col("user_id"), col("event_type")).distinct()
+    val totals = dt.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val pairs = dt.as("a").join(dt.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(totals.select(col("event_type").as("type_a"), col("n").as("n_a"))),
+        Seq("type_a"))
+      .join(broadcast(totals.select(col("event_type").as("type_b"), col("n").as("n_b"))),
+        Seq("type_b"))
+      .select(col("type_a"), col("type_b"), col("n_both"), col("n_a"), col("n_b"),
+        expr("n_both * 1048576 DIV (n_a + n_b - n_both)").as("jaccard_fp"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  private val q197Sql =
+    """WITH dt AS (SELECT DISTINCT user_id, event_type FROM events),
+      |t AS (SELECT event_type, count(*) AS n FROM dt GROUP BY event_type),
+      |p AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |    count(*) AS n_both
+      |  FROM dt a JOIN dt b
+      |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT type_a, type_b, n_both, ta.n AS n_a, tb.n AS n_b,
+      |  CAST(n_both * 1048576 // (ta.n + tb.n - n_both) AS BIGINT)
+      |    AS jaccard_fp
+      |FROM p JOIN t ta ON ta.event_type = type_a
+      |JOIN t tb ON tb.event_type = type_b
+      |ORDER BY type_a, type_b""".stripMargin
+
+  // q198 — R×C chi-square independence test: is event type
+  // independent of day-of-week? The contingency table comes from one
+  // scan; the statistic Σ (o·N − r·c)²·2^20 DIV (N·r·c) is exact
+  // integer per cell (both engines floor identically), generalizing
+  // q169's 2×2 to the full table, with the worst-fit cell named so
+  // the alarm is actionable. Everything after the (dow × type)
+  // aggregate is a ≤ 7·|types|-row frame joined against two broadcast
+  // margin frames.
+  private def q198(s: SparkSession, d: String): DataFrame = {
+    val o = events(s, d)
+      .select(expr("(ts_ms div 86400000 + 4) % 7").as("dow"), col("event_type"))
+      .groupBy(col("dow"), col("event_type")).agg(count(lit(1)).as("o"))
+    val r = o.groupBy(col("dow")).agg(sum(col("o")).as("r"))
+    val c = o.groupBy(col("event_type")).agg(sum(col("o")).as("c"))
+    val n = o.agg(sum(col("o")).as("n"), count(lit(1)).as("n_cells"),
+      countDistinct(col("dow")).as("n_dow"),
+      countDistinct(col("event_type")).as("n_types"))
+    val cells = o.join(broadcast(r), Seq("dow"))
+      .join(broadcast(c), Seq("event_type"))
+      .crossJoin(broadcast(n))
+      .withColumn("term_fp", expr(
+        """CAST((CAST(o AS DECIMAL(38,0)) * n - CAST(r AS DECIMAL(38,0)) * c)
+          |  * (CAST(o AS DECIMAL(38,0)) * n - CAST(r AS DECIMAL(38,0)) * c)
+          |  * 1048576 DIV (CAST(n AS DECIMAL(38,0)) * r * c) AS BIGINT)"""
+          .stripMargin))
+    cells.agg(max(col("n")).as("n_events"), max(col("n_cells")).as("n_cells"),
+        ((max(col("n_dow")) - 1) * (max(col("n_types")) - 1)).as("dof"),
+        sum(col("term_fp")).as("chi2_fp"),
+        max(struct(col("term_fp"), (-col("dow")).as("nd"), col("event_type"))).as("m"))
+      .select(col("n_events"), col("n_cells"), col("dof"), col("chi2_fp"),
+        (-col("m.nd")).as("worst_dow"), col("m.event_type").as("worst_type"))
+  }
+
+  private val q198Sql =
+    """WITH o AS (
+      |  SELECT (epoch_ms(ts) // 86400000 + 4) % 7 AS dow, event_type,
+      |    count(*) AS o
+      |  FROM events GROUP BY 1, 2),
+      |r AS (SELECT dow, sum(o) AS r FROM o GROUP BY dow),
+      |c AS (SELECT event_type, sum(o) AS c FROM o GROUP BY event_type),
+      |n AS (SELECT sum(o) AS n, count(*) AS n_cells,
+      |    count(DISTINCT dow) AS n_dow,
+      |    count(DISTINCT event_type) AS n_types FROM o),
+      |cells AS (
+      |  SELECT o.dow, o.event_type,
+      |    CAST((CAST(o.o AS HUGEINT) * n.n - CAST(r.r AS HUGEINT) * c.c)
+      |      * (CAST(o.o AS HUGEINT) * n.n - CAST(r.r AS HUGEINT) * c.c)
+      |      * 1048576 // (CAST(n.n AS HUGEINT) * r.r * c.c) AS BIGINT)
+      |      AS term_fp
+      |  FROM o JOIN r USING (dow) JOIN c USING (event_type) CROSS JOIN n)
+      |SELECT CAST(n.n AS BIGINT) AS n_events,
+      |  CAST(n.n_cells AS BIGINT) AS n_cells,
+      |  CAST((n.n_dow - 1) * (n.n_types - 1) AS BIGINT) AS dof,
+      |  CAST((SELECT sum(term_fp) FROM cells) AS BIGINT) AS chi2_fp,
+      |  (SELECT dow FROM cells
+      |   ORDER BY term_fp DESC, dow, event_type DESC LIMIT 1) AS worst_dow,
+      |  (SELECT event_type FROM cells
+      |   ORDER BY term_fp DESC, dow, event_type DESC LIMIT 1) AS worst_type
+      |FROM n""".stripMargin
+
   private val q191Sql =
     """WITH e AS (
       |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms
@@ -890,5 +993,7 @@ object Signals {
     Q("q194_ks_test", q194, Some(q194Sql)),
     Q("q195_spearman", q195, Some(q195Sql)),
     Q("q196_cusum_changepoint", q196, Some(q196Sql)),
+    Q("q197_co_engagement", q197, Some(q197Sql)),
+    Q("q198_chi2_independence", q198, Some(q198Sql)),
   )
 }
