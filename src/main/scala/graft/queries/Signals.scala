@@ -892,6 +892,136 @@ object Signals {
       |   ORDER BY term_fp DESC, dow, event_type DESC LIMIT 1) AS worst_type
       |FROM n""".stripMargin
 
+  // q199 — incident report capstone: one row that answers the on-call
+  // page end to end by composing the monitoring family — WHEN did the
+  // level shift (the q196 CUSUM changepoint), HOW BIG is it (pre/post
+  // exact hourly rates and their fixed-point ratio), and did the MIX
+  // change too (total-variation distance between the pre and post
+  // event-type compositions, q176's exact-integer TVD on the type
+  // axis). Hours are the dense grid (silent hours count toward rate
+  // denominators); rates are events·2^20 DIV hours; the split point
+  // is computed once and broadcast (1 row). Everything downstream of
+  // the hourly/type aggregates is constant-sized.
+  private def q199(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+      .select(expr("ts_ms div 3600000").as("hr"), col("event_type"))
+    val counts = ev.groupBy(col("hr")).agg(count(lit(1)).as("n"))
+    val bounds = counts.agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+    val grid = bounds.select(explode(sequence(col("h0"), col("h1"))).as("hr"),
+      col("h0"), col("h1"))
+    val w = Window.partitionBy(lit(1)).orderBy(col("hr"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = grid.join(counts, Seq("hr"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("t", col("hr") - col("h0") + 1)
+      .withColumn("st", sum(col("n")).over(w))
+    val tot = cum.agg(max(col("t")).as("bigt"), max(col("st")).as("stot"))
+    val cp = cum.crossJoin(broadcast(tot))
+      .withColumn("dnum", expr(
+        "abs(CAST(st AS DECIMAL(38,0)) * bigt - CAST(t AS DECIMAL(38,0)) * stot)"))
+      .agg(max(struct(col("dnum"), (-col("hr")).as("nh"))).as("m"),
+        max(col("h0")).as("h0"), max(col("h1")).as("h1"))
+      .select((-col("m.nh")).as("cp"), col("h0"), col("h1"))
+    val split = ev.crossJoin(broadcast(cp))
+      .withColumn("side", when(col("hr") < col("cp"), "pre").otherwise("post"))
+    val sides = split.groupBy(col("side")).agg(count(lit(1)).as("ne"))
+    val types = split.groupBy(col("side"), col("event_type"))
+      .agg(count(lit(1)).as("nt"))
+    val shift = types
+      .join(broadcast(sides), Seq("side"))
+      .withColumn("share_fp", expr("nt * 1048576 DIV ne"))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("side") === "pre", col("share_fp")).otherwise(0L)).as("pa"),
+        sum(when(col("side") === "post", col("share_fp")).otherwise(0L)).as("pb"))
+      .agg(expr("CAST(sum(abs(pa - pb)) DIV 2 AS BIGINT)").as("mix_tvd_fp"))
+    val rates = sides.crossJoin(broadcast(cp))
+      .withColumn("hours",
+        when(col("side") === "pre", col("cp") - col("h0"))
+          .otherwise(col("h1") - col("cp") + 1))
+      .select(col("side"), col("ne"), col("hours"),
+        expr("ne * 1048576 DIV hours").as("rate_fp"))
+    val wide = rates.groupBy(lit(1).as("g")).agg(
+        sum(when(col("side") === "pre", col("ne")).otherwise(0L)).as("pre_events"),
+        sum(when(col("side") === "pre", col("hours")).otherwise(0L)).as("pre_hours"),
+        sum(when(col("side") === "pre", col("rate_fp")).otherwise(0L)).as("pre_rate_fp"),
+        sum(when(col("side") === "post", col("ne")).otherwise(0L)).as("post_events"),
+        sum(when(col("side") === "post", col("hours")).otherwise(0L)).as("post_hours"),
+        sum(when(col("side") === "post", col("rate_fp")).otherwise(0L)).as("post_rate_fp"))
+      .drop("g")
+    wide.crossJoin(broadcast(cp.select(col("cp").as("changepoint_hr"))))
+      .crossJoin(broadcast(shift))
+      .withColumn("rate_ratio_fp", expr(
+        // a changepoint at the series edge leaves one side empty —
+        // report 0 ("no comparable baseline") instead of dividing by 0
+        """CAST(CASE WHEN pre_rate_fp = 0 THEN 0 ELSE
+          |  CAST(post_rate_fp AS DECIMAL(38,0)) * 1048576 DIV pre_rate_fp
+          |END AS BIGINT)""".stripMargin))
+      .select(col("changepoint_hr"), col("pre_hours"), col("pre_events"),
+        col("pre_rate_fp"), col("post_hours"), col("post_events"),
+        col("post_rate_fp"), col("rate_ratio_fp"), col("mix_tvd_fp"))
+  }
+
+  private val q199Sql =
+    """WITH e AS (
+      |  SELECT epoch_ms(ts) // 3600000 AS hr, event_type FROM events),
+      |c AS (SELECT hr, count(*) AS n FROM e GROUP BY hr),
+      |b AS (SELECT min(hr) AS h0, max(hr) AS h1 FROM c),
+      |g AS (SELECT unnest(range(h0, h1 + 1)) AS hr, h0, h1 FROM b),
+      |cu AS (
+      |  SELECT g.hr, g.hr - g.h0 + 1 AS t,
+      |    sum(coalesce(c.n, 0)) OVER (ORDER BY g.hr
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS st
+      |  FROM g LEFT JOIN c ON g.hr = c.hr),
+      |tt AS (SELECT max(t) AS bigt, max(st) AS stot FROM cu),
+      |cp AS (
+      |  SELECT (SELECT hr FROM cu, tt
+      |      ORDER BY abs(CAST(st AS HUGEINT) * bigt
+      |        - CAST(t AS HUGEINT) * stot) DESC, hr LIMIT 1) AS cp,
+      |    b.h0, b.h1
+      |  FROM b),
+      |sp AS (
+      |  SELECT CASE WHEN e.hr < cp.cp THEN 'pre' ELSE 'post' END AS side,
+      |    e.event_type
+      |  FROM e CROSS JOIN cp),
+      |sides AS (SELECT side, count(*) AS ne FROM sp GROUP BY side),
+      |types AS (SELECT side, event_type, count(*) AS nt
+      |  FROM sp GROUP BY side, event_type),
+      |shift AS (
+      |  SELECT CAST(sum(abs(pa - pb)) // 2 AS BIGINT) AS mix_tvd_fp FROM (
+      |    SELECT event_type,
+      |      sum(CASE WHEN side = 'pre' THEN nt * 1048576 // ne ELSE 0 END) AS pa,
+      |      sum(CASE WHEN side = 'post' THEN nt * 1048576 // ne ELSE 0 END) AS pb
+      |    FROM types JOIN sides USING (side)
+      |    GROUP BY event_type)),
+      |rates AS (
+      |  SELECT side, ne,
+      |    CASE WHEN side = 'pre' THEN cp.cp - cp.h0
+      |         ELSE cp.h1 - cp.cp + 1 END AS hours
+      |  FROM sides CROSS JOIN cp),
+      |wide AS (
+      |  SELECT
+      |    sum(CASE WHEN side = 'pre' THEN ne ELSE 0 END) AS pre_events,
+      |    sum(CASE WHEN side = 'pre' THEN hours ELSE 0 END) AS pre_hours,
+      |    sum(CASE WHEN side = 'pre' THEN ne * 1048576 // hours ELSE 0 END)
+      |      AS pre_rate_fp,
+      |    sum(CASE WHEN side = 'post' THEN ne ELSE 0 END) AS post_events,
+      |    sum(CASE WHEN side = 'post' THEN hours ELSE 0 END) AS post_hours,
+      |    sum(CASE WHEN side = 'post' THEN ne * 1048576 // hours ELSE 0 END)
+      |      AS post_rate_fp
+      |  FROM rates)
+      |SELECT cp.cp AS changepoint_hr,
+      |  CAST(pre_hours AS BIGINT) AS pre_hours,
+      |  CAST(pre_events AS BIGINT) AS pre_events,
+      |  CAST(pre_rate_fp AS BIGINT) AS pre_rate_fp,
+      |  CAST(post_hours AS BIGINT) AS post_hours,
+      |  CAST(post_events AS BIGINT) AS post_events,
+      |  CAST(post_rate_fp AS BIGINT) AS post_rate_fp,
+      |  CAST(CASE WHEN pre_rate_fp = 0 THEN 0 ELSE
+      |    CAST(post_rate_fp AS HUGEINT) * 1048576 // pre_rate_fp END AS BIGINT)
+      |    AS rate_ratio_fp,
+      |  shift.mix_tvd_fp
+      |FROM wide CROSS JOIN cp CROSS JOIN shift""".stripMargin
+
   private val q191Sql =
     """WITH e AS (
       |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms
@@ -995,5 +1125,6 @@ object Signals {
     Q("q196_cusum_changepoint", q196, Some(q196Sql)),
     Q("q197_co_engagement", q197, Some(q197Sql)),
     Q("q198_chi2_independence", q198, Some(q198Sql)),
+    Q("q199_incident_report", q199, Some(q199Sql)),
   )
 }
