@@ -81,7 +81,8 @@ object Bench {
     // the words/s figure lands in every round's bench artifact instead
     // of only in BASELINE.md prose.
     import spark.implicits._
-    val avgLen = graft.sources.WordGenSource.corpus(0L).map(_.length + 1).sum / 100.0
+    val avgLen = graft.sources.WordGenSource.corpus(0L).map(_.length + 1).sum /
+      graft.sources.WordGenSource.CorpusSize.toDouble
     val wcWords = (10L * 1024 * 1024 / avgLen).toLong
     val wcWordsDf = spark.read.format("graft.sources.WordGenSource")
       .option("rows", wcWords.toString).option("partitions", "12")

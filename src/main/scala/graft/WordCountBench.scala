@@ -40,7 +40,8 @@ object WordCountBench {
     // reference's lorem corpus); ~10 MiB of them, planned end-to-end by
     // the DSv2 generator source (12 input partitions, like the
     // reference's parallelism-12 run).
-    val avgLen = graft.sources.WordGenSource.corpus(0L).map(_.length + 1).sum / 100.0
+    val avgLen = graft.sources.WordGenSource.corpus(0L).map(_.length + 1).sum /
+      graft.sources.WordGenSource.CorpusSize.toDouble
     val bytesIn = 10L * 1024 * 1024
     val nWords = (bytesIn / avgLen).toLong
 

@@ -482,11 +482,12 @@ object Signals {
     val wT = Window.partitionBy(lit(1))
     iv.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_intervals"),
-        sum(col("dur")).as("total_ms"), max(col("dur")).as("max_ms"))
-      .withColumn("tot", sum(col("total_ms")).over(wT))
-      .withColumn("share_fp",
-        expr("CAST(CAST(total_ms AS DECIMAL(38,0)) * 1048576 DIV tot AS BIGINT)"))
-      .drop("tot")
+        sum(col("dur").cast(DecimalType(38, 0))).as("tot_d"),
+        max(col("dur")).as("max_ms"))
+      .withColumn("tot", sum(col("tot_d")).over(wT))
+      .select(col("event_type"), col("n_intervals"),
+        col("tot_d").cast("long").as("total_ms"), col("max_ms"),
+        expr("CAST(tot_d * 1048576 DIV tot AS BIGINT)").as("share_fp"))
       .orderBy(col("event_type"))
   }
 
@@ -519,7 +520,7 @@ object Signals {
     byValue.agg(
         sum(col("ca")).as("n_a"),
         sum(col("c") - col("ca")).as("n_b"),
-        sum((col("ca") * col("mr2")).cast(DecimalType(38, 0))).as("r2a"))
+        sum(col("ca").cast(DecimalType(38, 0)) * col("mr2")).as("r2a"))
       .select(col("n_a"), col("n_b"),
         expr("CAST(r2a - CAST(n_a AS DECIMAL(38,0)) * (n_a + 1) AS BIGINT)")
           .as("u2_a"),
@@ -681,9 +682,9 @@ object Signals {
     mx.join(my, Seq("doc_id"))
       .agg(count(lit(1)).as("n"),
         sum(col("mx2")).as("sx"), sum(col("my2")).as("sy"),
-        sum((col("mx2") * col("my2")).cast(DecimalType(38, 0))).as("sxy"),
-        sum((col("mx2") * col("mx2")).cast(DecimalType(38, 0))).as("sxx"),
-        sum((col("my2") * col("my2")).cast(DecimalType(38, 0))).as("syy"))
+        sum(col("mx2").cast(DecimalType(38, 0)) * col("my2")).as("sxy"),
+        sum(col("mx2").cast(DecimalType(38, 0)) * col("mx2")).as("sxx"),
+        sum(col("my2").cast(DecimalType(38, 0)) * col("my2")).as("syy"))
       .select(col("n"),
         expr("CAST(CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS BIGINT)")
           .as("cov_num"),

@@ -762,13 +762,16 @@ object StatefulStreams {
         sum(when(pmod(col("doc_id"), lit(2)) === 1, 1L).otherwise(0L)).as("n_b"))
 
   /** Streaming form of batch q185's per-user inter-arrival deltas —
-    * gaps emitted ON ARRIVAL: per-user state is one (last_ts,
-    * last_event_id) pair; each arrival after the first emits
-    * (user_id, delta_ms). In-order arrival per user
-    * (streamingTokenBudget contract); within a micro-batch rows sort
-    * by the batch order key (ts_ms, event_id). Append mode — deltas
-    * are facts, never revised; bucketing the emissions by log2 delta
-    * reproduces batch q185's spectrum exactly
+    * gaps emitted ON ARRIVAL: per-user state is the last seen ts only;
+    * each arrival after the first emits (user_id, delta_ms). In-order
+    * arrival per user (streamingTokenBudget contract); within a
+    * micro-batch rows sort by the batch order key (ts_ms, event_id),
+    * but a same-timestamp tie SPLIT ACROSS micro-batches orders by
+    * arrival — the cross-batch (ts_ms, event_id) tiebreak would need
+    * last_event_id in state, and the in-order-arrival contract makes
+    * the delta (= 0 either way) identical, so ts-only state is kept.
+    * Append mode — deltas are facts, never revised; bucketing the
+    * emissions by log2 delta reproduces batch q185's spectrum exactly
     * (StreamingSeasonalitySpec pins it).
     */
   def streamingInterarrival(ev: DataFrame): Dataset[(Long, Long)] = {
