@@ -1,0 +1,135 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables._
+import graft.functions.TextFns
+
+/** Storage-maintenance algebra: incremental view maintenance for JOIN
+  * views (the delta-rule identity that extends q187's aggregate
+  * maintenance) and Merkle-style replica reconciliation (the
+  * anti-entropy primitive a 100 TB multi-region corpus store runs
+  * nightly). Both are algebraic identities checked against a direct
+  * recompute, which is exactly what makes them safe to trust at scales
+  * where the direct recompute is unaffordable.
+  */
+object Maintenance {
+
+  // q202 — incremental JOIN-view maintenance: the revenue-by-priority
+  // view V = γ(orders ⋈ lineitem) is maintained from PARTITIONED
+  // inputs: orders split hist/delta on o_orderkey parity, lineitem
+  // split on l_suppkey parity. Because the splits partition the rows,
+  // the join factors into four disjoint quadrants
+  //   V = γ(Ah⋈Bh) ⊕ γ(Ah⋈Bd) ⊕ γ(Ad⋈Bh) ⊕ γ(Ad⋈Bd)
+  // (the classic delta rule Δ(A⋈B) = ΔA⋈B ∪ A_old⋈ΔB ∪ ΔA⋈ΔB, with
+  // each quadrant aggregated to partials that MERGE by decimal
+  // addition — order-independent, so the identity is exact). At
+  // production scale three quadrants are delta-sized and the
+  // hist⋈hist quadrant is a stored table; the oracle recomputes the
+  // view directly from the full inputs, proving the maintenance path
+  // bit-equal to the rebuild.
+  //
+  // Scale shape: four shuffled joins on o_orderkey, each aggregated
+  // map-side to |priorities| partials before the tiny merge. Revenue
+  // follows the q01 decimal discipline (scale-4 partial sums, one
+  // round(2) at the merge).
+  private def q202(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
+    val l = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"),
+      (col("l_extendedprice").cast(DecimalType(14, 2)) *
+        (lit(1).cast(DecimalType(4, 2)) - col("l_discount").cast(DecimalType(4, 2))))
+        .as("rev4"))
+    def quadrant(op: Int, lp: Int): DataFrame =
+      o.filter(pmod(col("o_orderkey"), lit(2)) === op)
+        .join(l.filter(pmod(col("l_suppkey"), lit(2)) === lp),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("rev4")).as("srev"), count(lit(1)).as("cnt"))
+    quadrant(0, 0).unionAll(quadrant(0, 1))
+      .unionAll(quadrant(1, 0)).unionAll(quadrant(1, 1))
+      .groupBy(col("o_orderpriority"))
+      .agg(round(sum(col("srev")), 2).cast("double").as("revenue"),
+        sum(col("cnt")).as("n_items"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val q202Sql =
+    """SELECT o_orderpriority,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(14,2))
+      |    * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2)
+      |    AS DOUBLE) AS revenue,
+      |  count(*) AS n_items
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  // q203 — Merkle-style replica reconciliation: replica A is the full
+  // documents table; replica B simulates independent loss (doc_id ≡ 13
+  // mod 97 dropped) and bitrot (doc_id ≡ 7 mod 101 has its text
+  // altered). Each replica folds its rows into 256 bucket digests —
+  // Σ hash60(doc_id:text) mod (2^61−1), a commutative, associative,
+  // order-independent fold — and ONLY the digest tables are compared.
+  // The report lists exactly the buckets that need repair, with the
+  // row-count delta separating loss from corruption. At 100 TB the
+  // digests are a few KB per replica crossing the WAN instead of the
+  // corpus; mismatched buckets then recurse (here one level suffices).
+  //
+  // Scale shape: two scans (in production: one per replica, local to
+  // it), each a 256-group hash aggregate with map-side combine; the
+  // comparison joins two 256-row tables. Nothing row-sized ever
+  // shuffles or crosses replicas.
+  private def q203(s: SparkSession, d: String): DataFrame = {
+    val mod = lit(2305843009213693951L) // 2^61 - 1
+    def digests(df: DataFrame): DataFrame =
+      df.select(pmod(col("doc_id"), lit(256)).as("bucket"),
+          TextFns.hash60(concat_ws(":", col("doc_id"), col("text"))).as("h"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          pmod(sum(col("h").cast(DecimalType(38, 0))), mod.cast(DecimalType(38, 0)))
+            .cast("long").as("dig"))
+    val a = documents(s, d).select(col("doc_id"), col("text"))
+    val b = documents(s, d)
+      .filter(pmod(col("doc_id"), lit(97)) =!= 13)
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(101)) === 7, concat(col("text"), lit("X")))
+          .otherwise(col("text")).as("text"))
+    digests(a).as("a")
+      .join(digests(b).as("b"), Seq("bucket"), "full_outer")
+      .filter(col("a.dig").isNull || col("b.dig").isNull ||
+        col("a.dig") =!= col("b.dig"))
+      .select(col("bucket"),
+        coalesce(col("a.n"), lit(0L)).as("n_a"),
+        coalesce(col("b.n"), lit(0L)).as("n_b"),
+        coalesce(col("a.dig"), lit(-1L)).as("dig_a"),
+        coalesce(col("b.dig"), lit(-1L)).as("dig_b"))
+      .orderBy(col("bucket"))
+  }
+
+  private val q203Sql = {
+    val h = TextFns.hash60Sql("doc_id || ':' || text")
+    """WITH a AS (
+      |  SELECT doc_id % 256 AS bucket, count(*) AS n,
+      |    CAST(sum(CAST(HEXPR AS HUGEINT)) % 2305843009213693951 AS BIGINT) AS dig
+      |  FROM documents GROUP BY 1),
+      |b0 AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 101 = 7 THEN text || 'X' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 97 <> 13),
+      |b AS (
+      |  SELECT doc_id % 256 AS bucket, count(*) AS n,
+      |    CAST(sum(CAST(HEXPR AS HUGEINT)) % 2305843009213693951 AS BIGINT) AS dig
+      |  FROM b0 GROUP BY 1)
+      |SELECT coalesce(a.bucket, b.bucket) AS bucket,
+      |  coalesce(a.n, 0) AS n_a, coalesce(b.n, 0) AS n_b,
+      |  coalesce(a.dig, -1) AS dig_a, coalesce(b.dig, -1) AS dig_b
+      |FROM a FULL OUTER JOIN b ON a.bucket = b.bucket
+      |WHERE a.dig IS NULL OR b.dig IS NULL OR a.dig <> b.dig
+      |ORDER BY bucket""".stripMargin.replace("HEXPR", h)
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("q202_delta_join_view", q202, Some(q202Sql)),
+    Q("q203_replica_diff", q203, Some(q203Sql)),
+  )
+}

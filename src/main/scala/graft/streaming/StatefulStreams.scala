@@ -824,6 +824,46 @@ object StatefulStreams {
       }
   }
 
+  /** Streaming form of batch q201's event-pattern scan (CEP): the
+    * regex `vc*p` (view, any clicks, purchase, nothing else between)
+    * compiled to its 2-state NFA and run ON ARRIVAL with O(1) state per
+    * user — state is one Boolean: "currently inside a live `v c*`
+    * prefix". Transitions replicate the non-overlapping leftmost regex
+    * scan exactly: pending+`c` stays, pending+`p` emits a match and
+    * resets, pending+`v` stays pending (a failed earlier start hands
+    * over to the later `v` — same as regex backtrack-to-next-start),
+    * anything else resets; idle+`v` arms. Append mode — matches are
+    * facts. In-order arrival per user (streamingTokenBudget contract);
+    * within a micro-batch rows sort by (ts_ms, event_id). Emits
+    * (user_id, ts of the completing purchase);
+    * StreamingPatternSpec pins per-user match counts to batch q201
+    * across arbitrary micro-batch splits.
+    */
+  def streamingEventPattern(ev: DataFrame): Dataset[(Long, Long)] = {
+    val spark = ev.sparkSession
+    import spark.implicits._
+    ev.select(col("user_id"), col("event_id"), col("ts_ms"),
+        expr("substr(event_type, 1, 1)").as("ch"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[(Long, Long, Long, String)],
+            gs: GroupState[Boolean]) =>
+          var pending = gs.getOption.getOrElse(false)
+          val out = Vector.newBuilder[(Long, Long)]
+          it.toIndexedSeq.sortBy(t => (t._3, t._2)).foreach { case (_, _, ts, ch) =>
+            ch match {
+              case "v" => pending = true
+              case "c" => // clicks keep a live prefix alive, arm nothing
+              case "p" => if (pending) { out += ((user, ts)); pending = false }
+              case _   => pending = false
+            }
+          }
+          gs.update(pending)
+          out.result().iterator
+      }
+  }
+
   /** O7 (broadcast fan-out, engine.go:196-211) for streams: one source
     * micro-batch delivered to N sinks via foreachBatch. The batch
     * DataFrame is persisted so the plan is computed once per epoch, not
