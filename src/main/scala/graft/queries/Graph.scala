@@ -368,10 +368,79 @@ object Graph {
       |FROM seed JOIN sl ON seed.s = sl.s
       |ORDER BY s_suppkey""".stripMargin
 
+  /** BFS rounds for q205 (hop limit). */
+  val BfsHops = 3
+
+  // q205 — multi-source BFS / hop-distance (blast radius): exact
+  // minimum hop count from a SEED SET (every 10th supplier —
+  // "recalled suppliers") to every node of the part↔supplier supply
+  // graph, out to BfsHops hops. The reachability question behind
+  // contamination tracing ("which parts, and which suppliers via
+  // shared parts, are within K steps of a bad source") that PageRank
+  // (influence, q117) and connected components (q35, ANY path) don't
+  // answer: BFS bounds the RADIUS. Deterministic: min() over union of
+  // frontiers, no tie-breaks needed.
+  //
+  // Scale shape: the classic Pregel iteration as K dataframe rounds —
+  // the edge list (distinct supply relationships, both directions) is
+  // materialized ONCE partitioned by src; each round joins the
+  // node-sized distance frame (broadcast-legitimate for a
+  // dimension-shaped node set; for a web-scale graph drop the hint and
+  // the join shuffles on src — same escape as q117) and merges by
+  // min(). K rounds = K tiny shuffles of node-sized frames; row data
+  // never re-scans after the first distinct.
+  private def q205(s: SparkSession, d: String): DataFrame = {
+    val e0 = lineitem(s, d)
+      .select((col("l_partkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    val e1 = e0.localCheckpoint()
+    val edges = e1.union(e1.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("src")).localCheckpoint()
+    var dist = supplier(s, d)
+      .filter(col("s_suppkey") % 10 === 0)
+      .select((col("s_suppkey") * 2 + 1).as("id"), lit(0L).as("hops"))
+    for (h <- 1 to BfsHops) {
+      dist = dist.unionAll(
+          edges.join(broadcast(dist.filter(col("hops") === (h - 1))),
+              col("src") === col("id"))
+            .select(col("dst").as("id"), lit(h.toLong).as("hops")))
+        .groupBy(col("id")).agg(min(col("hops")).as("hops"))
+    }
+    dist.select(
+        when(col("id") % 2 === 0, "part").otherwise("supplier").as("node_type"),
+        expr("id DIV 2").as("key"), col("hops"))
+      .orderBy(col("node_type"), col("key"))
+  }
+
+  private val q205Sql = {
+    def step(prev: String, name: String, h: Int) =
+      s"""$name AS (
+         |  SELECT id, min(hops) AS hops FROM (
+         |    SELECT id, hops FROM $prev
+         |    UNION ALL
+         |    SELECT ee.dst AS id, $h AS hops
+         |    FROM $prev p JOIN ee ON p.id = ee.src AND p.hops = ${h - 1}
+         |  ) u GROUP BY id)""".stripMargin
+    s"""WITH e AS (
+      |  SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      |  FROM lineitem),
+      |ee AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+      |d0 AS (
+      |  SELECT s_suppkey * 2 + 1 AS id, CAST(0 AS BIGINT) AS hops
+      |  FROM supplier WHERE s_suppkey % 10 = 0),
+      |${step("d0", "d1", 1)},
+      |${step("d1", "d2", 2)},
+      |${step("d2", "d3", 3)}
+      |SELECT CASE WHEN id % 2 = 0 THEN 'part' ELSE 'supplier' END AS node_type,
+      |  id // 2 AS key, hops
+      |FROM d3 ORDER BY node_type, key""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q117_pagerank", q117, Some(q117Sql)),
     Q("q137_triangle_count", q137, Some(q137Sql)),
     Q("q157_kcore_peel", q157, Some(q157Sql)),
     Q("q163_label_propagation", q163, Some(q163Sql)),
+    Q("q205_bfs_hops", q205, Some(q205Sql)),
   )
 }

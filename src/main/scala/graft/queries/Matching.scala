@@ -55,7 +55,7 @@ object Matching {
       .distinct() // two names can collide on several variants
       .filter(levenshtein(col("n1"), col("n2")) <= 1)
       .select(col("k1"), col("k2"),
-        levenshtein(col("n1"), col("n2")).as("dist"))
+        levenshtein(col("n1"), col("n2")).cast("long").as("dist"))
       .orderBy(col("k1"), col("k2"))
   }
 
@@ -69,7 +69,7 @@ object Matching {
       |p AS (
       |  SELECT DISTINCT a.k AS k1, b.k AS k2, a.nm AS n1, b.nm AS n2
       |  FROM v a JOIN v b ON a.var = b.var AND a.k < b.k)
-      |SELECT k1, k2, levenshtein(n1, n2) AS dist
+      |SELECT k1, k2, CAST(levenshtein(n1, n2) AS BIGINT) AS dist
       |FROM p WHERE levenshtein(n1, n2) <= 1
       |ORDER BY k1, k2""".stripMargin
 

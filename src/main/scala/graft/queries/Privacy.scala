@@ -100,8 +100,54 @@ object Privacy {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** Per-user contribution cap for the q207 clipped release. */
+  val ClipCap = 8L
+
+  // q207 — differential-privacy pre-release audit: user-level
+  // contribution bounding for the per-event-type count release. A DP
+  // count's noise scales with the SENSITIVITY — how much one user can
+  // move the statistic — so before adding noise every DP pipeline (a)
+  // measures the actual max per-user contribution, and (b) CLIPS each
+  // user to a cap C, accepting the bias sum−clipped_sum in exchange
+  // for sensitivity C instead of max_contrib. This query is that
+  // audit: per event type, the raw count, the contributing-user count,
+  // the worst contributor, the C=ClipCap clipped count, and the
+  // clipping bias — everything needed to pick C and budget ε. All
+  // exact integer counts (the noise itself is the one part that must
+  // NOT be deterministic, so it is out of scope by design).
+  //
+  // Scale shape: two-level aggregate — (type, user) partial counts
+  // (map-side combined, shuffled once on the pair key), then a
+  // |types|-row roll-up. No row-sized shuffle; skew-safe because the
+  // pair key splits any hot event type across its users.
+  private def q207(s: SparkSession, d: String): DataFrame =
+    graft.Tables.events(s, d)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("c")).as("n_events"),
+        count(lit(1)).as("n_users"),
+        max(col("c")).as("max_user_contrib"),
+        sum(least(col("c"), lit(ClipCap))).as("clipped_sum"))
+      .select(col("event_type"), col("n_events"), col("n_users"),
+        col("max_user_contrib"), col("clipped_sum"),
+        (col("n_events") - col("clipped_sum")).as("clip_loss"))
+      .orderBy(col("event_type"))
+
+  private val q207Sql =
+    s"""WITH uc AS (
+      |  SELECT event_type, user_id, count(*) AS c
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type, CAST(sum(c) AS BIGINT) AS n_events,
+      |  count(*) AS n_users, max(c) AS max_user_contrib,
+      |  CAST(sum(least(c, $ClipCap)) AS BIGINT) AS clipped_sum,
+      |  CAST(sum(c) - sum(least(c, $ClipCap)) AS BIGINT) AS clip_loss
+      |FROM uc GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q186_k_anonymity", q186, Some(q186Sql)),
     Q("q187_incremental_agg", q187, Some(q187Sql)),
+    Q("q207_dp_contribution", q207, Some(q207Sql)),
   )
 }

@@ -745,6 +745,61 @@ object Sampling {
       |FROM r WHERE rk <= $PriK
       |ORDER BY priority DESC, doc_id""".stripMargin
 
+  // q206 — effective sample size (ESS) of the DSIR importance weights:
+  // the one-number diagnostic importance sampling lives and dies by.
+  // With per-doc mean importance w (q131's resampling probability,
+  // 0..DsirScale fixed point), ESS = (Σw)²/Σw² — if a few documents
+  // carry most of the weight, ESS collapses and the resampled corpus
+  // is effectively tiny no matter how many rows it has. Reported as
+  // the effective count and as a 2^20 fixed-point share of N (1.0 =
+  // uniform weights). Exact: sums and squares stage through
+  // DECIMAL(38,0)/HUGEINT ((Σw)² is O(10^24) already at 10^8 docs).
+  //
+  // Scale shape: the q115 plan plus one 1-row reduction — nothing new
+  // shuffles.
+  private def q206(s: SparkSession, d: String): DataFrame =
+    dsirWeightsOf(documents(s, d).select(col("doc_id"), col("lang"), col("text")),
+      DsirTargetLang)
+      .select(expr("weight div n_feats").as("w"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("w").cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("sw"),
+        sum(col("w").cast(org.apache.spark.sql.types.DecimalType(38, 0)) * col("w"))
+          .as("sw2"))
+      .select(col("n_docs"),
+        col("sw").cast("long").as("sum_w"),
+        col("sw2").cast("long").as("sum_w2"),
+        expr("CAST(sw * sw DIV sw2 AS BIGINT)").as("ess"),
+        expr("CAST(sw * sw * 1048576 DIV (sw2 * n_docs) AS BIGINT)")
+          .as("ess_share_fp"))
+
+  private val q206Sql = {
+    val toks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+    s"""WITH d AS (SELECT doc_id, lang, $toks AS t FROM documents),
+      |f AS (
+      |  SELECT doc_id, lang, unnest(list_distinct(list_transform(
+      |    range(greatest(len(t) - 1, 0)),
+      |    i -> ${hash60Sql("t[i+1] || ' ' || t[i+2]")} % $DsirBuckets))) AS f
+      |  FROM d),
+      |c AS (SELECT f, count(*) AS r_f,
+      |    CAST(sum(CASE WHEN lang = '$DsirTargetLang' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS t_f
+      |  FROM f GROUP BY f),
+      |w AS (
+      |  SELECT f.doc_id,
+      |    CAST(sum(($DsirScale * (c.t_f + 1)) // (c.r_f + 2)) AS BIGINT)
+      |      // count(*) AS w
+      |  FROM f JOIN c USING (f)
+      |  GROUP BY f.doc_id),
+      |a AS (
+      |  SELECT count(*) AS n_docs, sum(CAST(w AS HUGEINT)) AS sw,
+      |    sum(CAST(w AS HUGEINT) * w) AS sw2
+      |  FROM w)
+      |SELECT n_docs, CAST(sw AS BIGINT) AS sum_w, CAST(sw2 AS BIGINT) AS sum_w2,
+      |  CAST(sw * sw // sw2 AS BIGINT) AS ess,
+      |  CAST(sw * sw * 1048576 // (sw2 * n_docs) AS BIGINT) AS ess_share_fp
+      |FROM a""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q78_reservoir_stratified", q78, Some(q78Sql)),
     Q("q79_mixture_sample", q79, Some(q79Sql)),
@@ -759,5 +814,6 @@ object Sampling {
     Q("q115_dsir_weights", q115, Some(q115Sql)),
     Q("q131_dsir_resample", q131, Some(q131Sql)),
     Q("q138_priority_sample", q138, Some(q138Sql)),
+    Q("q206_ess_weights", q206, Some(q206Sql)),
   )
 }
