@@ -436,11 +436,74 @@ object Graph {
       |FROM d3 ORDER BY node_type, key""".stripMargin
   }
 
+  // q208 — weighted single-source(-set) shortest paths: Bellman-Ford
+  // relaxation over the min-plus semiring, BfsHops rounds, on the same
+  // supply graph as q205 but with edge COSTS — exact integer cents,
+  // min over lineitem rows of round(extendedprice·100) per distinct
+  // (part, supplier) relationship. Answers "cheapest path cost from
+  // any recalled supplier within K relationship hops" — the weighted
+  // question BFS (q205, hop counts) cannot: a 2-hop route can beat a
+  // 1-hop route on cost, so rounds relax from the FULL distance frame,
+  // not just the newest frontier. Deterministic: min() merges, no
+  // tie-breaking anywhere.
+  //
+  // Scale shape: identical to q205 — edge list materialized once
+  // partitioned by src, K node-sized broadcast joins (same web-scale
+  // escape hatch: drop the hint and relax as a shuffled join on src).
+  // Path costs stay < 2^63 trivially (≤ K·max_cents).
+  private def q208(s: SparkSession, d: String): DataFrame = {
+    val edges1 = lineitem(s, d)
+      .groupBy((col("l_partkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .agg(min(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("w"))
+    val e1 = edges1.localCheckpoint()
+    val edges = e1.union(e1.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      .repartition(col("src")).localCheckpoint()
+    var dist = supplier(s, d)
+      .filter(col("s_suppkey") % 10 === 0)
+      .select((col("s_suppkey") * 2 + 1).as("id"), lit(0L).as("dc"))
+    for (_ <- 1 to BfsHops) {
+      dist = dist.unionAll(
+          edges.join(broadcast(dist), col("src") === col("id"))
+            .select(col("dst").as("id"), (col("dc") + col("w")).as("dc")))
+        .groupBy(col("id")).agg(min(col("dc")).as("dc"))
+    }
+    dist.select(
+        when(col("id") % 2 === 0, "part").otherwise("supplier").as("node_type"),
+        expr("id DIV 2").as("key"), col("dc").as("dist_cents"))
+      .orderBy(col("node_type"), col("key"))
+  }
+
+  private val q208Sql = {
+    def relax(prev: String, name: String) =
+      s"""$name AS (
+         |  SELECT id, min(dc) AS dc FROM (
+         |    SELECT id, dc FROM $prev
+         |    UNION ALL
+         |    SELECT ee.dst AS id, p.dc + ee.w AS dc
+         |    FROM $prev p JOIN ee ON p.id = ee.src
+         |  ) u GROUP BY id)""".stripMargin
+    s"""WITH e AS (
+      |  SELECT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst,
+      |    min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS w
+      |  FROM lineitem GROUP BY 1, 2),
+      |ee AS (SELECT src, dst, w FROM e UNION ALL SELECT dst, src, w FROM e),
+      |d0 AS (
+      |  SELECT s_suppkey * 2 + 1 AS id, CAST(0 AS BIGINT) AS dc
+      |  FROM supplier WHERE s_suppkey % 10 = 0),
+      |${relax("d0", "d1")},
+      |${relax("d1", "d2")},
+      |${relax("d2", "d3")}
+      |SELECT CASE WHEN id % 2 = 0 THEN 'part' ELSE 'supplier' END AS node_type,
+      |  id // 2 AS key, dc AS dist_cents
+      |FROM d3 ORDER BY node_type, key""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q117_pagerank", q117, Some(q117Sql)),
     Q("q137_triangle_count", q137, Some(q137Sql)),
     Q("q157_kcore_peel", q157, Some(q157Sql)),
     Q("q163_label_propagation", q163, Some(q163Sql)),
     Q("q205_bfs_hops", q205, Some(q205Sql)),
+    Q("q208_weighted_sssp", q208, Some(q208Sql)),
   )
 }
