@@ -25,6 +25,8 @@ object SparkEntry {
           Some(graft.multimodal.Multimodal.q71Sql)),
         Q("q127_media_neardup", graft.multimodal.Multimodal.mediaNearDupQuery,
           Some(graft.multimodal.Multimodal.q127Sql)),
+        Q("q209_audio_segments", graft.multimodal.Multimodal.audioSegmentsQuery,
+          Some(graft.multimodal.Multimodal.q209Sql)),
         Q("q72_topk_native", graft.plans.TopK.q72, Some(graft.plans.TopK.q72Sql)),
         Q("q76_topk_sql", graft.plans.TopK.q76, Some(graft.plans.TopK.q72Sql)))
 

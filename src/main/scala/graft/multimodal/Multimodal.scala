@@ -254,6 +254,104 @@ object Multimodal {
       |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Per-frame "energy" (byte sum) for every DecodeBatchSize-byte chunk
+    * of the selected kind's payloads — the decode-adjacent feature pass
+    * of an audio pipeline, batched like [[extractFeatures]].
+    */
+  def frameEnergies(ds: Dataset[MediaRecord], kind: String): Dataset[(Long, Int, Long)] = {
+    import ds.sparkSession.implicits._
+    ds.filter((r: MediaRecord) => r.kind == kind).flatMap { r =>
+      r.payload.grouped(DecodeBatchSize).zipWithIndex.map { case (chunk, i) =>
+        var e = 0L
+        var k = 0
+        while (k < chunk.length) { e += (chunk(k) & 0xff); k += 1 }
+        (r.media_id, i, e)
+      }
+    }
+  }
+
+  /** q209 — VAD-style activity segmentation over "audio" payloads: each
+    * payload decodes to frames (64-byte chunks), a frame is ACTIVE iff
+    * its energy exceeds the payload's mean frame energy (exact integer
+    * compare e·n > total), and maximal runs of consecutive active
+    * frames become segments — the gaps-and-islands pass every
+    * speech/music pipeline runs before transcription. Output is one row
+    * per segment with its frame span and energy mass.
+    *
+    * Scale shape: payloads decode once (batched, scan-side) into
+    * (media_id, frame_no, energy) rows — 1/64th the payload bytes —
+    * and every later step is per-media windows over bounded per-key
+    * frame counts (payload_len/64), partitioned by media_id. Payload
+    * bytes never shuffle; the islands trick (frame_no − row_number)
+    * needs no global sort.
+    */
+  def audioSegmentsQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fr = frameEnergies(mediaFromDocuments(spark, sfDir), "audio")
+      .toDF("media_id", "frame_no", "energy")
+    val tot = fr.groupBy(col("media_id"))
+      .agg(sum(col("energy")).as("total"), count(lit(1)).as("nf"))
+    val active = fr.join(tot, Seq("media_id"))
+      .filter(col("energy") * col("nf") > col("total"))
+    val wm = Window.partitionBy(col("media_id")).orderBy(col("frame_no"))
+    val isl = active
+      .withColumn("grp", col("frame_no") - row_number().over(wm))
+      .groupBy(col("media_id"), col("grp"))
+      .agg(min(col("frame_no")).as("start_frame"),
+        max(col("frame_no")).as("end_frame"),
+        count(lit(1)).cast("long").as("n_frames"),
+        sum(col("energy")).as("energy"))
+    isl.withColumn("seg_no",
+        row_number().over(Window.partitionBy(col("media_id")).orderBy(col("start_frame")))
+          .cast("long"))
+      .select(col("media_id"), col("seg_no"), col("start_frame"),
+        col("end_frame"), col("n_frames"), col("energy"))
+      .orderBy(col("media_id"), col("seg_no"))
+  }
+
+  /** DuckDB oracle for [[audioSegmentsQuery]]: frame energies recomputed
+    * from the hex dump (chunk i covers bytes [64i, min(64(i+1), len))),
+    * then the same mean gate and islands grouping.
+    */
+  val q209Sql: String = {
+    def byteAt(i: String): String =
+      s"((strpos('0123456789ABCDEF', substr(hx, 2*($i)+1, 1)) - 1) * 16" +
+        s" + strpos('0123456789ABCDEF', substr(hx, 2*($i)+2, 1)) - 1)"
+    s"""WITH m AS (
+      |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+      |    octet_length(encode(text)) AS len
+      |  FROM documents WHERE doc_id % 3 = 1),
+      |f AS (
+      |  SELECT media_id,
+      |    CAST(i AS INT) AS frame_no,
+      |    CAST(list_sum(list_transform(
+      |      range(least($DecodeBatchSize, len - $DecodeBatchSize * i)),
+      |      k -> ${byteAt(s"$DecodeBatchSize * i + k")})) AS BIGINT) AS energy
+      |  FROM (SELECT media_id, hx, len,
+      |      unnest(range(CAST(ceil(len / $DecodeBatchSize.0) AS BIGINT))) AS i
+      |    FROM m)),
+      |t AS (
+      |  SELECT media_id, sum(energy) AS total, count(*) AS nf
+      |  FROM f GROUP BY media_id),
+      |a AS (
+      |  SELECT f.media_id, f.frame_no, f.energy,
+      |    f.frame_no - row_number() OVER (PARTITION BY f.media_id
+      |      ORDER BY f.frame_no) AS grp
+      |  FROM f JOIN t USING (media_id)
+      |  WHERE f.energy * t.nf > t.total),
+      |s AS (
+      |  SELECT media_id, grp, min(frame_no) AS start_frame,
+      |    max(frame_no) AS end_frame, count(*) AS n_frames,
+      |    CAST(sum(energy) AS BIGINT) AS energy
+      |  FROM a GROUP BY media_id, grp)
+      |SELECT media_id,
+      |  row_number() OVER (PARTITION BY media_id ORDER BY start_frame)
+      |    AS seg_no,
+      |  start_frame, end_frame, n_frames, energy
+      |FROM s
+      |ORDER BY media_id, seg_no""".stripMargin
+  }
+
   /** DuckDB oracle for [[frameSamplesQuery]]: chunk i of the payload is
     * hex positions [2·64·i+1, 2·64·(i+1)] (substr clamps the tail).
     */
