@@ -1111,6 +1111,119 @@ object Signals {
       |    AS BIGINT) AS share_fp
       |FROM b ORDER BY bucket""".stripMargin
 
+  // q210 — bitmap-index segmentation: each (user, day) folds to ONE
+  // integer — the bit-or of that day's event-type bits (click=1,
+  // error=2, purchase=4, signup=8, view=16) — and every audience
+  // question ("days with a view AND a purchase", "erred without
+  // signing up") becomes a mask test on the 8-bytes-per-user-day
+  // bitmap table instead of a rescan of the event log. The report is
+  // the daily-signature histogram with the two flagship segment bits
+  // decoded; any segment intersection/union count is a SUM over these
+  // ≤2^|types| rows. This is the roaring-bitmap/audience-index
+  // technique in its exact relational form (per-day signatures, the
+  // granularity engagement cohorts are actually built on — a lifetime
+  // mask saturates for any active user).
+  //
+  // Scale shape: one (user, day) aggregate — bit_or combines
+  // map-side, the shuffle carries one integer per user-day — then a
+  // ≤2^|types|-row histogram. The event log never shuffles.
+  private def q210(s: SparkSession, d: String): DataFrame = {
+    val bitExpr = expr(
+      """shiftleft(1, CASE event_type WHEN 'click' THEN 0 WHEN 'error' THEN 1
+        |  WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 ELSE 4 END)""".stripMargin)
+    events(s, d)
+      .select(col("user_id"), expr("ts_ms div 86400000").as("day"), bitExpr.as("b"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(expr("bit_or(b)").as("mask"))
+      .groupBy(col("mask"))
+      .agg(count(lit(1)).as("n_user_days"))
+      .select(col("mask").cast("long").as("mask"), col("n_user_days"),
+        (expr("mask & 16") =!= 0).as("has_view"),
+        (expr("mask & 4") =!= 0).as("has_purchase"))
+      .orderBy(col("mask"))
+  }
+
+  private val q210Sql =
+    """WITH u AS (
+      |  SELECT user_id, epoch_ms(ts) // 86400000 AS day,
+      |    bit_or(1 << (CASE event_type WHEN 'click' THEN 0 WHEN 'error' THEN 1
+      |      WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 ELSE 4 END)) AS mask
+      |  FROM events GROUP BY 1, 2)
+      |SELECT CAST(mask AS BIGINT) AS mask, count(*) AS n_user_days,
+      |  (mask & 16) <> 0 AS has_view, (mask & 4) <> 0 AS has_purchase
+      |FROM u GROUP BY mask
+      |ORDER BY mask""".stripMargin
+
+  // q211 — multi-window SLO burn-rate alerting (the SRE-handbook
+  // policy): on the dense hourly grid, the error share over the SHORT
+  // window (the current hour) and the LONG window (trailing 6 hours)
+  // must BOTH exceed the budget line — 1.25× the corpus-wide error
+  // share, exact integers: 4·err·2^20·tot_g > 5·gerr·2^20·tot ⇔
+  // 4·err·gtot > 5·gerr·tot — for an hour to page. The two-window AND
+  // is what separates a real burn from a blip (short only) or a stale
+  // residue (long only). Emits every hour with both rates in 2^20
+  // fixed point and the alert verdict.
+  //
+  // Scale shape: the grid frame is TIME-sized (one row per hour of
+  // corpus span — ~9k rows/year regardless of event volume), so the
+  // trailing-window scan runs as one bounded single-partition window
+  // over an already-aggregated frame; the event log itself collapses
+  // in the first (hr)-keyed aggregate. The global share is a 1-row
+  // broadcast.
+  private def q211(s: SparkSession, d: String): DataFrame = {
+    val counts = events(s, d)
+      .select(expr("ts_ms div 3600000").as("hr"),
+        when(col("event_type") === "error", 1L).otherwise(0L).as("e"))
+      .groupBy(col("hr"))
+      .agg(count(lit(1)).as("tot"), sum(col("e")).as("err"))
+    val bounds = counts.agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+    val grid = bounds.select(explode(sequence(col("h0"), col("h1"))).as("hr"))
+      .join(counts, Seq("hr"), "left")
+      .select(col("hr"), coalesce(col("tot"), lit(0L)).as("tot"),
+        coalesce(col("err"), lit(0L)).as("err"))
+    val g = counts.agg(sum(col("tot")).as("gtot"), sum(col("err")).as("gerr"))
+    // time-sized frame (see scaladoc): a bounded window, not a shuffle
+    val w6 = Window.partitionBy(lit(1)).orderBy(col("hr")).rowsBetween(-5, 0)
+    grid
+      .withColumn("tot6", sum(col("tot")).over(w6))
+      .withColumn("err6", sum(col("err")).over(w6))
+      .crossJoin(broadcast(g))
+      .select(col("hr"), col("tot"), col("err"),
+        expr("CAST(err * 1048576 DIV greatest(tot, 1) AS BIGINT)").as("rate_fp"),
+        expr("CAST(err6 * 1048576 DIV greatest(tot6, 1) AS BIGINT)").as("rate6_fp"),
+        (expr("4 * err * gtot") > expr("5 * gerr * tot") &&
+          expr("4 * err6 * gtot") > expr("5 * gerr * tot6")).as("alert"))
+      .orderBy(col("hr"))
+  }
+
+  private val q211Sql =
+    """WITH c AS (
+      |  SELECT epoch_ms(ts) // 3600000 AS hr, count(*) AS tot,
+      |    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS err
+      |  FROM events GROUP BY 1),
+      |b AS (SELECT min(hr) AS h0, max(hr) AS h1 FROM c),
+      |grid AS (
+      |  SELECT g.hr, CAST(coalesce(c.tot, 0) AS BIGINT) AS tot,
+      |    CAST(coalesce(c.err, 0) AS BIGINT) AS err
+      |  FROM (SELECT unnest(range(h0, h1 + 1)) AS hr FROM b) g
+      |  LEFT JOIN c ON g.hr = c.hr),
+      |t AS (SELECT CAST(sum(tot) AS BIGINT) AS gtot,
+      |  CAST(sum(err) AS BIGINT) AS gerr FROM c),
+      |w AS (
+      |  SELECT hr, tot, err,
+      |    sum(tot) OVER (ORDER BY hr ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+      |      AS tot6,
+      |    sum(err) OVER (ORDER BY hr ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+      |      AS err6
+      |  FROM grid)
+      |SELECT w.hr, w.tot, w.err,
+      |  CAST(err * 1048576 // greatest(tot, 1) AS BIGINT) AS rate_fp,
+      |  CAST(err6 * 1048576 // greatest(tot6, 1) AS BIGINT) AS rate6_fp,
+      |  (4 * err * gtot > 5 * gerr * tot
+      |    AND 4 * err6 * gtot > 5 * gerr * tot6) AS alert
+      |FROM w, t
+      |ORDER BY hr""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q162_signal_correlation", q162, Some(q162Sql)),
     Q("q169_ab_conversion", q169, Some(q169Sql)),
@@ -1127,5 +1240,7 @@ object Signals {
     Q("q197_co_engagement", q197, Some(q197Sql)),
     Q("q198_chi2_independence", q198, Some(q198Sql)),
     Q("q199_incident_report", q199, Some(q199Sql)),
+    Q("q210_segment_bitmaps", q210, Some(q210Sql)),
+    Q("q211_burn_rate", q211, Some(q211Sql)),
   )
 }
