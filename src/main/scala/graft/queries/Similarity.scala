@@ -968,6 +968,163 @@ object Similarity {
       |FROM rel LEFT JOIN r5 USING (query_id)
       |ORDER BY query_id""".stripMargin
 
+  /** Power-iteration rounds for q212. */
+  val PowerIters = 3
+
+  // q212 — distributed power iteration: the dominant eigenvector of
+  // the (uncentered) embedding second-moment matrix A = Σ x·xᵀ — the
+  // first principal direction, the statistic behind "is the embedding
+  // space collapsing onto one axis" (anisotropy) audits and
+  // PCA-whitening decisions. The 64×64 matrix is NEVER materialized:
+  // each round is two matvec passes expressed on the rows —
+  // s_x = ⟨q_x, v⟩ per vector (v broadcast as one 64-long array,
+  // folded inside codegen), then u_j = Σ_x q_xj·s_x (a 64-group
+  // aggregate, map-side combined) — followed by an max-abs
+  // renormalization to the 2^20 grid. All arithmetic is exact
+  // integers: vectors quantize once to the FixScale grid (the q41
+  // round()-ties-away-from-zero contract), per-term products stage
+  // through DECIMAL(38,0)/HUGEINT (q_j·s is O(2^66) already at these
+  // norms), and DIV truncates toward zero identically in both
+  // engines — so three rounds land on bit-identical fixed-point
+  // components, sign pinned by the all-ones start vector. The oracle
+  // unrolls the same three rounds as chained CTEs.
+  //
+  // Scale shape: K rounds × one scan each (the quantized frame is
+  // re-derived from the parquet scan per round — nothing corpus-sized
+  // is cached or shuffled); per round the shuffle carries 64 partial
+  // sums per map task and the broadcasts are one 64-element array and
+  // one 1-row max. This is how a first PC is computed at 100 TB:
+  // matvec-as-aggregate, eigvec state broadcast.
+  /** Quantized embedding frame (vec_id, qv: array<long> on the
+    * FixScale grid) — the shared input of the q212/q213 family.
+    */
+  private def quantized(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d).select(col("vec_id"),
+      transform(col("embedding"),
+        x => round(x.cast("double") * FixScale).cast("long")).as("qv"))
+
+  /** [[PowerIters]] rounds of exact fixed-point power iteration over
+    * the quantized frame; returns the 1-row (varr: array<long>) frame.
+    */
+  private def powerVec(qv: DataFrame): DataFrame = {
+    var varr = qv.sparkSession.range(1).select(
+      expr(s"array_repeat(CAST($FixScale AS BIGINT), 64)").as("varr"))
+    for (_ <- 1 to PowerIters) {
+      val sx = qv.crossJoin(broadcast(varr))
+        .select(col("qv"), expr(
+          "aggregate(zip_with(qv, varr, (a, b) -> a * b), 0L, (acc, x) -> acc + x)")
+          .as("s"))
+      val u = sx.select(posexplode(col("qv")).as(Seq("j", "qj")), col("s"))
+        .groupBy(col("j"))
+        .agg(sum(col("qj").cast(DecimalType(38, 0)) * col("s")).as("u"))
+      val m = u.agg(max(abs(col("u"))).as("m"))
+      varr = u.crossJoin(broadcast(m))
+        .select(col("j"), expr(s"CAST(u * $FixScale DIV m AS BIGINT)").as("v"))
+        .agg(expr("transform(array_sort(collect_list(struct(j, v))), x -> x.v)")
+          .as("varr"))
+    }
+    varr
+  }
+
+  private def q212(s: SparkSession, d: String): DataFrame =
+    powerVec(quantized(s, d))
+      .select(posexplode(col("varr")).as(Seq("dim", "v_fp")))
+      .select(col("dim"), col("v_fp"))
+      .orderBy(col("dim"))
+
+  // q213 — anisotropy audit: how much of the embedding cloud's total
+  // second moment lives along the q212 dominant direction?
+  // λ1 = vᵀAv / vᵀv (Rayleigh quotient at the converged v, exact
+  // integer: Σ⟨q,v⟩² DIV Σv²) against trace(A) = Σ‖q‖², reported as
+  // anisotropy_fp = λ1·2^20 DIV trace. A share near 2^20 means the
+  // space has collapsed onto one axis (the known representation-
+  // degeneration failure that breaks cosine retrieval); an isotropic
+  // 64-dim cloud sits near 2^20/64. The two-step DIV keeps every
+  // intermediate inside DECIMAL(38,0)/HUGEINT at any corpus size, at
+  // identical (deterministic) truncation in both engines.
+  //
+  // Scale shape: the q212 rounds plus two more single-scan aggregates
+  // (Σ⟨q,v⟩² with v broadcast; Σ‖q‖² scan-side) — K+2 scans total,
+  // nothing corpus-sized shuffles.
+  private def q213(s: SparkSession, d: String): DataFrame = {
+    val qv = quantized(s, d)
+    val varr = powerVec(qv)
+    val vv = varr.select(expr(
+      "aggregate(transform(varr, v -> v * v), 0L, (acc, x) -> acc + x)").as("vv"))
+    val sx = qv.crossJoin(broadcast(varr))
+      .select(expr(
+        "aggregate(zip_with(qv, varr, (a, b) -> a * b), 0L, (acc, x) -> acc + x)")
+        .as("s"))
+    val a = sx.agg(count(lit(1)).as("n_vecs"),
+      sum(col("s").cast(DecimalType(38, 0)) * col("s")).as("ss"))
+    val tr = qv.select(explode(col("qv")).as("q"))
+      .agg(sum(col("q").cast(DecimalType(38, 0)) * col("q")).as("tr"))
+    a.crossJoin(broadcast(vv)).crossJoin(broadcast(tr))
+      .select(col("n_vecs"),
+        expr("CAST(ss DIV vv AS BIGINT)").as("lambda1_scaled"),
+        expr("CAST(tr AS BIGINT)").as("trace_scaled"),
+        // Spark `div` yields BIGINT even on DECIMAL inputs — re-stage
+        // through DECIMAL(38,0) before the ×2^20 (matches HUGEINT oracle)
+        expr(s"CAST(CAST(ss DIV vv AS DECIMAL(38,0)) * $FixScale DIV tr AS BIGINT)")
+          .as("anisotropy_fp"))
+  }
+
+  /** Shared CTE chain for q212/q213: quantize, then [[PowerIters]]
+    * unrolled rounds ending in the 1-row `v3` vector.
+    */
+  private val powerCtes = {
+    def round_(k: Int) =
+      s"""s$k AS (
+         |  SELECT vec_id, list_reduce(list_transform(range(64),
+         |    i -> qd.qv[i+1] * v${k - 1}.v[i+1]), (x, y) -> x + y) AS s
+         |  FROM qd, v${k - 1}),
+         |u$k AS (
+         |  SELECT j, sum(CAST(qd.qv[j+1] AS HUGEINT) * s$k.s) AS u
+         |  FROM qd JOIN s$k USING (vec_id), unnest(range(64)) t(j)
+         |  GROUP BY j),
+         |v$k AS (
+         |  SELECT list(CAST(u * $FixScale
+         |      // (SELECT max(abs(u)) FROM u$k) AS BIGINT) ORDER BY j) AS v
+         |  FROM u$k)""".stripMargin
+    s"""qd AS (
+      |  SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(round(CAST(x AS DOUBLE) * $FixScale) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |v0 AS (SELECT list_transform(range(64),
+      |  j -> CAST($FixScale AS BIGINT)) AS v),
+      |${round_(1)},
+      |${round_(2)},
+      |${round_(3)}""".stripMargin
+  }
+
+  private val q212Sql =
+    s"""WITH $powerCtes
+      |SELECT CAST(j AS INT) AS dim, v[j+1] AS v_fp
+      |FROM v3, unnest(range(64)) t(j)
+      |ORDER BY dim""".stripMargin
+
+  private val q213Sql =
+    s"""WITH $powerCtes,
+      |vv AS (
+      |  SELECT list_reduce(list_transform(range(64), i -> v[i+1] * v[i+1]),
+      |    (x, y) -> x + y) AS vv
+      |  FROM v3),
+      |sx AS (
+      |  SELECT list_reduce(list_transform(range(64),
+      |    i -> qd.qv[i+1] * v3.v[i+1]), (x, y) -> x + y) AS s
+      |  FROM qd, v3),
+      |a AS (
+      |  SELECT count(*) AS n_vecs, sum(CAST(s AS HUGEINT) * s) AS ss
+      |  FROM sx),
+      |tr AS (
+      |  SELECT sum(CAST(q AS HUGEINT) * q) AS tr
+      |  FROM (SELECT unnest(qv) AS q FROM qd))
+      |SELECT n_vecs,
+      |  CAST(ss // vv AS BIGINT) AS lambda1_scaled,
+      |  CAST(tr AS BIGINT) AS trace_scaled,
+      |  CAST((ss // vv) * $FixScale // tr AS BIGINT) AS anisotropy_fp
+      |FROM a, vv, tr""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q34_embed_neardup", q34, Some(q34Sql)),
     Q("q40_knn_brute", q40, Some(q40Sql)),
@@ -981,5 +1138,7 @@ object Similarity {
     Q("q166_embedding_stats", q166, Some(q166Sql)),
     Q("q171_retrieval_eval", q171, Some(q171Sql)),
     Q("q183_embedding_drift", q183, Some(q183Sql)),
+    Q("q212_power_iteration", q212, Some(q212Sql)),
+    Q("q213_anisotropy", q213, Some(q213Sql)),
   )
 }
