@@ -408,11 +408,76 @@ object Filtering {
       |FROM f ORDER BY decile""".stripMargin
   }
 
+  // q215 — split-conformal coverage gate: calibrate the quality
+  // threshold on the even-doc_id half so that, under exchangeability,
+  // at least 90% of unseen documents score above it — τ is the k-th
+  // SMALLEST calibration quality with k = ⌈0.1·(n_cal+1)⌉ (exact
+  // integer: (n_cal+1+9) DIV 10) — then MEASURE the realized coverage
+  // on the held-out odd half. This is the distribution-free way to
+  // turn an uncalibrated heuristic score (q52) into a gate with a
+  // guarantee, and the coverage check is the audit that the
+  // exchangeability assumption held. τ is an ELEMENT of the data (no
+  // aggregate arithmetic), so both engines pick the bit-identical
+  // double; every other output is integer.
+  //
+  // Scale shape: one rank pass over the calibration half
+  // (rankDistributed — no single-partition sort), a 1-row τ broadcast
+  // into the test-half scan, a 1-row report.
+  private def q215(s: SparkSession, d: String): DataFrame = {
+    val scored = qualityScored(documents(s, d))
+    val cal = scored.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val test = scored.filter(pmod(col("doc_id"), lit(2)) === 1)
+    val ranked = Sampling.rankDistributed(cal, Seq.empty,
+      Seq(col("quality"), col("doc_id")))
+    val nCal = cal.agg(count(lit(1)).as("n_cal"))
+    val tau = ranked.crossJoin(broadcast(nCal))
+      .filter(col("rk") === expr("(n_cal + 10) DIV 10"))
+      .select(col("n_cal"), col("rk").as("k"), col("quality").as("tau"))
+    test.crossJoin(broadcast(tau))
+      .agg(max(col("n_cal")).as("n_cal"), max(col("k")).as("k"),
+        max(col("tau")).as("tau"),
+        count(lit(1)).as("n_test"),
+        sum(when(col("quality") >= col("tau"), 1L).otherwise(0L)).as("n_covered"))
+      .withColumn("coverage_fp",
+        expr("CAST(n_covered * 1048576 DIV n_test AS BIGINT)"))
+  }
+
+  private val q215Sql = {
+    val toks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+    s"""WITH t AS (
+      |  SELECT doc_id, len(toks) AS n_words, len(list_distinct(toks)) AS n_distinct
+      |  FROM (SELECT doc_id, $toks AS toks FROM documents) t0),
+      |sc AS (
+      |  SELECT doc_id,
+      |    (CAST(n_distinct AS DOUBLE) / greatest(n_words, 1)) *
+      |      (CASE WHEN n_words BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.0 END)
+      |      AS quality
+      |  FROM t),
+      |cal AS (SELECT * FROM sc WHERE doc_id % 2 = 0),
+      |r AS (SELECT quality,
+      |    row_number() OVER (ORDER BY quality, doc_id) AS rk,
+      |    count(*) OVER () AS n_cal
+      |  FROM cal),
+      |tau AS (
+      |  SELECT n_cal, rk AS k, quality AS tau FROM r
+      |  WHERE rk = (n_cal + 10) // 10)
+      |SELECT CAST(tau.n_cal AS BIGINT) AS n_cal, CAST(tau.k AS BIGINT) AS k,
+      |  tau.tau,
+      |  count(*) AS n_test,
+      |  CAST(sum(CASE WHEN sc.quality >= tau.tau THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_covered,
+      |  CAST(sum(CASE WHEN sc.quality >= tau.tau THEN 1 ELSE 0 END) * 1048576
+      |    // count(*) AS BIGINT) AS coverage_fp
+      |FROM sc, tau WHERE sc.doc_id % 2 = 1
+      |GROUP BY 1, 2, 3""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q111_blocklist_filter", q111, Some(q111Sql)),
     Q("q113_gopher_rules", q113, Some(q113Sql)),
     Q("q120_drop_reasons", q120, Some(q120Sql)),
     Q("q172_score_calibration", q172, Some(q172Sql)),
     Q("q176_drift_monitor", q176, Some(q176Sql)),
+    Q("q215_conformal_gate", q215, Some(q215Sql)),
   )
 }

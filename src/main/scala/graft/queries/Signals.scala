@@ -1224,6 +1224,73 @@ object Signals {
       |FROM w, t
       |ORDER BY hr""".stripMargin
 
+  // q214 — forecastability audit (MASE-style): per event type, on the
+  // SHARED dense hour grid, compare the seasonal-naive forecast
+  // (x̂_t = x_{t−24}, "same hour yesterday") against the naive
+  // forecast (x̂_t = x_{t−1}) by summed absolute error — the
+  // M-competition baseline pair every forecasting effort must beat,
+  // and the cheapest possible answer to "is this series daily-seasonal
+  // enough that q179's profile is predictive?". ratio_fp < 2^20 means
+  // the daily season explains more than simple persistence. Both error
+  // sums restrict to hours where BOTH forecasts exist (t ≥ h0+24),
+  // exact BIGINT end to end.
+  //
+  // Scale shape: events collapse in one (type, hr) aggregate; the
+  // grid is time-sized × |types| (q211's argument), lags run per-type
+  // over it, and the report is |types| rows.
+  private def q214(s: SparkSession, d: String): DataFrame = {
+    val c = events(s, d)
+      .select(col("event_type"), expr("ts_ms div 3600000").as("hr"))
+      .groupBy(col("event_type"), col("hr")).agg(count(lit(1)).as("n"))
+    val b = c.agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+    val grid = c.select(col("event_type")).distinct()
+      .crossJoin(broadcast(b))
+      .select(col("event_type"), col("h0"),
+        explode(sequence(col("h0"), col("h1"))).as("hr"))
+      .join(c, Seq("event_type", "hr"), "left")
+      .select(col("event_type"), col("h0"), col("hr"),
+        coalesce(col("n"), lit(0L)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+    grid
+      .withColumn("p1", lag(col("n"), 1).over(w))
+      .withColumn("p24", lag(col("n"), 24).over(w))
+      .filter(col("hr") >= col("h0") + 24)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"),
+        sum(abs(col("n") - col("p1"))).as("sae_naive"),
+        sum(abs(col("n") - col("p24"))).as("sae_seasonal"))
+      .withColumn("ratio_fp", expr(
+        "CAST(sae_seasonal * 1048576 DIV greatest(sae_naive, 1) AS BIGINT)"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q214Sql =
+    """WITH c AS (
+      |  SELECT event_type, epoch_ms(ts) // 3600000 AS hr, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |b AS (SELECT min(hr) AS h0, max(hr) AS h1 FROM c),
+      |g0 AS (
+      |  SELECT t.event_type, b.h0, gh.hr
+      |  FROM (SELECT DISTINCT event_type FROM c) t
+      |  CROSS JOIN b, unnest(range(b.h0, b.h1 + 1)) AS gh(hr)),
+      |g AS (
+      |  SELECT g0.event_type, g0.h0, g0.hr,
+      |    CAST(coalesce(c.n, 0) AS BIGINT) AS n
+      |  FROM g0 LEFT JOIN c ON c.event_type = g0.event_type AND c.hr = g0.hr),
+      |l AS (
+      |  SELECT event_type, h0, hr, n,
+      |    lag(n, 1) OVER (PARTITION BY event_type ORDER BY hr) AS p1,
+      |    lag(n, 24) OVER (PARTITION BY event_type ORDER BY hr) AS p24
+      |  FROM g)
+      |SELECT event_type, count(*) AS n_hours,
+      |  CAST(sum(abs(n - p1)) AS BIGINT) AS sae_naive,
+      |  CAST(sum(abs(n - p24)) AS BIGINT) AS sae_seasonal,
+      |  CAST(sum(abs(n - p24)) * 1048576
+      |    // greatest(sum(abs(n - p1)), 1) AS BIGINT) AS ratio_fp
+      |FROM l WHERE hr >= h0 + 24
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q162_signal_correlation", q162, Some(q162Sql)),
     Q("q169_ab_conversion", q169, Some(q169Sql)),
@@ -1242,5 +1309,6 @@ object Signals {
     Q("q199_incident_report", q199, Some(q199Sql)),
     Q("q210_segment_bitmaps", q210, Some(q210Sql)),
     Q("q211_burn_rate", q211, Some(q211Sql)),
+    Q("q214_seasonal_mase", q214, Some(q214Sql)),
   )
 }
