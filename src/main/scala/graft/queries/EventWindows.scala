@@ -730,6 +730,79 @@ object EventWindows {
       |FROM tr JOIN tot USING (from_type)
       |ORDER BY from_type, to_type""".stripMargin
 
+  // q217 — growth-accounting ledger (new / retained / resurrected /
+  // churned): the week-over-week decomposition every growth team runs
+  // — each active (user, week) is NEW (first week ever), RETAINED
+  // (also active the week before) or RESURRECTED (active before, but
+  // not last week); CHURNED at week w counts users active at w−1 and
+  // silent at w (only for weeks inside the observed range — the week
+  // after the horizon is unknowable). Where q149's retention triangle
+  // follows cohorts forward, this ledger explains each week's active
+  // count as a balance: actives_w = new + retained + resurrected, and
+  // actives_w − actives_{w−1} = new + resurrected − churned. Exact
+  // integer counts.
+  //
+  // Scale shape: events collapse to distinct (user, week) — one
+  // shuffle of 16-byte rows — then lag/lead windows PER USER (bounded
+  // key groups), a 1-row horizon broadcast, and a weeks-sized rollup.
+  private def q217(s: SparkSession, d: String): DataFrame = {
+    val wkMs = 7L * 86400000L
+    val uw = events(s, d)
+      .select(col("user_id"), expr(s"ts_ms div $wkMs").as("wk"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("wk"))
+    val c = uw
+      .withColumn("prev", lag(col("wk"), 1).over(w))
+      .withColumn("next", lead(col("wk"), 1).over(w))
+    val horizon = uw.agg(max(col("wk")).as("maxwk"))
+    val states = c.select(col("wk"),
+      when(col("prev").isNull, "new")
+        .when(col("prev") === col("wk") - 1, "retained")
+        .otherwise("resurrected").as("cat"))
+    val churn = c.crossJoin(broadcast(horizon))
+      .filter((col("next").isNull || col("next") > col("wk") + 1) &&
+        col("wk") + 1 <= col("maxwk"))
+      .select((col("wk") + 1).as("wk"), lit("churned").as("cat"))
+    states.unionAll(churn)
+      .groupBy(col("wk"))
+      .agg(sum(when(col("cat") === "new", 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("cat") === "retained", 1L).otherwise(0L)).as("n_retained"),
+        sum(when(col("cat") === "resurrected", 1L).otherwise(0L)).as("n_resurrected"),
+        sum(when(col("cat") === "churned", 1L).otherwise(0L)).as("n_churned"))
+      .orderBy(col("wk"))
+  }
+
+  private val q217Sql =
+    """WITH uw AS (
+      |  SELECT DISTINCT user_id, epoch_ms(ts) // 604800000 AS wk
+      |  FROM events),
+      |c AS (
+      |  SELECT user_id, wk,
+      |    lag(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev,
+      |    lead(wk) OVER (PARTITION BY user_id ORDER BY wk) AS next
+      |  FROM uw),
+      |h AS (SELECT max(wk) AS maxwk FROM uw),
+      |states AS (
+      |  SELECT wk,
+      |    CASE WHEN prev IS NULL THEN 'new'
+      |         WHEN prev = wk - 1 THEN 'retained'
+      |         ELSE 'resurrected' END AS cat
+      |  FROM c
+      |  UNION ALL
+      |  SELECT wk + 1 AS wk, 'churned' AS cat
+      |  FROM c, h
+      |  WHERE (next IS NULL OR next > wk + 1) AND wk + 1 <= maxwk)
+      |SELECT wk,
+      |  CAST(sum(CASE WHEN cat = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+      |  CAST(sum(CASE WHEN cat = 'retained' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_retained,
+      |  CAST(sum(CASE WHEN cat = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_resurrected,
+      |  CAST(sum(CASE WHEN cat = 'churned' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_churned
+      |FROM states GROUP BY wk
+      |ORDER BY wk""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q26_tumbling_window", q26, Some(q26Sql)),
     Q("q27_sliding_window", q27, Some(q27Sql)),
@@ -746,5 +819,6 @@ object EventWindows {
     Q("q151_burst_detection", q151, Some(q151Sql)),
     Q("q168_markov_transitions", q168, Some(q168Sql)),
     Q("q177_ltv_cohorts", q177, Some(q177Sql)),
+    Q("q217_growth_accounting", q217, Some(q217Sql)),
   )
 }

@@ -1291,6 +1291,64 @@ object Signals {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  // q216 — Theil-Sen robust trend estimator on the hourly event-count
+  // series: the MEDIAN of all pairwise slopes (n_j − n_i)/(hr_j − hr_i)
+  // — up to 29% outlier contamination moves it not at all, which is
+  // why it's the estimator of record for trend-in-noisy-telemetry
+  // (vs q160's least-squares line that one bad day drags). The median
+  // element is picked by rank (slopes ORDER BY exact double value with
+  // an (i,j) tiebreak — IEEE division of bit-identical integers is
+  // deterministic, and selection is not arithmetic), emitted with its
+  // exact integer (dy, dx) pair so the consumer can re-derive the
+  // slope at any precision. Lower/upper median both reported (even
+  // pair counts have no unique middle).
+  //
+  // Scale shape: the pairwise self-join is over the TIME-sized hourly
+  // aggregate — hours², independent of event volume (a year is 9k
+  // hours → 38M pairs; a century of hours still fits one executor's
+  // afternoon) — and the median comes from one rankDistributed pass
+  // over the pair frame, no single-partition sort.
+  private def q216(s: SparkSession, d: String): DataFrame = {
+    val c = events(s, d)
+      .select(expr("ts_ms div 3600000").as("hr"))
+      .groupBy(col("hr")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(false)
+    val pairs = c.as("a").join(c.as("b"), col("a.hr") < col("b.hr"))
+      .select(col("a.hr").as("h1"), col("b.hr").as("h2"),
+        (col("b.n") - col("a.n")).as("dy"), (col("b.hr") - col("a.hr")).as("dx"))
+      .withColumn("slope", col("dy").cast("double") / col("dx"))
+    val ranked = Sampling.rankDistributed(pairs, Seq.empty,
+      Seq(col("slope"), col("h1"), col("h2")))
+    val nP = pairs.agg(count(lit(1)).as("n_pairs"))
+    ranked.crossJoin(broadcast(nP))
+      .filter(col("rk") === expr("(n_pairs + 1) DIV 2") ||
+        col("rk") === expr("(n_pairs + 2) DIV 2"))
+      .select(col("n_pairs"),
+        when(col("rk") === expr("(n_pairs + 1) DIV 2"), "lower")
+          .otherwise("upper").as("which"),
+        col("dy"), col("dx"), col("slope"))
+      .orderBy(col("which"))
+  }
+
+  private val q216Sql =
+    """WITH c AS (
+      |  SELECT epoch_ms(ts) // 3600000 AS hr, count(*) AS n
+      |  FROM events GROUP BY 1),
+      |p AS (
+      |  SELECT a.hr AS h1, b.hr AS h2, b.n - a.n AS dy, b.hr - a.hr AS dx,
+      |    CAST(b.n - a.n AS DOUBLE) / (b.hr - a.hr) AS slope
+      |  FROM c a JOIN c b ON a.hr < b.hr),
+      |r AS (
+      |  SELECT *, row_number() OVER (ORDER BY slope, h1, h2) AS rk,
+      |    count(*) OVER () AS n_pairs
+      |  FROM p)
+      |SELECT CAST(n_pairs AS BIGINT) AS n_pairs,
+      |  CASE WHEN rk = (n_pairs + 1) // 2 THEN 'lower' ELSE 'upper' END AS which,
+      |  CAST(dy AS BIGINT) AS dy, CAST(dx AS BIGINT) AS dx, slope
+      |FROM r
+      |WHERE rk = (n_pairs + 1) // 2 OR rk = (n_pairs + 2) // 2
+      |ORDER BY which""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q162_signal_correlation", q162, Some(q162Sql)),
     Q("q169_ab_conversion", q169, Some(q169Sql)),
@@ -1310,5 +1368,6 @@ object Signals {
     Q("q210_segment_bitmaps", q210, Some(q210Sql)),
     Q("q211_burn_rate", q211, Some(q211Sql)),
     Q("q214_seasonal_mase", q214, Some(q214Sql)),
+    Q("q216_theil_sen", q216, Some(q216Sql)),
   )
 }
