@@ -389,24 +389,33 @@ object Graph {
   // the join shuffles on src — same escape as q117) and merges by
   // min(). K rounds = K tiny shuffles of node-sized frames; row data
   // never re-scans after the first distinct.
-  private def q205(s: SparkSession, d: String): DataFrame = {
-    val e0 = lineitem(s, d)
-      .select((col("l_partkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
-      .distinct()
+  /** Core: min hop count ≤ `k` from the seed set over an UNDIRECTED
+    * graph given as distinct directed edges (src, dst) — both
+    * directions expanded here. Returns (id, hops). Fixture-testable.
+    */
+  private[graft] def bfsOf(e0: DataFrame, seeds: DataFrame, k: Int): DataFrame = {
     val e1 = e0.localCheckpoint()
     val edges = e1.union(e1.select(col("dst").as("src"), col("src").as("dst")))
       .repartition(col("src")).localCheckpoint()
-    var dist = supplier(s, d)
-      .filter(col("s_suppkey") % 10 === 0)
-      .select((col("s_suppkey") * 2 + 1).as("id"), lit(0L).as("hops"))
-    for (h <- 1 to BfsHops) {
+    var dist = seeds.select(col("id"), lit(0L).as("hops"))
+    for (h <- 1 to k) {
       dist = dist.unionAll(
           edges.join(broadcast(dist.filter(col("hops") === (h - 1))),
               col("src") === col("id"))
             .select(col("dst").as("id"), lit(h.toLong).as("hops")))
         .groupBy(col("id")).agg(min(col("hops")).as("hops"))
     }
-    dist.select(
+    dist
+  }
+
+  private def q205(s: SparkSession, d: String): DataFrame = {
+    val e0 = lineitem(s, d)
+      .select((col("l_partkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    val seeds = supplier(s, d)
+      .filter(col("s_suppkey") % 10 === 0)
+      .select((col("s_suppkey") * 2 + 1).as("id"))
+    bfsOf(e0, seeds, BfsHops).select(
         when(col("id") % 2 === 0, "part").otherwise("supplier").as("node_type"),
         expr("id DIV 2").as("key"), col("hops"))
       .orderBy(col("node_type"), col("key"))
@@ -451,23 +460,33 @@ object Graph {
   // partitioned by src, K node-sized broadcast joins (same web-scale
   // escape hatch: drop the hint and relax as a shuffled join on src).
   // Path costs stay < 2^63 trivially (≤ K·max_cents).
-  private def q208(s: SparkSession, d: String): DataFrame = {
-    val edges1 = lineitem(s, d)
-      .groupBy((col("l_partkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
-      .agg(min(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("w"))
-    val e1 = edges1.localCheckpoint()
+  /** Core: min path cost within `k` relaxation rounds from the seed
+    * set over an UNDIRECTED weighted graph given as distinct directed
+    * edges (src, dst, w) — both directions expanded here. Returns
+    * (id, dc). Fixture-testable.
+    */
+  private[graft] def ssspOf(e0: DataFrame, seeds: DataFrame, k: Int): DataFrame = {
+    val e1 = e0.localCheckpoint()
     val edges = e1.union(e1.select(col("dst").as("src"), col("src").as("dst"), col("w")))
       .repartition(col("src")).localCheckpoint()
-    var dist = supplier(s, d)
-      .filter(col("s_suppkey") % 10 === 0)
-      .select((col("s_suppkey") * 2 + 1).as("id"), lit(0L).as("dc"))
-    for (_ <- 1 to BfsHops) {
+    var dist = seeds.select(col("id"), lit(0L).as("dc"))
+    for (_ <- 1 to k) {
       dist = dist.unionAll(
           edges.join(broadcast(dist), col("src") === col("id"))
             .select(col("dst").as("id"), (col("dc") + col("w")).as("dc")))
         .groupBy(col("id")).agg(min(col("dc")).as("dc"))
     }
-    dist.select(
+    dist
+  }
+
+  private def q208(s: SparkSession, d: String): DataFrame = {
+    val edges1 = lineitem(s, d)
+      .groupBy((col("l_partkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .agg(min(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("w"))
+    val seeds = supplier(s, d)
+      .filter(col("s_suppkey") % 10 === 0)
+      .select((col("s_suppkey") * 2 + 1).as("id"))
+    ssspOf(edges1, seeds, BfsHops).select(
         when(col("id") % 2 === 0, "part").otherwise("supplier").as("node_type"),
         expr("id DIV 2").as("key"), col("dc").as("dist_cents"))
       .orderBy(col("node_type"), col("key"))

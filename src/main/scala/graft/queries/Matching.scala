@@ -37,9 +37,13 @@ object Matching {
   // buckets are constant-bounded and join output is linear in N. No
   // all-pairs anywhere; this is the q32 MinHash-LSH blocking idea
   // specialized to edit distance, where it happens to be EXACT.
-  private def q200(s: SparkSession, d: String): DataFrame = {
-    val names = customer(s, d)
-      .select(col("c_custkey").as("k"), col("c_name").as("nm"))
+  /** Core: all (k1, k2, dist) pairs with Levenshtein distance ≤ 1 over
+    * a (k, nm) frame, via deletion-neighborhood blocking — EXACT
+    * recall (ed ≤ 1 ⇒ neighborhoods intersect), false positives
+    * killed by the final levenshtein check. Fixture/property-testable
+    * (MatchingPropertySpec pins it against brute force).
+    */
+  private[graft] def edPairsOf(names: DataFrame): DataFrame = {
     // i in 0..len: i < len deletes the 0-based i-th char; i = len keeps
     // the string itself (distance-0 member of the neighborhood).
     val variants = names
@@ -56,8 +60,12 @@ object Matching {
       .filter(levenshtein(col("n1"), col("n2")) <= 1)
       .select(col("k1"), col("k2"),
         levenshtein(col("n1"), col("n2")).cast("long").as("dist"))
-      .orderBy(col("k1"), col("k2"))
   }
+
+  private def q200(s: SparkSession, d: String): DataFrame =
+    edPairsOf(customer(s, d)
+        .select(col("c_custkey").as("k"), col("c_name").as("nm")))
+      .orderBy(col("k1"), col("k2"))
 
   private val q200Sql =
     """WITH nm AS (SELECT c_custkey AS k, c_name AS nm FROM customer),

@@ -78,4 +78,30 @@ class GraphSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 0L, 0L, 0L, 0L), (2L, 0L, 0L, 0L, 0L)),
       s"got ${got.toSeq}")
   }
+
+  test("multi-source BFS: min hops win, radius is bounded, unreached nodes absent") {
+    // path 1-2-3-4-5-6 plus seed 9 adjacent to 4: node 4 is 3 hops from
+    // seed 1 but 1 hop from seed 9 -> min wins; node 6 is 5 hops from 1
+    // and 3 from 9 -> exactly at the k=3 horizon; an isolated edge
+    // (20, 21) is unreachable and must be absent.
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (9L, 4L),
+      (20L, 21L)).toDF("src", "dst")
+    val seeds = Seq(1L, 9L).toDF("id")
+    val got = Graph.bfsOf(e, seeds, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 0L, 9L -> 0L, 2L -> 1L, 4L -> 1L,
+      3L -> 2L, 5L -> 2L, 6L -> 3L), s"got $got")
+  }
+
+  test("weighted SSSP: a two-hop path beats the direct edge") {
+    // direct 1->4 costs 100; 1->2->4 costs 30+30=60 -> relaxation from
+    // the FULL distance frame (not just the newest frontier) must find
+    // it; 5 hangs off 4 so its best cost flows through the cheap path.
+    val e = Seq((1L, 4L, 100L), (1L, 2L, 30L), (2L, 4L, 30L), (4L, 5L, 5L))
+      .toDF("src", "dst", "w")
+    val seeds = Seq(1L).toDF("id")
+    val got = Graph.ssspOf(e, seeds, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 0L, 2L -> 30L, 4L -> 60L, 5L -> 65L), s"got $got")
+  }
 }
