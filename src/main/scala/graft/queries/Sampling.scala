@@ -800,6 +800,86 @@ object Sampling {
       |FROM a""".stripMargin
   }
 
+  // q219 — max-min fair-share allocation (water-filling): divide a
+  // global token budget (60% of the corpus total) across sources so
+  // that no source that could be fully satisfied is cut, and every
+  // capped source gets the SAME water level θ — the classic max-min
+  // fairness rule (link scheduling, GPU quota, and here: how many
+  // tokens each source contributes to a capped training mix without
+  // letting a giant crawl drown the small curated sets; contrast q98,
+  // which allocates WITHIN a source by quality, and q79, which
+  // reweights by temperature). Exact integer water level: sources
+  // sorted by demand, θ = (B − prefix_below) DIV n_capped at the first
+  // demand the remaining budget cannot cover; alloc = min(demand, θ);
+  // the integer-DIV remainder is reported, not silently spread.
+  //
+  // Scale shape: the corpus collapses in one per-source token
+  // aggregate; everything after runs on the |sources|-sized frame
+  // (window over sources — bounded by schema, not data).
+  /** Core water-filling over a (source, demand) frame: budget =
+    * total·budgetPctX10 DIV 10. Fixture-tested in SamplingFairSpec
+    * (the real data's near-uniform demands only exercise the all-capped
+    * branch; the spec pins the mixed satisfied/capped case).
+    */
+  private[graft] def waterFillOf(dem: DataFrame, budgetPctX10: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tot = dem.agg(sum(col("demand")).as("total"),
+      count(lit(1)).as("m"))
+    val w = Window.partitionBy(lit(1)).orderBy(col("demand"), col("source"))
+    val ranked = dem.crossJoin(broadcast(tot))
+      .withColumn("budget", expr(s"total * $budgetPctX10 DIV 10"))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("prefix", sum(col("demand")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("prefix", coalesce(col("prefix"), lit(0L)))
+      // water level at row i if the cap lands here: remaining budget
+      // split over this and all larger demands
+      .withColumn("theta_i", expr("(budget - prefix) DIV (m - i + 1)"))
+    // the binding level is θ at the FIRST row the budget cannot fully
+    // cover: every later row is also binding with a strictly smaller
+    // θ_i (its prefix charges the full uncovered demand), so the first
+    // = the max over binding rows; ∞ (null) if the budget covers all
+    val theta = ranked.filter(col("demand") > col("theta_i"))
+      .agg(max(col("theta_i")).as("theta"))
+    ranked.crossJoin(broadcast(theta))
+      .select(col("source"), col("demand"), col("budget"),
+        when(col("theta").isNull, col("demand"))
+          .otherwise(least(col("demand"), col("theta"))).as("alloc"),
+        (col("theta").isNotNull && col("demand") > col("theta")).as("capped"))
+      .orderBy(col("source"))
+  }
+
+  private def q219(s: SparkSession, d: String): DataFrame =
+    waterFillOf(documents(s, d)
+        .select(col("source"), tokenCount(col("text")).as("nt"))
+        .groupBy(col("source")).agg(sum(col("nt")).as("demand")),
+      budgetPctX10 = 6L)
+
+  private val q219Sql = {
+    val toks = "len(regexp_extract_all(lower(text), '[a-z0-9]+'))"
+    s"""WITH dem AS (
+      |  SELECT source, CAST(sum($toks) AS BIGINT) AS demand
+      |  FROM documents GROUP BY source),
+      |t AS (SELECT CAST(sum(demand) AS BIGINT) AS total,
+      |  count(*) AS m FROM dem),
+      |r AS (
+      |  SELECT dem.source, dem.demand, t.total * 6 // 10 AS budget, t.m,
+      |    row_number() OVER (ORDER BY demand, source) AS i,
+      |    coalesce(sum(demand) OVER (ORDER BY demand, source
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+      |  FROM dem, t),
+      |r2 AS (
+      |  SELECT *, (budget - prefix) // (m - i + 1) AS theta_i FROM r),
+      |th AS (
+      |  SELECT max(theta_i) AS theta FROM r2 WHERE demand > theta_i)
+      |SELECT source, demand, budget,
+      |  CAST(CASE WHEN th.theta IS NULL THEN demand
+      |       ELSE least(demand, th.theta) END AS BIGINT) AS alloc,
+      |  (th.theta IS NOT NULL AND demand > th.theta) AS capped
+      |FROM r2, th
+      |ORDER BY source""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q78_reservoir_stratified", q78, Some(q78Sql)),
     Q("q79_mixture_sample", q79, Some(q79Sql)),
@@ -815,5 +895,6 @@ object Sampling {
     Q("q131_dsir_resample", q131, Some(q131Sql)),
     Q("q138_priority_sample", q138, Some(q138Sql)),
     Q("q206_ess_weights", q206, Some(q206Sql)),
+    Q("q219_maxmin_fairshare", q219, Some(q219Sql)),
   )
 }

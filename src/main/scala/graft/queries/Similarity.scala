@@ -1140,5 +1140,79 @@ object Similarity {
     Q("q183_embedding_drift", q183, Some(q183Sql)),
     Q("q212_power_iteration", q212, Some(q212Sql)),
     Q("q213_anisotropy", q213, Some(q213Sql)),
+    Q("q218_cluster_ari", q218, Some(q218Sql)),
   )
+
+  // NOTE: `all` is a def-typed lookup of q218/q218Sql declared below —
+  // q218Sql must stay a lazy val so object-init order cannot capture a
+  // null into the registration above.
+  // q218 — external clustering validation: the Adjusted Rand Index of
+  // the SRP-bucket "clustering" (q95's deterministic 8-bit sign codes)
+  // against the ground-truth label column — the pair-counting answer
+  // to "do my cheap hash buckets actually respect the labels?", which
+  // is the go/no-go check before using bucket-local ops (dedup,
+  // negatives mining) as if they were label-aware. ARI corrects raw
+  // pair agreement for chance; computed in the overflow-safe staging
+  //   expected = Sa·Sb DIV Npairs  (each term ≤ Npairs — no N⁴ blowup)
+  //   ari_fp = (Sidx − expected)·2^20 DIV ((Sa+Sb) DIV 2 − expected)
+  // with every C(n,2) and product staged through DECIMAL(38,0)/
+  // HUGEINT. Exact integers end to end; both engines land on the same
+  // truncated fixed point.
+  //
+  // Scale shape: one scan to (code, label) contingency cells —
+  // ≤ 2^SrpBits·|labels| rows — then cell-sized arithmetic. Nothing
+  // corpus-sized shuffles.
+  private def q218(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val cells = embeddings(s, d)
+      .select(expr("srp_code(embedding)").as("code"), col("label"))
+      .groupBy(col("code"), col("label")).agg(count(lit(1)).as("nij"))
+    val sidx = cells.agg(sum(expr(
+      "CAST(nij AS DECIMAL(38,0)) * (nij - 1) DIV 2")).as("sidx"),
+      sum(col("nij")).as("n"),
+      countDistinct(col("code")).as("n_clusters"),
+      countDistinct(col("label")).as("n_classes"))
+    val sa = cells.groupBy(col("code")).agg(sum(col("nij")).as("a"))
+      .agg(sum(expr("CAST(a AS DECIMAL(38,0)) * (a - 1) DIV 2")).as("sa"))
+    val sb = cells.groupBy(col("label")).agg(sum(col("nij")).as("b"))
+      .agg(sum(expr("CAST(b AS DECIMAL(38,0)) * (b - 1) DIV 2")).as("sb"))
+    sidx.crossJoin(broadcast(sa)).crossJoin(broadcast(sb))
+      .withColumn("npairs", expr("CAST(n AS DECIMAL(38,0)) * (n - 1) DIV 2"))
+      .withColumn("expected", expr("CAST(sa * sb DIV npairs AS DECIMAL(38,0))"))
+      .select(col("n").as("n_vecs"), col("n_clusters"), col("n_classes"),
+        expr("""CAST((CAST(sidx AS DECIMAL(38,0)) - expected) * 1048576
+               |  DIV (CAST(sa + sb AS DECIMAL(38,0)) DIV 2 - expected)
+               |  AS BIGINT)""".stripMargin).as("ari_fp"))
+  }
+
+  private lazy val q218Sql =
+    s"""WITH q AS (SELECT vec_id, label,
+      |    list_transform(embedding,
+      |      x -> CAST(round(CAST(x AS DOUBLE) * $FixScale) AS BIGINT)) AS qe
+      |  FROM embeddings),
+      |pb AS (SELECT vec_id, label, b,
+      |    list_sum(list_transform(range($SrpDim), i ->
+      |      ((1103515245 * (b * $SrpDim + i) + 12345) % 2147483647 - 1073741823)
+      |        * qe[i+1])) AS dot
+      |  FROM q, (SELECT unnest(range($SrpBits)) AS b) bs),
+      |codes AS (SELECT vec_id, label,
+      |    CAST(sum(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+      |      AS BIGINT) AS code
+      |  FROM pb GROUP BY vec_id, label),
+      |cells AS (SELECT code, label, count(*) AS nij
+      |  FROM codes GROUP BY code, label),
+      |t AS (SELECT sum(CAST(nij AS HUGEINT) * (nij - 1) // 2) AS sidx,
+      |    CAST(sum(nij) AS BIGINT) AS n,
+      |    count(DISTINCT code) AS n_clusters,
+      |    count(DISTINCT label) AS n_classes
+      |  FROM cells),
+      |ra AS (SELECT sum(CAST(a AS HUGEINT) * (a - 1) // 2) AS sa
+      |  FROM (SELECT code, sum(nij) AS a FROM cells GROUP BY code)),
+      |rb AS (SELECT sum(CAST(b AS HUGEINT) * (b - 1) // 2) AS sb
+      |  FROM (SELECT label, sum(nij) AS b FROM cells GROUP BY label))
+      |SELECT n AS n_vecs, n_clusters, n_classes,
+      |  CAST((sidx - (sa * sb // (CAST(n AS HUGEINT) * (n - 1) // 2))) * 1048576
+      |    // ((sa + sb) // 2 - (sa * sb // (CAST(n AS HUGEINT) * (n - 1) // 2)))
+      |    AS BIGINT) AS ari_fp
+      |FROM t, ra, rb""".stripMargin
 }
