@@ -343,6 +343,67 @@ object Extras2 {
       |GROUP BY 1
       |ORDER BY stage""".stripMargin
 
+  /** Minimum pair support / report size for q220. */
+  val BasketMinSup = 2L
+  val BasketTopN = 50
+
+  // q220 — market-basket association rules: frequent part PAIRS across
+  // orders with support, confidence and lift — the A-Priori 2-itemset
+  // pass, the classic "customers who bought X also bought Y" operator
+  // the engine had not yet named. Confidence and lift are exact fixed
+  // point (lift's c12·N product staged through DECIMAL/HUGEINT); the
+  // report is the top-BasketTopN by lift with a total (lift, p1, p2)
+  // order.
+  //
+  // Scale shape: baskets are BOUNDED (an order has ≤ 7 lineitems), so
+  // the per-order pair explosion is linear in rows — the self-join on
+  // l_orderkey shuffles once on the order key and can never go
+  // quadratic in the corpus. Pair/item count frames are
+  // itemset-sized; the top-N is a TakeOrdered, not a global sort.
+  private def q220(s: SparkSession, d: String): DataFrame = {
+    val op = lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      .localCheckpoint(false)
+    val n = op.select(col("o")).distinct().agg(count(lit(1)).as("n_orders"))
+    val item = op.groupBy(col("p")).agg(count(lit(1)).as("c"))
+    val pairs = op.as("a").join(op.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("p1"), col("b.p").as("p2"))
+      .agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= BasketMinSup)
+    pairs
+      .join(item.select(col("p").as("p1"), col("c").as("c1")), Seq("p1"))
+      .join(item.select(col("p").as("p2"), col("c").as("c2")), Seq("p2"))
+      .crossJoin(broadcast(n))
+      .select(col("p1"), col("p2"), col("c12"), col("c1"), col("c2"),
+        col("n_orders"),
+        expr("CAST(c12 * 1048576 DIV c1 AS BIGINT)").as("conf_fp"),
+        expr("""CAST(CAST(c12 AS DECIMAL(38,0)) * n_orders * 1048576
+               |  DIV (CAST(c1 AS DECIMAL(38,0)) * c2) AS BIGINT)""".stripMargin)
+          .as("lift_fp"))
+      .orderBy(col("lift_fp").desc, col("p1"), col("p2"))
+      .limit(BasketTopN)
+  }
+
+  private val q220Sql =
+    s"""WITH op AS (
+      |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |n AS (SELECT count(DISTINCT o) AS n_orders FROM op),
+      |item AS (SELECT p, count(*) AS c FROM op GROUP BY p),
+      |pairs AS (
+      |  SELECT a.p AS p1, b.p AS p2, count(*) AS c12
+      |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      |  GROUP BY 1, 2 HAVING count(*) >= $BasketMinSup)
+      |SELECT p1, p2, c12, i1.c AS c1, i2.c AS c2, n.n_orders,
+      |  CAST(c12 * 1048576 // i1.c AS BIGINT) AS conf_fp,
+      |  CAST(CAST(c12 AS HUGEINT) * n.n_orders * 1048576
+      |    // (CAST(i1.c AS HUGEINT) * i2.c) AS BIGINT) AS lift_fp
+      |FROM pairs JOIN item i1 ON pairs.p1 = i1.p
+      |JOIN item i2 ON pairs.p2 = i2.p
+      |CROSS JOIN n
+      |ORDER BY lift_fp DESC, p1, p2
+      |LIMIT $BasketTopN""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q59_range_frame", q59, Some(q59Sql)),
     Q("q60_word_freq", q60, Some(q60Sql)),
@@ -353,5 +414,6 @@ object Extras2 {
     Q("q65_session_native", q65, Some(q65Sql)),
     Q("q66_posexplode", q66, Some(q66Sql)),
     Q("q175_windowed_funnel", q175, Some(q175Sql)),
+    Q("q220_market_basket", q220, Some(q220Sql)),
   )
 }

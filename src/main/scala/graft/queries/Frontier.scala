@@ -387,6 +387,69 @@ object Frontier {
       |FROM med JOIN mad USING (event_type) JOIN o USING (event_type)
       |ORDER BY event_type""".stripMargin
 
+  // q221 — weighted median (per group): the quantity-weighted median
+  // unit price per return flag — "the price at which half the UNITS
+  // moved", the volume-weighted location statistic a plain median of
+  // rows (q57/q170) gets wrong whenever line sizes vary. Exact
+  // integers: prices on the cent grid, quantities integral; the
+  // median is the smallest price whose cumulative weight reaches half
+  // the total (2·cum ≥ W — no halving division, no interpolation).
+  //
+  // Scale shape: rows collapse to a (flag, cents) weight frame
+  // (values-sized); the weighted cumulative runs as the q44/q194
+  // distributed prefix — range exchange on (flag, cents), per-physical-
+  // partition window, cluster-sized carry broadcast — never a
+  // per-flag single-partition sort window (a popular flag would
+  // serialize at corpus scale). The pick is a flags-sized min.
+  private def q221(s: SparkSession, d: String): DataFrame = {
+    val cw = lineitem(s, d)
+      .select(col("l_returnflag").as("flag"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"),
+        expr("CAST(round(l_quantity) AS BIGINT)").as("qty"))
+      .groupBy(col("flag"), col("cents")).agg(sum(col("qty")).as("w"))
+    val nParts = s.conf.get("spark.sql.shuffle.partitions").toIntOption
+      .getOrElse(s.sparkContext.defaultParallelism)
+    val parted = cw.repartitionByRange(nParts, col("flag"), col("cents"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(false)
+    val wLocal = Window.partitionBy(col("__pid"), col("flag")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wCarry = Window.partitionBy(col("flag")).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = parted.groupBy(col("__pid"), col("flag"))
+      .agg(sum(col("w")).as("pw"))
+      .withColumn("carry", sum(col("pw")).over(wCarry))
+      .select(col("__pid"), col("flag"), col("carry"))
+    val tot = cw.groupBy(col("flag")).agg(sum(col("w")).as("wtot"))
+    parted
+      .withColumn("cum", sum(col("w")).over(wLocal))
+      .join(broadcast(carry), Seq("__pid", "flag"))
+      .withColumn("cum", col("cum") + coalesce(col("carry"), lit(0L)))
+      .join(broadcast(tot), Seq("flag"))
+      .filter(col("cum") * 2 >= col("wtot"))
+      .groupBy(col("flag"))
+      .agg(max(col("wtot")).as("total_units"), min(col("cents")).as("median_cents"))
+      .orderBy(col("flag"))
+  }
+
+  private val q221Sql =
+    """WITH cw AS (
+      |  SELECT l_returnflag AS flag,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+      |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS w
+      |  FROM lineitem GROUP BY 1, 2),
+      |c AS (
+      |  SELECT flag, cents, w,
+      |    sum(w) OVER (PARTITION BY flag ORDER BY cents
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    sum(w) OVER (PARTITION BY flag) AS wtot
+      |  FROM cw)
+      |SELECT flag, CAST(max(wtot) AS BIGINT) AS total_units,
+      |  min(cents) AS median_cents
+      |FROM c WHERE cum * 2 >= wtot
+      |GROUP BY flag
+      |ORDER BY flag""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q153_skyline", q153, Some(q153Sql)),
     Q("q154_peak_concurrency", q154, Some(q154Sql)),
@@ -395,5 +458,6 @@ object Frontier {
     Q("q160_trend_regression", q160, Some(q160Sql)),
     Q("q170_percentile_rank", q170, Some(q170Sql)),
     Q("q188_mad_outliers", q188, Some(q188Sql)),
+    Q("q221_weighted_median", q221, Some(q221Sql)),
   )
 }

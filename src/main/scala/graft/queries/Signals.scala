@@ -1349,6 +1349,105 @@ object Signals {
       |WHERE rk = (n_pairs + 1) // 2 OR rk = (n_pairs + 2) // 2
       |ORDER BY which""".stripMargin
 
+  // q222 — exact 1-D Wasserstein-1 (earth mover's) distance between
+  // the English slice's quality distribution and the rest: ∫|F_A−F_B|
+  // over the score axis — the drift metric that, unlike q176's TVD
+  // (bucket ruler) and q194's KS (sup only), weighs BOTH how many
+  // documents moved AND how far. Scores land on the 2^20 integer grid
+  // via floor() (floor of a bit-identical double is exact in both
+  // engines — no round()-on-the-half-grid hazard), the CDF gap
+  // numerator |cumA·n_b − cumB·n_a| integrates against exact grid
+  // gaps Δx, and w1_fp ships as 2^20-fixed-point quality units. The
+  // last distinct value's open interval contributes zero (both CDFs
+  // are 1 there) and is dropped by the pairing join.
+  //
+  // Scale shape: corpus collapses to the distinct-score frame; the
+  // combined rank+cumulative pass is ONE q194-style range exchange
+  // with a cluster-sized carry (counts AND group sums in the same
+  // carry), and the "next value" comes from a rank self-join — no
+  // cross-partition lead, no single-partition window.
+  private def q222(s: SparkSession, d: String): DataFrame = {
+    val sc = Filtering.qualityScored(documents(s, d))
+      .join(documents(s, d).select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val v = sc.select(floor(col("quality") * 1048576).cast("long").as("x"),
+        col("lang"))
+      .groupBy(col("x"))
+      .agg(sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ca"),
+        sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("cb"))
+    val nParts = s.conf.get("spark.sql.shuffle.partitions").toIntOption
+      .getOrElse(s.sparkContext.defaultParallelism)
+    val parted = v.repartitionByRange(nParts, col("x"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(false)
+    val wLocal = Window.partitionBy(col("__pid")).orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wRn = Window.partitionBy(col("__pid")).orderBy(col("x"))
+    val wCarry = Window.partitionBy(lit(1)).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = parted.groupBy(col("__pid"))
+      .agg(sum(col("ca")).as("pa"), sum(col("cb")).as("pb"),
+        count(lit(1)).as("pn"))
+      .withColumn("carrya", sum(col("pa")).over(wCarry))
+      .withColumn("carryb", sum(col("pb")).over(wCarry))
+      .withColumn("carryn", sum(col("pn")).over(wCarry))
+      .select(col("__pid"), col("carrya"), col("carryb"), col("carryn"))
+    val cums = parted
+      .withColumn("la", sum(col("ca")).over(wLocal))
+      .withColumn("lb", sum(col("cb")).over(wLocal))
+      .withColumn("lrn", row_number().over(wRn).cast("long"))
+      .join(broadcast(carry), Seq("__pid"))
+      .select(col("x"),
+        (col("la") + coalesce(col("carrya"), lit(0L))).as("cuma"),
+        (col("lb") + coalesce(col("carryb"), lit(0L))).as("cumb"),
+        (col("lrn") + coalesce(col("carryn"), lit(0L))).as("rk"))
+    val nxt = cums.select((col("rk") - 1).as("rk"), col("x").as("xn"))
+    val tot = v.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+    cums.join(nxt, Seq("rk"))
+      .crossJoin(broadcast(tot))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        sum(expr(
+          "abs(CAST(cuma AS DECIMAL(38,0)) * n_b - CAST(cumb AS DECIMAL(38,0)) * n_a)"
+          ) * (col("xn") - col("x"))).as("num"))
+      .select(col("n_a"), col("n_b"),
+        expr("CAST(num DIV (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)")
+          .as("w1_fp"))
+  }
+
+  private val q222Sql = {
+    val toks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+    s"""WITH t AS (
+      |  SELECT doc_id, lang, len(toks) AS n_words,
+      |    len(list_distinct(toks)) AS n_distinct
+      |  FROM (SELECT doc_id, lang, $toks AS toks FROM documents) t0),
+      |sc AS (
+      |  SELECT CAST(floor(((CAST(n_distinct AS DOUBLE) / greatest(n_words, 1)) *
+      |      (CASE WHEN n_words BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.0 END))
+      |      * 1048576) AS BIGINT) AS x,
+      |    lang
+      |  FROM t),
+      |v AS (
+      |  SELECT x,
+      |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ca,
+      |    sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS cb
+      |  FROM sc GROUP BY x),
+      |r AS (
+      |  SELECT x,
+      |    sum(ca) OVER (ORDER BY x
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+      |    sum(cb) OVER (ORDER BY x
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb,
+      |    lead(x) OVER (ORDER BY x) AS xn
+      |  FROM v),
+      |tt AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+      |  CAST(sum(cb) AS BIGINT) AS n_b FROM v)
+      |SELECT tt.n_a, tt.n_b,
+      |  CAST(sum(abs(CAST(cuma AS HUGEINT) * n_b - CAST(cumb AS HUGEINT) * n_a)
+      |      * (xn - x))
+      |    // (CAST(tt.n_a AS HUGEINT) * tt.n_b) AS BIGINT) AS w1_fp
+      |FROM r, tt WHERE xn IS NOT NULL
+      |GROUP BY tt.n_a, tt.n_b""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q162_signal_correlation", q162, Some(q162Sql)),
     Q("q169_ab_conversion", q169, Some(q169Sql)),
@@ -1369,5 +1468,6 @@ object Signals {
     Q("q211_burn_rate", q211, Some(q211Sql)),
     Q("q214_seasonal_mase", q214, Some(q214Sql)),
     Q("q216_theil_sen", q216, Some(q216Sql)),
+    Q("q222_wasserstein_drift", q222, Some(q222Sql)),
   )
 }
