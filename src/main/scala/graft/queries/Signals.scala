@@ -1448,6 +1448,94 @@ object Signals {
       |GROUP BY tt.n_a, tt.n_b""".stripMargin
   }
 
+  /** Lag scan half-width for q223 (hours). */
+  val LeadLagMax = 12
+
+  // q223 — lead-lag discovery: scan cross-correlation between the
+  // hourly click series and the hourly purchase series over every lag
+  // in ±LeadLagMax hours — "how long after clicks do purchases move?"
+  // — the question q162 (fixed lag 0/1) assumes away. Per lag, the
+  // exact integer sufficient statistics over the overlap window
+  // (n, Σa, Σb, Σab, Σa², Σb²) and the squared correlation in 2^20
+  // fixed point (numerator/denominator products staged through
+  // DECIMAL(38,0)/HUGEINT; a constant series degenerates the
+  // denominator to 0 → guarded to 1, corr²=0). The consumer reads the
+  // peak row; every row ships so the full correlogram is auditable.
+  //
+  // Scale shape: the event log collapses once to the time-sized
+  // hourly frame; the lag scan is a (hours × 25)-row self-join keyed
+  // on the shifted hour — independent of event volume.
+  private def q223(s: SparkSession, d: String): DataFrame = {
+    val c = events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(expr("ts_ms div 3600000").as("hr"), col("event_type"))
+      .groupBy(col("hr"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("a"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("b"))
+    val bounds = c.agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+    val g = bounds.select(explode(sequence(col("h0"), col("h1"))).as("hr"))
+      .join(c, Seq("hr"), "left")
+      .select(col("hr"), coalesce(col("a"), lit(0L)).as("a"),
+        coalesce(col("b"), lit(0L)).as("b"))
+      .localCheckpoint(false)
+    val lags = s.range(1).select(
+      explode(expr(s"sequence(${-LeadLagMax}L, ${LeadLagMax}L)")).as("lag"))
+    g.as("x").crossJoin(broadcast(lags))
+      .join(g.as("y"), col("y.hr") === col("x.hr") + col("lag"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_hours"),
+        sum(col("x.a")).as("sa"), sum(col("y.b")).as("sb"),
+        sum(col("x.a").cast(DecimalType(38, 0)) * col("y.b")).as("sab"),
+        sum(col("x.a").cast(DecimalType(38, 0)) * col("x.a")).as("saa"),
+        sum(col("y.b").cast(DecimalType(38, 0)) * col("y.b")).as("sbb"))
+      .select(col("lag"), col("n_hours"),
+        expr("CAST(CAST(n_hours AS DECIMAL(38,0)) * sab - CAST(sa AS DECIMAL(38,0)) * sb AS BIGINT)")
+          .as("r_num"),
+        expr("""CAST((CAST(n_hours AS DECIMAL(38,0)) * sab - CAST(sa AS DECIMAL(38,0)) * sb)
+               |  * (CAST(n_hours AS DECIMAL(38,0)) * sab - CAST(sa AS DECIMAL(38,0)) * sb)
+               |  * 1048576
+               |  DIV greatest(
+               |    (CAST(n_hours AS DECIMAL(38,0)) * saa - CAST(sa AS DECIMAL(38,0)) * sa)
+               |    * (CAST(n_hours AS DECIMAL(38,0)) * sbb - CAST(sb AS DECIMAL(38,0)) * sb),
+               |    1) AS BIGINT)""".stripMargin).as("corr2_fp"))
+      .orderBy(col("lag"))
+  }
+
+  private val q223Sql =
+    s"""WITH c AS (
+      |  SELECT epoch_ms(ts) // 3600000 AS hr,
+      |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS a,
+      |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS b
+      |  FROM events WHERE event_type IN ('click', 'purchase')
+      |  GROUP BY 1),
+      |bd AS (SELECT min(hr) AS h0, max(hr) AS h1 FROM c),
+      |g AS (
+      |  SELECT gh.hr, CAST(coalesce(c.a, 0) AS BIGINT) AS a,
+      |    CAST(coalesce(c.b, 0) AS BIGINT) AS b
+      |  FROM (SELECT unnest(range(h0, h1 + 1)) AS hr FROM bd) gh
+      |  LEFT JOIN c ON c.hr = gh.hr),
+      |lg AS (SELECT unnest(range(${-LeadLagMax}, ${LeadLagMax + 1})) AS lag),
+      |st AS (
+      |  SELECT lg.lag, count(*) AS n_hours,
+      |    CAST(sum(x.a) AS BIGINT) AS sa, CAST(sum(y.b) AS BIGINT) AS sb,
+      |    sum(CAST(x.a AS HUGEINT) * y.b) AS sab,
+      |    sum(CAST(x.a AS HUGEINT) * x.a) AS saa,
+      |    sum(CAST(y.b AS HUGEINT) * y.b) AS sbb
+      |  FROM g x CROSS JOIN lg JOIN g y ON y.hr = x.hr + lg.lag
+      |  GROUP BY lg.lag)
+      |SELECT lag, n_hours,
+      |  CAST(CAST(n_hours AS HUGEINT) * sab - CAST(sa AS HUGEINT) * sb AS BIGINT)
+      |    AS r_num,
+      |  CAST((CAST(n_hours AS HUGEINT) * sab - CAST(sa AS HUGEINT) * sb)
+      |    * (CAST(n_hours AS HUGEINT) * sab - CAST(sa AS HUGEINT) * sb)
+      |    * 1048576
+      |    // greatest(
+      |      (CAST(n_hours AS HUGEINT) * saa - CAST(sa AS HUGEINT) * sa)
+      |      * (CAST(n_hours AS HUGEINT) * sbb - CAST(sb AS HUGEINT) * sb),
+      |      1) AS BIGINT) AS corr2_fp
+      |FROM st
+      |ORDER BY lag""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q162_signal_correlation", q162, Some(q162Sql)),
     Q("q169_ab_conversion", q169, Some(q169Sql)),
@@ -1469,5 +1557,6 @@ object Signals {
     Q("q214_seasonal_mase", q214, Some(q214Sql)),
     Q("q216_theil_sen", q216, Some(q216Sql)),
     Q("q222_wasserstein_drift", q222, Some(q222Sql)),
+    Q("q223_lead_lag", q223, Some(q223Sql)),
   )
 }
