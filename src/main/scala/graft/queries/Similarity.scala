@@ -1018,10 +1018,15 @@ object Similarity {
         .groupBy(col("j"))
         .agg(sum(col("qj").cast(DecimalType(38, 0)) * col("s")).as("u"))
       val m = u.agg(max(abs(col("u"))).as("m"))
+      // 1-row checkpoint per round: without it every downstream
+      // reference re-plans the whole preceding chain (q213 planned 58
+      // exchanges; with per-round materialization each round scans the
+      // corpus exactly once)
       varr = u.crossJoin(broadcast(m))
         .select(col("j"), expr(s"CAST(u * $FixScale DIV m AS BIGINT)").as("v"))
         .agg(expr("transform(array_sort(collect_list(struct(j, v))), x -> x.v)")
           .as("varr"))
+        .localCheckpoint(false)
     }
     varr
   }
