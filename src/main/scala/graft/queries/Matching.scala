@@ -46,17 +46,22 @@ object Matching {
   private[graft] def edPairsOf(names: DataFrame): DataFrame = {
     // i in 0..len: i < len deletes the 0-based i-th char; i = len keeps
     // the string itself (distance-0 member of the neighborhood).
+    // The candidate join carries ONLY (k, var) — the name strings join
+    // back onto the (much smaller) distinct pair set for the verify,
+    // so the shuffle payload of the hot self-join stays 2 columns.
     val variants = names
       .select(col("k"), col("nm"), explode(expr("sequence(0, length(nm))")).as("i"))
-      .select(col("k"), col("nm"), expr(
+      .select(col("k"), expr(
         "CASE WHEN i < length(nm) THEN concat(substr(nm, 1, i), substr(nm, i + 2)) ELSE nm END")
         .as("var"))
       .distinct() // deleting any of several identical chars yields the same variant
-    variants.as("a").join(variants.as("b"),
+    val pairs = variants.as("a").join(variants.as("b"),
         col("a.var") === col("b.var") && col("a.k") < col("b.k"))
-      .select(col("a.k").as("k1"), col("b.k").as("k2"),
-        col("a.nm").as("n1"), col("b.nm").as("n2"))
+      .select(col("a.k").as("k1"), col("b.k").as("k2"))
       .distinct() // two names can collide on several variants
+    pairs
+      .join(names.select(col("k").as("k1"), col("nm").as("n1")), Seq("k1"))
+      .join(names.select(col("k").as("k2"), col("nm").as("n2")), Seq("k2"))
       .filter(levenshtein(col("n1"), col("n2")) <= 1)
       .select(col("k1"), col("k2"),
         levenshtein(col("n1"), col("n2")).cast("long").as("dist"))
