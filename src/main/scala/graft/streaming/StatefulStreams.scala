@@ -864,6 +864,39 @@ object StatefulStreams {
       }
   }
 
+  /** Streaming form of batch q220's pair generation — co-occurrence
+    * pairs emitted ON ARRIVAL: per-order state is the distinct part
+    * set seen so far (bounded by basket size — an order has ≤ 7
+    * lineitems, the same bound that makes the batch self-join linear);
+    * each NEWLY seen part emits one (min, max)-canonical pair with
+    * every part already in the basket, so every unordered pair is
+    * emitted exactly once per order regardless of how arrivals split
+    * across micro-batches. Append mode — pairs are facts; summing
+    * downstream reproduces batch q220's support counts exactly
+    * (StreamingBasketSpec pins it). Duplicate part arrivals within an
+    * order are ignored, matching the batch DISTINCT.
+    */
+  def streamingBasketPairs(li: DataFrame): Dataset[(Long, Long)] = {
+    val spark = li.sparkSession
+    import spark.implicits._
+    li.select(col("l_orderkey"), col("l_partkey"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, it: Iterator[(Long, Long)], gs: GroupState[Seq[Long]]) =>
+          var seen = gs.getOption.getOrElse(Seq.empty[Long])
+          val out = Vector.newBuilder[(Long, Long)]
+          it.foreach { case (_, p) =>
+            if (!seen.contains(p)) {
+              seen.foreach(q => out += ((math.min(p, q), math.max(p, q))))
+              seen = seen :+ p
+            }
+          }
+          gs.update(seen)
+          out.result().iterator
+      }
+  }
+
   /** O7 (broadcast fan-out, engine.go:196-211) for streams: one source
     * micro-batch delivered to N sinks via foreachBatch. The batch
     * DataFrame is persisted so the plan is computed once per epoch, not
