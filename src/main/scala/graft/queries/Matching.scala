@@ -198,9 +198,67 @@ object Matching {
       |FROM c""".stripMargin
   }
 
+  // q224 — pattern MEASURES for the q201 funnel: the time from the
+  // arming view to its purchase, for every `vc*p` match. Relational
+  // form of CEP measure extraction: a purchase completes a match iff
+  // the LATEST non-click event before it (per user, event-time order)
+  // is a view — provably the same match set as the q201 regex
+  // (clicks are the only events c* can absorb, an intervening
+  // purchase/error/signup is itself non-click and breaks the chain,
+  // and non-overlap falls out because the completing purchase is
+  // non-click too). Latencies ship as a log2-bucketed spectrum (the
+  // q185 ruler) with per-bucket counts and exact total — the
+  // "how fast do funnels convert" answer the match COUNT alone
+  // doesn't give.
+  //
+  // Scale shape: one per-user window (max-of-struct over the
+  // preceding frame — bounded key groups, no global sort), then a
+  // ≤64-row bucket aggregate.
+  private def q224(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ch = expr("substr(event_type, 1, 1)")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ev = events(s, d)
+      .select(col("user_id"), col("ts_ms"), col("event_id"), ch.as("ch"))
+    val matched = ev
+      .withColumn("prev_nc", max(when(col("ch") =!= "c",
+        struct(col("ts_ms"), col("event_id"), col("ch")))).over(w))
+      .filter(col("ch") === "p" && col("prev_nc.ch") === "v")
+      .select((col("ts_ms") - col("prev_nc.ts_ms")).as("elapsed_ms"))
+    matched // bucket = bit-length log2 (q185 idiom — no float log2)
+      .groupBy(expr("CAST(length(bin(elapsed_ms + 1)) - 1 AS BIGINT)").as("bucket"))
+      .agg(count(lit(1)).as("n_funnels"),
+        sum(col("elapsed_ms")).as("total_ms"))
+      .orderBy(col("bucket"))
+  }
+
+  private val q224Sql =
+    """WITH e AS (
+      |  SELECT user_id, epoch_ms(ts) AS ts_ms, event_id,
+      |    substr(event_type, 1, 1) AS ch
+      |  FROM events),
+      |m AS (
+      |  SELECT user_id, ts_ms, event_id, ch,
+      |    max(CASE WHEN ch <> 'c'
+      |        THEN {'ts': ts_ms, 'id': event_id, 'ch': ch} END)
+      |      OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_nc
+      |  FROM e)
+      |SELECT CAST(length(printf('%b', ts_ms - prev_nc.ts + 1)) - 1 AS BIGINT)
+      |    AS bucket,
+      |  count(*) AS n_funnels,
+      |  CAST(sum(ts_ms - prev_nc.ts) AS BIGINT) AS total_ms
+      |FROM m
+      |WHERE ch = 'p' AND prev_nc.ch = 'v'
+      |GROUP BY 1
+      |ORDER BY bucket""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q200_edit_distance_join", q200, Some(q200Sql)),
     Q("q201_event_pattern", q201, Some(q201Sql)),
     Q("q204_cohens_kappa", q204, Some(q204Sql)),
+    Q("q224_funnel_latency", q224, Some(q224Sql)),
   )
 }

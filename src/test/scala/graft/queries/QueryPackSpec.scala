@@ -20,6 +20,17 @@ class QueryPackSpec extends SparkSpec {
     assert(SparkEntry.oracleSql.keySet.subsetOf(qs.keySet))
   }
 
+  test("q224 funnel-latency match count equals q201's regex match total") {
+    // the two are independent derivations of the same CEP match set
+    // (per-user regex scan vs last-non-click-is-view window predicate)
+    val regexTotal = SparkEntry.queries("q201_event_pattern")(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum("n_funnels")).collect()(0).getLong(0)
+    val latencyTotal = SparkEntry.queries("q224_funnel_latency")(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum("n_funnels")).collect()(0).getLong(0)
+    assert(regexTotal == latencyTotal && regexTotal > 0,
+      s"regex=$regexTotal latency=$latencyTotal")
+  }
+
   test("q41 IVF ANN achieves recall >= 0.9 of brute-force top-5") {
     val brute = SparkEntry.queries("q40_knn_brute")(spark, sf)
       .select("query_id", "vec_id").collect()
