@@ -1536,6 +1536,77 @@ object Signals {
       |FROM st
       |ORDER BY lag""".stripMargin
 
+  // q225 — classical seasonal decomposition (x = trend + seasonal +
+  // residual) of the hourly event-count series, exact-integer form:
+  // the centered 2×24-hour moving average carries the TREND (emitted
+  // ×48, so the half-weight window endpoints stay integral:
+  // T48 = x_{t−12} + 2·Σ_{−11..+11} + x_{t+12}), the per-hour-of-day
+  // mean of the detrended series carries the SEASONAL (×48, integer
+  // DIV over its slot count), and what's left is the RESIDUAL — the
+  // decomposition every anomaly/forecast pipeline (q184, q214) stands
+  // on, here as an auditable table. Interior hours only (the 25-hour
+  // window must be full).
+  //
+  // Scale shape: events collapse to the dense hourly grid
+  // (time-sized, q211's argument); one bounded window pass + one
+  // 24-row seasonal join.
+  private def q225(s: SparkSession, d: String): DataFrame = {
+    val c = events(s, d)
+      .select(expr("ts_ms div 3600000").as("hr"))
+      .groupBy(col("hr")).agg(count(lit(1)).as("n"))
+    val bounds = c.agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+    val grid = bounds.select(explode(sequence(col("h0"), col("h1"))).as("hr"))
+      .join(c, Seq("hr"), "left")
+      .select(col("hr"), coalesce(col("n"), lit(0L)).as("x"))
+    val w = Window.partitionBy(lit(1)).orderBy(col("hr")) // time-sized frame
+    val wc = w.rowsBetween(-12, 12)
+    val t = grid
+      .withColumn("nw", count(lit(1)).over(wc))
+      .withColumn("t48",
+        sum(col("x")).over(wc) * 2 - lag(col("x"), 12).over(w)
+          - lead(col("x"), 12).over(w))
+      .filter(col("nw") === 25)
+      .select(col("hr"), col("x"), col("t48"),
+        (col("x") * 48 - col("t48")).as("d48"), expr("hr % 24").as("hod"))
+    val seasonal = t.groupBy(col("hod"))
+      .agg(expr("CAST(sum(d48) DIV count(*) AS BIGINT)").as("s48"))
+    t.join(broadcast(seasonal), Seq("hod"))
+      .select(col("hr"), col("x"), col("t48").as("trend_x48"),
+        col("s48").as("seasonal_x48"),
+        (col("d48") - col("s48")).as("residual_x48"))
+      .orderBy(col("hr"))
+  }
+
+  private val q225Sql =
+    """WITH c AS (
+      |  SELECT epoch_ms(ts) // 3600000 AS hr, count(*) AS n
+      |  FROM events GROUP BY 1),
+      |b AS (SELECT min(hr) AS h0, max(hr) AS h1 FROM c),
+      |g AS (
+      |  SELECT gh.hr, CAST(coalesce(c.n, 0) AS BIGINT) AS x
+      |  FROM (SELECT unnest(range(h0, h1 + 1)) AS hr FROM b) gh
+      |  LEFT JOIN c ON c.hr = gh.hr),
+      |t0 AS (
+      |  SELECT hr, x,
+      |    count(*) OVER (ORDER BY hr ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+      |      AS nw,
+      |    sum(x) OVER (ORDER BY hr ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+      |      * 2
+      |      - lag(x, 12) OVER (ORDER BY hr)
+      |      - lead(x, 12) OVER (ORDER BY hr) AS t48
+      |  FROM g),
+      |t AS (
+      |  SELECT hr, x, t48, x * 48 - t48 AS d48, hr % 24 AS hod
+      |  FROM t0 WHERE nw = 25),
+      |se AS (
+      |  SELECT hod, CAST(sum(d48) // count(*) AS BIGINT) AS s48
+      |  FROM t GROUP BY hod)
+      |SELECT t.hr, t.x, CAST(t.t48 AS BIGINT) AS trend_x48,
+      |  se.s48 AS seasonal_x48,
+      |  CAST(t.d48 - se.s48 AS BIGINT) AS residual_x48
+      |FROM t JOIN se USING (hod)
+      |ORDER BY hr""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q162_signal_correlation", q162, Some(q162Sql)),
     Q("q169_ab_conversion", q169, Some(q169Sql)),
@@ -1558,5 +1629,6 @@ object Signals {
     Q("q216_theil_sen", q216, Some(q216Sql)),
     Q("q222_wasserstein_drift", q222, Some(q222Sql)),
     Q("q223_lead_lag", q223, Some(q223Sql)),
+    Q("q225_seasonal_decomp", q225, Some(q225Sql)),
   )
 }

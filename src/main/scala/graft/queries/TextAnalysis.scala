@@ -679,6 +679,58 @@ object TextAnalysis {
       |    AS cum_vocab
       |FROM db LEFT JOIN nt USING (bucket) ORDER BY bucket""".stripMargin
 
+  // q226 — entropy-floor repetitiveness gate (the exact-arithmetic
+  // stand-in for Gopher's compression-ratio filter): per document, the
+  // quantized Shannon bound Σ_w c_w·⌊log2(n/c_w)⌋ bits — computed
+  // with the bit-length trick (⌊log2(n DIV c)⌋ = bitlen(n DIV c) − 1,
+  // no float logs) — and bits-per-token in 2^8 fixed point. A doc
+  // whose unigram stream compresses below BitsPerTokGate bits/token
+  // is template/repetition soup a real compressor would flag too;
+  // unlike q77's max-run statistic this integrates ALL the
+  // redundancy. Deterministic, identical in both engines.
+  //
+  // Scale shape: explode to (doc, token) counts (the q50 shape), one
+  // per-doc aggregate; output is corpus-sized rows of 4 scalars.
+  val BitsPerTokGateX256 = 512L // 2.0 bits/token in 2^8 fixed point
+
+  private def q226(s: SparkSession, d: String): DataFrame = {
+    val cnt = documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+    val n = cnt.groupBy(col("doc_id")).agg(sum(col("c")).as("n_toks"))
+    cnt.join(n, Seq("doc_id"))
+      .select(col("doc_id"), col("n_toks"),
+        expr("c * (length(bin(n_toks DIV c)) - 1)").as("b"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_toks")).as("n_toks"), sum(col("b")).as("h_bits"))
+      .select(col("doc_id"), col("n_toks"), col("h_bits"),
+        expr("CAST(h_bits * 256 DIV greatest(n_toks, 1) AS BIGINT)")
+          .as("bpt_fp256"))
+      .withColumn("flagged", col("bpt_fp256") < BitsPerTokGateX256)
+      .orderBy(col("doc_id"))
+  }
+
+  private val q226Sql = {
+    val toks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+    s"""WITH w AS (
+      |  SELECT doc_id, unnest(toks) AS tok
+      |  FROM (SELECT doc_id, $toks AS toks FROM documents) t0),
+      |cnt AS (SELECT doc_id, tok, count(*) AS c FROM w GROUP BY 1, 2),
+      |n AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_toks
+      |  FROM cnt GROUP BY doc_id),
+      |h AS (
+      |  SELECT cnt.doc_id, n.n_toks,
+      |    CAST(sum(c * (length(printf('%b', n_toks // c)) - 1)) AS BIGINT)
+      |      AS h_bits
+      |  FROM cnt JOIN n USING (doc_id)
+      |  GROUP BY 1, 2)
+      |SELECT doc_id, n_toks, h_bits,
+      |  CAST(h_bits * 256 // greatest(n_toks, 1) AS BIGINT) AS bpt_fp256,
+      |  h_bits * 256 // greatest(n_toks, 1) < $BitsPerTokGateX256 AS flagged
+      |FROM h
+      |ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q50_token_stats", q50, Some(q50Sql)),
     Q("q51_lang_id", q51, Some(q51Sql)),
@@ -692,6 +744,7 @@ object TextAnalysis {
     Q("q99_token_novelty", q99, Some(q99Sql)),
     Q("q178_trending_terms", q178, Some(q178Sql)),
     Q("q109_vocab_encode", q109, Some(q109Sql)),
+    Q("q226_entropy_gate", q226, Some(q226Sql)),
     Q("q116_corpus_profile", q116, Some(q116Sql)),
     Q("q181_freq_spectrum", q181, Some(q181Sql)),
     Q("q182_vocab_growth", q182, Some(q182Sql)),
