@@ -472,6 +472,115 @@ object Filtering {
       |GROUP BY 1, 2, 3""".stripMargin
   }
 
+  // q228 — round-11 gate-stack capstone: one scan of the corpus
+  // through FOUR independent admission gates — the length window
+  // (q52), the lexical-diversity test (q204's rater B), the
+  // entropy-floor repetition gate (q226, ≥ 2.0 bits/token), and the
+  // conformally calibrated quality threshold (q215's τ, fitted on the
+  // even-doc half, applied to everyone) — reported as the
+  // per-gate/pass-all funnel every curation run reads before
+  // committing a corpus release. The gates deliberately overlap in
+  // intent but not mechanism, so the pass-all count is the defensible
+  // one and the per-gate deltas say which gate does the work.
+  //
+  // Scale shape: the token-count explode (q226's shape) and the
+  // calibration rank are the only shuffles; τ is a 1-row broadcast;
+  // the report is one row.
+  private def q228(s: SparkSession, d: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val base = documents(s, d).select(col("doc_id"),
+      size(toks).cast("long").as("nw"),
+      size(array_distinct(toks)).cast("long").as("nd"))
+    // entropy bits (q226 arithmetic)
+    val cnt = documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+    val n = cnt.groupBy(col("doc_id")).agg(sum(col("c")).as("n_toks"))
+    val ent = cnt.join(n, Seq("doc_id"))
+      .select(col("doc_id"), col("n_toks"),
+        expr("c * (length(bin(n_toks DIV c)) - 1)").as("b"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_toks")).as("n_toks"), sum(col("b")).as("h_bits"))
+      .select(col("doc_id"),
+        (expr("h_bits * 256 DIV greatest(n_toks, 1)") >=
+          TextAnalysis.BitsPerTokGateX256).as("g_ent"))
+    // conformal τ (q215 arithmetic, calibrated on even doc_ids)
+    val scored = qualityScored(documents(s, d))
+    val cal = scored.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val ranked = Sampling.rankDistributed(cal, Seq.empty,
+      Seq(col("quality"), col("doc_id")))
+    val nCal = cal.agg(count(lit(1)).as("n_cal"))
+    val tau = ranked.crossJoin(broadcast(nCal))
+      .filter(col("rk") === expr("(n_cal + 10) DIV 10"))
+      .select(col("quality").as("tau"))
+    base
+      .join(scored, Seq("doc_id"))
+      .join(ent, Seq("doc_id"))
+      .crossJoin(broadcast(tau))
+      .select(
+        (col("nw") >= 20 && col("nw") <= 1000).as("g_len"),
+        (col("nd") * 2 >= col("nw")).as("g_div"),
+        col("g_ent"),
+        (col("quality") >= col("tau")).as("g_conf"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("g_len"), 1L).otherwise(0L)).as("n_len"),
+        sum(when(col("g_div"), 1L).otherwise(0L)).as("n_div"),
+        sum(when(col("g_ent"), 1L).otherwise(0L)).as("n_ent"),
+        sum(when(col("g_conf"), 1L).otherwise(0L)).as("n_conf"),
+        sum(when(col("g_len") && col("g_div") && col("g_ent") && col("g_conf"),
+          1L).otherwise(0L)).as("n_all"))
+      .withColumn("all_share_fp",
+        expr("CAST(n_all * 1048576 DIV n_docs AS BIGINT)"))
+  }
+
+  private val q228Sql = {
+    val toks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+    s"""WITH t AS (
+      |  SELECT doc_id, len(toks) AS nw, len(list_distinct(toks)) AS nd
+      |  FROM (SELECT doc_id, $toks AS toks FROM documents) t0),
+      |w AS (
+      |  SELECT doc_id, unnest(toks) AS tok
+      |  FROM (SELECT doc_id, $toks AS toks FROM documents) t1),
+      |cnt AS (SELECT doc_id, tok, count(*) AS c FROM w GROUP BY 1, 2),
+      |nn AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_toks
+      |  FROM cnt GROUP BY doc_id),
+      |ent AS (
+      |  SELECT cnt.doc_id,
+      |    CAST(sum(c * (length(printf('%b', n_toks // c)) - 1)) AS BIGINT)
+      |      * 256 // greatest(max(n_toks), 1)
+      |      >= ${TextAnalysis.BitsPerTokGateX256} AS g_ent
+      |  FROM cnt JOIN nn USING (doc_id)
+      |  GROUP BY cnt.doc_id),
+      |sc AS (
+      |  SELECT doc_id,
+      |    (CAST(nd AS DOUBLE) / greatest(nw, 1)) *
+      |      (CASE WHEN nw BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.0 END)
+      |      AS quality, nw, nd
+      |  FROM t),
+      |cal AS (SELECT * FROM sc WHERE doc_id % 2 = 0),
+      |r AS (SELECT quality,
+      |    row_number() OVER (ORDER BY quality, doc_id) AS rk,
+      |    count(*) OVER () AS n_cal
+      |  FROM cal),
+      |tau AS (SELECT quality AS tau FROM r WHERE rk = (n_cal + 10) // 10),
+      |g AS (
+      |  SELECT (sc.nw >= 20 AND sc.nw <= 1000) AS g_len,
+      |    (sc.nd * 2 >= sc.nw) AS g_div,
+      |    ent.g_ent,
+      |    (sc.quality >= tau.tau) AS g_conf
+      |  FROM sc JOIN ent USING (doc_id), tau)
+      |SELECT count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN g_len THEN 1 ELSE 0 END) AS BIGINT) AS n_len,
+      |  CAST(sum(CASE WHEN g_div THEN 1 ELSE 0 END) AS BIGINT) AS n_div,
+      |  CAST(sum(CASE WHEN g_ent THEN 1 ELSE 0 END) AS BIGINT) AS n_ent,
+      |  CAST(sum(CASE WHEN g_conf THEN 1 ELSE 0 END) AS BIGINT) AS n_conf,
+      |  CAST(sum(CASE WHEN g_len AND g_div AND g_ent AND g_conf
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_all,
+      |  CAST(sum(CASE WHEN g_len AND g_div AND g_ent AND g_conf
+      |    THEN 1 ELSE 0 END) * 1048576 // count(*) AS BIGINT) AS all_share_fp
+      |FROM g""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q111_blocklist_filter", q111, Some(q111Sql)),
     Q("q113_gopher_rules", q113, Some(q113Sql)),
@@ -479,5 +588,6 @@ object Filtering {
     Q("q172_score_calibration", q172, Some(q172Sql)),
     Q("q176_drift_monitor", q176, Some(q176Sql)),
     Q("q215_conformal_gate", q215, Some(q215Sql)),
+    Q("q228_gate_stack", q228, Some(q228Sql)),
   )
 }

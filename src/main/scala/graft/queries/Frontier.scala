@@ -450,6 +450,76 @@ object Frontier {
       |GROUP BY flag
       |ORDER BY flag""".stripMargin
 
+  // q227 — ABC / Pareto contribution classes: parts ranked by revenue,
+  // classified A (first parts covering ≤ 80% of cumulative revenue),
+  // B (to 95%), C (tail) — the 80/20 inventory-analysis operator every
+  // BI layer ships. Exact: revenue in cents (q01 grid), the cumulative
+  // runs as the q221 range-exchange + carry prefix over the
+  // parts-sized frame (never a single-partition sort of all parts),
+  // class bounds as integer cross-multiplications (5·cum ≤ 4·tot for
+  // the 80% line — no percent doubles). Report is the 3-row class
+  // summary with exact revenue mass and 2^20 share.
+  private def q227(s: SparkSession, d: String): DataFrame = {
+    val rev = lineitem(s, d)
+      .groupBy(col("l_partkey").as("part"))
+      .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("cents"))
+    val nParts = s.conf.get("spark.sql.shuffle.partitions").toIntOption
+      .getOrElse(s.sparkContext.defaultParallelism)
+    val parted = rev.repartitionByRange(nParts, col("cents").desc, col("part"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(false)
+    val wLocal = Window.partitionBy(col("__pid"))
+      .orderBy(col("cents").desc, col("part"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wCarry = Window.partitionBy(lit(1)).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = parted.groupBy(col("__pid")).agg(sum(col("cents")).as("pc"))
+      .withColumn("carry", sum(col("pc")).over(wCarry))
+      .select(col("__pid"), col("carry"))
+    val tot = rev.agg(sum(col("cents")).as("tot"))
+    parted
+      .withColumn("cum", sum(col("cents")).over(wLocal))
+      .join(broadcast(carry), Seq("__pid"))
+      .withColumn("cum", col("cum") + coalesce(col("carry"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("cls",
+        when(col("cum") * 5 <= col("tot") * 4, "A")
+          .when(col("cum") * 20 <= col("tot") * 19, "B")
+          .otherwise("C"))
+      .groupBy(col("cls"))
+      .agg(count(lit(1)).as("n_parts"), sum(col("cents")).as("revenue_cents"),
+        max(col("tot")).as("tot"))
+      .select(col("cls"), col("n_parts"), col("revenue_cents"),
+        expr("CAST(CAST(revenue_cents AS DECIMAL(38,0)) * 1048576 DIV tot AS BIGINT)")
+          .as("share_fp"))
+      .orderBy(col("cls"))
+  }
+
+  private val q227Sql =
+    """WITH rev AS (
+      |  SELECT l_partkey AS part,
+      |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM lineitem GROUP BY 1),
+      |t AS (SELECT CAST(sum(cents) AS BIGINT) AS tot FROM rev),
+      |c AS (
+      |  SELECT part, cents,
+      |    sum(cents) OVER (ORDER BY cents DESC, part
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM rev),
+      |k AS (
+      |  SELECT CASE WHEN cum * 5 <= tot * 4 THEN 'A'
+      |              WHEN cum * 20 <= tot * 19 THEN 'B'
+      |              ELSE 'C' END AS cls,
+      |    cents, tot
+      |  FROM c, t)
+      |SELECT cls, count(*) AS n_parts,
+      |  CAST(sum(cents) AS BIGINT) AS revenue_cents,
+      |  CAST(CAST(sum(cents) AS HUGEINT) * 1048576 // max(tot) AS BIGINT)
+      |    AS share_fp
+      |FROM k GROUP BY cls
+      |ORDER BY cls""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q153_skyline", q153, Some(q153Sql)),
     Q("q154_peak_concurrency", q154, Some(q154Sql)),
@@ -459,5 +529,6 @@ object Frontier {
     Q("q170_percentile_rank", q170, Some(q170Sql)),
     Q("q188_mad_outliers", q188, Some(q188Sql)),
     Q("q221_weighted_median", q221, Some(q221Sql)),
+    Q("q227_abc_pareto", q227, Some(q227Sql)),
   )
 }
