@@ -520,6 +520,88 @@ object Frontier {
       |FROM k GROUP BY cls
       |ORDER BY cls""".stripMargin
 
+  /** q231 — interval-overlap self-join over user sessions: which user
+    * PAIRS are online together, for how long, and how often — the
+    * co-presence primitive behind social-graph inference, fraud rings
+    * (always-concurrent accounts), and capacity attribution. Sessions
+    * come from the shared 30-min-gap sessionizer
+    * ([[EventWindows.sessionize]]); two sessions of DIFFERENT users
+    * overlap when the closed intervals touch
+    * (a.start ≤ b.end ∧ b.start ≤ a.end), and the pair contributes
+    * `min(end) − max(start)` ms of co-presence.
+    *
+    * Scale shape: a naive interval join is |sessions|² — instead each
+    * session explodes into the [[OvBucketMs]]-wide time slices it
+    * covers (bounded by duration/W + 1 rows) and the pair join becomes
+    * an EQUI-join on the slice key, so Spark plans a shuffled hash
+    * join whose per-task work is (sessions concurrent in one slice)²
+    * — the sweep-width bound, not the corpus bound. A pair spanning
+    * multiple slices is counted ONCE by the standard overlap-start
+    * dedup: only the slice containing max(start_a, start_b) emits the
+    * pair (no distinct needed, no double counting). Output is bounded
+    * to the top [[OvTopK]] pairs by co-presence via
+    * TakeOrderedAndProject.
+    */
+  val OvBucketMs = 86400000L // 1-day slices
+  val OvTopK = 100
+
+  /** Core: top-K co-presence pairs over a (user_id, st, en) interval
+    * frame via time-slice blocking. Fixture-testable.
+    */
+  private[graft] def sessionOverlapOf(
+      sess: DataFrame, bucketMs: Long, topK: Int): DataFrame = {
+    val sliced = sess.withColumn("bucket",
+        explode(sequence(expr(s"st div $bucketMs"), expr(s"en div $bucketMs"))))
+      .localCheckpoint(false) // one sessionize feeds both join sides
+    val pairs = sliced.as("a").join(sliced.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.user_id") < col("b.user_id") &&
+          col("a.st") <= col("b.en") && col("b.st") <= col("a.en") &&
+          col("a.bucket") === expr(s"greatest(a.st, b.st) div $bucketMs"))
+      .select(col("a.user_id").as("user_a"), col("b.user_id").as("user_b"),
+        (least(col("a.en"), col("b.en")) - greatest(col("a.st"), col("b.st")))
+          .as("ov"))
+    pairs.groupBy(col("user_a"), col("user_b"))
+      .agg(count(lit(1)).as("n_overlaps"), sum(col("ov")).as("overlap_ms"))
+      .orderBy(col("overlap_ms").desc, col("user_a"), col("user_b"))
+      .limit(topK)
+  }
+
+  private def q231(s: SparkSession, d: String): DataFrame =
+    sessionOverlapOf(
+      EventWindows.sessionize(events(s, d))
+        .select(col("user_id"), col("session_start").as("st"),
+          (col("session_start") + col("duration_ms")).as("en")),
+      OvBucketMs, OvTopK)
+
+  private val q231Sql =
+    s"""WITH t AS (
+      |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+      |    lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_ms(ts), event_id) AS prev_ms
+      |  FROM events),
+      |f AS (
+      |  SELECT user_id, event_id, ts_ms,
+      |    CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms > 1800000
+      |      THEN 1 ELSE 0 END AS ns
+      |  FROM t),
+      |sess AS (
+      |  SELECT user_id, min(ts_ms) AS st, max(ts_ms) AS en
+      |  FROM (SELECT user_id, ts_ms,
+      |      sum(ns) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |    FROM f) g
+      |  GROUP BY user_id, sid),
+      |p AS (
+      |  SELECT a.user_id AS user_a, b.user_id AS user_b,
+      |    least(a.en, b.en) - greatest(a.st, b.st) AS ov
+      |  FROM sess a JOIN sess b
+      |    ON a.user_id < b.user_id AND a.st <= b.en AND b.st <= a.en)
+      |SELECT user_a, user_b, count(*) AS n_overlaps,
+      |  CAST(sum(ov) AS BIGINT) AS overlap_ms
+      |FROM p GROUP BY user_a, user_b
+      |ORDER BY overlap_ms DESC, user_a, user_b LIMIT $OvTopK""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q153_skyline", q153, Some(q153Sql)),
     Q("q154_peak_concurrency", q154, Some(q154Sql)),
@@ -530,5 +612,6 @@ object Frontier {
     Q("q188_mad_outliers", q188, Some(q188Sql)),
     Q("q221_weighted_median", q221, Some(q221Sql)),
     Q("q227_abc_pareto", q227, Some(q227Sql)),
+    Q("q231_session_overlap", q231, Some(q231Sql)),
   )
 }

@@ -517,6 +517,89 @@ object Graph {
       |FROM d3 ORDER BY node_type, key""".stripMargin
   }
 
+  /** q230 — neighborhood-overlap link prediction over the bipartite
+    * customer↔part co-purchase graph: for every candidate customer
+    * pair sharing at least one purchased part, the three classic
+    * common-neighbor scores — raw common-neighbor count, Jaccard of
+    * the part sets, and the resource-allocation index Σ_p 1/deg(p)
+    * (Zhou/Lü/Zhang) — the "customers who buy like you" primitive
+    * behind collaborative-filtering candidate generation. RA replaces
+    * the usual Adamic-Adar Σ 1/ln(deg) precisely because 1/ln is
+    * libm-dependent: RA's reciprocal is one integer DIV per wedge
+    * (2^20 DIV deg), bit-identical across engines and MORE
+    * hub-punishing, which is the point of the weighting.
+    *
+    * Scale shape: candidate pairs are generated by a self-join of the
+    * distinct (cust, part) edge list on part — Σ_p deg(p)² wedge rows,
+    * never |custs|² — with the per-part degree joined on BEFORE
+    * pairing so each wedge row carries its own RA weight (no second
+    * pass). Super-hub parts (deg > [[LpHubCap]]) are dropped up
+    * front: a part bought by everyone predicts nothing (its RA weight
+    * is ~0 and its Jaccard contribution uniform) yet would contribute
+    * deg² pair rows — the standard common-neighbor hub gate makes the
+    * wedge fanout per part O(cap²) at ANY corpus size. Per-customer
+    * degrees are a broadcast-sized aggregate; output is bounded to the
+    * top [[LpTopK]] pairs by RA via TakeOrderedAndProject.
+    */
+  val LpHubCap = 1024L
+  val LpTopK = 100
+  private val LpScale = 1048576L // 2^20
+
+  /** Core: common-neighbor link-prediction scores over a DISTINCT
+    * bipartite edge list (cust, part). Fixture-testable.
+    */
+  private[graft] def linkPredictOf(e0: DataFrame, hubCap: Long, topK: Int): DataFrame = {
+    val edges = e0.localCheckpoint() // consumed 3×: both degrees + both join sides
+    val pdeg = edges.groupBy(col("part")).agg(count(lit(1)).as("pd"))
+      .filter(col("pd") <= hubCap)
+    val cdeg = edges.groupBy(col("cust")).agg(count(lit(1)).as("cd"))
+    // wedge rows: (cust_a < cust_b) through a shared non-hub part,
+    // each carrying the part's RA weight
+    val ew = edges.join(pdeg, "part") // hub gate applied here
+    val wedges = ew.as("a").join(ew.as("b"),
+        col("a.part") === col("b.part") && col("a.cust") < col("b.cust"))
+      .select(col("a.cust").as("cust_a"), col("b.cust").as("cust_b"),
+        expr(s"$LpScale DIV a.pd").as("raw"))
+    val pairs = wedges.groupBy(col("cust_a"), col("cust_b"))
+      .agg(count(lit(1)).as("cn"), sum(col("raw")).as("ra_fp"))
+    pairs
+      .join(broadcast(cdeg.select(col("cust").as("cust_a"), col("cd").as("deg_a"))), "cust_a")
+      .join(broadcast(cdeg.select(col("cust").as("cust_b"), col("cd").as("deg_b"))), "cust_b")
+      .select(col("cust_a"), col("cust_b"), col("cn"), col("deg_a"), col("deg_b"),
+        expr(s"cn * $LpScale DIV (deg_a + deg_b - cn)").as("jaccard_fp"),
+        col("ra_fp"))
+      .orderBy(col("ra_fp").desc, col("cust_a"), col("cust_b"))
+      .limit(topK)
+  }
+
+  private def q230(s: SparkSession, d: String): DataFrame =
+    linkPredictOf(
+      lineitem(s, d)
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+        .distinct(),
+      LpHubCap, LpTopK)
+
+  private val q230Sql =
+    s"""WITH e AS (
+      |  SELECT DISTINCT o_custkey AS cust, l_partkey AS part
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |pd AS (SELECT part, count(*) AS pd FROM e GROUP BY part
+      |  HAVING count(*) <= $LpHubCap),
+      |cd AS (SELECT cust, count(*) AS cd FROM e GROUP BY cust),
+      |w AS (
+      |  SELECT a.cust AS cust_a, b.cust AS cust_b, $LpScale // pd.pd AS raw
+      |  FROM e a JOIN e b ON a.part = b.part AND a.cust < b.cust
+      |  JOIN pd ON pd.part = a.part),
+      |p AS (
+      |  SELECT cust_a, cust_b, count(*) AS cn, CAST(sum(raw) AS BIGINT) AS ra_fp
+      |  FROM w GROUP BY cust_a, cust_b)
+      |SELECT cust_a, cust_b, cn, da.cd AS deg_a, db.cd AS deg_b,
+      |  CAST(cn * $LpScale // (da.cd + db.cd - cn) AS BIGINT) AS jaccard_fp,
+      |  ra_fp
+      |FROM p JOIN cd da ON da.cust = cust_a JOIN cd db ON db.cust = cust_b
+      |ORDER BY ra_fp DESC, cust_a, cust_b LIMIT $LpTopK""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q117_pagerank", q117, Some(q117Sql)),
     Q("q137_triangle_count", q137, Some(q137Sql)),
@@ -524,5 +607,6 @@ object Graph {
     Q("q163_label_propagation", q163, Some(q163Sql)),
     Q("q205_bfs_hops", q205, Some(q205Sql)),
     Q("q208_weighted_sssp", q208, Some(q208Sql)),
+    Q("q230_link_predict", q230, Some(q230Sql)),
   )
 }

@@ -1607,6 +1607,89 @@ object Signals {
       |FROM t JOIN se USING (hod)
       |ORDER BY hr""".stripMargin
 
+  // q232 — SAX symbolization + motif discovery on the hourly
+  // event-count series (Lin/Keogh/Lonardi's Symbolic Aggregate
+  // approXimation, the standard time-series indexing alphabet): each
+  // day's 24 zero-filled hourly counts compress to 4 six-hour PAA
+  // segments, each segment maps to one of 4 symbols, and the per-day
+  // 4-letter SAX word groups days by load SHAPE — recurring words are
+  // motifs (the dominant daily pattern), hapax words are discords
+  // (the days worth paging about). Two exactness substitutions vs the
+  // paper: equal segment widths make the PAA mean a plain integer SUM
+  // (same order, no division), and the Gaussian breakpoints become
+  // exact rank quartiles — sym = 4·(rk−1) DIV n over the
+  // (paa, day, seg) total order — so symbols are deterministic
+  // integers in both engines (the paper's breakpoints assume a
+  // normality that count data doesn't have anyway).
+  //
+  // Scale shape: one corpus scan aggregates to the hours-sized grid
+  // (bounded — a decade ≈ 88k rows, q196's argument), so the rank
+  // window over the 4-per-day segment frame is a bounded ordered
+  // window, and everything downstream is day-sized. Words have ≤ 4⁴
+  // distinct values, so the motif aggregate is constant-sized.
+  /** Core: SAX daily words + motif counts over an (hr, n) hourly-count
+    * frame. Fixture-testable.
+    */
+  private[graft] def saxMotifsOf(counts: DataFrame): DataFrame = {
+    val bounds = counts.agg(expr("min(hr) div 24").as("d0"), expr("max(hr) div 24").as("d1"))
+    val grid = bounds.select(
+      explode(sequence(expr("d0 * 24"), expr("d1 * 24 + 23"))).as("hr"))
+    val paa = grid.join(counts, Seq("hr"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .groupBy(expr("hr div 24").as("day"), expr("(hr % 24) div 6").as("seg"))
+      .agg(sum(col("n")).as("paa"))
+    val nseg = paa.agg(count(lit(1)).as("nseg"))
+    val sym = paa
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(lit(1)).orderBy(col("paa"), col("day"), col("seg"))))
+      .crossJoin(broadcast(nseg))
+      .withColumn("ch", expr("substr('abcd', CAST(4 * (rk - 1) DIV nseg AS INT) + 1, 1)"))
+    val words = sym.groupBy(col("day"))
+      .agg(concat(
+        max(when(col("seg") === 0, col("ch"))), max(when(col("seg") === 1, col("ch"))),
+        max(when(col("seg") === 2, col("ch"))), max(when(col("seg") === 3, col("ch"))))
+        .as("word"))
+    words.groupBy(col("word"))
+      .agg(count(lit(1)).as("n_days"), min(col("day")).as("first_day"),
+        max(col("day")).as("last_day"))
+      .orderBy(col("n_days").desc, col("word"))
+  }
+
+  private def q232(s: SparkSession, d: String): DataFrame =
+    saxMotifsOf(events(s, d)
+      .select(expr("ts_ms div 3600000").as("hr"))
+      .groupBy(col("hr")).agg(count(lit(1)).as("n")))
+
+  private val q232Sql =
+    """WITH c AS (
+      |  SELECT epoch_ms(ts) // 3600000 AS hr, count(*) AS n
+      |  FROM events GROUP BY 1),
+      |b AS (SELECT min(hr) // 24 AS d0, max(hr) // 24 AS d1 FROM c),
+      |g AS (SELECT unnest(range(d0 * 24, d1 * 24 + 24)) AS hr FROM b),
+      |paa AS (
+      |  SELECT g.hr // 24 AS day, (g.hr % 24) // 6 AS seg,
+      |    CAST(sum(coalesce(c.n, 0)) AS BIGINT) AS paa
+      |  FROM g LEFT JOIN c ON g.hr = c.hr GROUP BY 1, 2),
+      |rk AS (
+      |  SELECT day, seg, paa,
+      |    row_number() OVER (ORDER BY paa, day, seg) AS rk,
+      |    count(*) OVER () AS nseg
+      |  FROM paa),
+      |sym AS (
+      |  SELECT day, seg,
+      |    substr('abcd', CAST(4 * (rk - 1) // nseg AS INT) + 1, 1) AS ch
+      |  FROM rk),
+      |w AS (
+      |  SELECT day,
+      |    max(CASE WHEN seg = 0 THEN ch END) || max(CASE WHEN seg = 1 THEN ch END)
+      |    || max(CASE WHEN seg = 2 THEN ch END) || max(CASE WHEN seg = 3 THEN ch END)
+      |      AS word
+      |  FROM sym GROUP BY day)
+      |SELECT word, count(*) AS n_days, CAST(min(day) AS BIGINT) AS first_day,
+      |  CAST(max(day) AS BIGINT) AS last_day
+      |FROM w GROUP BY word
+      |ORDER BY n_days DESC, word""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q162_signal_correlation", q162, Some(q162Sql)),
     Q("q169_ab_conversion", q169, Some(q169Sql)),
@@ -1630,5 +1713,6 @@ object Signals {
     Q("q222_wasserstein_drift", q222, Some(q222Sql)),
     Q("q223_lead_lag", q223, Some(q223Sql)),
     Q("q225_seasonal_decomp", q225, Some(q225Sql)),
+    Q("q232_sax_motifs", q232, Some(q232Sql)),
   )
 }

@@ -1,0 +1,89 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Fixture pins for the round-11 additions: TA top-k stop depth
+  * (q229), common-neighbor link prediction (q230), interval-overlap
+  * co-presence (q231), and SAX motif words (q232). Each core is exact
+  * integer arithmetic, so every assertion is equality against a
+  * hand-computed value.
+  */
+class RoundElevenSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("TA top-k: certified stop depth on a hand-traced 5-item fixture") {
+    // lists sorted desc:  s1: 1(10) 2(9) 3(8) 5(2) 4(1)
+    //                     s2: 3(10) 4(9) 5(8) 2(2) 1(1)
+    // combined: 1→11 2→11 3→18 4→10 5→10; top-2 = (3,18) then (1,11)
+    // T(d) = 20, 18, 16, 4 → first depth with kbest(=11) ≥ T is d=4
+    val scored = Seq(
+      (1L, 10L, 1L), (2L, 9L, 2L), (3L, 8L, 10L), (4L, 1L, 9L), (5L, 2L, 8L))
+      .toDF("doc_id", "s1", "s2")
+    val got = Retrieval.taTopkOf(scored, k = 2, depthCap = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == Seq((3L, 18L, 4L, 4L), (1L, 11L, 4L, 4L)), s"got ${got.toSeq}")
+  }
+
+  test("TA top-k: no certified stop within cap yields an empty audit frame") {
+    // anti-correlated lists: combined is flat, threshold never falls
+    // below the k-th best within a cap of 1
+    val scored = Seq((1L, 10L, 1L), (2L, 1L, 10L), (3L, 5L, 5L))
+      .toDF("doc_id", "s1", "s2")
+    assert(Retrieval.taTopkOf(scored, k = 2, depthCap = 1).count() == 0L)
+  }
+
+  test("link prediction: wedge counts, Jaccard, RA and the hub gate") {
+    // cust A={p1,p2}, B={p1,p2,p3}; hub part p9 shared by all four
+    // custs is dropped by cap=3, so C and D (p9-only) never pair
+    val edges = Seq(
+      (1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L), (2L, 3L),
+      (1L, 9L), (2L, 9L), (3L, 9L), (4L, 9L))
+      .toDF("cust", "part")
+    val got = Graph.linkPredictOf(edges, hubCap = 3L, topK = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    // deg includes the hub edge (degree is a property of the customer,
+    // the gate only prunes pair GENERATION): deg_a=3, deg_b=4, cn=2
+    // jaccard = 2·2^20 DIV 5; ra = 2^20/2 + 2^20/2 (p1, p2 both deg 2)
+    assert(got.toSeq == Seq(
+      (1L, 2L, 2L, 3L, 4L, 2L * 1048576L / 5L, 1048576L)), s"got ${got.toSeq}")
+  }
+
+  test("session overlap: cross-slice dedup, touching intervals, disjoint users") {
+    val day = 86400000L
+    // u1 spans 3 slices; u2 overlaps it inside slice 1 (counted once);
+    // u3 touches u1's end exactly (0-ms co-presence); u4 disjoint
+    val sess = Seq(
+      (1L, 0L, 3L * day), (2L, day, day + 3600000L),
+      (3L, 3L * day, 3L * day + 10L), (4L, 10L * day, 11L * day))
+      .toDF("user_id", "st", "en")
+    val got = Frontier.sessionOverlapOf(sess, day, topK = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 2L, 1L, 3600000L), (1L, 3L, 1L, 0L)),
+      s"got ${got.toSeq}")
+  }
+
+  test("SAX motifs: rank-quartile symbols over a two-day series") {
+    // day 0 segment sums (1,2,3,4), day 1 (5,6,7,8): ranks 1..8 over
+    // the 8 segments → symbols aabb / ccdd
+    val counts = (0 until 8).map(seg => ((seg / 4) * 24L + (seg % 4) * 6L, seg + 1L))
+      .toDF("hr", "n")
+    val got = Signals.saxMotifsOf(counts).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(("aabb", 1L, 0L, 0L), ("ccdd", 1L, 1L, 1L)),
+      s"got ${got.toSeq}")
+  }
+
+  test("SAX motifs: a zero-filled gap day gets the all-low word") {
+    // events on days 0, 2, 3 (equal counts); day 1 is a full gap.
+    // 16 segments: the gap's 4 zeros rank 1-4 → all 'a'; the twelve
+    // 9s rank 5-16 in (day, seg) order → bbbb / cccc / dddd
+    val counts = Seq(0L, 2L, 3L).flatMap(day =>
+      (0 until 4).map(seg => (day * 24L + seg * 6L, 9L))).toDF("hr", "n")
+    val got = Signals.saxMotifsOf(counts).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq.sortBy(_._1) == Seq(
+      ("aaaa", 1L, 1L), ("bbbb", 1L, 0L), ("cccc", 1L, 2L), ("dddd", 1L, 3L)),
+      s"got ${got.toSeq}")
+  }
+}
