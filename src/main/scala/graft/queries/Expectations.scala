@@ -117,7 +117,90 @@ object Expectations {
       |) ORDER BY tbl, con""".stripMargin
   }
 
+  // q234 — functional-dependency discovery (the Metanome/TANE-style
+  // profiling pass, restricted to a declared candidate set): for each
+  // candidate FD lhs → rhs, the exact violation count
+  // |distinct(lhs, rhs)| − |distinct lhs| — zero iff the dependency
+  // holds — plus a fixed-point determinacy ratio. This is the
+  // profiling report schema inference, join-key validation (q161's
+  // uniqueness checks are the FD lhs → * special case) and CDC
+  // key-selection all read. Candidates mix holding and failing
+  // dependencies on this data: o_orderkey → o_custkey holds (orderkey
+  // is a key); every lineitem candidate fails.
+  //
+  // Scale shape: ONE pass per table — all candidate cardinalities are
+  // count-distinct aggregates of the same scan (Catalyst plans the
+  // multi-distinct via one expand), then a constant-width stack pivots
+  // the 1-row frame into the report. No joins, no windows; the only
+  // shuffle is the distinct-aggregate shuffle the semantics require.
+  private def q234(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d).agg(
+      countDistinct(col("l_orderkey")).as("l1"),
+      countDistinct(col("l_orderkey"), col("l_returnflag")).as("r1"),
+      countDistinct(col("l_partkey")).as("l2"),
+      countDistinct(col("l_partkey"), col("l_suppkey")).as("r2"),
+      countDistinct(col("l_suppkey")).as("l3"),
+      countDistinct(col("l_suppkey"), col("l_linestatus")).as("r3"),
+      countDistinct(col("l_orderkey"), col("l_linenumber")).as("l4"),
+      countDistinct(col("l_orderkey"), col("l_linenumber"), col("l_partkey")).as("r4"))
+    val ord = orders(s, d).agg(
+      countDistinct(col("o_orderkey")).as("l5"),
+      countDistinct(col("o_orderkey"), col("o_custkey")).as("r5"),
+      countDistinct(col("o_custkey")).as("l6"),
+      countDistinct(col("o_custkey"), col("o_orderpriority")).as("r6"))
+    li.crossJoin(ord)
+      .select(expr(
+        """stack(6,
+          |  'lineitem: l_orderkey -> l_returnflag', l1, r1,
+          |  'lineitem: l_partkey -> l_suppkey', l2, r2,
+          |  'lineitem: l_suppkey -> l_linestatus', l3, r3,
+          |  'lineitem: l_orderkey,l_linenumber -> l_partkey', l4, r4,
+          |  'orders: o_orderkey -> o_custkey', l5, r5,
+          |  'orders: o_custkey -> o_orderpriority', l6, r6
+          |) AS (fd, n_lhs, n_pairs)""".stripMargin))
+      .select(col("fd"), col("n_lhs"), col("n_pairs"),
+        (col("n_pairs") - col("n_lhs")).as("n_violations"),
+        when(col("n_pairs") === col("n_lhs"), 1L).otherwise(0L).as("holds_fd"),
+        expr("n_lhs * 1048576 DIV n_pairs").as("determinacy_fp"))
+      .orderBy(col("fd"))
+  }
+
+  private val q234Sql =
+    """WITH a AS (SELECT
+      |    count(DISTINCT l_orderkey) AS l1,
+      |    count(DISTINCT (l_orderkey, l_returnflag)) AS r1,
+      |    count(DISTINCT l_partkey) AS l2,
+      |    count(DISTINCT (l_partkey, l_suppkey)) AS r2,
+      |    count(DISTINCT l_suppkey) AS l3,
+      |    count(DISTINCT (l_suppkey, l_linestatus)) AS r3,
+      |    count(DISTINCT (l_orderkey, l_linenumber)) AS l4,
+      |    count(DISTINCT (l_orderkey, l_linenumber, l_partkey)) AS r4
+      |  FROM lineitem),
+      |b AS (SELECT
+      |    count(DISTINCT o_orderkey) AS l5,
+      |    count(DISTINCT (o_orderkey, o_custkey)) AS r5,
+      |    count(DISTINCT o_custkey) AS l6,
+      |    count(DISTINCT (o_custkey, o_orderpriority)) AS r6
+      |  FROM orders),
+      |s AS (
+      |  SELECT 'lineitem: l_orderkey -> l_returnflag' AS fd, l1 AS n_lhs, r1 AS n_pairs FROM a
+      |  UNION ALL
+      |  SELECT 'lineitem: l_partkey -> l_suppkey', l2, r2 FROM a
+      |  UNION ALL
+      |  SELECT 'lineitem: l_suppkey -> l_linestatus', l3, r3 FROM a
+      |  UNION ALL
+      |  SELECT 'lineitem: l_orderkey,l_linenumber -> l_partkey', l4, r4 FROM a
+      |  UNION ALL
+      |  SELECT 'orders: o_orderkey -> o_custkey', l5, r5 FROM b
+      |  UNION ALL
+      |  SELECT 'orders: o_custkey -> o_orderpriority', l6, r6 FROM b)
+      |SELECT fd, n_lhs, n_pairs, n_pairs - n_lhs AS n_violations,
+      |  CAST(CASE WHEN n_pairs = n_lhs THEN 1 ELSE 0 END AS BIGINT) AS holds_fd,
+      |  CAST(n_lhs * 1048576 // n_pairs AS BIGINT) AS determinacy_fp
+      |FROM s ORDER BY fd""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q161_data_expectations", q161, Some(q161Sql)),
+    Q("q234_fd_discovery", q234, Some(q234Sql)),
   )
 }

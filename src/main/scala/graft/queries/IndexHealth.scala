@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.Tables._
@@ -473,6 +474,63 @@ object IndexHealth {
       |) ORDER BY col_name""".stripMargin
   }
 
+  // q235 — postings-list compression planner: for every term in the
+  // corpus's inverted index, the exact byte cost of delta+varint
+  // encoding its sorted doc_id postings (the Lucene/PforDelta family's
+  // baseline layout) against the raw 8-byte layout — the sizing report
+  // an index-storage planner reads before choosing a codec. Gap
+  // varint cost is pure integer arithmetic: a value v costs
+  // (bitlen(v) + 6) DIV 7 bytes, with bitlen computed by binary
+  // string length (never floor(log2(double)) — the engine-parity rule
+  // from the log2-bucket queries), so both engines agree bit-for-bit.
+  //
+  // Scale shape: one corpus scan explodes per-doc DISTINCT terms (the
+  // posting relation, O(total tokens)); gap formation is a lag over
+  // term-partitioned windows — term-sharded parallelism, the layout an
+  // index builder would write in anyway (the gaps fall out of the
+  // sort-merge at write time; computing them standalone costs one
+  // range shuffle). Output is vocabulary-sized.
+  /** Core: per-term delta+varint byte costs over a (doc_id, term)
+    * posting relation. Fixture-testable.
+    */
+  private[graft] def postingsBytesOf(posts: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("term")).orderBy(col("doc_id"))
+    posts
+      .withColumn("gap", col("doc_id") - coalesce(lag(col("doc_id"), 1).over(w), lit(0L)))
+      .withColumn("vbytes", expr("(length(bin(gap)) + 6) DIV 7"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        (count(lit(1)) * 8L).as("raw_bytes"),
+        sum(col("vbytes")).as("varint_bytes"))
+      .select(col("term"), col("df"), col("raw_bytes"), col("varint_bytes"),
+        expr("(raw_bytes - varint_bytes) * 1048576 DIV raw_bytes").as("savings_fp"))
+      .orderBy(col("term"))
+  }
+
+  private def q235(s: SparkSession, d: String): DataFrame =
+    postingsBytesOf(documents(s, d)
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("term")))
+
+  private val q235Sql =
+    """WITH p AS (
+      |  SELECT doc_id, unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')))
+      |    AS term
+      |  FROM documents),
+      |g AS (
+      |  SELECT term,
+      |    doc_id - coalesce(lag(doc_id) OVER (PARTITION BY term ORDER BY doc_id), 0)
+      |      AS gap
+      |  FROM p),
+      |v AS (
+      |  SELECT term, CAST((length(printf('%b', gap)) + 6) // 7 AS BIGINT) AS vbytes
+      |  FROM g)
+      |SELECT term, count(*) AS df, count(*) * 8 AS raw_bytes,
+      |  CAST(sum(vbytes) AS BIGINT) AS varint_bytes,
+      |  CAST((count(*) * 8 - CAST(sum(vbytes) AS BIGINT)) * 1048576
+      |    // (count(*) * 8) AS BIGINT) AS savings_fp
+      |FROM v GROUP BY term
+      |ORDER BY term""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q132_index_health", q132, Some(q132Sql)),
     Q("q136_minhash_calibration", q136, Some(q136Sql)),
@@ -481,5 +539,6 @@ object IndexHealth {
     Q("q165_benford_audit", q165, Some(q165Sql)),
     Q("q167_join_advisor", q167, Some(q167Sql)),
     Q("q180_column_stats", q180, Some(q180Sql)),
+    Q("q235_postings_bytes", q235, Some(q235Sql)),
   )
 }

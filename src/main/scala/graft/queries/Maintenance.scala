@@ -128,8 +128,74 @@ object Maintenance {
       |ORDER BY bucket""".stripMargin.replace("HEXPR", h)
   }
 
+  // q233 — rendezvous-hashing rebalance audit: how much data moves
+  // when the shard ring grows from [[RvBefore]] to [[RvAfter]] nodes?
+  // Each document's owner is the shard maximizing the 60-bit hash of
+  // "rv<shard>:<doc_id>" (highest-random-weight / HRW hashing —
+  // Thaler & Ravishankar), the assignment scheme whose defining
+  // property this query PROVES on the corpus: a document relocates
+  // only when the NEW shard wins it, so expected movement is
+  // 1/(n+1) of the corpus instead of the (n−1)/n a modulo
+  // re-partition would force. The report is the per-shard movement
+  // matrix a storage operator reads before a ring resize.
+  //
+  // Scale shape: owner election is IN-ROW — an array_max over the
+  // n+1 per-shard (hash, shard) structs, no explode, no shuffle —
+  // so the whole query is one corpus scan plus a |shards|-row
+  // aggregate. Ties would need a 60-bit md5 collision between two
+  // shard draws of one document; the struct max's shard tiebreak
+  // makes even that deterministic in both engines.
+  val RvBefore = 8
+  val RvAfter = 9
+
+  private def rvOwner(n: Int): org.apache.spark.sql.Column = {
+    val cands = (0 until n).map { s =>
+      struct(
+        TextFns.hash60(concat(lit(s"rv$s:"), col("doc_id").cast("string"))).as("h"),
+        lit(s.toLong).as("s"))
+    }
+    array_max(array(cands: _*)).getField("s")
+  }
+
+  /** Core: per-document (before, after) HRW owners over any frame with
+    * a `doc_id` column. Fixture-testable.
+    */
+  private[graft] def rendezvousOwnersOf(ids: DataFrame): DataFrame =
+    ids.select(col("doc_id"),
+      rvOwner(RvBefore).as("before_shard"), rvOwner(RvAfter).as("after_shard"))
+
+  private def q233(s: SparkSession, d: String): DataFrame =
+    rendezvousOwnersOf(documents(s, d))
+      .groupBy(col("before_shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("after_shard") =!= col("before_shard"), 1L).otherwise(0L))
+          .as("n_moved"))
+      .select(col("before_shard"), col("n_docs"), col("n_moved"),
+        expr("n_moved * 1048576 DIV n_docs").as("moved_fp"))
+      .orderBy(col("before_shard"))
+
+  private val q233Sql = {
+    val hv = TextFns.hash60Sql("'rv' || CAST(s AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)")
+    s"""WITH h AS (
+      |  SELECT doc_id, s, $hv AS hv
+      |  FROM documents, range($RvAfter) t(s)),
+      |o AS (
+      |  SELECT doc_id,
+      |    max(CASE WHEN s < $RvBefore THEN {'h': hv, 's': s} END)['s'] AS before_shard,
+      |    max({'h': hv, 's': s})['s'] AS after_shard
+      |  FROM h GROUP BY doc_id)
+      |SELECT before_shard, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN after_shard <> before_shard THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_moved,
+      |  CAST(CAST(sum(CASE WHEN after_shard <> before_shard THEN 1 ELSE 0 END) AS BIGINT)
+      |    * 1048576 // count(*) AS BIGINT) AS moved_fp
+      |FROM o GROUP BY before_shard
+      |ORDER BY before_shard""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q202_delta_join_view", q202, Some(q202Sql)),
     Q("q203_replica_diff", q203, Some(q203Sql)),
+    Q("q233_rendezvous_shards", q233, Some(q233Sql)),
   )
 }

@@ -731,6 +731,99 @@ object TextAnalysis {
       |ORDER BY doc_id""".stripMargin
   }
 
+  // q236 — greedy max-coverage data selection: pick [[GcPicks]]
+  // documents maximizing marginal NEW 3-gram-shingle coverage — the
+  // submodular facility-location/set-cover greedy that diversity-
+  // driven subset selection (and every "cover the distribution with a
+  // small eval set" task) runs, with the classic (1 − 1/e) guarantee.
+  // Complements q87: k-center covers EMBEDDING space by distance,
+  // this covers LEXICAL space by exact set union. Ties break by
+  // doc_id, so the pick sequence is fully deterministic.
+  //
+  // Scale shape: the per-round argmax is orderBy+limit(1)
+  // (TakeOrderedAndProject — per-partition heaps) over the
+  // materialized shingle-set frame; the covered set is bounded by
+  // k × max-shingles-per-doc (k constant, per-doc shingles bounded by
+  // doc length), so the array_except literal stays broadcast-sized at
+  // ANY corpus size — the q87/q41 bounded-driver-loop class. One
+  // corpus scan; k bounded jobs.
+  val GcPicks = 5
+
+  /** Core: greedy max-coverage picks over a (doc_id, sh) shingle-set
+    * frame. Fixture-testable.
+    */
+  private[graft] def greedyCoverageOf(sh0: DataFrame, k: Int): DataFrame = {
+    val s = sh0.sparkSession
+    import s.implicits._
+    val mat = sh0.localCheckpoint(false) // k rounds re-read the shingle sets
+    var covered = Array.empty[Long]
+    var picked = List.empty[Long]
+    var total = 0L
+    val out = Seq.newBuilder[(Long, Long, Long, Long)]
+    for (r <- 1 to k) {
+      val base = if (picked.isEmpty) mat else mat.filter(!col("doc_id").isin(picked: _*))
+      val top = base
+        .select(col("doc_id"), array_except(col("sh"), typedlit(covered)).as("nw"))
+        .withColumn("m", size(col("nw")).cast("long"))
+        .orderBy(col("m").desc, col("doc_id"))
+        .limit(1).collect()
+      if (top.nonEmpty) {
+        val doc = top(0).getLong(0)
+        val nw = top(0).getSeq[Long](1)
+        total += nw.size
+        out += ((r.toLong, doc, nw.size.toLong, total))
+        covered = covered ++ nw
+        picked ::= doc
+      }
+    }
+    out.result().toDF("pick_rank", "doc_id", "marginal_new", "covered_total")
+  }
+
+  private def q236(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    greedyCoverageOf(
+      documents(s, d).select(col("doc_id"),
+        array_distinct(call_function("ngram_hash60",
+          tokens(col("text")), lit(3), lit(0L))).as("sh")),
+      GcPicks)
+  }
+
+  private val q236Sql = {
+    val shingle = hash60Sql("toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]")
+    val head =
+      s"""t AS MATERIALIZED (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents),
+        |sh AS MATERIALIZED (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(greatest(len(toks) - 2, 0)), i -> $shingle)) AS s
+        |  FROM t),
+        |sx AS MATERIALIZED (SELECT doc_id, unnest(s) AS x FROM sh),
+        |c0 AS (SELECT CAST(NULL AS BIGINT) AS x WHERE FALSE)""".stripMargin
+    val rounds = (1 to GcPicks).flatMap { r =>
+      val excl = (1 until r).map(i => s"sh.doc_id != (SELECT doc_id FROM p$i)")
+        .mkString(" AND ") match { case "" => "TRUE"; case e => e }
+      Seq(
+        s"""p$r AS MATERIALIZED (
+          |  SELECT sh.doc_id, len(sh.s) - coalesce(j.n, 0) AS m
+          |  FROM sh LEFT JOIN (
+          |    SELECT sx.doc_id, count(*) AS n FROM sx JOIN c${r - 1} c ON sx.x = c.x
+          |    GROUP BY sx.doc_id) j ON sh.doc_id = j.doc_id
+          |  WHERE $excl
+          |  ORDER BY m DESC, sh.doc_id LIMIT 1)""".stripMargin,
+        s"""c$r AS MATERIALIZED (
+          |  SELECT x FROM c${r - 1}
+          |  UNION
+          |  SELECT x FROM sx WHERE doc_id = (SELECT doc_id FROM p$r))""".stripMargin)
+    }
+    val sel = (1 to GcPicks).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS pick_rank, (SELECT doc_id FROM p$r) AS doc_id,
+        |  CAST((SELECT m FROM p$r) AS BIGINT) AS marginal_new,
+        |  CAST((SELECT count(*) FROM c$r) AS BIGINT) AS covered_total""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    "WITH " + (head +: rounds).mkString(",\n") + "\n" + sel + "\nORDER BY pick_rank"
+  }
+
   val all: Seq[Q] = Seq(
     Q("q50_token_stats", q50, Some(q50Sql)),
     Q("q51_lang_id", q51, Some(q51Sql)),
@@ -748,5 +841,6 @@ object TextAnalysis {
     Q("q116_corpus_profile", q116, Some(q116Sql)),
     Q("q181_freq_spectrum", q181, Some(q181Sql)),
     Q("q182_vocab_growth", q182, Some(q182Sql)),
+    Q("q236_greedy_coverage", q236, Some(q236Sql)),
   )
 }

@@ -63,6 +63,40 @@ class RoundElevenSpec extends SparkSpec {
       s"got ${got.toSeq}")
   }
 
+  test("rendezvous rebalance: movers relocate ONLY to the new shard") {
+    val owners = Maintenance.rendezvousOwnersOf((1L to 400L).toDF("doc_id"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val moved = owners.filter { case (b, a) => b != a }
+    // the HRW property: a resize from n to n+1 shards can only move a
+    // key if the NEW shard wins it
+    assert(moved.forall(_._2 == Maintenance.RvAfter - 1L), s"bad movers ${moved.toSeq}")
+    // expected movement ~1/9 of 400 ≈ 44; generous band for hash luck
+    assert(moved.length > 10 && moved.length < 120, s"moved ${moved.length}")
+    // owners cover the ring (no dead shard on 400 keys)
+    assert(owners.map(_._1).distinct.length == Maintenance.RvBefore)
+  }
+
+  test("postings bytes: hand-computed gaps, varint sizes and savings") {
+    // term t at docs [0, 5, 133]: gaps 0,5,128 -> 1+1+2 varint bytes
+    val posts = Seq((0L, "t"), (5L, "t"), (133L, "t"), (7L, "u"))
+      .toDF("doc_id", "term")
+    val got = IndexHealth.postingsBytesOf(posts).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      ("t", 3L, 24L, 4L, 20L * 1048576L / 24L),
+      ("u", 1L, 8L, 1L, 7L * 1048576L / 8L)), s"got ${got.toSeq}")
+  }
+
+  test("greedy coverage: submodular picks with doc_id tiebreak") {
+    // d1 {1,2,3} first; then d2 {3,4} and d3 {5} both add 1 -> d2 wins
+    val sh = Seq((1L, Seq(1L, 2L, 3L)), (2L, Seq(3L, 4L)), (3L, Seq(5L)))
+      .toDF("doc_id", "sh")
+    val got = TextAnalysis.greedyCoverageOf(sh, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 1L, 3L, 3L), (2L, 2L, 1L, 4L), (3L, 3L, 1L, 5L)),
+      s"got ${got.toSeq}")
+  }
+
   test("SAX motifs: rank-quartile symbols over a two-day series") {
     // day 0 segment sums (1,2,3,4), day 1 (5,6,7,8): ranks 1..8 over
     // the 8 segments → symbols aabb / ccdd
