@@ -193,9 +193,116 @@ object Maintenance {
       |ORDER BY before_shard""".stripMargin
   }
 
+  // q237 — IBLT set reconciliation (Eppstein/Goodrich/Uyeda's "what's
+  // the difference?" / invertible Bloom lookup tables): where q203
+  // LOCATES mismatched buckets, this DECODES the exact differing
+  // doc_ids from constant-size sketches alone. Each replica folds its
+  // id set into [[IbHashes]] banks of [[IbBank]] cells — per cell a
+  // (count, idSum, hashSum) triple, all commutative sums — and the
+  // CELL-WISE SUBTRACTION of the two sketches depends only on the
+  // symmetric difference: shared ids cancel. Peeling then recovers
+  // the difference: a cell with count ±1 whose hashSum matches its
+  // idSum's value-hash holds exactly one id; remove it from its banks
+  // and repeat. Replica B simulates q203's loss (doc_id ≡ 13 mod 97)
+  // plus foreign inserts (shifted ids for doc_id ≡ 41 mod 101), so
+  // the decode exercises both directions.
+  //
+  // Scale shape: each sketch is one distributed scan into a
+  // 3·[[IbBank]]-cell aggregate (map-side combined; sums staged
+  // through DECIMAL(38,0) so a hot cell can absorb any number of
+  // 2^60-magnitude value hashes exactly); only the ≤513-row subtracted
+  // sketch reaches the driver, and peeling is O(cells) per pass over
+  // it. Cells must be sized ~1.5× the expected difference (production
+  // reads that from q203's count deltas; 513 cells decode the ~100-id
+  // diff at sf0.1 with headroom) — an undecodable residue means
+  // "resize and resend", never a wrong answer, and determinism makes
+  // the outcome identical in every run at a given SF.
+  val IbBank = 171
+  val IbHashes = 3
+
+  private def ibltH60(s: String): Long =
+    java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.substring(0, 15),
+      16)
+
+  /** Core: decode the symmetric difference of two id frames via
+    * subtracted IBLT sketches. Returns (side, doc_id) rows.
+    * Fixture-testable.
+    */
+  private[graft] def ibltReconcileOf(idsA: DataFrame, idsB: DataFrame): DataFrame = {
+    val s = idsA.sparkSession
+    import s.implicits._
+    val signed = idsA.select(col("doc_id"), lit(1L).as("sign"))
+      .unionAll(idsB.select(col("doc_id"), lit(-1L).as("sign")))
+    val cells = signed
+      .select(col("doc_id"), col("sign"),
+        TextFns.hash60(concat(lit("ibv:"), col("doc_id").cast("string"))).as("hv"),
+        explode(array((0 until IbHashes).map { j =>
+          (lit(j.toLong * IbBank) +
+            pmod(TextFns.hash60(concat(lit(s"ib$j:"), col("doc_id").cast("string"))),
+              lit(IbBank))).as(s"c$j")
+        }: _*)).as("cell"))
+      .groupBy(col("cell"))
+      .agg(sum(col("sign")).as("cnt"),
+        sum((col("sign") * col("doc_id")).cast(DecimalType(38, 0))).as("ids"),
+        sum((col("sign").cast(DecimalType(38, 0)) * col("hv"))).as("hs"))
+      .collect()
+    // driver peel over the bounded subtracted sketch
+    val cls = scala.collection.mutable.Map[Long, (Long, BigInt, BigInt)]()
+    cells.foreach { r =>
+      cls(r.getLong(0)) = (r.getLong(1),
+        BigInt(r.getDecimal(2).toBigInteger), BigInt(r.getDecimal(3).toBigInteger))
+    }
+    val out = Seq.newBuilder[(String, Long)]
+    var progress = true
+    while (progress) {
+      progress = false
+      cls.keys.toSeq.sorted.foreach { c =>
+        val (cnt, ism, hsm) = cls(c)
+        if (cnt == 1L || cnt == -1L) {
+          val id = (ism * cnt).toLong
+          if (id > 0 && hsm * cnt == BigInt(ibltH60(s"ibv:$id"))) {
+            out += ((if (cnt == 1L) "a_only" else "b_only", id))
+            val hv = BigInt(ibltH60(s"ibv:$id"))
+            (0 until IbHashes).foreach { j =>
+              val cc = j.toLong * IbBank + java.lang.Math.floorMod(ibltH60(s"ib$j:$id"), IbBank.toLong)
+              val (c2, i2, h2) = cls.getOrElse(cc, (0L, BigInt(0), BigInt(0)))
+              cls(cc) = (c2 - cnt, i2 - BigInt(cnt) * id, h2 - BigInt(cnt) * hv)
+            }
+            progress = true
+          }
+        }
+      }
+    }
+    out.result().toDF("side", "doc_id").orderBy(col("side"), col("doc_id"))
+  }
+
+  private def q237(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"))
+    val b = docs.filter(pmod(col("doc_id"), lit(97)) =!= 13)
+      .unionAll(docs.filter(pmod(col("doc_id"), lit(101)) === 41)
+        .select((col("doc_id") + 1000000000L).as("doc_id")))
+    ibltReconcileOf(docs, b)
+  }
+
+  private val q237Sql =
+    """WITH a AS (SELECT doc_id FROM documents),
+      |b AS (
+      |  SELECT doc_id FROM documents WHERE doc_id % 97 != 13
+      |  UNION ALL
+      |  SELECT doc_id + 1000000000 FROM documents WHERE doc_id % 101 = 41)
+      |SELECT 'a_only' AS side, doc_id
+      |FROM (SELECT doc_id FROM a EXCEPT SELECT doc_id FROM b) x
+      |UNION ALL
+      |SELECT 'b_only' AS side, doc_id
+      |FROM (SELECT doc_id FROM b EXCEPT SELECT doc_id FROM a) y
+      |ORDER BY side, doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q202_delta_join_view", q202, Some(q202Sql)),
     Q("q203_replica_diff", q203, Some(q203Sql)),
     Q("q233_rendezvous_shards", q233, Some(q233Sql)),
+    Q("q237_iblt_reconcile", q237, Some(q237Sql)),
   )
 }

@@ -747,6 +747,97 @@ object TextAnalysis {
   // doc length), so the array_except literal stays broadcast-sized at
   // ANY corpus size — the q87/q41 bounded-driver-loop class. One
   // corpus scan; k bounded jobs.
+  // q238 — TextTiling-style topic segmentation (Hearst): slide a
+  // [[TtBlock]]-token block over each document, score every internal
+  // block boundary by the cosine² between the adjacent blocks'
+  // term-count vectors, and cut where similarity dips below
+  // [[TtGate]] — the content-aware chunker a RAG/packing pipeline
+  // uses instead of q82's fixed-size splits (cut where the TOPIC
+  // changes, not where the token counter happens to roll over).
+  // cosine² keeps the arithmetic exact: dot²·2^20 DIV (‖a‖²·‖b‖²) is
+  // pure integer (counts ≤ block size, no sqrt), so both engines
+  // agree bit-for-bit, and cos² is monotone in cos on [0,1] so the
+  // gate is the same decision. Documents shorter than two complete
+  // blocks have no internal boundary and are excluded (they are one
+  // segment by definition).
+  //
+  // Scale shape: everything is per-document relational algebra — one
+  // tokenize, a (doc, block, term) count aggregate, an adjacent-block
+  // equi-join on (doc, term), two bounded aggregates. No windows over
+  // the corpus, no driver loop; the join keys carry the doc_id so
+  // parallelism is corpus-wide.
+  val TtBlock = 20
+  val TtGate = 131072L // cos² < 2^17/2^20 = 1/8  (cos < 0.354)
+
+  /** Core: per-doc segmentation stats over a (doc_id, toks) frame.
+    * Fixture-testable.
+    */
+  private[graft] def textTilingOf(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "term")))
+    val nb = toks.groupBy(col("doc_id")).agg(expr(s"count(1) div $TtBlock").as("nb"))
+    val c = toks.join(nb, "doc_id")
+      .filter(col("pos") < col("nb") * TtBlock)
+      .groupBy(col("doc_id"), expr(s"pos div $TtBlock").as("blk"), col("term"))
+      .agg(count(lit(1)).as("c"))
+    val nrm = c.groupBy(col("doc_id"), col("blk")).agg(sum(col("c") * col("c")).as("n2"))
+    val dot = c.as("a").join(c.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.term") === col("b.term") &&
+          col("b.blk") === col("a.blk") + 1)
+      .groupBy(col("a.doc_id").as("doc_id"), col("a.blk").as("b"))
+      .agg(sum(col("a.c") * col("b.c")).as("dot"))
+    val bnd = nrm.as("x").join(nrm.as("y"),
+        col("x.doc_id") === col("y.doc_id") && col("y.blk") === col("x.blk") + 1)
+      .select(col("x.doc_id").as("doc_id"), col("x.blk").as("b"),
+        col("x.n2").as("na2"), col("y.n2").as("nb2"))
+      .join(dot, Seq("doc_id", "b"), "left")
+      .withColumn("cos2_fp",
+        expr("coalesce(dot, 0L) * coalesce(dot, 0L) * 1048576 DIV (na2 * nb2)"))
+    bnd.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bounds"),
+        sum(when(col("cos2_fp") < TtGate, 1L).otherwise(0L)).as("n_cuts"),
+        min(col("cos2_fp")).as("min_cos2_fp"))
+      .select(col("doc_id"), (col("n_bounds") + 1L).as("n_blocks"),
+        col("n_cuts"), (col("n_cuts") + 1L).as("n_segments"), col("min_cos2_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def q238(s: SparkSession, d: String): DataFrame =
+    textTilingOf(documents(s, d).select(col("doc_id"), tokens(col("text")).as("toks")))
+
+  private val q238Sql =
+    s"""WITH t AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, unnest(toks) AS term,
+      |    generate_subscripts(toks, 1) - 1 AS pos
+      |  FROM t),
+      |n AS (SELECT doc_id, count(*) // $TtBlock AS nb FROM p GROUP BY doc_id),
+      |c AS (
+      |  SELECT p.doc_id, pos // $TtBlock AS blk, term, count(*) AS c
+      |  FROM p JOIN n ON p.doc_id = n.doc_id
+      |  WHERE pos < nb * $TtBlock GROUP BY 1, 2, 3),
+      |nrm AS (SELECT doc_id, blk, sum(c * c) AS n2 FROM c GROUP BY 1, 2),
+      |dot AS (
+      |  SELECT a.doc_id, a.blk AS b, sum(a.c * bb.c) AS dot
+      |  FROM c a JOIN c bb ON a.doc_id = bb.doc_id AND bb.blk = a.blk + 1
+      |    AND a.term = bb.term
+      |  GROUP BY 1, 2),
+      |bnd AS (
+      |  SELECT x.doc_id, x.blk AS b,
+      |    CAST(coalesce(dot.dot, 0) * coalesce(dot.dot, 0) * 1048576
+      |      // (x.n2 * y.n2) AS BIGINT) AS cos2_fp
+      |  FROM nrm x JOIN nrm y ON x.doc_id = y.doc_id AND y.blk = x.blk + 1
+      |  LEFT JOIN dot ON dot.doc_id = x.doc_id AND dot.b = x.blk)
+      |SELECT doc_id, count(*) + 1 AS n_blocks,
+      |  CAST(sum(CASE WHEN cos2_fp < $TtGate THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+      |  CAST(sum(CASE WHEN cos2_fp < $TtGate THEN 1 ELSE 0 END) + 1 AS BIGINT)
+      |    AS n_segments,
+      |  CAST(min(cos2_fp) AS BIGINT) AS min_cos2_fp
+      |FROM bnd GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   val GcPicks = 5
 
   /** Core: greedy max-coverage picks over a (doc_id, sh) shingle-set
@@ -842,5 +933,6 @@ object TextAnalysis {
     Q("q181_freq_spectrum", q181, Some(q181Sql)),
     Q("q182_vocab_growth", q182, Some(q182Sql)),
     Q("q236_greedy_coverage", q236, Some(q236Sql)),
+    Q("q238_text_segmentation", q238, Some(q238Sql)),
   )
 }

@@ -97,6 +97,37 @@ class RoundElevenSpec extends SparkSpec {
       s"got ${got.toSeq}")
   }
 
+  test("IBLT reconcile: decodes an asymmetric diff exactly from sketches") {
+    // A = 1..300; B drops 50,150,250 and adds 901,902 — the decode
+    // must recover all five with the right sides, from cells alone
+    val a = (1L to 300L).toDF("doc_id")
+    val b = ((1L to 300L).filterNot(Set(50L, 150L, 250L)) ++ Seq(901L, 902L))
+      .toDF("doc_id")
+    val got = Maintenance.ibltReconcileOf(a, b).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq(("a_only", 50L), ("a_only", 150L), ("a_only", 250L),
+      ("b_only", 901L), ("b_only", 902L)), s"got ${got.toSeq}")
+  }
+
+  test("IBLT reconcile: identical replicas decode to an empty diff") {
+    val a = (1L to 100L).toDF("doc_id")
+    assert(Maintenance.ibltReconcileOf(a, a).count() == 0L)
+  }
+
+  test("text tiling: orthogonal blocks cut, repeated blocks don't") {
+    // doc 1: 20 'a' then 20 'b' -> dot 0, cos2 0 -> cut
+    // doc 2: 40 'a'            -> cos2 = 2^20 -> no cut
+    // doc 3: 39 tokens         -> one complete block, excluded
+    val docs = Seq(
+      (1L, Seq.fill(20)("a") ++ Seq.fill(20)("b")),
+      (2L, Seq.fill(40)("a")),
+      (3L, Seq.fill(39)("x"))).toDF("doc_id", "toks")
+    val got = TextAnalysis.textTilingOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, 2L, 1L, 2L, 0L), (2L, 2L, 0L, 1L, 1048576L)), s"got ${got.toSeq}")
+  }
+
   test("SAX motifs: rank-quartile symbols over a two-day series") {
     // day 0 segment sums (1,2,3,4), day 1 (5,6,7,8): ranks 1..8 over
     // the 8 segments → symbols aabb / ccdd
