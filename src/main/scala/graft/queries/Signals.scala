@@ -1690,6 +1690,105 @@ object Signals {
       |FROM w GROUP BY word
       |ORDER BY n_days DESC, word""".stripMargin
 
+  // q240 — survival analysis: the Kaplan-Meier RISK TABLE for
+  // time-to-conversion (first purchase at-or-after first view), with
+  // right-censoring at the observation horizon — the
+  // "how long until users convert, given most haven't yet" question
+  // that a naive mean-of-converted-gaps answers WRONG (it ignores the
+  // censored majority; the risk table is the unbiased object). Per
+  // day k since first view: the number still at risk, conversions,
+  // censorings, the discrete hazard d_k·2^20 DIV n_k, and cumulative
+  // conversions. Everything is exact integer counts — the KM survival
+  // curve is the running product Π(1 − hazard) a consumer folds over
+  // this table (kept out of the output: an exact rational product
+  // overflows any fixed precision at depth, and a float product would
+  // break the bit-exact oracle for zero analytic gain).
+  //
+  // Scale shape: two event scans (first-view frame, conditional-min
+  // conversion join on (user, ts ≥ tv)) reduce to ONE ROW PER USER;
+  // the risk table itself is a reverse-cumulative window over the
+  // DAY grid — bounded by the observation span (q196's hours-grid
+  // argument, coarser), never by users.
+  val SvDayMs = 86400000L
+
+  /** Core: KM risk table over a (k_end, is_event) one-row-per-subject
+    * frame. Fixture-testable.
+    */
+  private[graft] def survivalHazardOf(subjects: DataFrame): DataFrame = {
+    val ended = subjects.groupBy(col("k_end").as("day"))
+      .agg(sum(col("is_event")).as("d"), sum(lit(1L) - col("is_event")).as("cens"))
+    val bounds = ended.agg(max(col("day")).as("kmax"))
+    val grid = bounds.select(explode(sequence(lit(0L), col("kmax"))).as("day"))
+    val dense = grid.join(ended, Seq("day"), "left")
+      .withColumn("d", coalesce(col("d"), lit(0L)))
+      .withColumn("cens", coalesce(col("cens"), lit(0L)))
+    val wRisk = Window.orderBy(col("day").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wCum = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dense
+      .withColumn("n_risk", sum(col("d") + col("cens")).over(wRisk))
+      .withColumn("cum_events", sum(col("d")).over(wCum))
+      .select(col("day"), col("n_risk"), col("d").as("n_events"),
+        col("cens").as("n_censored"),
+        expr("d * 1048576 DIV n_risk").as("hazard_fp"), col("cum_events"))
+      .orderBy(col("day"))
+  }
+
+  private def q240(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val tv = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts_ms")).as("tv"))
+    val conv = ev.filter(col("event_type") === "purchase")
+      .join(tv, "user_id")
+      .filter(col("ts_ms") >= col("tv"))
+      .groupBy(col("user_id")).agg(min(col("ts_ms")).as("tp"))
+    val horizon = ev.agg(max(col("ts_ms")).as("hz"))
+    val subjects = tv.join(conv, Seq("user_id"), "left")
+      .crossJoin(broadcast(horizon))
+      .select(
+        when(col("tp").isNotNull, expr(s"(tp - tv) div $SvDayMs"))
+          .otherwise(expr(s"(hz - tv) div $SvDayMs")).as("k_end"),
+        when(col("tp").isNotNull, 1L).otherwise(0L).as("is_event"))
+    survivalHazardOf(subjects)
+  }
+
+  private val q240Sql =
+    s"""WITH tv AS (
+      |  SELECT user_id, min(epoch_ms(ts)) AS tv FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |conv AS (
+      |  SELECT e.user_id, min(epoch_ms(e.ts)) AS tp
+      |  FROM events e JOIN tv ON e.user_id = tv.user_id
+      |  WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) >= tv.tv
+      |  GROUP BY e.user_id),
+      |hz AS (SELECT max(epoch_ms(ts)) AS hz FROM events),
+      |subj AS (
+      |  SELECT CASE WHEN conv.tp IS NOT NULL
+      |      THEN (conv.tp - tv.tv) // $SvDayMs
+      |      ELSE (hz.hz - tv.tv) // $SvDayMs END AS k_end,
+      |    CASE WHEN conv.tp IS NOT NULL THEN 1 ELSE 0 END AS is_event
+      |  FROM tv LEFT JOIN conv ON tv.user_id = conv.user_id, hz),
+      |ended AS (
+      |  SELECT k_end AS day, CAST(sum(is_event) AS BIGINT) AS d,
+      |    CAST(sum(1 - is_event) AS BIGINT) AS cens
+      |  FROM subj GROUP BY k_end),
+      |grid AS (
+      |  SELECT unnest(range(0, (SELECT max(day) FROM ended) + 1)) AS day),
+      |dense AS (
+      |  SELECT g.day, coalesce(e.d, 0) AS d, coalesce(e.cens, 0) AS cens
+      |  FROM grid g LEFT JOIN ended e ON g.day = e.day),
+      |r AS (
+      |  SELECT day, d, cens,
+      |    CAST(sum(d + cens) OVER (ORDER BY day DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_risk,
+      |    CAST(sum(d) OVER (ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_events
+      |  FROM dense)
+      |SELECT day, n_risk, d AS n_events, cens AS n_censored,
+      |  CAST(d * 1048576 // n_risk AS BIGINT) AS hazard_fp, cum_events
+      |FROM r ORDER BY day""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q162_signal_correlation", q162, Some(q162Sql)),
     Q("q169_ab_conversion", q169, Some(q169Sql)),
@@ -1714,5 +1813,6 @@ object Signals {
     Q("q223_lead_lag", q223, Some(q223Sql)),
     Q("q225_seasonal_decomp", q225, Some(q225Sql)),
     Q("q232_sax_motifs", q232, Some(q232Sql)),
+    Q("q240_survival_hazard", q240, Some(q240Sql)),
   )
 }

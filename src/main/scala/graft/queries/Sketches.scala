@@ -409,11 +409,129 @@ object Sketches {
       |GROUP BY g.wend
       |ORDER BY window_end_hr""".stripMargin
 
+  // q239 — HLL audience-overlap audit: estimate every event-type
+  // pair's shared-user count FROM SKETCHES ALONE — union by
+  // register-wise max (the lossless HLL merge), intersection by
+  // inclusion-exclusion est_a + est_b − est_union — next to q197's
+  // exact n_both. This is the known-treacherous HLL operation
+  // (inclusion-exclusion error grows with the union/intersection
+  // ratio, unlike the always-safe union), so the report carries the
+  // signed error in fixed point: the dashboard-vs-truth gap a sketch
+  // consumer must see before trusting overlap numbers. All three
+  // estimates reuse q134's exact-integer numerator, and the final
+  // est arithmetic is one fixed left-associated double expression, so
+  // every column hash-matches DuckDB.
+  //
+  // Scale shape: registers aggregate once per type (types×64 rows, the
+  // q134 shuffle bound); the dense per-type register grid makes each
+  // pair merge an equi-join of two 64-row frames; the exact side is
+  // q197's users-sized distinct — which is the side that stops
+  // scaling, which is the point of having the sketch column.
+  private def q239(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val regs = hllRegistersOf(ev, "event_type",
+      hash60(col("user_id").cast("string")))
+    // densify: every (type, bucket) cell, absent registers as 0
+    val types = regs.select(col("event_type")).distinct()
+    val dense = types
+      .crossJoin(spark_range_buckets(ev.sparkSession))
+      .join(regs, Seq("event_type", "bucket"), "left")
+      .withColumn("reg", coalesce(col("reg"), lit(0L)))
+      .localCheckpoint(false) // both pair-join sides + the singles
+    def numerator(grouped: DataFrame): Column =
+      sum(expr("shiftleft(1L, cast(56 - reg as int))")).as("num")
+    val singles = dense.groupBy(col("event_type")).agg(numerator(dense))
+    val pairs = dense.as("a").join(dense.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(sum(expr(
+        "shiftleft(1L, cast(56 - greatest(a.reg, b.reg) as int))")).as("num_u"))
+    val dt = ev.select(col("user_id"), col("event_type")).distinct()
+    val exact = dt.as("a").join(dt.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("exact_both"))
+    val c = 0.709 * (HllM.toLong * HllM).toDouble * (1L << 56).toDouble
+    pairs
+      .join(broadcast(singles.select(col("event_type").as("type_a"), col("num").as("na"))),
+        "type_a")
+      .join(broadcast(singles.select(col("event_type").as("type_b"), col("num").as("nb"))),
+        "type_b")
+      .join(exact, Seq("type_a", "type_b"))
+      .withColumn("est_both",
+        lit(c) / col("na") + lit(c) / col("nb") - lit(c) / col("num_u"))
+      .select(col("type_a"), col("type_b"), col("exact_both"), col("num_u"),
+        col("est_both"),
+        // truncate the double product to BIGINT FIRST (Spark CAST and
+        // DuckDB trunc both round toward zero), then integer-divide
+        expr(s"CAST((est_both - exact_both) * 1048576 AS BIGINT) DIV greatest(exact_both, 1)")
+          .as("err_fp"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  /** The 64-bucket grid frame (bucket 0..m−1). */
+  private def spark_range_buckets(s: SparkSession): DataFrame =
+    s.range(HllM.toLong).select(col("id").as("bucket"))
+
+  private val q239Sql = {
+    val w = 1L << HllW
+    val rho = s"CASE WHEN strpos(lpad(bin(h % $w), $HllW, '0'), '1') = 0 " +
+      s"THEN ${HllW + 1} ELSE strpos(lpad(bin(h % $w), $HllW, '0'), '1') END"
+    s"""WITH h AS (
+      |  SELECT event_type, ${hash60Sql("CAST(user_id AS VARCHAR)")} AS h
+      |  FROM events),
+      |regs AS (
+      |  SELECT event_type, h // $w AS bucket, max($rho) AS reg
+      |  FROM h GROUP BY 1, 2),
+      |types AS (SELECT DISTINCT event_type FROM regs),
+      |grid AS (SELECT event_type, gs.bucket
+      |  FROM types, (SELECT unnest(range($HllM)) AS bucket) gs),
+      |dense AS (
+      |  SELECT g.event_type, g.bucket, coalesce(r.reg, 0) AS reg
+      |  FROM grid g LEFT JOIN regs r
+      |    ON g.event_type = r.event_type AND g.bucket = r.bucket),
+      |singles AS (
+      |  SELECT event_type,
+      |    CAST(sum(1::BIGINT << CAST(56 - reg AS INT)) AS BIGINT) AS num
+      |  FROM dense GROUP BY event_type),
+      |pairs AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |    CAST(sum(1::BIGINT << CAST(56 - greatest(a.reg, b.reg) AS INT)) AS BIGINT)
+      |      AS num_u
+      |  FROM dense a JOIN dense b
+      |    ON a.bucket = b.bucket AND a.event_type < b.event_type
+      |  GROUP BY 1, 2),
+      |dt AS (SELECT DISTINCT user_id, event_type FROM events),
+      |exact AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |    count(*) AS exact_both
+      |  FROM dt a JOIN dt b
+      |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+      |  GROUP BY 1, 2),
+      |f AS (
+      |  SELECT p.type_a, p.type_b, e.exact_both, p.num_u,
+      |    ${0.709 * (64L * 64).toDouble} * CAST(${1L << 56} AS DOUBLE) / sa.num
+      |    + ${0.709 * (64L * 64).toDouble} * CAST(${1L << 56} AS DOUBLE) / sb.num
+      |    - ${0.709 * (64L * 64).toDouble} * CAST(${1L << 56} AS DOUBLE) / p.num_u
+      |      AS est_both
+      |  FROM pairs p
+      |  JOIN singles sa ON sa.event_type = p.type_a
+      |  JOIN singles sb ON sb.event_type = p.type_b
+      |  JOIN exact e ON e.type_a = p.type_a AND e.type_b = p.type_b)
+      |SELECT type_a, type_b, exact_both, num_u, est_both,
+      |  CAST(CAST(trunc((est_both - exact_both) * 1048576) AS BIGINT)
+      |    // greatest(exact_both, 1) AS BIGINT) AS err_fp
+      |FROM f ORDER BY type_a, type_b""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q83_cms_heavy_hitters", q83, Some(q83Sql)),
     Q("q84_bloom_semi_join", q84, Some(q84Sql)),
     Q("q134_hll_distinct", q134, Some(q134Sql)),
     Q("q148_hll_sliding", q148, Some(q148Sql)),
     Q("q192_sliding_distinct_exact", q192, Some(q192Sql)),
+    Q("q239_hll_overlap", q239, Some(q239Sql)),
   )
 }

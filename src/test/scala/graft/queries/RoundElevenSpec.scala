@@ -128,6 +128,33 @@ class RoundElevenSpec extends SparkSpec {
       (1L, 2L, 1L, 2L, 0L), (2L, 2L, 0L, 1L, 1048576L)), s"got ${got.toSeq}")
   }
 
+  test("HLL merge property: union registers equal pairwise register max") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFns.hash60
+    val a = (1L to 400L).map(i => ("a", i)).toDF("g", "v")
+    val b = (200L to 600L).map(i => ("b", i)).toDF("g", "v")
+    def regs(df: org.apache.spark.sql.DataFrame) =
+      Sketches.hllRegistersOf(df, "g", hash60(col("v").cast("string")))
+        .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val ra = regs(a); val rb = regs(b)
+    val ru = regs(a.unionAll(b).withColumn("g", lit("u")))
+    val merged = (ra.keySet ++ rb.keySet).map(k =>
+      k -> math.max(ra.getOrElse(k, 0L), rb.getOrElse(k, 0L))).toMap
+    assert(ru == merged)
+  }
+
+  test("survival hazard: hand-computed risk table with censoring") {
+    // subjects: convert@0, censor@0, convert@2, censor@3
+    val subj = Seq((0L, 1L), (0L, 0L), (2L, 1L), (3L, 0L)).toDF("k_end", "is_event")
+    val got = Signals.survivalHazardOf(subj).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == Seq(
+      (0L, 4L, 1L, 1L, 262144L, 1L), (1L, 2L, 0L, 0L, 0L, 1L),
+      (2L, 2L, 1L, 0L, 524288L, 2L), (3L, 1L, 0L, 1L, 0L, 2L)),
+      s"got ${got.toSeq}")
+  }
+
   test("SAX motifs: rank-quartile symbols over a two-day series") {
     // day 0 segment sums (1,2,3,4), day 1 (5,6,7,8): ranks 1..8 over
     // the 8 segments → symbols aabb / ccdd
