@@ -226,16 +226,12 @@ object Maintenance {
         .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.substring(0, 15),
       16)
 
-  /** Core: decode the symmetric difference of two id frames via
-    * subtracted IBLT sketches. Returns (side, doc_id) rows.
-    * Fixture-testable.
+  /** The signed-cell aggregate of an id stream: pure sums, so the SAME
+    * plan incrementally maintains the sketch under Structured Streaming
+    * (StreamingSketchSpec pins stream-built cells to this batch form).
     */
-  private[graft] def ibltReconcileOf(idsA: DataFrame, idsB: DataFrame): DataFrame = {
-    val s = idsA.sparkSession
-    import s.implicits._
-    val signed = idsA.select(col("doc_id"), lit(1L).as("sign"))
-      .unionAll(idsB.select(col("doc_id"), lit(-1L).as("sign")))
-    val cells = signed
+  private[graft] def ibltCellsOf(signed: DataFrame): DataFrame =
+    signed
       .select(col("doc_id"), col("sign"),
         TextFns.hash60(concat(lit("ibv:"), col("doc_id").cast("string"))).as("hv"),
         explode(array((0 until IbHashes).map { j =>
@@ -247,8 +243,10 @@ object Maintenance {
       .agg(sum(col("sign")).as("cnt"),
         sum((col("sign") * col("doc_id")).cast(DecimalType(38, 0))).as("ids"),
         sum((col("sign").cast(DecimalType(38, 0)) * col("hv"))).as("hs"))
-      .collect()
-    // driver peel over the bounded subtracted sketch
+
+  /** Driver peel over collected (cell, cnt, ids, hs) rows. */
+  private[graft] def ibltDecode(
+      cells: Array[org.apache.spark.sql.Row]): Seq[(String, Long)] = {
     val cls = scala.collection.mutable.Map[Long, (Long, BigInt, BigInt)]()
     cells.foreach { r =>
       cls(r.getLong(0)) = (r.getLong(1),
@@ -275,7 +273,20 @@ object Maintenance {
         }
       }
     }
-    out.result().toDF("side", "doc_id").orderBy(col("side"), col("doc_id"))
+    out.result().sorted
+  }
+
+  /** Core: decode the symmetric difference of two id frames via
+    * subtracted IBLT sketches. Returns (side, doc_id) rows.
+    * Fixture-testable.
+    */
+  private[graft] def ibltReconcileOf(idsA: DataFrame, idsB: DataFrame): DataFrame = {
+    val s = idsA.sparkSession
+    import s.implicits._
+    val signed = idsA.select(col("doc_id"), lit(1L).as("sign"))
+      .unionAll(idsB.select(col("doc_id"), lit(-1L).as("sign")))
+    ibltDecode(ibltCellsOf(signed).collect())
+      .toDF("side", "doc_id").orderBy(col("side"), col("doc_id"))
   }
 
   private def q237(s: SparkSession, d: String): DataFrame = {
