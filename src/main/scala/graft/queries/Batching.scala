@@ -190,9 +190,127 @@ object Batching {
       |FROM a GROUP BY shard
       |ORDER BY shard""".stripMargin
 
+  // q242 — prefix-cache reuse audit: for prefix lengths k ∈
+  // [[PcPrefixLens]], how many documents share their first k tokens
+  // with an earlier one? Shared prefixes are exactly what an
+  // LLM-serving KV-cache (or a trie-based tokenizer cache) can reuse,
+  // so `n_docs − distinct prefixes` is the corpus's cache-hit UPPER
+  // BOUND at that depth, and the largest prefix group bounds the
+  // single-entry payoff. One tokenize; each k contributes a (k, hash)
+  // row per long-enough doc — the aggregate is (k × prefixes)-sized,
+  // never corpus-quadratic, and the two-level (count per prefix →
+  // stats per k) rollup is map-side combinable all the way.
+  val PcPrefixLens = Seq(4, 8, 16)
+
+  /** Core: prefix-cache report over a (doc_id, toks) frame.
+    * Fixture-testable.
+    */
+  private[graft] def prefixCacheOf(toks0: DataFrame): DataFrame = {
+    val toks = toks0.select(col("doc_id"), size(col("toks")).as("n"), col("toks"))
+    val rows = toks.select(explode(array(PcPrefixLens.map { k =>
+      when(col("n") >= k,
+        struct(lit(k.toLong).as("k"),
+          hash60(concat_ws(" ", slice(col("toks"), 1, k))).as("h")))
+    }: _*)).as("r"))
+      .filter(col("r").isNotNull)
+      .select(col("r.k").as("k"), col("r.h").as("h"))
+    rows.groupBy(col("k"), col("h")).agg(count(lit(1)).as("c"))
+      .groupBy(col("k"))
+      .agg(sum(col("c")).as("n_docs"), count(lit(1)).as("n_prefixes"),
+        max(col("c")).as("max_share"))
+      .select(col("k"), col("n_docs"), col("n_prefixes"),
+        (col("n_docs") - col("n_prefixes")).as("n_hits"),
+        expr("(n_docs - n_prefixes) * 1048576 DIV n_docs").as("hit_fp"),
+        col("max_share"))
+      .orderBy(col("k"))
+  }
+
+  private def q242(s: SparkSession, d: String): DataFrame =
+    prefixCacheOf(documents(s, d).select(col("doc_id"), tokens(col("text")).as("toks")))
+
+  private val q242Sql = {
+    val branches = PcPrefixLens.map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS k,
+        |  ${graft.functions.TextFns.hash60Sql(
+             s"list_aggregate(list_slice(toks, 1, $k), 'string_agg', ' ')")} AS h
+        |FROM t WHERE len(toks) >= $k""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH t AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      |  FROM documents),
+      |rows_ AS (
+      |$branches),
+      |pc AS (SELECT k, h, count(*) AS c FROM rows_ GROUP BY k, h)
+      |SELECT k, CAST(sum(c) AS BIGINT) AS n_docs, count(*) AS n_prefixes,
+      |  CAST(sum(c) - count(*) AS BIGINT) AS n_hits,
+      |  CAST((CAST(sum(c) AS BIGINT) - count(*)) * 1048576
+      |    // CAST(sum(c) AS BIGINT) AS BIGINT) AS hit_fp,
+      |  CAST(max(c) AS BIGINT) AS max_share
+      |FROM pc GROUP BY k ORDER BY k""".stripMargin
+  }
+
+  // q243 — context-length planner: for candidate training context
+  // lengths L ∈ [[CtxLens]], the exact token economics of the corpus —
+  // tokens truncated away (docs longer than L), padding waste under
+  // naive one-doc-per-row batching, and the bin-packing LOWER bound
+  // ⌈kept/L⌉·L − kept that q80/q125-style packing approaches — the
+  // table a pretraining config review reads before fixing max_seq_len.
+  // One tokenize, a constant ×|L| explode, one aggregate; every number
+  // is an exact integer and the ratios are 2^20 fixed point.
+  val CtxLens = Seq(16L, 32L, 64L)
+
+  /** Core: context-length economics over an (n) token-count frame.
+    * Fixture-testable.
+    */
+  private[graft] def contextPlannerOf(lens: DataFrame): DataFrame = {
+    lens.select(col("n"), explode(typedlit(CtxLens)).as("ctx"))
+      .groupBy(col("ctx"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n") > col("ctx"), 1L).otherwise(0L)).as("n_trunc"),
+        sum(col("n")).as("tokens_total"),
+        sum(greatest(col("n") - col("ctx"), lit(0L))).as("tokens_lost"),
+        sum(least(col("n"), col("ctx"))).as("tokens_kept"))
+      .select(col("ctx"), col("n_docs"), col("n_trunc"), col("tokens_total"),
+        col("tokens_lost"), col("tokens_kept"),
+        expr("tokens_lost * 1048576 DIV tokens_total").as("lost_fp"),
+        expr("(n_docs * ctx - tokens_kept) * 1048576 DIV (n_docs * ctx)")
+          .as("naive_pad_fp"),
+        expr("(((tokens_kept + ctx - 1) DIV ctx) * ctx - tokens_kept) * 1048576" +
+          " DIV (((tokens_kept + ctx - 1) DIV ctx) * ctx)").as("packed_pad_fp"))
+      .orderBy(col("ctx"))
+  }
+
+  private def q243(s: SparkSession, d: String): DataFrame =
+    contextPlannerOf(documents(s, d).select(tokenCount(col("text")).as("n")))
+
+  private val q243Sql = {
+    val ls = CtxLens.mkString(", ")
+    s"""WITH n AS (
+      |  SELECT CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+      |    AS n
+      |  FROM documents),
+      |x AS (SELECT n, ctx FROM n, unnest([$ls]) t(ctx)),
+      |a AS (
+      |  SELECT ctx, count(*) AS n_docs,
+      |    CAST(sum(CASE WHEN n > ctx THEN 1 ELSE 0 END) AS BIGINT) AS n_trunc,
+      |    CAST(sum(n) AS BIGINT) AS tokens_total,
+      |    CAST(sum(greatest(n - ctx, 0)) AS BIGINT) AS tokens_lost,
+      |    CAST(sum(least(n, ctx)) AS BIGINT) AS tokens_kept
+      |  FROM x GROUP BY ctx)
+      |SELECT ctx, n_docs, n_trunc, tokens_total, tokens_lost, tokens_kept,
+      |  CAST(tokens_lost * 1048576 // tokens_total AS BIGINT) AS lost_fp,
+      |  CAST((n_docs * ctx - tokens_kept) * 1048576 // (n_docs * ctx) AS BIGINT)
+      |    AS naive_pad_fp,
+      |  CAST((((tokens_kept + ctx - 1) // ctx) * ctx - tokens_kept) * 1048576
+      |    // (((tokens_kept + ctx - 1) // ctx) * ctx) AS BIGINT) AS packed_pad_fp
+      |FROM a ORDER BY ctx""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q125_length_batching", q125, Some(q125Sql)),
     Q("q129_shard_balance", q129, Some(q129Sql)),
     Q("q142_shard_manifest", q142, Some(q142Sql)),
+    Q("q242_prefix_cache", q242, Some(q242Sql)),
+    Q("q243_context_planner", q243, Some(q243Sql)),
   )
 }

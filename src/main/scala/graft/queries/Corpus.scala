@@ -445,6 +445,109 @@ object Corpus {
       |LIMIT $SkipTopN""".stripMargin
   }
 
+  // q241 — content-defined DEDUP STORAGE analysis: q97 cuts documents
+  // into rolling-hash chunks; this query answers the question CDC
+  // chunking exists for — how many bytes does chunk-level dedup
+  // actually save, per source and corpus-wide? Every chunk's content
+  // hashes to an 8-byte key; bytes stored once per DISTINCT chunk vs
+  // once per occurrence gives the dedup ratio a storage planner (or a
+  // crawl near-dup pre-filter) reads. Identical boilerplate shared
+  // ACROSS documents dedups here even when whole-document
+  // fingerprints (q30) differ — the CDC property; the corpus-wide row
+  // is computed over the global chunk-hash space, not by summing
+  // per-source distincts (a chunk shared across sources stores once).
+  //
+  // Scale shape: one scan chunks and hashes in-row (codegen'd
+  // RollingHashes, narrow array ops); only (source, hash, len) rows
+  // shuffle — never chunk text — and both aggregates are hash-keyed
+  // with map-side combine. The 100 TB form is identical: the chunk
+  // store IS a (hash → bytes) aggregate.
+  /** Core: chunk-dedup report over a (source, text) frame.
+    * Fixture-testable (register GraftFunctions first).
+    */
+  private[graft] def chunkDedupOf(docs: DataFrame): DataFrame = {
+    val chunks = docs
+      .select(col("source"), normalize(col("text")).as("norm"))
+      .select(col("source"), col("norm"),
+        length(col("norm")).cast("long").as("len"),
+        expr(s"rolling_hashes(norm, $CdcWindow)").as("rh"))
+      .withColumn("cuts", filter(
+        transform(col("rh"), (h, i) =>
+          when(h % CdcDivisor === 0 && i > 0, i.cast("long")).otherwise(lit(-1L))),
+        x => x >= 0))
+      .withColumn("bounds",
+        concat(array(lit(0L)), col("cuts"), array(col("len"))))
+      .select(col("source"), col("norm"),
+        explode(expr(
+          """zip_with(
+            |  slice(bounds, 1, size(bounds) - 1),
+            |  slice(bounds, 2, size(bounds) - 1),
+            |  (a, b) -> struct(a AS st, b - a AS ln))""".stripMargin)).as("sp"))
+      .select(col("source"), col("sp.ln").as("ln"),
+        hash60(expr("substr(norm, cast(sp.st as int) + 1, cast(sp.ln as int))")).as("h"))
+      .localCheckpoint(false) // per-source and corpus-wide consumers
+    def report(grouped: DataFrame, tag: Column): DataFrame =
+      grouped.select(tag.as("scope"), col("n_occ"), col("ln"))
+        .groupBy(col("scope"))
+        .agg(sum(col("n_occ")).as("n_chunks"), count(lit(1)).as("n_distinct"),
+          sum(col("n_occ") * col("ln")).as("total_bytes"),
+          sum(col("ln")).as("unique_bytes"))
+    val perSrc = report(
+      chunks.groupBy(col("source"), col("h"))
+        .agg(count(lit(1)).as("n_occ"), max(col("ln")).as("ln")),
+      col("source"))
+    val global = report(
+      chunks.groupBy(col("h"))
+        .agg(count(lit(1)).as("n_occ"), max(col("ln")).as("ln")),
+      lit("ALL"))
+    perSrc.unionAll(global)
+      .withColumn("saved_fp",
+        expr("(total_bytes - unique_bytes) * 1048576 DIV total_bytes"))
+      .orderBy(col("scope"))
+  }
+
+  private def q241(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    chunkDedupOf(documents(s, d))
+  }
+
+  private val q241Sql = {
+    val norm = normalizeSql("text")
+    s"""WITH n AS (SELECT doc_id, source, $norm AS norm FROM documents),
+      |r AS (SELECT source, norm, CAST(length(norm) AS BIGINT) AS len,
+      |  list_transform(range(greatest(length(norm) - ${CdcWindow - 1}, 0)), i ->
+      |    list_reduce(list_transform(range($CdcWindow),
+      |      j -> CAST(ascii(substr(norm, i + j + 1, 1)) AS BIGINT)),
+      |      (acc, c) -> (acc * 257 + c) % 2147483647)) AS rh
+      |  FROM n),
+      |b AS (SELECT source, norm, len,
+      |    list_concat(list_concat([CAST(0 AS BIGINT)],
+      |      list_filter(range(len(rh)), i -> i > 0 AND rh[i+1] % $CdcDivisor = 0)),
+      |      [len]) AS bounds
+      |  FROM r),
+      |ch AS (
+      |  SELECT source, bounds[k+2] - bounds[k+1] AS ln,
+      |    ${hash60Sql("substr(norm, CAST(bounds[k+1] AS INT) + 1, CAST(bounds[k+2] - bounds[k+1] AS INT))")} AS h
+      |  FROM b, unnest(range(len(bounds) - 1)) t(k)),
+      |ps AS (SELECT source, h, count(*) AS n_occ, max(ln) AS ln
+      |  FROM ch GROUP BY source, h),
+      |pg AS (SELECT h, count(*) AS n_occ, max(ln) AS ln FROM ch GROUP BY h),
+      |rep AS (
+      |  SELECT source AS scope, CAST(sum(n_occ) AS BIGINT) AS n_chunks,
+      |    count(*) AS n_distinct,
+      |    CAST(sum(n_occ * ln) AS BIGINT) AS total_bytes,
+      |    CAST(sum(ln) AS BIGINT) AS unique_bytes
+      |  FROM ps GROUP BY source
+      |  UNION ALL
+      |  SELECT 'ALL', CAST(sum(n_occ) AS BIGINT), count(*),
+      |    CAST(sum(n_occ * ln) AS BIGINT), CAST(sum(ln) AS BIGINT)
+      |  FROM pg)
+      |SELECT scope, n_chunks, n_distinct, total_bytes, unique_bytes,
+      |  CAST((total_bytes - unique_bytes) * 1048576 // total_bytes AS BIGINT)
+      |    AS saved_fp
+      |FROM rep ORDER BY scope""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q81_boilerplate_ngrams", q81, Some(q81Sql)),
     Q("q82_token_chunking", q82, Some(q82Sql)),
@@ -453,5 +556,6 @@ object Corpus {
     Q("q119_snapshot_diff", q119, Some(q119Sql)),
     Q("q139_pmi_collocations", q139, Some(q139Sql)),
     Q("q140_skipgram_pairs", q140, Some(q140Sql)),
+    Q("q241_chunk_dedup", q241, Some(q241Sql)),
   )
 }

@@ -155,6 +155,46 @@ class RoundElevenSpec extends SparkSpec {
       s"got ${got.toSeq}")
   }
 
+  test("chunk dedup: duplicated documents halve per-source unique bytes") {
+    graft.functions.GraftFunctions.register(spark)
+    val txt = "the quick brown fox jumps over the lazy dog again and again " * 4
+    val docs = Seq((1L, "s1", txt), (2L, "s1", txt),
+      (3L, "s2", "completely different content with its own words entirely " * 4))
+      .toDF("doc_id", "source", "text")
+    val got = Corpus.chunkDedupOf(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val (n1, d1, t1, u1) = got("s1")
+    // two identical docs: every chunk occurs an even number of times
+    assert(n1 == 2 * d1 && t1 == 2 * u1, s"s1 $got")
+    val (_, _, t2, u2) = got("s2")
+    val (_, _, ta, ua) = got("ALL")
+    assert(ta == t1 + t2)
+    assert(ua <= u1 + u2 && ua > 0)
+  }
+
+  test("prefix cache: shared prefixes count as hits per depth") {
+    val base = (1 to 16).map(i => s"w$i")
+    val docs = Seq(
+      (1L, base), (2L, base.take(8) ++ (1 to 8).map(i => s"x$i")),
+      (3L, (1 to 16).map(i => s"z$i")))
+      .toDF("doc_id", "toks")
+    val got = Batching.prefixCacheOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(5)))
+    assert(got.toSeq == Seq(
+      (4L, 3L, 2L, 1L, 2L), (8L, 3L, 2L, 1L, 2L), (16L, 3L, 3L, 0L, 1L)),
+      s"got ${got.toSeq}")
+  }
+
+  test("context planner: hand-computed token economics at three lengths") {
+    val lens = Seq(10L, 20L, 40L).toDF("n")
+    val got = Batching.contextPlannerOf(lens).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(4), r.getLong(5)))
+    // (ctx, n_trunc, tokens_lost, tokens_kept)
+    assert(got.toSeq == Seq((16L, 2L, 28L, 42L), (32L, 1L, 8L, 62L),
+      (64L, 0L, 0L, 70L)), s"got ${got.toSeq}")
+  }
+
   test("SAX motifs: rank-quartile symbols over a two-day series") {
     // day 0 segment sums (1,2,3,4), day 1 (5,6,7,8): ranks 1..8 over
     // the 8 segments → symbols aabb / ccdd
