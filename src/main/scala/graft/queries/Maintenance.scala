@@ -310,10 +310,67 @@ object Maintenance {
       |FROM (SELECT doc_id FROM b EXCEPT SELECT doc_id FROM a) y
       |ORDER BY side, doc_id""".stripMargin
 
+
+  // q245 — sequence-completeness audit: find every missing-id RANGE in
+  // what should be a dense event_id sequence — the "did my CDC/ingest
+  // stream drop offsets" check every log pipeline runs against its
+  // Kafka/changefeed offsets. Replica loss is simulated two ways
+  // (isolated ids ≡ 13 mod 1009; whole 100-id blocks whose index ≡ 7
+  // mod 83) so the report shows both single-record drops and
+  // lost-batch ranges.
+  //
+  // Scale shape: a naive `lag` over the whole sequence is a
+  // single-partition window — instead the ids range-partition, each
+  // partition lags LOCALLY, and a partition-count-sized carry (each
+  // partition's running max) closes the boundaries — the
+  // rankDistributed/q153 distributed-prefix shape, immune to empty
+  // range partitions because the carry is the running max over ALL
+  // earlier partitions, not just the adjacent one.
+  /** Core: missing-range report over an (id) frame. Fixture-testable. */
+  private[graft] def sequenceGapsOf(ids: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = ids.sparkSession
+    val nParts = s.conf.get("spark.sql.shuffle.partitions").toIntOption
+      .getOrElse(s.sparkContext.defaultParallelism)
+    val parted = ids.repartitionByRange(nParts, col("id"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(false) // one __pid assignment for rows + carry
+    val wLocal = Window.partitionBy(col("__pid")).orderBy(col("id"))
+    val wCarry = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = parted.groupBy(col("__pid")).agg(max(col("id")).as("__pmax"))
+      .withColumn("__carry", max(col("__pmax")).over(wCarry))
+      .select(col("__pid"), col("__carry"))
+    parted
+      .withColumn("__prev", lag(col("id"), 1).over(wLocal))
+      .join(broadcast(carry), Seq("__pid"))
+      .withColumn("p", coalesce(col("__prev"), col("__carry")))
+      .filter(col("p").isNotNull && col("id") - col("p") > 1)
+      .select((col("p") + 1L).as("gap_start"), (col("id") - 1L).as("gap_end"),
+        (col("id") - col("p") - 1L).as("n_missing"))
+      .orderBy(col("gap_start"))
+  }
+
+  private def q245(s: SparkSession, d: String): DataFrame =
+    sequenceGapsOf(events(s, d).select(col("event_id").as("id"))
+      .filter(pmod(col("id"), lit(1009)) =!= 13 &&
+        pmod(expr("id div 100"), lit(83)) =!= 7))
+
+  private val q245Sql =
+    """WITH ids AS (
+      |  SELECT event_id AS id FROM events
+      |  WHERE id % 1009 != 13 AND (id // 100) % 83 != 7),
+      |l AS (
+      |  SELECT id, lag(id) OVER (ORDER BY id) AS p FROM ids)
+      |SELECT p + 1 AS gap_start, id - 1 AS gap_end, id - p - 1 AS n_missing
+      |FROM l WHERE p IS NOT NULL AND id - p > 1
+      |ORDER BY gap_start""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q202_delta_join_view", q202, Some(q202Sql)),
     Q("q203_replica_diff", q203, Some(q203Sql)),
     Q("q233_rendezvous_shards", q233, Some(q233Sql)),
     Q("q237_iblt_reconcile", q237, Some(q237Sql)),
+    Q("q245_sequence_gaps", q245, Some(q245Sql)),
   )
 }

@@ -1789,6 +1789,73 @@ object Signals {
       |  CAST(d * 1048576 // n_risk AS BIGINT) AS hazard_fp, cum_events
       |FROM r ORDER BY day""".stripMargin
 
+  // q244 — Mann-Kendall trend TEST on the daily event-count series:
+  // the nonparametric significance companion to q216's Theil-Sen
+  // slope (same robustness contract — no normality or linearity
+  // assumption; MK answers IS there a monotone trend, Theil-Sen
+  // answers how steep). S = Σ_{i<j} sign(x_j − x_i) and the
+  // tie-corrected 18·Var(S) = n(n−1)(2n+5) − Σ t(t−1)(2t+5) are
+  // exact integers; z² ships as S²·18·2^20 DIV var18 with the square
+  // staged through DECIMAL(38,0) (S is O(days²) — a decade of days
+  // puts S² past 2^63; the decimal stage is the overflow-headroom
+  // rule). Consumers compare zsq_fp against 1.96²·2^20 ≈ 4.03e6 for
+  // the 5% two-sided gate.
+  //
+  // Scale shape: one scan aggregates to the zero-filled DAY grid
+  // (bounded by the time span — a decade ≈ 3650 rows), so the pair
+  // self-join is grid², bounded and independent of event volume; the
+  // tie term is a values-sized aggregate over the same grid.
+  private def q244(s: SparkSession, d: String): DataFrame = {
+    val counts = events(s, d)
+      .select(expr("ts_ms div 86400000").as("dy"))
+      .groupBy(col("dy")).agg(count(lit(1)).as("x"))
+    val bounds = counts.agg(min(col("dy")).as("d0"), max(col("dy")).as("d1"))
+    val grid = bounds.select(explode(sequence(col("d0"), col("d1"))).as("dy"))
+      .join(counts, Seq("dy"), "left")
+      .withColumn("x", coalesce(col("x"), lit(0L)))
+      .localCheckpoint(false) // pair join both sides + tie term
+    val sStat = grid.as("a").join(grid.as("b"), col("a.dy") < col("b.dy"))
+      .agg(sum(when(col("b.x") > col("a.x"), 1L)
+        .when(col("b.x") < col("a.x"), -1L).otherwise(0L)).as("s_stat"))
+    val ties = grid.groupBy(col("x")).agg(count(lit(1)).as("t"))
+      .agg(sum(expr("t * (t - 1) * (2 * t + 5)")).as("tie_term"),
+        sum(col("t")).as("n_days"))
+    sStat.crossJoin(broadcast(ties))
+      .select(col("n_days"), col("s_stat"),
+        expr("n_days * (n_days - 1) * (2 * n_days + 5) - tie_term").as("var18"),
+        expr("""CAST(CAST(s_stat AS DECIMAL(38,0)) * s_stat * 18 * 1048576
+          | DIV var18 AS BIGINT)""".stripMargin).as("zsq_fp"),
+        when(col("s_stat") > 0, "increasing").when(col("s_stat") < 0, "decreasing")
+          .otherwise("none").as("trend"))
+  }
+
+  private val q244Sql =
+    """WITH c AS (
+      |  SELECT epoch_ms(ts) // 86400000 AS dy, count(*) AS x
+      |  FROM events GROUP BY 1),
+      |b AS (SELECT min(dy) AS d0, max(dy) AS d1 FROM c),
+      |g AS (
+      |  SELECT gs.dy, coalesce(c.x, 0) AS x
+      |  FROM (SELECT unnest(range((SELECT d0 FROM b), (SELECT d1 FROM b) + 1))
+      |          AS dy) gs
+      |  LEFT JOIN c ON gs.dy = c.dy),
+      |s AS (
+      |  SELECT CAST(sum(CASE WHEN bb.x > a.x THEN 1
+      |    WHEN bb.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+      |  FROM g a JOIN g bb ON a.dy < bb.dy),
+      |t AS (
+      |  SELECT CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term,
+      |    CAST(sum(t) AS BIGINT) AS n_days
+      |  FROM (SELECT x, count(*) AS t FROM g GROUP BY x) u)
+      |SELECT t.n_days, s.s_stat,
+      |  t.n_days * (t.n_days - 1) * (2 * t.n_days + 5) - t.tie_term AS var18,
+      |  CAST(CAST(s.s_stat AS HUGEINT) * s.s_stat * 18 * 1048576
+      |    // (t.n_days * (t.n_days - 1) * (2 * t.n_days + 5) - t.tie_term)
+      |    AS BIGINT) AS zsq_fp,
+      |  CASE WHEN s.s_stat > 0 THEN 'increasing'
+      |       WHEN s.s_stat < 0 THEN 'decreasing' ELSE 'none' END AS trend
+      |FROM s, t""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q162_signal_correlation", q162, Some(q162Sql)),
     Q("q169_ab_conversion", q169, Some(q169Sql)),
@@ -1814,5 +1881,6 @@ object Signals {
     Q("q225_seasonal_decomp", q225, Some(q225Sql)),
     Q("q232_sax_motifs", q232, Some(q232Sql)),
     Q("q240_survival_hazard", q240, Some(q240Sql)),
+    Q("q244_mann_kendall", q244, Some(q244Sql)),
   )
 }

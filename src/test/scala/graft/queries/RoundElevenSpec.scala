@@ -195,6 +195,19 @@ class RoundElevenSpec extends SparkSpec {
       (64L, 0L, 0L, 70L)), s"got ${got.toSeq}")
   }
 
+  test("sequence gaps: isolated and block gaps across range partitions") {
+    // ids 0..999 minus {5} minus [300, 399]
+    val ids = (0L to 999L).filterNot(i => i == 5L || (i >= 300L && i <= 399L))
+      .toDF("id")
+    val got = Maintenance.sequenceGapsOf(ids).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((5L, 5L, 1L), (300L, 399L, 100L)), s"got ${got.toSeq}")
+  }
+
+  test("sequence gaps: a dense sequence reports none") {
+    assert(Maintenance.sequenceGapsOf((0L to 500L).toDF("id")).count() == 0L)
+  }
+
   test("SAX motifs: rank-quartile symbols over a two-day series") {
     // day 0 segment sums (1,2,3,4), day 1 (5,6,7,8): ranks 1..8 over
     // the 8 segments → symbols aabb / ccdd
