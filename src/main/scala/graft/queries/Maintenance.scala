@@ -366,11 +366,94 @@ object Maintenance {
       |FROM l WHERE p IS NOT NULL AND id - p > 1
       |ORDER BY gap_start""".stripMargin
 
+  /** q250: docs per "file" (shard granularity of the simulated LSM). */
+  val CompactShardDocs = 32L
+  /** q250: size-tiered trigger — compact when a tier holds ≥ this many
+    * files (RocksDB universal / Cassandra STCS default = 4).
+    */
+  val CompactFanIn = 4
+
+  // q250 — size-tiered compaction planner: the documents corpus is
+  // sharded into "files" (doc_id DIV 32), each file's byte size is its
+  // summed n_chars, and files bucket into SIZE TIERS by the integer
+  // log2 of their byte size (bit-length, never floating log). The
+  // size-tiered policy (Cassandra STCS / RocksDB universal): any tier
+  // holding ≥ 4 files schedules one compaction of its 4 SMALLEST files
+  // (ties broken by shard id — fully deterministic), producing a
+  // merged file whose tier is the bit-length of the summed bytes. The
+  // report is the per-tier plan: file census, what got selected, the
+  // bytes rewritten, and the destination tier — from which write
+  // amplification and tier migration are read directly.
+  //
+  // Scale shape: files aggregate from the corpus scan (map-side
+  // combine to |shards| rows); tiers are a ~60-row domain; selection
+  // is a row_number window PARTITIONED BY TIER (bounded partitions —
+  // each holds one tier's file census, never rows). Nothing
+  // corpus-sized shuffles twice.
+  private def q250(s: SparkSession, d: String): DataFrame = {
+    val files = documents(s, d)
+      .groupBy(expr(s"doc_id DIV $CompactShardDocs").as("shard"))
+      .agg(sum(col("n_chars")).as("bytes"))
+      .withColumn("tier", (length(bin(col("bytes"))) - 1).cast("long"))
+    val sel = files
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("tier"))
+          .orderBy(col("bytes"), col("shard"))))
+      .withColumn("nf", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("tier"))))
+      .withColumn("picked", col("nf") >= CompactFanIn && col("rn") <= CompactFanIn)
+    sel.groupBy(col("tier"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("bytes")).as("tier_bytes"),
+        sum(when(col("picked"), 1L).otherwise(0L)).as("n_selected"),
+        sum(when(col("picked"), col("bytes")).otherwise(lit(0L))).as("sel_bytes"),
+        coalesce(min(when(col("picked"), col("shard"))), lit(-1L)).as("sel_min_shard"),
+        coalesce(max(when(col("picked"), col("shard"))), lit(-1L)).as("sel_max_shard"))
+      .withColumn("est_out_tier",
+        when(col("n_selected") > 0, (length(bin(col("sel_bytes"))) - 1).cast("long"))
+          .otherwise(lit(-1L)))
+      .orderBy(col("tier"))
+  }
+
+  private val q250Sql =
+    s"""WITH files AS (
+      |  SELECT doc_id // $CompactShardDocs AS shard,
+      |    CAST(sum(n_chars) AS BIGINT) AS bytes
+      |  FROM documents GROUP BY 1),
+      |tiered AS (
+      |  SELECT shard, bytes,
+      |    CAST(length(printf('%b', bytes)) - 1 AS BIGINT) AS tier
+      |  FROM files),
+      |sel AS (
+      |  SELECT tier, shard, bytes,
+      |    row_number() OVER (PARTITION BY tier ORDER BY bytes, shard) AS rn,
+      |    count(*) OVER (PARTITION BY tier) AS nf
+      |  FROM tiered),
+      |agg AS (
+      |  SELECT tier, count(*) AS n_files,
+      |    CAST(sum(bytes) AS BIGINT) AS tier_bytes,
+      |    CAST(sum(CASE WHEN nf >= $CompactFanIn AND rn <= $CompactFanIn
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+      |    CAST(sum(CASE WHEN nf >= $CompactFanIn AND rn <= $CompactFanIn
+      |      THEN bytes ELSE 0 END) AS BIGINT) AS sel_bytes,
+      |    coalesce(min(CASE WHEN nf >= $CompactFanIn AND rn <= $CompactFanIn
+      |      THEN shard END), -1) AS sel_min_shard,
+      |    coalesce(max(CASE WHEN nf >= $CompactFanIn AND rn <= $CompactFanIn
+      |      THEN shard END), -1) AS sel_max_shard
+      |  FROM sel GROUP BY tier)
+      |SELECT tier, n_files, tier_bytes, n_selected, sel_bytes,
+      |  sel_min_shard, sel_max_shard,
+      |  CASE WHEN n_selected > 0
+      |    THEN CAST(length(printf('%b', sel_bytes)) - 1 AS BIGINT)
+      |    ELSE -1 END AS est_out_tier
+      |FROM agg ORDER BY tier""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q202_delta_join_view", q202, Some(q202Sql)),
     Q("q203_replica_diff", q203, Some(q203Sql)),
     Q("q233_rendezvous_shards", q233, Some(q233Sql)),
     Q("q237_iblt_reconcile", q237, Some(q237Sql)),
     Q("q245_sequence_gaps", q245, Some(q245Sql)),
+    Q("q250_compaction_plan", q250, Some(q250Sql)),
   )
 }

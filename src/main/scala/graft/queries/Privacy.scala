@@ -145,9 +145,71 @@ object Privacy {
       |FROM uc GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** q251: recursive (c,l)-diversity parameters (Machanavajjhala et
+    * al., "l-Diversity: Privacy Beyond k-Anonymity", ICDE 2006, §4).
+    */
+  val RecursiveL = 3
+  val RecursiveC = 2L
+
+  // q251 — recursive (c,l)-diversity audit: q186's distinct-l check
+  // accepts a group where one sensitive value covers 99% of members —
+  // frequency skew re-identifies even when l distinct values exist.
+  // The recursive criterion fixes that: with per-group sensitive-value
+  // counts r_1 ≥ r_2 ≥ … ≥ r_m (sorted desc), the group passes iff
+  //   r_1 < c · (r_l + r_{l+1} + … + r_m)
+  // — the top value must not dominate the tail beyond factor c. Here
+  // the quasi-identifier is (lang, n_chars DIV 100) over documents and
+  // the sensitive attribute is `source`; all arithmetic is exact
+  // integer counts (the criterion is integer-native, no entropy/log).
+  //
+  // Scale shape: one scan → (QI, sensitive)-grouped counts (map-side
+  // combine), then a row_number window PARTITIONED BY QI — each
+  // partition holds one group's value census (≤ |sensitive domain|
+  // rows, here ≤ 20), never member rows — and a QI-sized final
+  // aggregate. Nothing row-sized shuffles twice.
+  private def q251(s: SparkSession, d: String): DataFrame = {
+    val counts = documents(s, d)
+      .groupBy(col("lang"), expr("n_chars DIV 100").as("cb"), col("source"))
+      .agg(count(lit(1)).as("r"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"), col("cb"))
+      .orderBy(col("r").desc, col("source"))
+    counts.withColumn("rn", row_number().over(w))
+      .groupBy(col("lang"), col("cb"))
+      .agg(sum(col("r")).as("n"),
+        count(lit(1)).as("m"),
+        max(when(col("rn") === 1, col("r"))).as("top1"),
+        coalesce(sum(when(col("rn") >= RecursiveL, col("r"))), lit(0L))
+          .as("tail_sum"))
+      .select(col("lang"), col("cb"), col("n"), col("m"), col("top1"),
+        col("tail_sum"),
+        (col("top1") < col("tail_sum") * RecursiveC).as("rl_ok"))
+      .orderBy(col("lang"), col("cb"))
+  }
+
+  private val q251Sql =
+    s"""WITH counts AS (
+      |  SELECT lang, n_chars // 100 AS cb, source, count(*) AS r
+      |  FROM documents GROUP BY 1, 2, 3),
+      |ranked AS (
+      |  SELECT lang, cb, r,
+      |    row_number() OVER (PARTITION BY lang, cb
+      |      ORDER BY r DESC, source) AS rn
+      |  FROM counts)
+      |SELECT lang, cb, CAST(sum(r) AS BIGINT) AS n, count(*) AS m,
+      |  CAST(max(CASE WHEN rn = 1 THEN r END) AS BIGINT) AS top1,
+      |  CAST(coalesce(sum(CASE WHEN rn >= $RecursiveL THEN r END), 0)
+      |    AS BIGINT) AS tail_sum,
+      |  max(CASE WHEN rn = 1 THEN r END)
+      |    < $RecursiveC * coalesce(sum(CASE WHEN rn >= $RecursiveL THEN r END), 0)
+      |    AS rl_ok
+      |FROM ranked GROUP BY lang, cb
+      |ORDER BY lang, cb""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q186_k_anonymity", q186, Some(q186Sql)),
     Q("q187_incremental_agg", q187, Some(q187Sql)),
     Q("q207_dp_contribution", q207, Some(q207Sql)),
+    Q("q251_recursive_ldiv", q251, Some(q251Sql)),
   )
 }

@@ -351,10 +351,86 @@ object Retrieval {
       |FROM topk, stop ORDER BY comb_score DESC, doc_id""".stripMargin
   }
 
+  /** q246 regex pattern: 'stream' then 'window' within 40 chars. */
+  val RegexPattern = "stream.{0,40}window"
+
+  /** The pattern's required literal factors, as character trigrams —
+    * what a trigram-index planner (Google Code Search / Zoekt style)
+    * extracts from the regex: every match must contain BOTH literals,
+    * hence all of their trigrams.
+    */
+  val RequiredTrigrams: Seq[String] =
+    (("stream".sliding(3) ++ "window".sliding(3)).toSeq.distinct)
+
+  // q246 — trigram-indexed regex search: run the regex
+  // 'stream.{0,40}window' over the corpus WITHOUT a full regex scan.
+  // The planner extracts the regex's required literal factors
+  // ('stream', 'window'), takes their character trigrams, seeks the
+  // trigram posting index for docs containing ALL of them, and applies
+  // the real regex only to that candidate set — the published
+  // architecture of Google Code Search / Zoekt / Hound. The report is
+  // the per-source funnel (docs → trigram candidates → true matches):
+  // candidate exactness is proven by the oracle recomputing the same
+  // trigram-containment prefilter, and losslessness by n_matched
+  // coming from regex-over-candidates in Spark vs regex-over-EVERYTHING
+  // in DuckDB — any candidate-set miss would show as a count mismatch.
+  //
+  // Scale shape: at 100 TB the (trigram, doc_id) index is materialized
+  // once, bucketed by trigram; a query touches only its ~8 trigrams'
+  // postings (index seek, O(postings) not O(corpus)). Here the index
+  // build filters to the required trigrams BELOW the distinct, so the
+  // shuffle carries only matching postings; the regex runs on the
+  // candidate semi-join output only. No full-corpus regex pass.
+  private def q246(s: SparkSession, d: String): DataFrame = {
+    val need = RequiredTrigrams
+    val docs = documents(s, d)
+      .select(col("doc_id"), col("source"), lower(col("text")).as("t"))
+    // posting seek: explode char trigrams, keep only the query's
+    // trigrams, dedup — (trigram, doc_id) rows for 8 trigrams.
+    val postings = docs
+      .select(col("doc_id"), explode(
+        expr("transform(sequence(1, greatest(length(t) - 2, 1)), k -> substring(t, k, 3))"))
+        .as("g"))
+      .filter(col("g").isin(need: _*))
+      .distinct()
+    val candidates = postings.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("ng"))
+      .filter(col("ng") === need.size)
+      .select(col("doc_id"))
+    val cand = docs.join(candidates, Seq("doc_id"), "left_semi")
+      .withColumn("m", col("t").rlike(RegexPattern))
+    docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .join(cand.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_candidates"),
+            sum(when(col("m"), 1L).otherwise(0L)).as("n_matched")),
+        Seq("source"), "left_outer")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"))
+      .orderBy(col("source"))
+  }
+
+  private val q246Sql = {
+    val candPred = RequiredTrigrams
+      .map(g => s"contains(lower(text), '$g')").mkString(" AND ")
+    s"""WITH d AS (
+      |  SELECT doc_id, source, lower(text) AS t,
+      |    ($candPred) AS is_cand
+      |  FROM documents)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN is_cand THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_candidates,
+      |  CAST(sum(CASE WHEN regexp_matches(t, '$RegexPattern')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_matched
+      |FROM d GROUP BY source
+      |ORDER BY source""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q85_phrase_search", q85, Some(q85Sql)),
     Q("q106_bm25", q106, Some(q106Sql)),
     Q("q156_rrf_fusion", q156, Some(q156Sql)),
     Q("q229_ta_topk", q229, Some(q229Sql)),
+    Q("q246_trigram_regex", q246, Some(q246Sql)),
   )
 }
