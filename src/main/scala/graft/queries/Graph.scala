@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
+import org.apache.spark.sql.types.DecimalType
 
 /** Iterative link analysis over graphs the relational data already
   * contains. The reference (affo/ssp) has no graph surface — its users
@@ -601,6 +602,259 @@ object Graph {
       |FROM p JOIN cd da ON da.cust = cust_a JOIN cd db ON db.cust = cust_b
       |ORDER BY ra_fp DESC, cust_a, cust_b LIMIT $LpTopK""".stripMargin
 
+  /** q247: walk length (join rounds). */
+  val WalkSteps = 4
+
+  // q247 — deterministic random walks (the corpus-generation primitive
+  // of DeepWalk/node2vec: walks become "sentences" for embedding
+  // training). Over the part–supplier bipartite graph (q117's edge
+  // derivation), a walk starts at EVERY part node and takes 4 steps;
+  // the step from node v at time t picks neighbor index
+  // hash60(v ':' t) mod deg(v) from v's dst-ordered adjacency list —
+  // a seeded hash in place of an RNG, so the walk corpus is exactly
+  // reproducible across engines and re-runs (the property a 100 TB
+  // regeneration actually needs; walks at the same (node, step) move
+  // together, which is the rotor-router determinism tradeoff and is
+  // fine for coverage statistics). Reported per step: where the walk
+  // mass sits — distinct nodes touched, the hottest node and its
+  // visit count, and the frontier collapse ratio.
+  //
+  // Scale shape: adjacency = edges + row_number PARTITIONED BY src
+  // (bounded per-node partitions) built once; each step is one
+  // shuffled equi-join on (src, idx) — O(walks) rows per round, never
+  // O(edges × walks). Per-step summaries are node-sized aggregates.
+  // No driver-side state; the "random" choice is pure column algebra.
+  private def q247(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextFns.hash60
+    val e0 = lineitem(s, d)
+      .select((col("l_partkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("dst"))
+    val adj = edges
+      .withColumn("idx", row_number().over(w).cast("long") - 1)
+      .withColumn("deg", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
+      .localCheckpoint()
+    val start = e0.select(col("src").as("cur")).distinct()
+    def step(front: DataFrame, t: Int): DataFrame =
+      front.withColumn("pick",
+          pmod(hash60(concat_ws(":", col("cur"), lit(t))), col("deg_c")))
+        .join(adj, col("cur") === adj("src") && col("pick") === adj("idx"))
+        .select(col("dst").as("cur"))
+    // attach degree for the hash-mod; first frontier needs it too
+    def withDeg(front: DataFrame): DataFrame =
+      front.join(adj.select(col("src"), col("deg")).distinct(),
+          front("cur") === col("src"))
+        .select(col("cur"), col("deg").as("deg_c"))
+    def summary(front: DataFrame, t: Int): DataFrame = {
+      val perNode = front.groupBy(col("cur")).agg(count(lit(1)).as("v"))
+      perNode.agg(lit(t.toLong).as("step"),
+        sum(col("v")).as("n_walks"),
+        count(lit(1)).as("n_distinct"),
+        max(col("v")).as("max_visits"))
+        .crossJoin(broadcast(perNode.orderBy(col("v").desc, col("cur"))
+          .limit(1).select(col("cur").as("mode_node"))))
+    }
+    var front = start
+    var out: DataFrame = summary(front, 0)
+    for (t <- 1 to WalkSteps) {
+      front = step(withDeg(front), t).localCheckpoint()
+      out = out.unionAll(summary(front, t))
+    }
+    out.orderBy(col("step"))
+  }
+
+  private val q247Sql = {
+    import graft.functions.TextFns.hash60Sql
+    def stepCte(prev: String, name: String, t: Int) =
+      s"""$name AS (
+        |  SELECT a.dst AS cur FROM $prev f
+        |  JOIN degs g ON g.src = f.cur
+        |  JOIN adj a ON a.src = f.cur
+        |    AND a.idx = ${hash60Sql(s"CAST(f.cur AS VARCHAR) || ':$t'")} % g.deg)"""
+        .stripMargin
+    def sumCte(src: String, t: Int) =
+      s"""(SELECT $t AS step, CAST(sum(v) AS BIGINT) AS n_walks,
+        |  count(DISTINCT cur) AS n_distinct,
+        |  CAST(max(v) AS BIGINT) AS max_visits,
+        |  (SELECT cur FROM (SELECT cur, count(*) AS v FROM $src GROUP BY 1)
+        |   ORDER BY v DESC, cur LIMIT 1) AS mode_node
+        | FROM (SELECT cur, count(*) AS v FROM $src GROUP BY 1))""".stripMargin
+    s"""WITH e0 AS (
+      |  SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      |  FROM lineitem),
+      |e AS (SELECT src, dst FROM e0
+      |      UNION ALL SELECT dst AS src, src AS dst FROM e0),
+      |adj AS (
+      |  SELECT src, dst,
+      |    CAST(row_number() OVER (PARTITION BY src ORDER BY dst) - 1
+      |      AS BIGINT) AS idx
+      |  FROM e),
+      |degs AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+      |w0 AS (SELECT DISTINCT src AS cur FROM e0),
+      |${stepCte("w0", "w1", 1)},
+      |${stepCte("w1", "w2", 2)},
+      |${stepCte("w2", "w3", 3)},
+      |${stepCte("w3", "w4", 4)}
+      |SELECT * FROM (
+      |${sumCte("w0", 0)}
+      |UNION ALL ${sumCte("w1", 1)}
+      |UNION ALL ${sumCte("w2", 2)}
+      |UNION ALL ${sumCte("w3", 3)}
+      |UNION ALL ${sumCte("w4", 4)})
+      |ORDER BY step""".stripMargin
+  }
+
+  // q248 — modularity audit of a community assignment: how good is the
+  // nation-label partition (suppliers carry their nation; parts take
+  // the majority nation of their suppliers, ties to the smallest
+  // label — exactly q163's first propagation round) as a community
+  // structure on the part–supplier graph? Newman modularity
+  // Q = Σ_c [ e_c/m − (d_c/2m)² ] over communities c, with e_c =
+  // within-community edges, d_c = degree mass, m = |edges|. The
+  // contribution is computed exactly in 2^20 fixed point as
+  // (4·m·e_c − d_c²)·2^20 DIV (4·m²), staged through
+  // DECIMAL(38,0)/HUGEINT because d_c² is O(m²) — a LongType product
+  // wraps past ~3B edges. Per-community rows plus the windowed total
+  // (the headline Q) on every row keep the output scalar and bounded
+  // by |nations|.
+  //
+  // Scale shape: three key-shuffled aggregates (part degrees, supplier
+  // degrees, internal edges) over the edge list, a nations-sized
+  // full-outer merge, one 1-row m broadcast. No driver state.
+  private def q248(s: SparkSession, d: String): DataFrame = {
+    val e = lineitem(s, d)
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("sk")).distinct()
+      .localCheckpoint()
+    val sl = supplier(s, d)
+      .select(col("s_suppkey").as("sk"), col("s_nationkey").cast("long").as("lab"))
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("p")).orderBy(col("c").desc, col("lab").asc)
+    val pl = e.join(sl, "sk").groupBy(col("p"), col("lab"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("rk", row_number().over(wp)).filter(col("rk") === 1)
+      .select(col("p"), col("lab").as("plab"))
+    val m1 = e.agg(count(lit(1)).as("m"))
+    val pd = e.groupBy(col("p")).agg(count(lit(1)).as("deg"))
+      .join(pl, "p").groupBy(col("plab").as("com"))
+      .agg(count(lit(1)).as("np"), sum(col("deg")).as("dp"))
+    val sd = e.groupBy(col("sk")).agg(count(lit(1)).as("deg"))
+      .join(sl, "sk").groupBy(col("lab").as("com"))
+      .agg(count(lit(1)).as("ns"), sum(col("deg")).as("ds"))
+    val ic = e.join(sl, "sk").join(pl, "p")
+      .filter(col("lab") === col("plab"))
+      .groupBy(col("lab").as("com")).agg(count(lit(1)).as("ec"))
+    val com = pd.join(sd, Seq("com"), "full_outer")
+      .select(col("com"),
+        (coalesce(col("np"), lit(0L)) + coalesce(col("ns"), lit(0L))).as("n_nodes"),
+        (coalesce(col("dp"), lit(0L)) + coalesce(col("ds"), lit(0L))).as("deg_sum"))
+      .join(ic, Seq("com"), "left_outer")
+      .withColumn("internal_edges", coalesce(col("ec"), lit(0L)))
+      .crossJoin(broadcast(m1))
+    com.select(col("com").as("community"), col("n_nodes"), col("deg_sum"),
+        col("internal_edges"),
+        expr("""CAST((4 * CAST(m AS DECIMAL(38,0)) * internal_edges
+               |  - CAST(deg_sum AS DECIMAL(38,0)) * deg_sum) * 1048576
+               |  DIV (4 * CAST(m AS DECIMAL(38,0)) * m) AS BIGINT)"""
+          .stripMargin).as("dq_fp"))
+      .withColumn("q_total_fp",
+        sum(col("dq_fp")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(lit(1))))
+      .orderBy(col("community"))
+  }
+
+  private val q248Sql =
+    """WITH e AS (
+      |  SELECT DISTINCT l_partkey AS p, l_suppkey AS sk FROM lineitem),
+      |sl AS (SELECT s_suppkey AS sk, CAST(s_nationkey AS BIGINT) AS lab
+      |       FROM supplier),
+      |pl AS (
+      |  SELECT p, lab AS plab FROM (
+      |    SELECT p, lab, row_number() OVER (PARTITION BY p
+      |      ORDER BY count(*) DESC, lab ASC) AS rk
+      |    FROM e JOIN sl USING (sk) GROUP BY p, lab)
+      |  WHERE rk = 1),
+      |mm AS (SELECT count(*) AS m FROM e),
+      |pd AS (
+      |  SELECT plab AS com, count(*) AS np, CAST(sum(deg) AS BIGINT) AS dp
+      |  FROM (SELECT p, count(*) AS deg FROM e GROUP BY p) x
+      |  JOIN pl USING (p) GROUP BY plab),
+      |sd AS (
+      |  SELECT lab AS com, count(*) AS ns, CAST(sum(deg) AS BIGINT) AS ds
+      |  FROM (SELECT sk, count(*) AS deg FROM e GROUP BY sk) x
+      |  JOIN sl USING (sk) GROUP BY lab),
+      |ic AS (
+      |  SELECT lab AS com, count(*) AS ec
+      |  FROM e JOIN sl USING (sk) JOIN pl USING (p)
+      |  WHERE lab = plab GROUP BY lab),
+      |com AS (
+      |  SELECT COALESCE(pd.com, sd.com) AS community,
+      |    COALESCE(np, 0) + COALESCE(ns, 0) AS n_nodes,
+      |    COALESCE(dp, 0) + COALESCE(ds, 0) AS deg_sum
+      |  FROM pd FULL OUTER JOIN sd ON pd.com = sd.com),
+      |fin AS (
+      |  SELECT community, n_nodes, deg_sum,
+      |    COALESCE(ec, 0) AS internal_edges,
+      |    CAST((4 * CAST(m AS HUGEINT) * COALESCE(ec, 0)
+      |      - CAST(deg_sum AS HUGEINT) * deg_sum) * 1048576
+      |      // (4 * CAST(m AS HUGEINT) * m) AS BIGINT) AS dq_fp
+      |  FROM com LEFT JOIN ic ON ic.com = community, mm)
+      |SELECT community, n_nodes, deg_sum, internal_edges, dq_fp,
+      |  CAST(sum(dq_fp) OVER () AS BIGINT) AS q_total_fp
+      |FROM fin ORDER BY community""".stripMargin
+
+  // q249 — degree assortativity: does the graph wire hubs to hubs
+  // (r > 0) or hubs to leaves (r < 0)? Newman's r is the Pearson
+  // correlation of endpoint degrees over all directed orientations of
+  // the edges; with both orientations included the x and y marginals
+  // coincide, so r = (M·Σjk·2 − S1²) / (M·Σ(j²+k²) − S1²) with
+  // M = 2m, S1 = Σ(j+k) over orientations — an exact rational reported
+  // in 2^20 fixed point (bipartite supply graphs are typically
+  // disassortative, so the DIV is negative-safe: both engines truncate
+  // toward zero). Products j·k are O(deg²) and the sums O(m·deg²), so
+  // every Σ stages through DECIMAL(38,0)/HUGEINT before the DIV.
+  //
+  // Scale shape: two degree aggregates, two key-shuffled joins to pin
+  // degrees on edge endpoints, one 1-row reduction. No collect.
+  private def q249(s: SparkSession, d: String): DataFrame = {
+    val e = lineitem(s, d)
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("sk")).distinct()
+    val pdeg = e.groupBy(col("p")).agg(count(lit(1)).as("j"))
+    val sdeg = e.groupBy(col("sk")).agg(count(lit(1)).as("k"))
+    e.join(pdeg, "p").join(sdeg, "sk")
+      .agg(count(lit(1)).as("m_edges"),
+        sum(col("j") + col("k")).as("s1"),
+        sum(col("j").cast(DecimalType(38, 0)) * col("k")).as("sxy"),
+        sum(col("j").cast(DecimalType(38, 0)) * col("j")
+          + col("k").cast(DecimalType(38, 0)) * col("k")).as("sxx"))
+      .select(col("m_edges"), col("s1").cast("long").as("sum_deg"),
+        col("sxy").cast("long").as("sum_jk"),
+        col("sxx").cast("long").as("sum_j2k2"),
+        expr("""CAST((2 * m_edges * CAST(2 AS DECIMAL(38,0)) * sxy
+               |  - CAST(s1 AS DECIMAL(38,0)) * s1) * 1048576
+               |  DIV (2 * m_edges * CAST(sxx AS DECIMAL(38,0))
+               |  - CAST(s1 AS DECIMAL(38,0)) * s1) AS BIGINT)"""
+          .stripMargin).as("r_fp"))
+  }
+
+  private val q249Sql =
+    """WITH e AS (
+      |  SELECT DISTINCT l_partkey AS p, l_suppkey AS sk FROM lineitem),
+      |pdeg AS (SELECT p, count(*) AS j FROM e GROUP BY p),
+      |sdeg AS (SELECT sk, count(*) AS k FROM e GROUP BY sk)
+      |SELECT count(*) AS m_edges,
+      |  CAST(sum(j + k) AS BIGINT) AS sum_deg,
+      |  CAST(sum(CAST(j AS HUGEINT) * k) AS BIGINT) AS sum_jk,
+      |  CAST(sum(CAST(j AS HUGEINT) * j + CAST(k AS HUGEINT) * k)
+      |    AS BIGINT) AS sum_j2k2,
+      |  CAST((2 * count(*) * 2 * sum(CAST(j AS HUGEINT) * k)
+      |    - CAST(sum(j + k) AS HUGEINT) * sum(j + k)) * 1048576
+      |    // (2 * count(*) * sum(CAST(j AS HUGEINT) * j + CAST(k AS HUGEINT) * k)
+      |    - CAST(sum(j + k) AS HUGEINT) * sum(j + k)) AS BIGINT) AS r_fp
+      |FROM e JOIN pdeg USING (p) JOIN sdeg USING (sk)""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q117_pagerank", q117, Some(q117Sql)),
     Q("q137_triangle_count", q137, Some(q137Sql)),
@@ -609,5 +863,8 @@ object Graph {
     Q("q205_bfs_hops", q205, Some(q205Sql)),
     Q("q208_weighted_sssp", q208, Some(q208Sql)),
     Q("q230_link_predict", q230, Some(q230Sql)),
+    Q("q247_graph_walks", q247, Some(q247Sql)),
+    Q("q248_modularity", q248, Some(q248Sql)),
+    Q("q249_assortativity", q249, Some(q249Sql)),
   )
 }

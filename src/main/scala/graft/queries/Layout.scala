@@ -211,9 +211,156 @@ object Layout {
       |FROM pr GROUP BY predicate
       |ORDER BY predicate""".stripMargin
 
+  // q253 — columnar encoding advisor: for each column of the events
+  // stream (event_type, user_id, ts_ms, value_cents) compute the EXACT
+  // byte cost of writing it PLAIN, DICT, RLE, or DELTA+zigzag-varint
+  // in physical (event_id) order, and pick the cheapest — the decision
+  // a parquet/ORC writer makes per column chunk, surfaced as an
+  // auditable plan. Cost models (integers end to end):
+  //   plain  = 8n (longs) | Σlen + 4n (strings);
+  //   dict   = dict storage + n · ceil(bitlen(ndv−1)/8);
+  //   rle    = runs · (value slot + 4-byte run length);
+  //   delta  = Σ varint(zigzag(v − prev)) — LEB128 7-bit groups,
+  //            absent predecessor (id gap / first row) stores v whole.
+  // "Previous row" is the row with event_id−1 (an equi-join, not a
+  // global-sort window); an id gap breaks the run / delta chain in
+  // both engines identically. Varint length = max(ceil(bitlen/7), 1)
+  // with bitlen from binary-string length — integer log2, never
+  // floating log (q181's rule). Ties pick the alphabetically first
+  // encoding. Strings get no delta (b_delta = −1).
+  //
+  // Scale shape: one shuffled self-join on event_id±1 (O(N), the
+  // distributed lag without a single-partition window), ONE grouped
+  // aggregate computing every model's Σ-term for all four columns in a
+  // single pass (count(DISTINCT ×3) expands map-side), plus one tiny
+  // distinct-lengths aggregate for the string dictionary; the output
+  // unpivots a 1-row frame to 4 rows driver-free.
+  private def q253(s: SparkSession, d: String): DataFrame = {
+    def bl(x: String) = s"(length(bin($x)) - 1)"
+    def vb(z: String) = s"greatest(CAST((${bl(z)} + 6) DIV 7 AS BIGINT), 1L)"
+    def zz(x: String) = s"(CASE WHEN ($x) >= 0 THEN 2*($x) ELSE -2*($x)-1 END)"
+    def runs(c: String) =
+      s"CAST(sum(CASE WHEN p_id IS NULL OR p_$c <> $c THEN 1 ELSE 0 END) AS BIGINT)"
+    def deltaB(c: String) =
+      s"CAST(sum(${vb(zz(s"CASE WHEN p_id IS NULL THEN $c ELSE $c - p_$c END"))}) AS BIGINT)"
+    def idxw(ndv: String) = s"greatest(CAST((${bl(s"$ndv - 1")} + 7) DIV 8 AS BIGINT), 1L)"
+
+    val e0 = events(s, d).select(col("event_id"), col("event_type"),
+      col("user_id"), col("ts_ms"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+    val prev = e0.select((col("event_id") + 1).as("p_join"),
+      col("event_id").as("p_id"), col("event_type").as("p_event_type"),
+      col("user_id").as("p_user_id"), col("ts_ms").as("p_ts_ms"),
+      col("vc").as("p_vc"))
+    val j = e0.join(prev, col("event_id") === col("p_join"), "left_outer")
+    val agg = j.agg(
+      count(lit(1)).as("n"),
+      countDistinct(col("event_type")).as("ndv_et"),
+      countDistinct(col("user_id")).as("ndv_u"),
+      countDistinct(col("ts_ms")).as("ndv_t"),
+      countDistinct(col("vc")).as("ndv_v"),
+      sum(length(col("event_type"))).cast("long").as("lensum_et"),
+      max(length(col("event_type"))).cast("long").as("maxlen_et"),
+      expr(runs("event_type")).as("runs_et"),
+      expr(runs("user_id")).as("runs_u"),
+      expr(runs("ts_ms")).as("runs_t"),
+      expr(runs("vc")).as("runs_v"),
+      expr(deltaB("user_id")).as("db_u"),
+      expr(deltaB("ts_ms")).as("db_t"),
+      expr(deltaB("vc")).as("db_v"))
+    val dictEt = e0.select(col("event_type")).distinct()
+      .agg(sum(length(col("event_type")) + 4).cast("long").as("dictlen_et"))
+    val base = agg.crossJoin(broadcast(dictEt))
+    def longCol(name: String, ndv: String, rn: String, db: String) =
+      base.select(lit(name).as("col_name"), col("n"),
+        col(ndv).as("ndv"), col(rn).as("n_runs"),
+        (col("n") * 8).as("b_plain"),
+        (col(ndv) * 8 + col("n") * expr(idxw(ndv))).as("b_dict"),
+        (col(rn) * 12).as("b_rle"),
+        col(db).as("b_delta"))
+    val stringCol =
+      base.select(lit("event_type").as("col_name"), col("n"),
+        col("ndv_et").as("ndv"), col("runs_et").as("n_runs"),
+        (col("lensum_et") + col("n") * 4).as("b_plain"),
+        (col("dictlen_et") + col("n") * expr(idxw("ndv_et"))).as("b_dict"),
+        (col("runs_et") * (col("maxlen_et") + 4)).as("b_rle"),
+        lit(-1L).as("b_delta"))
+    stringCol
+      .unionAll(longCol("ts_ms", "ndv_t", "runs_t", "db_t"))
+      .unionAll(longCol("user_id", "ndv_u", "runs_u", "db_u"))
+      .unionAll(longCol("value_cents", "ndv_v", "runs_v", "db_v"))
+      .withColumn("best", expr(
+        """CASE
+          |  WHEN b_delta <> -1 AND b_delta <= least(b_dict, b_plain, b_rle)
+          |    THEN 'delta'
+          |  WHEN b_dict <= least(b_plain, b_rle) THEN 'dict'
+          |  WHEN b_plain <= b_rle THEN 'plain'
+          |  ELSE 'rle' END""".stripMargin))
+      .orderBy(col("col_name"))
+  }
+
+  private val q253Sql = {
+    def bl(x: String) = s"(length(printf('%b', $x)) - 1)"
+    def vb(z: String) = s"greatest((${bl(z)} + 6) // 7, 1)"
+    def zz(x: String) = s"(CASE WHEN ($x) >= 0 THEN 2*($x) ELSE -2*($x)-1 END)"
+    def runs(c: String) =
+      s"CAST(sum(CASE WHEN p.event_id IS NULL OR p.$c <> e.$c THEN 1 ELSE 0 END) AS BIGINT)"
+    def deltaB(c: String) =
+      s"CAST(sum(${vb(zz(s"CASE WHEN p.event_id IS NULL THEN e.$c ELSE e.$c - p.$c END"))}) AS BIGINT)"
+    def idxw(ndv: String) = s"greatest((${bl(s"$ndv - 1")} + 7) // 8, 1)"
+    s"""WITH ev AS (
+      |  SELECT event_id, event_type, user_id, epoch_ms(ts) AS ts_ms,
+      |    CAST(round(value * 100) AS BIGINT) AS vc
+      |  FROM events),
+      |agg AS (
+      |  SELECT count(*) AS n,
+      |    count(DISTINCT e.event_type) AS ndv_et,
+      |    count(DISTINCT e.user_id) AS ndv_u,
+      |    count(DISTINCT e.ts_ms) AS ndv_t,
+      |    count(DISTINCT e.vc) AS ndv_v,
+      |    CAST(sum(length(e.event_type)) AS BIGINT) AS lensum_et,
+      |    CAST(max(length(e.event_type)) AS BIGINT) AS maxlen_et,
+      |    ${runs("event_type")} AS runs_et,
+      |    ${runs("user_id")} AS runs_u,
+      |    ${runs("ts_ms")} AS runs_t,
+      |    ${runs("vc")} AS runs_v,
+      |    ${deltaB("user_id")} AS db_u,
+      |    ${deltaB("ts_ms")} AS db_t,
+      |    ${deltaB("vc")} AS db_v
+      |  FROM ev e LEFT JOIN ev p ON p.event_id = e.event_id - 1),
+      |dict AS (
+      |  SELECT CAST(sum(length(event_type) + 4) AS BIGINT) AS dictlen_et
+      |  FROM (SELECT DISTINCT event_type FROM ev)),
+      |base AS (SELECT * FROM agg, dict),
+      |rows0 AS (
+      |  SELECT 'event_type' AS col_name, n, ndv_et AS ndv,
+      |    runs_et AS n_runs, lensum_et + n * 4 AS b_plain,
+      |    dictlen_et + n * ${idxw("ndv_et")} AS b_dict,
+      |    runs_et * (maxlen_et + 4) AS b_rle, CAST(-1 AS BIGINT) AS b_delta
+      |  FROM base
+      |  UNION ALL
+      |  SELECT 'ts_ms', n, ndv_t, runs_t, n * 8,
+      |    ndv_t * 8 + n * ${idxw("ndv_t")}, runs_t * 12, db_t FROM base
+      |  UNION ALL
+      |  SELECT 'user_id', n, ndv_u, runs_u, n * 8,
+      |    ndv_u * 8 + n * ${idxw("ndv_u")}, runs_u * 12, db_u FROM base
+      |  UNION ALL
+      |  SELECT 'value_cents', n, ndv_v, runs_v, n * 8,
+      |    ndv_v * 8 + n * ${idxw("ndv_v")}, runs_v * 12, db_v FROM base)
+      |SELECT col_name, n, ndv, n_runs, b_plain, b_dict, b_rle, b_delta,
+      |  CASE
+      |    WHEN b_delta <> -1 AND b_delta <= least(b_dict, b_plain, b_rle)
+      |      THEN 'delta'
+      |    WHEN b_dict <= least(b_plain, b_rle) THEN 'dict'
+      |    WHEN b_plain <= b_rle THEN 'plain'
+      |    ELSE 'rle' END AS best
+      |FROM rows0 ORDER BY col_name""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q146_zorder_layout", q146, Some(q146Sql)),
     Q("q152_equidepth_stats", q152, Some(q152Sql)),
     Q("q190_zone_map_prune", q190, Some(q190Sql)),
+    Q("q253_encoding_advisor", q253, Some(q253Sql)),
   )
 }
