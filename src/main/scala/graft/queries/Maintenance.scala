@@ -448,6 +448,111 @@ object Maintenance {
       |    ELSE -1 END AS est_out_tier
       |FROM agg ORDER BY tier""".stripMargin
 
+  /** q254: Merkle tree depth (leaves = 2^depth) and probe payload bytes. */
+  val MerkleDepth = 8
+  private val ProbeBytes = 16L // digest (8) + row count (8) per probed node
+
+  // q254 — hierarchical Merkle sync-cost audit: q203 compares the two
+  // replicas' 256 leaf digests FLAT; this builds the full binary
+  // digest tree above them (internal digest = sum of child digests
+  // mod 2^61−1 — the additive fold is associative, so every level is
+  // one aggregate over the leaves, no actual recursion) and replays
+  // the top-down anti-entropy descent: a node is DIRTY iff its
+  // subtrees differ, and the protocol probes both children of every
+  // dirty node. Reported per level: live node slots, dirty nodes,
+  // probes issued (2·dirty(parent level), 1 at the root), and the
+  // cumulative probe payload — the number a WAN-sync planner actually
+  // budgets, showing the O(dirty·depth) localization win over
+  // shipping all 256 leaf digests when few subtrees diverge.
+  //
+  // Scale shape: two 256-group scans (one per replica, local to it in
+  // production), then everything downstream is arithmetic on ≤2·256
+  // digest rows — a 9-way level explode of the leaf frames, per-level
+  // aggregates, and a 9-row window for the descent recurrence. The
+  // corpus never shuffles; depth and leaf count are constants
+  // independent of row count.
+  private def q254(s: SparkSession, d: String): DataFrame = {
+    val modL = 2305843009213693951L // 2^61 - 1
+    val nb = 1 << MerkleDepth
+    def leaves(df: DataFrame): DataFrame =
+      df.select(pmod(col("doc_id"), lit(nb.toLong)).as("leaf"),
+          TextFns.hash60(concat_ws(":", col("doc_id"), col("text"))).as("h"))
+        .groupBy(col("leaf"))
+        .agg(pmod(sum(col("h").cast(DecimalType(38, 0))),
+          lit(modL).cast(DecimalType(38, 0))).cast("long").as("dig"))
+    val a = documents(s, d).select(col("doc_id"), col("text"))
+    val b = documents(s, d)
+      .filter(pmod(col("doc_id"), lit(97)) =!= 13)
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(101)) === 7, concat(col("text"), lit("X")))
+          .otherwise(col("text")).as("text"))
+    def tree(df: DataFrame): DataFrame =
+      leaves(df)
+        .select(explode(sequence(lit(0), lit(MerkleDepth))).as("lvl"),
+          col("leaf"), col("dig"))
+        .withColumn("node", expr(s"leaf DIV CAST(pow(2, $MerkleDepth - lvl) AS BIGINT)"))
+        .groupBy(col("lvl"), col("node"))
+        .agg(pmod(sum(col("dig").cast(DecimalType(38, 0))),
+          lit(modL).cast(DecimalType(38, 0))).cast("long").as("dig"))
+    val dirty = tree(a).as("ta")
+      .join(tree(b).as("tb"), Seq("lvl", "node"), "full_outer")
+      .groupBy(col("lvl").as("level"))
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(when(col("ta.dig").isNull || col("tb.dig").isNull ||
+          col("ta.dig") =!= col("tb.dig"), 1L).otherwise(0L)).as("n_dirty"))
+    val wl = org.apache.spark.sql.expressions.Window.orderBy(col("level"))
+    dirty
+      .withColumn("probes",
+        when(col("level") === 0, 1L)
+          .otherwise(lag(col("n_dirty"), 1).over(wl) * 2))
+      .withColumn("cum_probe_bytes",
+        sum(col("probes") * ProbeBytes)
+          .over(wl.rowsBetween(Long.MinValue, 0)))
+      .orderBy(col("level"))
+  }
+
+  private val q254Sql = {
+    val h = TextFns.hash60Sql("doc_id || ':' || text")
+    val nb = 1 << MerkleDepth
+    s"""WITH la AS (
+      |  SELECT doc_id % $nb AS leaf,
+      |    CAST(sum(CAST($h AS HUGEINT)) % 2305843009213693951 AS BIGINT) AS dig
+      |  FROM documents GROUP BY 1),
+      |b0 AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 101 = 7 THEN text || 'X' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 97 <> 13),
+      |lb AS (
+      |  SELECT doc_id % $nb AS leaf,
+      |    CAST(sum(CAST($h AS HUGEINT)) % 2305843009213693951 AS BIGINT) AS dig
+      |  FROM b0 GROUP BY 1),
+      |lv AS (SELECT lvl FROM generate_series(0, $MerkleDepth) AS t(lvl)),
+      |ta AS (
+      |  SELECT lvl, leaf // CAST(pow(2, $MerkleDepth - lvl) AS BIGINT) AS node,
+      |    CAST(sum(CAST(dig AS HUGEINT)) % 2305843009213693951 AS BIGINT) AS dig
+      |  FROM la CROSS JOIN lv GROUP BY 1, 2),
+      |tb AS (
+      |  SELECT lvl, leaf // CAST(pow(2, $MerkleDepth - lvl) AS BIGINT) AS node,
+      |    CAST(sum(CAST(dig AS HUGEINT)) % 2305843009213693951 AS BIGINT) AS dig
+      |  FROM lb CROSS JOIN lv GROUP BY 1, 2),
+      |dirty AS (
+      |  SELECT COALESCE(ta.lvl, tb.lvl) AS level, count(*) AS n_nodes,
+      |    CAST(sum(CASE WHEN ta.dig IS NULL OR tb.dig IS NULL
+      |      OR ta.dig <> tb.dig THEN 1 ELSE 0 END) AS BIGINT) AS n_dirty
+      |  FROM ta FULL OUTER JOIN tb ON ta.lvl = tb.lvl AND ta.node = tb.node
+      |  GROUP BY 1),
+      |pr AS (
+      |  SELECT level, n_nodes, n_dirty,
+      |    CASE WHEN level = 0 THEN 1
+      |      ELSE lag(n_dirty) OVER (ORDER BY level) * 2 END AS probes
+      |  FROM dirty)
+      |SELECT level, n_nodes, n_dirty, probes,
+      |  CAST(sum(probes * $ProbeBytes)
+      |    OVER (ORDER BY level ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      |    AS cum_probe_bytes
+      |FROM pr ORDER BY level""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q202_delta_join_view", q202, Some(q202Sql)),
     Q("q203_replica_diff", q203, Some(q203Sql)),
@@ -455,5 +560,6 @@ object Maintenance {
     Q("q237_iblt_reconcile", q237, Some(q237Sql)),
     Q("q245_sequence_gaps", q245, Some(q245Sql)),
     Q("q250_compaction_plan", q250, Some(q250Sql)),
+    Q("q254_merkle_sync", q254, Some(q254Sql)),
   )
 }

@@ -206,10 +206,94 @@ object Privacy {
       |FROM ranked GROUP BY lang, cb
       |ORDER BY lang, cb""".stripMargin
 
+  /** t-closeness threshold in 2^20 fixed point (0.35). */
+  val TCloseFp = 1048576L * 35 / 100
+
+  // q252 — t-closeness audit, completing the release-gate triad with
+  // q186 (k-anonymity) and q251 (recursive l-diversity): an
+  // equivalence class passes only if its sensitive-value distribution
+  // is CLOSE to the table-wide one — l-diversity can hold while the
+  // class still leaks (e.g. 95% of a class in the top balance band).
+  // Distance is the ordered-attribute Earth Mover's Distance of
+  // Li/Li/Venkatasubramanian: over the globally-ordered m sensitive
+  // buckets, t(c) = (1/(m−1))·Σ_{i<m} |Σ_{j≤i} (q_j − p_j)|. Computed
+  // EXACTLY by scaling each term by N·n_c: the running deviation is
+  // Σ_{j≤i} (c_cj·N − g_j·n_c) (integers; DECIMAL(38,0)/HUGEINT since
+  // the product is O(N²)), and t_fp = 2^20·Σ|cum| DIV ((m−1)·N·n_c) —
+  // bit-equal across engines, negative-free by abs.
+  //
+  // Scale shape: three grouped counts (cells, classes, global buckets;
+  // all map-side combined), a classes×m dense grid via cross join of
+  // two aggregate-sized frames, a per-class window over ≤m rows, and a
+  // class-sized final aggregate. The shuffles carry distributions,
+  // never members.
+  private def q252(s: SparkSession, d: String): DataFrame = {
+    val base = customer(s, d).select(
+      col("c_nationkey").cast("long").as("nk"), col("c_mktsegment").as("seg"),
+      expr("CAST(round(c_acctbal * 100) AS BIGINT) DIV 200000").as("b"))
+    val g = base.groupBy(col("b")).agg(count(lit(1)).as("gj"))
+    val tot = base.agg(count(lit(1)).as("n_tot"), countDistinct(col("b")).as("m"))
+    val cls = base.groupBy(col("nk"), col("seg")).agg(count(lit(1)).as("nc"))
+    val cells = base.groupBy(col("nk"), col("seg"), col("b"))
+      .agg(count(lit(1)).as("c"))
+    val grid = cls.crossJoin(g)
+      .join(cells, Seq("nk", "seg", "b"), "left_outer")
+      .withColumn("c0", coalesce(col("c"), lit(0L)))
+      .crossJoin(broadcast(tot))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("nk"), col("seg")).orderBy(col("b"))
+    val cum = grid
+      .withColumn("cd", sum(col("c0").cast(DecimalType(38, 0)) * col("n_tot")
+        - col("gj").cast(DecimalType(38, 0)) * col("nc")).over(wc))
+      .withColumn("rk", row_number().over(wc))
+    cum.filter(col("rk") < col("m"))
+      .groupBy(col("nk").as("nationkey"), col("seg").as("mktsegment"))
+      .agg(max(col("nc")).as("n"),
+        expr("""CAST(sum(abs(cd)) * 1048576
+               |  DIV ((max(m) - 1) * CAST(max(n_tot) AS DECIMAL(38,0)) * max(nc))
+               |  AS BIGINT)""".stripMargin).as("t_fp"))
+      .withColumn("t_ok", col("t_fp") <= TCloseFp)
+      .orderBy(col("nationkey"), col("mktsegment"))
+  }
+
+  private val q252Sql =
+    s"""WITH base AS (
+      |  SELECT CAST(c_nationkey AS BIGINT) AS nk, c_mktsegment AS seg,
+      |    CAST(round(c_acctbal * 100) AS BIGINT) // 200000 AS b
+      |  FROM customer),
+      |g AS (SELECT b, count(*) AS gj FROM base GROUP BY b),
+      |tot AS (SELECT count(*) AS n_tot, count(DISTINCT b) AS m FROM base),
+      |cls AS (SELECT nk, seg, count(*) AS nc FROM base GROUP BY nk, seg),
+      |cells AS (
+      |  SELECT nk, seg, b, count(*) AS c FROM base GROUP BY nk, seg, b),
+      |grid AS (
+      |  SELECT cls.nk, cls.seg, cls.nc, g.b, g.gj,
+      |    COALESCE(cells.c, 0) AS c0
+      |  FROM cls CROSS JOIN g
+      |  LEFT JOIN cells ON cells.nk = cls.nk AND cells.seg = cls.seg
+      |    AND cells.b = g.b),
+      |cum AS (
+      |  SELECT nk, seg, nc, b, m, n_tot,
+      |    sum(CAST(c0 AS HUGEINT) * n_tot - CAST(gj AS HUGEINT) * nc)
+      |      OVER (PARTITION BY nk, seg ORDER BY b) AS cd,
+      |    row_number() OVER (PARTITION BY nk, seg ORDER BY b) AS rk
+      |  FROM grid, tot)
+      |SELECT nk AS nationkey, seg AS mktsegment,
+      |  CAST(max(nc) AS BIGINT) AS n,
+      |  CAST(sum(abs(cd)) * 1048576
+      |    // ((max(m) - 1) * CAST(max(n_tot) AS HUGEINT) * max(nc))
+      |    AS BIGINT) AS t_fp,
+      |  CAST(sum(abs(cd)) * 1048576
+      |    // ((max(m) - 1) * CAST(max(n_tot) AS HUGEINT) * max(nc))
+      |    <= $TCloseFp AS BOOLEAN) AS t_ok
+      |FROM cum WHERE rk < m GROUP BY nk, seg
+      |ORDER BY nationkey, mktsegment""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q186_k_anonymity", q186, Some(q186Sql)),
     Q("q187_incremental_agg", q187, Some(q187Sql)),
     Q("q207_dp_contribution", q207, Some(q207Sql)),
     Q("q251_recursive_ldiv", q251, Some(q251Sql)),
+    Q("q252_t_closeness", q252, Some(q252Sql)),
   )
 }
