@@ -855,6 +855,112 @@ object Graph {
       |    - CAST(sum(j + k) AS HUGEINT) * sum(j + k)) AS BIGINT) AS r_fp
       |FROM e JOIN pdeg USING (p) JOIN sdeg USING (sk)""".stripMargin
 
+  /** q255: HyperBall rounds (ball radius). */
+  val HbRounds = 2
+
+  // q255 — HyperBall (Boldi/Rosa/Vigna): the neighborhood function
+  // N(t) = Σ_v |ball(v, t)| estimated for EVERY node simultaneously by
+  // giving each node an HLL register set (64 buckets, q134's exact
+  // conventions) and max-merging neighbors' registers each round —
+  // the published way to compute average distance / effective diameter
+  // on web-scale graphs, where exact per-node BFS balls (q205 runs ONE
+  // source) are quadratic and unpayable. Estimates use q134's
+  // exact-integer harmonic numerator, here carried to 2^20 fixed point
+  // (α·m²·2^56·2^20 DIV numerator, α = 709/1000 staged in
+  // DECIMAL(38,0)/HUGEINT) so per-node estimates and their corpus sums
+  // are bit-equal across engines — no float summation order anywhere.
+  //
+  // Scale shape: register state is ≤ 64·|V| rows; each round is one
+  // shuffled equi-join of registers with the edge list plus a
+  // max-merge aggregate (map-side combinable, the defining HLL merge).
+  // Per-round output is a 1-row reduction. Nothing is ever node² —
+  // that is the whole point of the algorithm.
+  private def q255(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextFns.hash60
+    import Sketches.{HllW, HllM}
+    val e0 = lineitem(s, d)
+      .select((col("l_partkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    val h = hash60(col("v").cast("string"))
+    val rho = instr(lpad(bin(h % (1L << HllW)), HllW, "0"), "1")
+    val r0 = edges.select(col("src").as("v")).distinct()
+      .select(col("v"), shiftright(h, HllW).as("bucket"),
+        when(rho === 0, lit(HllW + 1)).otherwise(rho).cast("long").as("reg"))
+      .localCheckpoint()
+    def merge(r: DataFrame): DataFrame =
+      r.join(edges, col("v") === col("src"))
+        .select(col("dst").as("v"), col("bucket"), col("reg"))
+        .unionAll(r)
+        .groupBy(col("v"), col("bucket")).agg(max(col("reg")).as("reg"))
+        .localCheckpoint()
+    def summary(r: DataFrame, t: Int): DataFrame =
+      r.groupBy(col("v"))
+        .agg(count(lit(1)).as("rr"),
+          sum(expr("shiftleft(1L, cast(56 - reg as int))")).as("pn"))
+        .select(col("rr"),
+          expr(s"""CAST(CAST(709 AS DECIMAL(38,0)) * ${HllM.toLong * HllM}
+                  |  * ${1L << 56} * 1048576
+                  |  DIV (CAST(1000 AS DECIMAL(38,0))
+                  |    * (pn + ($HllM - rr) * ${1L << 56})) AS BIGINT)"""
+            .stripMargin).as("ef"))
+        .agg(lit(t.toLong).as("step"), count(lit(1)).as("n_nodes"),
+          sum(col("rr")).as("reg_rows"), sum(col("ef")).as("nf_fp"),
+          max(col("ef")).as("max_est_fp"))
+    var r = r0
+    var out = summary(r, 0)
+    for (t <- 1 to HbRounds) {
+      r = merge(r)
+      out = out.unionAll(summary(r, t))
+    }
+    out.orderBy(col("step"))
+  }
+
+  private val q255Sql = {
+    import graft.functions.TextFns.hash60Sql
+    import Sketches.{HllW, HllM}
+    val h = hash60Sql("CAST(v AS VARCHAR)")
+    val rho = s"strpos(lpad(bin(h % ${1L << HllW}), $HllW, '0'), '1')"
+    def mergeCte(prev: String, name: String) =
+      s"""$name AS (
+        |  SELECT v, bucket, max(reg) AS reg FROM (
+        |    SELECT e.dst AS v, r.bucket, r.reg
+        |    FROM $prev r JOIN e ON e.src = r.v
+        |    UNION ALL SELECT v, bucket, reg FROM $prev)
+        |  GROUP BY v, bucket)""".stripMargin
+    def sumCte(rs: String, t: Int) =
+      s"""(SELECT $t AS step, count(*) AS n_nodes,
+        |  CAST(sum(rr) AS BIGINT) AS reg_rows,
+        |  CAST(sum(ef) AS BIGINT) AS nf_fp,
+        |  CAST(max(ef) AS BIGINT) AS max_est_fp
+        | FROM (
+        |  SELECT v, count(*) AS rr,
+        |    CAST(CAST(709 AS HUGEINT) * ${HllM.toLong * HllM}
+        |      * ${1L << 56} * 1048576
+        |      // (CAST(1000 AS HUGEINT)
+        |        * (sum(1::BIGINT << CAST(56 - reg AS INT))
+        |           + ($HllM - count(*)) * ${1L << 56})) AS BIGINT) AS ef
+        |  FROM $rs GROUP BY v))""".stripMargin
+    s"""WITH e0 AS (
+      |  SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      |  FROM lineitem),
+      |e AS (SELECT src, dst FROM e0
+      |      UNION ALL SELECT dst AS src, src AS dst FROM e0),
+      |hn AS (SELECT v, $h AS h FROM (SELECT DISTINCT src AS v FROM e)),
+      |r0 AS (
+      |  SELECT v, h // ${1L << HllW} AS bucket,
+      |    CAST(CASE WHEN $rho = 0 THEN ${HllW + 1} ELSE $rho END AS BIGINT) AS reg
+      |  FROM hn),
+      |${mergeCte("r0", "r1")},
+      |${mergeCte("r1", "r2")}
+      |SELECT * FROM (
+      |${sumCte("r0", 0)}
+      |UNION ALL ${sumCte("r1", 1)}
+      |UNION ALL ${sumCte("r2", 2)})
+      |ORDER BY step""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q117_pagerank", q117, Some(q117Sql)),
     Q("q137_triangle_count", q137, Some(q137Sql)),
@@ -866,5 +972,6 @@ object Graph {
     Q("q247_graph_walks", q247, Some(q247Sql)),
     Q("q248_modularity", q248, Some(q248Sql)),
     Q("q249_assortativity", q249, Some(q249Sql)),
+    Q("q255_hyperball", q255, Some(q255Sql)),
   )
 }
