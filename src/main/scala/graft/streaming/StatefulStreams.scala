@@ -897,6 +897,47 @@ object StatefulStreams {
       }
   }
 
+  /** Streaming form of batch q253's run accounting — the page-level
+    * run tracking a columnar writer does ON ARRIVAL, sharded by
+    * 1024-row block (event_id DIV 1024): per-block state is the last
+    * ingested row's (event_id, event_type, user_id, ts_ms,
+    * value_cents); each arrival emits a (col_name, event_id) RUN-START
+    * fact for every column whose value differs from its event_id−1
+    * predecessor (an id gap, a block boundary, or the block's first
+    * row starts runs in ALL columns — the same chain-break rule as the
+    * batch self-join, applied at page granularity like a real writer).
+    * Append mode — run starts are facts, never revised. Blocks are the
+    * parallelism unit: thousands of independent O(1) states instead of
+    * one global chain, which is what makes the operator shard at
+    * 100 TB. In-order arrival per block; within a micro-batch rows
+    * sort by event_id. StreamingEncodingSpec pins per-column run
+    * counts to the batch window arithmetic over the same rows.
+    */
+  def streamingEncodingRuns(ev: DataFrame): Dataset[(String, Long)] = {
+    val spark = ev.sparkSession
+    import spark.implicits._
+    ev.select(col("event_id"), col("event_type"), col("user_id"),
+        col("ts_ms"), col("vc"))
+      .as[(Long, String, Long, Long, Long)]
+      .groupByKey(_._1 >> 10)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, it: Iterator[(Long, String, Long, Long, Long)],
+            gs: GroupState[(Long, String, Long, Long, Long)]) =>
+          var prev = gs.getOption
+          val out = Vector.newBuilder[(String, Long)]
+          it.toIndexedSeq.sortBy(_._1).foreach { case r @ (id, et, uid, ts, vc) =>
+            val chained = prev.filter(_._1 == id - 1)
+            if (!chained.exists(_._2 == et)) out += (("event_type", id))
+            if (!chained.exists(_._3 == uid)) out += (("user_id", id))
+            if (!chained.exists(_._4 == ts)) out += (("ts_ms", id))
+            if (!chained.exists(_._5 == vc)) out += (("value_cents", id))
+            prev = Some(r)
+          }
+          prev.foreach(gs.update)
+          out.result().iterator
+      }
+  }
+
   /** O7 (broadcast fan-out, engine.go:196-211) for streams: one source
     * micro-batch delivered to N sinks via foreachBatch. The batch
     * DataFrame is persisted so the plan is computed once per epoch, not
