@@ -915,6 +915,80 @@ object TextAnalysis {
     "WITH " + (head +: rounds).mkString(",\n") + "\n" + sel + "\nORDER BY pick_rank"
   }
 
+  /** q256: repeated-span ladder lengths (chars) and the stride rule. */
+  val SpanRungs: Seq[Int] = Seq(8, 16, 32, 64, 128)
+
+  // q256 — repeated-span ladder (memorization-span audit): for each
+  // span length L in a geometric ladder, which documents contain a
+  // character span of length L that occurs at least twice IN-DOC?
+  // Verbatim internal repetition at long spans is the strongest
+  // memorization-risk signal a curation pass screens for — q77 counts
+  // fixed 2/3-token duplicate fractions; this measures how LONG the
+  // repeats get. Sampling is stride-aligned (grams start every L/4
+  // chars — the q86 winnowing discipline), so each rung costs ~n/stride
+  // rows and the whole ladder sums to ≈ n_chars rows per doc, linear in
+  // corpus bytes; a repeat is only counted when two aligned grams
+  // collide, which both engines compute identically (same md5 grams),
+  // making the audit exact BY DEFINITION of its sampled semantics.
+  // Reported per rung: eligible docs, docs with a repeat, the 2^20
+  // fixed-point share, repeated-gram count, hottest gram multiplicity.
+  //
+  // Scale shape: one scan per rung (position explode is map-side, no
+  // shuffle), one (doc, gram)-keyed aggregate, one doc-keyed rollup,
+  // one 1-row reduction — nothing quadratic in doc length, ever. The
+  // 5-rung union is 5 rows.
+  private def q256(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+    def rung(l: Int): DataFrame = {
+      val stride = math.max(l / 4, 1)
+      docs.filter(col("len") >= l)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(1), col("len") - l + 1, lit(stride))).as("i"))
+        .select(col("doc_id"), hash60(expr(s"substring(text, i, $l)")).as("h"))
+        .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("c")).as("maxc"),
+          sum(when(col("c") >= 2, 1L).otherwise(0L)).as("nrep"))
+        .agg(count(lit(1)).as("n_docs_eligible"),
+          sum(when(col("nrep") > 0, 1L).otherwise(0L)).as("n_docs_repeat"),
+          sum(col("nrep")).as("n_repeat_grams"),
+          max(col("maxc")).as("max_occurrences"))
+        .select(lit(l.toLong).as("span_len"), col("n_docs_eligible"),
+          col("n_docs_repeat"),
+          expr("CAST(n_docs_repeat * 1048576 DIV n_docs_eligible AS BIGINT)")
+            .as("repeat_share_fp"),
+          col("n_repeat_grams"), col("max_occurrences"))
+    }
+    SpanRungs.map(rung).reduce(_ unionAll _).orderBy(col("span_len"))
+  }
+
+  private val q256Sql = {
+    def rung(l: Int): String = {
+      val stride = math.max(l / 4, 1)
+      val h = hash60Sql(s"substr(text, CAST(i AS INT), $l)")
+      s"""(WITH g AS (
+        |  SELECT doc_id, $h AS h
+        |  FROM (SELECT doc_id, text, length(text) AS len FROM documents),
+        |    generate_series(1, len - $l + 1, $stride) AS t(i)
+        |  WHERE len >= $l),
+        |c AS (SELECT doc_id, h, count(*) AS c FROM g GROUP BY 1, 2),
+        |p AS (SELECT doc_id, max(c) AS maxc,
+        |    sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS nrep
+        |  FROM c GROUP BY 1)
+        |SELECT $l AS span_len, count(*) AS n_docs_eligible,
+        |  CAST(sum(CASE WHEN nrep > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_docs_repeat,
+        |  CAST(sum(CASE WHEN nrep > 0 THEN 1 ELSE 0 END) * 1048576
+        |    // count(*) AS BIGINT) AS repeat_share_fp,
+        |  CAST(sum(nrep) AS BIGINT) AS n_repeat_grams,
+        |  CAST(max(maxc) AS BIGINT) AS max_occurrences
+        |FROM p)""".stripMargin
+    }
+    SpanRungs.map(rung).mkString("SELECT * FROM (\n", "\nUNION ALL ",
+      ")\nORDER BY span_len")
+  }
+
   val all: Seq[Q] = Seq(
     Q("q50_token_stats", q50, Some(q50Sql)),
     Q("q51_lang_id", q51, Some(q51Sql)),
@@ -934,5 +1008,6 @@ object TextAnalysis {
     Q("q182_vocab_growth", q182, Some(q182Sql)),
     Q("q236_greedy_coverage", q236, Some(q236Sql)),
     Q("q238_text_segmentation", q238, Some(q238Sql)),
+    Q("q256_repeat_span", q256, Some(q256Sql)),
   )
 }
