@@ -630,6 +630,14 @@ object Graph {
       .select((col("l_partkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
       .distinct()
     val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+    // Hub-degree bound: row_number PARTITIONED BY src sorts each
+    // node's whole adjacency in ONE task, so the build is bounded by
+    // the max degree — fine here (TPC-H part–supplier fan-out is
+    // bounded and near-uniform), but on a power-law social graph a
+    // 10^8-degree hub would serialize. The scale-out form is a salted
+    // two-phase index: row_number over (src, salt) slices, then add
+    // each slice's exclusive prefix count (the rankDistributed
+    // carry shape) to recover the same dst-ordered global idx.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("src")).orderBy(col("dst"))
     val adj = edges
@@ -870,48 +878,79 @@ object Graph {
   // DECIMAL(38,0)/HUGEINT) so per-node estimates and their corpus sums
   // are bit-equal across engines — no float summation order anywhere.
   //
-  // Scale shape: register state is ≤ 64·|V| rows; each round is one
-  // shuffled equi-join of registers with the edge list plus a
-  // max-merge aggregate (map-side combinable, the defining HLL merge).
-  // Per-round output is a 1-row reduction. Nothing is ever node² —
-  // that is the whole point of the algorithm.
+  // Scale shape: register state is packed WIDE — one row per node with
+  // all 64 registers as columns (the published HyperBall counter-per-
+  // node layout), so each round is one shuffled equi-join of |V| state
+  // rows with the edge list emitting |E| rows (NOT 64·|E| as a
+  // row-per-register layout would), then one groupBy(v) whose 64
+  // per-register `max` aggregates are map-side combinable and fully
+  // whole-stage-codegen'd — the defining HLL merge as 64 long buffers.
+  // An absent bucket is register 0, which contributes 2^(56-0) = 2^56
+  // to the harmonic numerator — bit-identical to the row-layout's
+  // explicit (m - present) * 2^56 empty-bucket term, so estimates (and
+  // the row-based DuckDB oracle) are unchanged bit-for-bit. Per-round
+  // output is a 1-row reduction. Nothing is ever node² — that is the
+  // whole point of the algorithm.
   private def q255(s: SparkSession, d: String): DataFrame = {
     import graft.functions.TextFns.hash60
     import Sketches.{HllW, HllM}
     val e0 = lineitem(s, d)
       .select((col("l_partkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
       .distinct()
+    // Hash-partition edges on src ONCE: every round's state comes out
+    // of groupBy(v) hash-partitioned on v, so the v = src equi-join
+    // reuses both sides' partitioning — zero exchanges on the join,
+    // leaving exactly ONE (partial-agg-reduced) shuffle per round.
+    // shuffle_hash keeps the 1-row-per-node state side from being
+    // sort-merged against the edge list every round.
     val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint()
+      .repartition(col("src")).localCheckpoint()
+    val regNames = (0 until HllM).map(i => s"r$i")
+    val regCols = regNames.map(col)
     val h = hash60(col("v").cast("string"))
     val rho = instr(lpad(bin(h % (1L << HllW)), HllW, "0"), "1")
+    // two-step projection: evaluate the md5-backed hash/bucket ONCE per
+    // node, then fan out to the 64 register columns with cheap
+    // bucket = i conditionals (inlining h into all 64 when()s measured
+    // 6x slower — no CSE across projection slots)
     val r0 = edges.select(col("src").as("v")).distinct()
       .select(col("v"), shiftright(h, HllW).as("bucket"),
-        when(rho === 0, lit(HllW + 1)).otherwise(rho).cast("long").as("reg"))
+        when(rho === 0, lit(HllW + 1)).otherwise(rho).cast("long").as("regv"))
+      .select(col("v") +: regNames.zipWithIndex.map { case (n, i) =>
+        when(col("bucket") === i, col("regv")).otherwise(lit(0L)).as(n)
+      }: _*)
+      .repartition(col("v"))
       .localCheckpoint()
-    def merge(r: DataFrame): DataFrame =
-      r.join(edges, col("v") === col("src"))
-        .select(col("dst").as("v"), col("bucket"), col("reg"))
-        .unionAll(r)
-        .groupBy(col("v"), col("bucket")).agg(max(col("reg")).as("reg"))
-        .localCheckpoint()
-    def summary(r: DataFrame, t: Int): DataFrame =
-      r.groupBy(col("v"))
-        .agg(count(lit(1)).as("rr"),
-          sum(expr("shiftleft(1L, cast(56 - reg as int))")).as("pn"))
+    def merge(r: DataFrame, last: Boolean): DataFrame = {
+      val m = r.join(edges.hint("shuffle_hash"), col("v") === col("src"))
+        .select(col("dst").as("v") +: regCols: _*)
+        .unionAll(r.select(col("v") +: regCols: _*))
+        .groupBy(col("v"))
+        .agg(max(regCols.head).as(regNames.head),
+          regNames.tail.map(n => max(col(n)).as(n)): _*)
+      // the final round's state feeds exactly one summary — checkpoint
+      // (an eager extra job) only when the state is consumed twice
+      if (last) m else m.localCheckpoint()
+    }
+    def summary(r: DataFrame, t: Int): DataFrame = {
+      val rr = regNames.map(n => when(col(n) > 0, 1L).otherwise(lit(0L)))
+        .reduce(_ + _)
+      val pn = regNames.map(n => expr(s"shiftleft(1L, cast(56 - $n as int))"))
+        .reduce(_ + _)
+      r.select(rr.as("rr"), pn.as("pn"))
         .select(col("rr"),
           expr(s"""CAST(CAST(709 AS DECIMAL(38,0)) * ${HllM.toLong * HllM}
                   |  * ${1L << 56} * 1048576
-                  |  DIV (CAST(1000 AS DECIMAL(38,0))
-                  |    * (pn + ($HllM - rr) * ${1L << 56})) AS BIGINT)"""
+                  |  DIV (CAST(1000 AS DECIMAL(38,0)) * pn) AS BIGINT)"""
             .stripMargin).as("ef"))
         .agg(lit(t.toLong).as("step"), count(lit(1)).as("n_nodes"),
           sum(col("rr")).as("reg_rows"), sum(col("ef")).as("nf_fp"),
           max(col("ef")).as("max_est_fp"))
+    }
     var r = r0
     var out = summary(r, 0)
     for (t <- 1 to HbRounds) {
-      r = merge(r)
+      r = merge(r, last = t == HbRounds)
       out = out.unionAll(summary(r, t))
     }
     out.orderBy(col("step"))

@@ -236,7 +236,9 @@ object Layout {
   // distinct-lengths aggregate for the string dictionary; the output
   // unpivots a 1-row frame to 4 rows driver-free.
   private def q253(s: SparkSession, d: String): DataFrame = {
-    def bl(x: String) = s"(length(bin($x)) - 1)"
+    // full bit-length (bin('100') = 3 bits), NOT bitlen-1: LEB128
+    // stores zigzag 128 (bitlen 8) in ceil(8/7) = 2 bytes — q235's rule
+    def bl(x: String) = s"length(bin($x))"
     def vb(z: String) = s"greatest(CAST((${bl(z)} + 6) DIV 7 AS BIGINT), 1L)"
     def zz(x: String) = s"(CASE WHEN ($x) >= 0 THEN 2*($x) ELSE -2*($x)-1 END)"
     def runs(c: String) =
@@ -300,7 +302,7 @@ object Layout {
   }
 
   private val q253Sql = {
-    def bl(x: String) = s"(length(printf('%b', $x)) - 1)"
+    def bl(x: String) = s"length(printf('%b', $x))"
     def vb(z: String) = s"greatest((${bl(z)} + 6) // 7, 1)"
     def zz(x: String) = s"(CASE WHEN ($x) >= 0 THEN 2*($x) ELSE -2*($x)-1 END)"
     def runs(c: String) =

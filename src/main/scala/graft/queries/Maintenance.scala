@@ -273,6 +273,23 @@ object Maintenance {
         }
       }
     }
+    // "resize and resend, never a wrong answer" is only honest if a
+    // stalled peel is DETECTED: when the symmetric difference outgrows
+    // ~IbBank·IbHashes/1.5 the loop above stops making progress with
+    // undecoded ids still folded into the cells. Any cell left with a
+    // nonzero (cnt, idSum, hashSum) triple is that residue (a cnt = 0
+    // cell can still hold a colliding ± pair, so all three are
+    // checked); returning the partial set silently would diverge from
+    // the exact EXCEPT contract.
+    val residue = cls.valuesIterator.count {
+      case (cnt, ism, hsm) => cnt != 0L || ism != 0 || hsm != 0
+    }
+    if (residue > 0)
+      throw new IllegalStateException(
+        s"IBLT peel stalled: $residue residual cells of ${cls.size} — " +
+          s"symmetric difference exceeds the ${IbHashes}x$IbBank sketch " +
+          "capacity; resize the sketch (IbBank ~ 1.5x expected diff, " +
+          "e.g. from q203's count deltas) and resend")
     out.result().sorted
   }
 

@@ -160,11 +160,17 @@ object Matching {
                |      - (CAST(n_both + n_len_only AS DECIMAL(38,0)) * (n_both + n_div_only)
                |         + CAST(n_div_only + n_neither AS DECIMAL(38,0)) * (n_len_only + n_neither)))
                |     * 1048576
-               |     DIV (CAST(n_both + n_len_only + n_div_only + n_neither AS DECIMAL(38,0))
+               |     DIV greatest(
+               |          CAST(n_both + n_len_only + n_div_only + n_neither AS DECIMAL(38,0))
                |            * (n_both + n_len_only + n_div_only + n_neither)
                |          - (CAST(n_both + n_len_only AS DECIMAL(38,0)) * (n_both + n_div_only)
-               |             + CAST(n_div_only + n_neither AS DECIMAL(38,0)) * (n_len_only + n_neither)))
+               |             + CAST(n_div_only + n_neither AS DECIMAL(38,0)) * (n_len_only + n_neither)),
+               |          1)
                |   AS BIGINT)""".stripMargin).as("kappa_fp"))
+      // greatest(..., 1): a degenerate corpus where every doc lands in
+      // one agreement cell makes pe = n² and the kappa denominator 0 —
+      // Spark DIV would yield NULL, DuckDB // would raise; numerator is
+      // 0 there too, so the guard pins both engines to kappa_fp = 0
   }
 
   private val q204Sql = {
@@ -190,10 +196,12 @@ object Matching {
       |        - (CAST(n_both + n_len_only AS HUGEINT) * (n_both + n_div_only)
       |           + CAST(n_div_only + n_neither AS HUGEINT) * (n_len_only + n_neither)))
       |       * 1048576
-      |       // (CAST(n_both + n_len_only + n_div_only + n_neither AS HUGEINT)
+      |       // greatest(
+      |            CAST(n_both + n_len_only + n_div_only + n_neither AS HUGEINT)
       |              * (n_both + n_len_only + n_div_only + n_neither)
       |            - (CAST(n_both + n_len_only AS HUGEINT) * (n_both + n_div_only)
-      |               + CAST(n_div_only + n_neither AS HUGEINT) * (n_len_only + n_neither)))
+      |               + CAST(n_div_only + n_neither AS HUGEINT) * (n_len_only + n_neither)),
+      |            1)
       |     AS BIGINT) AS kappa_fp
       |FROM c""".stripMargin
   }

@@ -44,14 +44,17 @@ object Signals {
     val base = xy.agg(
       count(lit(1)).as("n"),
       sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-      sum((col("x") * col("y")).cast(DecimalType(38, 0))).as("sxy"),
-      sum((col("x") * col("x")).cast(DecimalType(38, 0))).as("sxx"),
-      sum((col("y") * col("y")).cast(DecimalType(38, 0))).as("syy"),
+      // cast ONE operand before the multiply so the product itself is
+      // computed in decimal — x*y in LongType first would overflow
+      // before the cast and forfeit the DECIMAL(38,0) headroom
+      sum(col("x").cast(DecimalType(38, 0)) * col("y")).as("sxy"),
+      sum(col("x").cast(DecimalType(38, 0)) * col("x")).as("sxx"),
+      sum(col("y").cast(DecimalType(38, 0)) * col("y")).as("syy"),
       min(struct(col("hr"), col("x"))).as("fst"),
       max(struct(col("hr"), col("x"))).as("lst"))
     val lag = xy.select(col("hr"), col("x"))
       .join(xy.select((col("hr") - 1).as("hr"), col("x").as("xn")), Seq("hr"))
-      .agg(coalesce(sum((col("x") * col("xn")).cast(DecimalType(38, 0))),
+      .agg(coalesce(sum(col("x").cast(DecimalType(38, 0)) * col("xn")),
         lit(0).cast(DecimalType(38, 0))).as("sll"))
     base.crossJoin(lag).select(
       col("n").as("n_hours"),
@@ -222,7 +225,7 @@ object Signals {
       .withColumn("m", expr(mult))
       .groupBy(col("pri"), col("b"))
       .agg(sum(col("m")).as("n_b"),
-        sum((col("m") * col("yc")).cast(DecimalType(38, 0))).as("s_b"))
+        sum(col("m").cast(DecimalType(38, 0)) * col("yc")).as("s_b"))
       .filter(col("n_b") > 0)
       .withColumn("mean_b", col("s_b").cast("double") / col("n_b").cast("double"))
     val w = Window.partitionBy(col("pri")) // B = 32 rows per group
@@ -1823,8 +1826,12 @@ object Signals {
     sStat.crossJoin(broadcast(ties))
       .select(col("n_days"), col("s_stat"),
         expr("n_days * (n_days - 1) * (2 * n_days + 5) - tie_term").as("var18"),
+        // greatest(var18, 1): a constant series (every grid day the same
+        // count) makes var18 = 0 — Spark's ANSI-off DIV would yield NULL
+        // while the DuckDB oracle's // raises; the guard keeps both
+        // engines at zsq_fp = S²·18·2^20 (S = 0 there anyway, so 0)
         expr("""CAST(CAST(s_stat AS DECIMAL(38,0)) * s_stat * 18 * 1048576
-          | DIV var18 AS BIGINT)""".stripMargin).as("zsq_fp"),
+          | DIV greatest(var18, 1) AS BIGINT)""".stripMargin).as("zsq_fp"),
         when(col("s_stat") > 0, "increasing").when(col("s_stat") < 0, "decreasing")
           .otherwise("none").as("trend"))
   }
@@ -1850,7 +1857,8 @@ object Signals {
       |SELECT t.n_days, s.s_stat,
       |  t.n_days * (t.n_days - 1) * (2 * t.n_days + 5) - t.tie_term AS var18,
       |  CAST(CAST(s.s_stat AS HUGEINT) * s.s_stat * 18 * 1048576
-      |    // (t.n_days * (t.n_days - 1) * (2 * t.n_days + 5) - t.tie_term)
+      |    // greatest(t.n_days * (t.n_days - 1) * (2 * t.n_days + 5)
+      |        - t.tie_term, 1)
       |    AS BIGINT) AS zsq_fp,
       |  CASE WHEN s.s_stat > 0 THEN 'increasing'
       |       WHEN s.s_stat < 0 THEN 'decreasing' ELSE 'none' END AS trend

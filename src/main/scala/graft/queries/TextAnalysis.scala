@@ -969,9 +969,12 @@ object TextAnalysis {
       val h = hash60Sql(s"substr(text, CAST(i AS INT), $l)")
       s"""(WITH g AS (
         |  SELECT doc_id, $h AS h
-        |  FROM (SELECT doc_id, text, length(text) AS len FROM documents),
-        |    generate_series(1, len - $l + 1, $stride) AS t(i)
-        |  WHERE len >= $l),
+        |  FROM (
+        |    SELECT doc_id, text,
+        |      unnest(list_transform(range((len - $l) // $stride + 1),
+        |        j -> 1 + j * $stride)) AS i
+        |    FROM (SELECT doc_id, text, length(text) AS len FROM documents)
+        |    WHERE len >= $l)),
         |c AS (SELECT doc_id, h, count(*) AS c FROM g GROUP BY 1, 2),
         |p AS (SELECT doc_id, max(c) AS maxc,
         |    sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS nrep
