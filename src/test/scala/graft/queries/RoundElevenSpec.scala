@@ -114,6 +114,18 @@ class RoundElevenSpec extends SparkSpec {
     assert(Maintenance.ibltReconcileOf(a, a).count() == 0L)
   }
 
+  test("IBLT reconcile: over-capacity diff fails loudly, never partially") {
+    // a diff of 2000 ids >> the 3x171-cell sketch capacity (~340):
+    // peeling must stall and the decode must throw the resize-and-
+    // resend error instead of returning whatever subset peeled
+    val a = (1L to 4000L).toDF("doc_id")
+    val b = (2001L to 4000L).toDF("doc_id")
+    val e = intercept[IllegalStateException] {
+      Maintenance.ibltReconcileOf(a, b).count()
+    }
+    assert(e.getMessage.contains("IBLT peel stalled"), s"got $e")
+  }
+
   test("text tiling: orthogonal blocks cut, repeated blocks don't") {
     // doc 1: 20 'a' then 20 'b' -> dot 0, cos2 0 -> cut
     // doc 2: 40 'a'            -> cos2 = 2^20 -> no cut
