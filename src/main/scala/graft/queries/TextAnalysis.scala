@@ -992,6 +992,118 @@ object TextAnalysis {
       ")\nORDER BY span_len")
   }
 
+  /** q257: BPE merge rounds learned from the corpus. */
+  val BpeRounds = 6
+
+  // q257 — BPE tokenizer TRAINING (merge-rule learning): learn the
+  // first [[BpeRounds]] byte-pair-encoding merges from the corpus —
+  // the step q91 (tokenize with a FIXED rule set) and q109 (encode
+  // against a FIXED vocab) both presuppose and nothing in the registry
+  // produced. Classic BPE (Sennrich et al.): words split to
+  // characters + a </w> terminator; each round counts adjacent symbol
+  // pairs weighted by word frequency, merges the most frequent pair
+  // (ties: lexicographically smallest), and rewrites the symbol
+  // sequences greedily left-to-right (leftmost non-overlapping —
+  // exactly what `replace` does in both engines, so "s s s" under
+  // merge (s,s) becomes "ss s" identically). Output: the learned merge
+  // table (rank, left, right, weighted pair count) — the artifact a
+  // tokenizer trainer ships.
+  //
+  // Scale shape: ONE corpus-sized pass (the word count); every merge
+  // round then runs on the word-FREQUENCY table — vocab-sized, the
+  // published way to train BPE at corpus scale (real corpora: ~1e6-1e7
+  // distinct words, a frame, never the 100 TB text). Per round: one
+  // vocab-sized pair explode + grouped sum, one 1-row driver collect
+  // (the q41/q87/q236 bounded-loop class: BpeRounds rows total reach
+  // the driver), one vocab-sized rewrite projection.
+  /** Core: learn `rounds` BPE merges from a (w, cnt) word-frequency
+    * frame. Returns (merge_rank, sym_left, sym_right, pair_count).
+    * Fixture-testable.
+    */
+  private[graft] def bpeMergesOf(wordCounts: DataFrame, rounds: Int): DataFrame = {
+    val s = wordCounts.sparkSession
+    import s.implicits._
+    var vocab = wordCounts
+      .select(col("cnt"),
+        concat(regexp_replace(col("w"), "(.)", "$1 "), lit("</w>")).as("syms"))
+      .localCheckpoint() // vocab-sized; cuts the per-round lineage
+    val learned = Seq.newBuilder[(Long, String, String, Long)]
+    for (k <- 1 to rounds) {
+      val best = vocab
+        .select(col("cnt"), expr(
+          """explode(transform(sequence(0, size(split(syms, ' ')) - 2),
+            |  i -> struct(split(syms, ' ')[i] AS l,
+            |              split(syms, ' ')[i+1] AS r)))""".stripMargin).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("l"), col("r"))
+        .limit(1).collect()(0)
+      val (l, r, c) = (best.getString(0), best.getString(1), best.getLong(2))
+      learned += ((k.toLong, l, r, c))
+      // greedy leftmost non-overlapping rewrite as a token FOLD — a
+      // space-padded string replace looks equivalent but eats the
+      // separator it matched, so consecutive repeats mis-merge
+      // ("a a a a" must become "aa aa", replace gives "aa a a"; pinned
+      // by BpeMergesSpec). The fold merges x into the accumulator's
+      // last token exactly when that token is l and x is r; a token
+      // just created by a merge is lr != l, so it never re-merges —
+      // the same advance-past-the-match rule as a left-to-right scan.
+      vocab = vocab.select(col("cnt"), expr(
+        s"""aggregate(split(syms, ' '), '', (acc, x) ->
+           |  CASE WHEN acc = '' THEN x
+           |       WHEN acc = '$l' AND x = '$r' THEN '$l$r'
+           |       WHEN endswith(acc, ' $l') AND x = '$r'
+           |         THEN left(acc, length(acc) - ${l.length}) || '$l$r'
+           |       ELSE acc || ' ' || x END)""".stripMargin).as("syms"))
+        .localCheckpoint()
+    }
+    learned.result()
+      .toDF("merge_rank", "sym_left", "sym_right", "pair_count")
+      .orderBy(col("merge_rank"))
+  }
+
+  private def q257(s: SparkSession, d: String): DataFrame =
+    bpeMergesOf(
+      documents(s, d)
+        .select(explode(tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt")),
+      BpeRounds)
+
+  private val q257Sql = {
+    // every CTE MATERIALIZED (the q236 rule): the p_k scalar subqueries
+    // appear several times each and w_k chains on w_{k-1} — inlining
+    // would re-derive the whole chain per reference (~3^rounds blowup)
+    val w0 =
+      """w0 AS MATERIALIZED (
+        |  SELECT count(*) AS cnt,
+        |    regexp_replace(w, '(.)', '\1 ', 'g') || '</w>' AS syms
+        |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        |        FROM documents)
+        |  GROUP BY w)""".stripMargin
+    def round(k: Int): Seq[String] = Seq(
+      s"""p$k AS MATERIALIZED (
+        |  SELECT l, r, c FROM (
+        |    SELECT a[i] AS l, a[i+1] AS r, sum(cnt) AS c FROM (
+        |      SELECT cnt, a, unnest(range(1, len(a))) AS i
+        |      FROM (SELECT cnt, string_split(syms, ' ') AS a FROM w${k - 1}))
+        |    GROUP BY 1, 2)
+        |  ORDER BY c DESC, l, r LIMIT 1)""".stripMargin,
+      s"""w$k AS MATERIALIZED (
+        |  SELECT cnt, list_reduce(string_split(syms, ' '), (acc, x) ->
+        |    CASE WHEN acc = l AND x = r THEN l || r
+        |         WHEN ends_with(acc, ' ' || l) AND x = r
+        |           THEN left(acc, len(acc) - len(l)) || l || r
+        |         ELSE acc || ' ' || x END) AS syms
+        |  FROM w${k - 1}, p$k)""".stripMargin)
+    val sel = (1 to BpeRounds).map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS merge_rank,
+        |  (SELECT l FROM p$k) AS sym_left, (SELECT r FROM p$k) AS sym_right,
+        |  CAST((SELECT c FROM p$k) AS BIGINT) AS pair_count""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    "WITH " + (w0 +: (1 to BpeRounds).flatMap(round)).mkString(",\n") +
+      "\n" + sel + "\nORDER BY merge_rank"
+  }
+
   val all: Seq[Q] = Seq(
     Q("q50_token_stats", q50, Some(q50Sql)),
     Q("q51_lang_id", q51, Some(q51Sql)),
@@ -1012,5 +1124,6 @@ object TextAnalysis {
     Q("q236_greedy_coverage", q236, Some(q236Sql)),
     Q("q238_text_segmentation", q238, Some(q238Sql)),
     Q("q256_repeat_span", q256, Some(q256Sql)),
+    Q("q257_bpe_merges", q257, Some(q257Sql)),
   )
 }
