@@ -1026,14 +1026,14 @@ object TextAnalysis {
   // (the q41/q87/q236 bounded-loop class: BpeRounds rows total reach
   // the driver), one vocab-sized rewrite projection.
   /** Core: learn `rounds` BPE merges from a (w, cnt) word-frequency
-    * frame. Returns (merge_rank, sym_left, sym_right, pair_count).
-    * Fixture-testable.
+    * frame. Returns the learned merge list and the final
+    * (w, cnt, syms) vocabulary state (syms = the word's symbol
+    * sequence under all learned merges). Fixture-testable.
     */
-  private[graft] def bpeMergesOf(wordCounts: DataFrame, rounds: Int): DataFrame = {
-    val s = wordCounts.sparkSession
-    import s.implicits._
+  private[graft] def bpeTrain(wordCounts: DataFrame, rounds: Int)
+      : (Seq[(Long, String, String, Long)], DataFrame) = {
     var vocab = wordCounts
-      .select(col("cnt"),
+      .select(col("w"), col("cnt"),
         concat(regexp_replace(col("w"), "(.)", "$1 "), lit("</w>")).as("syms"))
       .localCheckpoint() // vocab-sized; cuts the per-round lineage
     val learned = Seq.newBuilder[(Long, String, String, Long)]
@@ -1057,7 +1057,7 @@ object TextAnalysis {
       // last token exactly when that token is l and x is r; a token
       // just created by a merge is lr != l, so it never re-merges —
       // the same advance-past-the-match rule as a left-to-right scan.
-      vocab = vocab.select(col("cnt"), expr(
+      vocab = vocab.select(col("w"), col("cnt"), expr(
         s"""aggregate(split(syms, ' '), '', (acc, x) ->
            |  CASE WHEN acc = '' THEN x
            |       WHEN acc = '$l' AND x = '$r' THEN '$l$r'
@@ -1066,7 +1066,14 @@ object TextAnalysis {
            |       ELSE acc || ' ' || x END)""".stripMargin).as("syms"))
         .localCheckpoint()
     }
-    learned.result()
+    (learned.result(), vocab)
+  }
+
+  /** Core: learned-merge table alone (q257's surface). */
+  private[graft] def bpeMergesOf(wordCounts: DataFrame, rounds: Int): DataFrame = {
+    val s = wordCounts.sparkSession
+    import s.implicits._
+    bpeTrain(wordCounts, rounds)._1
       .toDF("merge_rank", "sym_left", "sym_right", "pair_count")
       .orderBy(col("merge_rank"))
   }
@@ -1077,6 +1084,89 @@ object TextAnalysis {
         .select(explode(tokens(col("text"))).as("w"))
         .groupBy(col("w")).agg(count(lit(1)).as("cnt")),
       BpeRounds)
+
+  // q258 — tokenizer fertility evaluation: apply q257's LEARNED merges
+  // back to the corpus and report, per language, the standard
+  // tokenizer-quality metrics — fertility (BPE tokens per word; the
+  // headline number every tokenizer eval quotes, and the one that
+  // decides training cost per document) and chars-per-token — in 2^20
+  // fixed point. Training is global (one tokenizer for the corpus, as
+  // shipped); evaluation slices per lang, exposing which languages the
+  // learned vocabulary under-serves — the fairness audit multilingual
+  // pipelines run before committing to a tokenizer.
+  //
+  // Scale shape: one corpus scan into the (lang, word) count frame
+  // (vocab × langs rows); training runs on the global word-frequency
+  // frame (vocab-sized, q257's rounds); evaluation is a vocab-sized
+  // join — sum(cnt × |syms|) — so corpus text is never touched again.
+  private def q258(s: SparkSession, d: String): DataFrame = {
+    val wcLang = documents(s, d)
+      .select(col("lang"), explode(tokens(col("text"))).as("w"))
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // one corpus scan feeds both training and eval
+    val wcGlobal = wcLang.groupBy(col("w"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val vocab = bpeTrain(wcGlobal, BpeRounds)._2
+      .select(col("w"),
+        size(split(col("syms"), " ")).cast("long").as("nsym"))
+    wcLang.join(vocab, "w")
+      .groupBy(col("lang"))
+      .agg(sum(col("cnt")).as("n_words"),
+        sum(length(col("w")) * col("cnt")).as("n_chars"),
+        sum(col("nsym") * col("cnt")).as("n_bpe_tokens"))
+      .select(col("lang"), col("n_words"), col("n_chars"),
+        col("n_bpe_tokens"),
+        expr("CAST(n_bpe_tokens * 1048576 DIV n_words AS BIGINT)")
+          .as("fertility_fp"),
+        expr("CAST(n_chars * 1048576 DIV n_bpe_tokens AS BIGINT)")
+          .as("chars_per_token_fp"))
+      .orderBy(col("lang"))
+  }
+
+  private val q258Sql = {
+    // the q257 chain, carrying the word through each rewrite so the
+    // final state joins back to the per-lang counts
+    val w0 =
+      """w0 AS MATERIALIZED (
+        |  SELECT w, count(*) AS cnt,
+        |    regexp_replace(w, '(.)', '\1 ', 'g') || '</w>' AS syms
+        |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        |        FROM documents)
+        |  GROUP BY w)""".stripMargin
+    def round(k: Int): Seq[String] = Seq(
+      s"""p$k AS MATERIALIZED (
+        |  SELECT l, r FROM (
+        |    SELECT a[i] AS l, a[i+1] AS r, sum(cnt) AS c FROM (
+        |      SELECT cnt, a, unnest(range(1, len(a))) AS i
+        |      FROM (SELECT cnt, string_split(syms, ' ') AS a FROM w${k - 1}))
+        |    GROUP BY 1, 2)
+        |  ORDER BY c DESC, l, r LIMIT 1)""".stripMargin,
+      s"""w$k AS MATERIALIZED (
+        |  SELECT w, cnt, list_reduce(string_split(syms, ' '), (acc, x) ->
+        |    CASE WHEN acc = l AND x = r THEN l || r
+        |         WHEN ends_with(acc, ' ' || l) AND x = r
+        |           THEN left(acc, len(acc) - len(l)) || l || r
+        |         ELSE acc || ' ' || x END) AS syms
+        |  FROM w${k - 1}, p$k)""".stripMargin)
+    s"""WITH wl AS MATERIALIZED (
+      |  SELECT lang, w, count(*) AS cnt
+      |  FROM (SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+      |        FROM documents)
+      |  GROUP BY 1, 2),
+      |${(w0 +: (1 to BpeRounds).flatMap(round)).mkString(",\n")},
+      |enc AS (SELECT w, len(string_split(syms, ' ')) AS nsym
+      |        FROM w$BpeRounds)
+      |SELECT lang, CAST(sum(cnt) AS BIGINT) AS n_words,
+      |  CAST(sum(len(w) * cnt) AS BIGINT) AS n_chars,
+      |  CAST(sum(nsym * cnt) AS BIGINT) AS n_bpe_tokens,
+      |  CAST(sum(nsym * cnt) * 1048576 // sum(cnt) AS BIGINT)
+      |    AS fertility_fp,
+      |  CAST(sum(len(w) * cnt) * 1048576 // sum(nsym * cnt) AS BIGINT)
+      |    AS chars_per_token_fp
+      |FROM wl JOIN enc USING (w)
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+  }
 
   private val q257Sql = {
     // every CTE MATERIALIZED (the q236 rule): the p_k scalar subqueries
@@ -1134,5 +1224,6 @@ object TextAnalysis {
     Q("q238_text_segmentation", q238, Some(q238Sql)),
     Q("q256_repeat_span", q256, Some(q256Sql)),
     Q("q257_bpe_merges", q257, Some(q257Sql)),
+    Q("q258_bpe_fertility", q258, Some(q258Sql)),
   )
 }
