@@ -526,6 +526,230 @@ object Sketches {
       |FROM f ORDER BY type_a, type_b""".stripMargin
   }
 
+  // ---- q259: q-digest mergeable quantile sketch -------------------------
+
+  /** Universe bits for l_extendedprice cents: TPC-H prices top out near
+    * 10^7 cents < 2^24, so every value is a leaf of a 24-level binary
+    * tree over [0, 2^24).
+    */
+  val QdUniverseBits = 24
+
+  /** Compression constant k: merge threshold is ⌊n/k⌋. Digest size is
+    * O(k) nodes REGARDLESS of corpus size and the rank error of any
+    * quantile answered from it is ≤ (U/k)·n ≈ 2.3% of n at k=1024 —
+    * that corpus-size independence is the point of the sketch.
+    */
+  val QdK = 1024L
+
+  /** Parallel compression fans the universe into 2^5 = 32 independent
+    * subtrees; only the top 5 levels (≤ 63 nodes) funnel to one task.
+    */
+  val QdSubtreeBits = 5
+
+  val QdPcts = Seq(1L, 5L, 25L, 50L, 75L, 90L, 99L)
+
+  /** One canonical bottom-up q-digest compression pass (Shrivastava et
+    * al., SenSys'04, batch form): input nodes uniformly at `fromLevel`
+    * of the heap numbering (leaf value v ↦ node 2^U + v); each level,
+    * sibling groups whose combined count is ≤ thr merge into the
+    * parent, the rest freeze into the digest; repeat down to
+    * (exclusive) level `downTo`. Emits frozen nodes plus the residual
+    * nodes left at `downTo`. Deterministic and merge-order-independent:
+    * every decision depends only on a per-parent count SUM, so the
+    * result is a pure function of the exact leaf counts — which is
+    * what lets DuckDB replicate the digest bit-for-bit.
+    */
+  private def qdCompress(rows: Iterator[(Long, Long)], fromLevel: Int,
+      downTo: Int, thr: Long): Iterator[(Long, Long)] = {
+    import scala.collection.mutable
+    var cur = mutable.LongMap.empty[Long]
+    rows.foreach { case (node, c) => cur(node) = cur.getOrElse(node, 0L) + c }
+    val frozen = mutable.ArrayBuffer.empty[(Long, Long)]
+    var lvl = fromLevel
+    while (lvl > downTo && cur.nonEmpty) {
+      val tot = mutable.LongMap.empty[Long]
+      cur.foreach { case (node, c) =>
+        val p = node >> 1; tot(p) = tot.getOrElse(p, 0L) + c
+      }
+      val next = mutable.LongMap.empty[Long]
+      tot.foreach { case (p, tc) => if (tc <= thr) next(p) = tc }
+      cur.foreach { case (node, c) =>
+        if (tot(node >> 1) > thr) frozen += ((node, c))
+      }
+      cur = next
+      lvl -= 1
+    }
+    (frozen ++ cur.toSeq).iterator
+  }
+
+  /** Distributed canonical q-digest build from exact leaf counts
+    * (`leaf`: (v, cnt)). Two stages, two tiny shuffles: stage 1
+    * compresses each of the 32 value-range subtrees independently
+    * (per-partition imperative logic — the one case the DataFrame API
+    * genuinely can't express level-synchronous tree folding without 24
+    * chained shuffles); stage 2 funnels the ≤ O(k) surviving rows to
+    * one task and finishes the top 5 levels. The only corpus-scale
+    * work is the map-side-combinable leaf groupBy the caller already
+    * did — compression input is bounded by the 2^24 universe, not the
+    * corpus, so the build is constant-cost at 100 TB. Per-shard
+    * digests from this builder merge by nodewise count addition +
+    * recompression (same function), which is how the sketch would ship
+    * per-partition summaries on a real cluster.
+    */
+  private[graft] def qdigestOf(leaf: DataFrame, thr: Long): DataFrame = {
+    val s = leaf.sparkSession
+    import s.implicits._
+    val U = QdUniverseBits; val B = QdSubtreeBits
+    val leaves = leaf
+      .select((col("v") + lit(1L << U)).as("node"),
+        col("cnt").cast("long").as("cnt"))
+      .as[(Long, Long)]
+    val stage1 = leaves.groupByKey(_._1 >> (U - B))
+      .flatMapGroups((_: Long, it: Iterator[(Long, Long)]) =>
+        qdCompress(it, U, B, thr))
+    val stage2 = stage1.groupByKey(_ => 0L)
+      .flatMapGroups { (_: Long, it: Iterator[(Long, Long)]) =>
+        val (froz, res) = it.toSeq.partition(t =>
+          63 - java.lang.Long.numberOfLeadingZeros(t._1) > B)
+        froz.iterator ++ qdCompress(res.iterator, B, 0, thr)
+      }
+    stage2.toDF("node", "cnt")
+  }
+
+  // q259 — mergeable bounded-state QUANTILE sketch: the sketch family
+  // here covers cardinality (KMV q48, HLL q134), frequency (CMS q83),
+  // membership (Bloom q84), and set reconciliation (IBLT q237), but
+  // had no quantile member — q57/q152 answer quantiles EXACTLY via a
+  // global sort/rank, which is a corpus-sized shuffle, not a mergeable
+  // summary a 1000-executor scan can fold map-side. q-digest is the
+  // deterministic, order-independent quantile sketch (unlike KLL /
+  // t-digest, whose randomized/merge-order-dependent state cannot be
+  // cross-checked bit-for-bit), so the oracle verifies the DIGEST
+  // itself, not just a derived answer. Output per requested percentile:
+  // the digest's answer, the exact answer, and the realized rank error
+  // next to the ε·n = (U/k)·n guarantee.
+  private def q259(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val U = QdUniverseBits
+    val vals = lineitem(s, d)
+      .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("v"))
+    // ndv-bounded (≤ 2^24 by the universe, ~600k at sf0.1) — checkpoint
+    // once, feeds the digest build, the exact answers, and the audit
+    val leaf = vals.groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    // 1-row bounded driver read (the q41/q87/q257 class)
+    val n = leaf.agg(sum(col("cnt")).cast("long")).first().getLong(0)
+    val thr = math.max(n / QdK, 1L)
+    val digest = qdigestOf(leaf, thr)
+    // node → covered value range [lo, hi]
+    val rng = digest
+      .withColumn("lvl", (length(bin(col("node"))) - 1).cast("int"))
+      .withColumn("lo",
+        expr(s"(node - shiftleft(1L, lvl)) * shiftleft(1L, $U - lvl)"))
+      .withColumn("hi", expr(s"lo + shiftleft(1L, $U - lvl) - 1"))
+    // quantile from the digest: scan nodes by (hi, lo), first node
+    // whose cumulative count reaches the target rank answers with its
+    // upper bound. Single-partition window over the ≤ 3k-node digest.
+    val wcum = Window.orderBy(col("hi"), col("lo"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = rng.withColumn("cum", sum(col("cnt")).over(wcum))
+    val tgt = QdPcts.toDF("pct")
+      .select(col("pct"),
+        greatest(expr(s"(pct * ${n}L + 99) DIV 100"), lit(1L)).as("target_rank"))
+    val est = cum.crossJoin(broadcast(tgt))
+      .where(col("cum") >= col("target_rank"))
+      .groupBy(col("pct"), col("target_rank"))
+      .agg(min(col("hi")).as("est_cents"))
+    // exact answers from the leaf cumulative — ndv-bounded, never a
+    // corpus-wide sort (the audit half stays universe-bounded too)
+    val wleaf = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val leafCum = leaf.withColumn("cumv", sum(col("cnt")).over(wleaf))
+    val exact = leafCum.crossJoin(broadcast(tgt))
+      .where(col("cumv") >= col("target_rank"))
+      .groupBy(col("pct")).agg(min(col("v")).as("exact_cents"))
+    // realized rank error: rank(est) − target ≥ 0 by the digest scan
+    val below = leaf.crossJoin(broadcast(est))
+      .where(col("v") <= col("est_cents"))
+      .groupBy(col("pct")).agg(sum(col("cnt")).cast("long").as("n_le_est"))
+    val dn = digest.agg(count(lit(1)).as("digest_nodes"))
+    est
+      .join(exact, Seq("pct"))
+      .join(below, Seq("pct"))
+      .crossJoin(broadcast(dn))
+      .select(col("pct"), col("target_rank"), col("est_cents"),
+        col("exact_cents"),
+        (col("n_le_est") - col("target_rank")).as("rank_err"),
+        col("digest_nodes"), lit(n).as("n_vals"))
+      .orderBy(col("pct"))
+  }
+
+  private val q259Sql = {
+    val U = QdUniverseBits
+    // the 24 compression levels as chained MATERIALIZED CTEs (the q257
+    // rule: every member referenced more than once must materialize)
+    def lev(k: Int): Seq[String] = Seq(
+      s"""g$k AS MATERIALIZED (
+        |  SELECT node // 2 AS pnode, CAST(sum(cnt) AS BIGINT) AS tot
+        |  FROM l$k GROUP BY 1)""".stripMargin,
+      s"""f$k AS MATERIALIZED (
+        |  SELECT l.node, l.cnt FROM l$k l
+        |  JOIN g$k g ON l.node // 2 = g.pnode
+        |  WHERE g.tot > (SELECT thr FROM t))""".stripMargin,
+      s"""l${k - 1} AS MATERIALIZED (
+        |  SELECT pnode AS node, tot AS cnt FROM g$k
+        |  WHERE tot <= (SELECT thr FROM t))""".stripMargin)
+    val digAll = ((U to 1 by -1).map(k => s"SELECT node, cnt FROM f$k") :+
+      "SELECT node, cnt FROM l0").mkString(" UNION ALL ")
+    s"""WITH leaf AS MATERIALIZED (
+      |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM lineitem GROUP BY 1),
+      |t AS MATERIALIZED (
+      |  SELECT greatest(CAST(sum(cnt) AS BIGINT) // $QdK, 1) AS thr,
+      |    CAST(sum(cnt) AS BIGINT) AS n FROM leaf),
+      |l$U AS MATERIALIZED (
+      |  SELECT v + (1::BIGINT << $U) AS node, cnt FROM leaf),
+      |${(U to 1 by -1).flatMap(lev).mkString(",\n")},
+      |dig AS MATERIALIZED ($digAll),
+      |rng AS (
+      |  SELECT node, cnt, length(printf('%b', node)) - 1 AS lvl FROM dig),
+      |rng2 AS (
+      |  SELECT node, cnt,
+      |    (node - (1::BIGINT << lvl)) * (1::BIGINT << ($U - lvl)) AS lo,
+      |    (node - (1::BIGINT << lvl)) * (1::BIGINT << ($U - lvl))
+      |      + (1::BIGINT << ($U - lvl)) - 1 AS hi
+      |  FROM rng),
+      |cum AS MATERIALIZED (
+      |  SELECT hi, lo, cnt,
+      |    sum(cnt) OVER (ORDER BY hi, lo ROWS UNBOUNDED PRECEDING) AS cm
+      |  FROM rng2),
+      |tgt AS MATERIALIZED (
+      |  SELECT CAST(pct AS BIGINT) AS pct,
+      |    greatest((pct * (SELECT n FROM t) + 99) // 100, 1) AS target_rank
+      |  FROM (SELECT unnest([${QdPcts.mkString(", ")}]) AS pct)),
+      |est AS MATERIALIZED (
+      |  SELECT pct, target_rank, min(hi) AS est_cents
+      |  FROM cum, tgt WHERE cm >= target_rank GROUP BY 1, 2),
+      |lc AS (
+      |  SELECT v, sum(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cumv
+      |  FROM leaf),
+      |ex AS (
+      |  SELECT pct, min(v) AS exact_cents
+      |  FROM lc, tgt WHERE cumv >= target_rank GROUP BY 1),
+      |ble AS (
+      |  SELECT e.pct, CAST(sum(cnt) AS BIGINT) AS n_le_est
+      |  FROM est e, leaf WHERE v <= e.est_cents GROUP BY 1),
+      |dn AS (SELECT CAST(count(*) AS BIGINT) AS digest_nodes FROM dig)
+      |SELECT e.pct, e.target_rank, e.est_cents, x.exact_cents,
+      |  b.n_le_est - e.target_rank AS rank_err,
+      |  (SELECT digest_nodes FROM dn) AS digest_nodes,
+      |  (SELECT n FROM t) AS n_vals
+      |FROM est e JOIN ex x USING (pct) JOIN ble b ON b.pct = e.pct
+      |ORDER BY pct""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q83_cms_heavy_hitters", q83, Some(q83Sql)),
     Q("q84_bloom_semi_join", q84, Some(q84Sql)),
@@ -533,5 +757,6 @@ object Sketches {
     Q("q148_hll_sliding", q148, Some(q148Sql)),
     Q("q192_sliding_distinct_exact", q192, Some(q192Sql)),
     Q("q239_hll_overlap", q239, Some(q239Sql)),
+    Q("q259_qdigest_quantiles", q259, Some(q259Sql)),
   )
 }
