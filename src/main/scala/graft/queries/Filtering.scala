@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables._
@@ -581,6 +581,196 @@ object Filtering {
       |FROM g""".stripMargin
   }
 
+  // ---- q260: isotonic calibration (least-squares monotone fit) ----------
+
+  /** Calibration grid: the cheap score is bucketed to ≤ CalibBins + 1
+    * distinct values before fitting, so the fit state is
+    * DATA-INDEPENDENT in size (production calibrators bin for exactly
+    * this reason) and the m² pairwise-slope hull test below is
+    * constant-cost at any corpus scale.
+    */
+  val CalibBins = 1024L
+
+  /** 2^80 as a decimal literal: the slope-key scale. Two distinct
+    * slopes (dS/dN, both ≤ 1, dN ≤ #docs) differ by ≥ 1/dN² > 2^-80
+    * for any corpus under 2^40 documents, so floor(dS·2^80/dN) is an
+    * order-isomorphic INTEGER key for exact slope comparisons — no
+    * float ever enters the fit.
+    */
+  val SlopeScale = "1208925819614629174706176"
+
+  /** Exact floor(num·2^80 / den) on nonnegative integer-valued columns,
+    * staged through DECIMAL(38,0) (the HUGEINT-headroom rule): the
+    * product tops out at 2^40·2^80 = 2^120 < 10^38, and subtracting
+    * the remainder first makes the decimal division exact.
+    */
+  private def slopeKey(num: Column, den: Column): Column = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val p = num.cast(d38) * lit(SlopeScale).cast(d38)
+    ((p - p % den.cast(d38)) / den.cast(d38)).cast(d38)
+  }
+
+  /** Least-squares isotonic (monotone non-decreasing) fit of s/n over
+    * blocks (x, n, s), one declarative shot: the fitted curve is the
+    * left derivative of the GREATEST CONVEX MINORANT of the cumulative
+    * sum diagram (N_i, S_i) (Barlow et al. 1972 — the geometry behind
+    * pool-adjacent-violators), and a CSD point is a hull vertex iff
+    * max(incoming slope) ≤ min(outgoing slope) over ALL pairs — an m²
+    * self-join with exact integer slope keys, with no iteration and no
+    * convergence question (a round-based parallel PAV needs O(m)
+    * rounds on adversarial "zipper" inputs; this needs one pass).
+    * Returns (x, n, s, yhat_fp) per input block, yhat in 2^20 fixed
+    * point; fitted values are the unique isotonic-L2 minimizer, so any
+    * correct implementation (e.g. DuckDB replaying the same geometry)
+    * matches bit-for-bit.
+    */
+  private[graft] def isotonicFit(blocks: DataFrame): DataFrame = {
+    val w = Window.orderBy(col("x"))
+    val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // CSD points P_i = (N_i, S_i), plus the origin P_0 — grid-bounded
+    // (≤ CalibBins + 2 rows), so the single-partition windows and the
+    // m² pair join below are constant-cost regardless of corpus size
+    val pts = blocks
+      .select(col("x"), col("n"), col("s"),
+        row_number().over(w).as("i"),
+        sum(col("n")).over(wc).as("cn"),
+        sum(col("s")).over(wc).as("cs"))
+      .localCheckpoint()
+    val csd = pts.select(col("i"), col("cn"), col("cs"))
+      .unionAll(pts.sparkSession.range(1)
+        .select(lit(0).as("i"), lit(0L).as("cn"), lit(0L).as("cs")))
+    val pairs = csd.as("a").join(csd.as("b"), col("a.i") < col("b.i"))
+      .select(col("a.i").as("i"), col("b.i").as("k"),
+        slopeKey(col("b.cs") - col("a.cs"), col("b.cn") - col("a.cn"))
+          .as("key"))
+      .localCheckpoint()
+    val bmax = pairs.groupBy(col("k").as("t")).agg(max(col("key")).as("bmax"))
+    val amin = pairs.groupBy(col("i").as("t")).agg(min(col("key")).as("amin"))
+    // hull vertex ⟺ steepest incoming ≤ shallowest outgoing; the two
+    // endpoints (no incoming / no outgoing side) are always vertices
+    val verts = csd
+      .join(bmax, col("i") === col("t"), "left").drop("t")
+      .join(amin, col("i") === col("t"), "left").drop("t")
+      .where(coalesce(col("bmax") <= col("amin"), lit(true)))
+      .select(col("i").as("vi"), col("cn").as("vn"), col("cs").as("vs"))
+    val wv = Window.orderBy(col("vi"))
+    val segs = verts
+      .select(col("vi"), col("vn"), col("vs"),
+        lead(col("vi"), 1).over(wv).as("vi2"),
+        lead(col("vn"), 1).over(wv).as("vn2"),
+        lead(col("vs"), 1).over(wv).as("vs2"))
+      .where(col("vi2").isNotNull)
+    // every block index t falls in exactly one hull segment (vi, vi2];
+    // its fitted value is that segment's slope
+    pts.join(broadcast(segs),
+        col("i") > col("vi") && col("i") <= col("vi2"))
+      .select(col("x"), col("n"), col("s"),
+        expr("CAST(CAST(vs2 - vs AS DECIMAL(38,0)) * 1048576 DIV (vn2 - vn) AS BIGINT)")
+          .as("yhat_fp"))
+  }
+
+  // q260 — ISOTONIC calibration: fit the best monotone non-decreasing
+  // map from q172's cheap quality score to its expensive gate outcome.
+  // q172 only bins the score into deciles and reports raw rates — a
+  // reliability DIAGRAM; the isotonic fit (Ayer et al. 1955; Zadrozny
+  // & Elkan 2002; what Spark MLlib's IsotonicRegression computes) is
+  // the least-squares MONOTONE curve — the thing you can actually
+  // threshold to replace the expensive gate. Exact integer arithmetic
+  // throughout: scores quantized to a 1024-bin grid, slope tests on
+  // scaled-integer keys, fitted means emitted in 2^20 fixed point.
+  //
+  // Scale shape: the corpus-sized work is ONE scan into the per-bin
+  // block aggregate (map-side combinable groupBy); the fit then runs
+  // on grid-bounded state (≤ 1026 CSD points → ≤ ~526k slope pairs),
+  // constant at any corpus size — the same grid-bounded argument as
+  // the q-digest compression and the IBLT cell table.
+  private def q260(s: SparkSession, d: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val base = documents(s, d)
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_words"),
+        aggregate(col("toks"), lit(0L), (a, x) => a + length(x)).as("sum_chars"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+        Stopwords.map(w => array_contains(col("toks"), w)).reduce(_ && _)
+          .cast("long").as("stop_ok"))
+      .select(
+        expr(s"""CASE WHEN n_words BETWEEN 20 AND 1000
+               |  THEN (n_distinct * 1048576 DIV n_words) DIV $CalibBins
+               |  ELSE 0 END""".stripMargin).as("x"),
+        ((col("n_words") >= MinWords && col("n_words") <= MaxWords) &&
+          (col("sum_chars") * 10 >= col("n_words") * MinMeanLenTenths &&
+            col("sum_chars") * 10 <= col("n_words") * MaxMeanLenTenths) &&
+          col("stop_ok") === 1 &&
+          ((col("n_words") - col("n_distinct")) * 10 <=
+            col("n_words") * MaxDupFracTenths)).cast("long").as("y"))
+    val blocks = base.groupBy(col("x"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("s"))
+    isotonicFit(blocks)
+      .select(col("x").as("x_bin"), col("n").as("n_docs"),
+        col("s").as("n_pos"), col("yhat_fp"))
+      .orderBy(col("x_bin"))
+  }
+
+  private val q260Sql = {
+    val toks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+    val stopPred = Stopwords.map(w => s"list_contains(toks, '$w')")
+      .mkString(" AND ")
+    s"""WITH t AS (
+      |  SELECT doc_id, len(toks) AS n_words,
+      |    CAST(coalesce(list_sum(list_transform(toks, x -> len(x))), 0)
+      |      AS BIGINT) AS sum_chars,
+      |    len(list_distinct(toks)) AS n_distinct,
+      |    CASE WHEN $stopPred THEN 1 ELSE 0 END AS stop_ok
+      |  FROM (SELECT doc_id, $toks AS toks FROM documents) t0),
+      |xy AS (
+      |  SELECT CASE WHEN n_words BETWEEN 20 AND 1000
+      |      THEN (n_distinct * 1048576 // n_words) // $CalibBins
+      |      ELSE 0 END AS x,
+      |    CASE WHEN n_words BETWEEN $MinWords AND $MaxWords
+      |      AND sum_chars * 10 >= n_words * $MinMeanLenTenths
+      |      AND sum_chars * 10 <= n_words * $MaxMeanLenTenths
+      |      AND stop_ok = 1
+      |      AND (n_words - n_distinct) * 10 <= n_words * $MaxDupFracTenths
+      |      THEN 1 ELSE 0 END AS y
+      |  FROM t),
+      |blocks AS MATERIALIZED (
+      |  SELECT x, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS s
+      |  FROM xy GROUP BY x),
+      |pts AS MATERIALIZED (
+      |  SELECT x, n, s, row_number() OVER (ORDER BY x) AS i,
+      |    sum(n) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS cn,
+      |    sum(s) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS cs
+      |  FROM blocks),
+      |csd AS MATERIALIZED (
+      |  SELECT i, CAST(cn AS BIGINT) AS cn, CAST(cs AS BIGINT) AS cs FROM pts
+      |  UNION ALL SELECT 0, 0, 0),
+      |pairs AS MATERIALIZED (
+      |  SELECT a.i AS i, b.i AS k,
+      |    CAST(b.cs - a.cs AS HUGEINT) * $SlopeScale::HUGEINT
+      |      // CAST(b.cn - a.cn AS HUGEINT) AS key
+      |  FROM csd a JOIN csd b ON a.i < b.i),
+      |bm AS (SELECT k AS t, max(key) AS bmax FROM pairs GROUP BY 1),
+      |am AS (SELECT i AS t, min(key) AS amin FROM pairs GROUP BY 1),
+      |verts AS MATERIALIZED (
+      |  SELECT c.i AS vi, c.cn AS vn, c.cs AS vs
+      |  FROM csd c
+      |  LEFT JOIN bm ON bm.t = c.i
+      |  LEFT JOIN am ON am.t = c.i
+      |  WHERE coalesce(bmax <= amin, true)),
+      |segs AS MATERIALIZED (
+      |  SELECT vi, vn, vs,
+      |    lead(vi) OVER (ORDER BY vi) AS vi2,
+      |    lead(vn) OVER (ORDER BY vi) AS vn2,
+      |    lead(vs) OVER (ORDER BY vi) AS vs2
+      |  FROM verts)
+      |SELECT p.x AS x_bin, p.n AS n_docs, p.s AS n_pos,
+      |  CAST(CAST(g.vs2 - g.vs AS HUGEINT) * 1048576 // (g.vn2 - g.vn)
+      |    AS BIGINT) AS yhat_fp
+      |FROM pts p JOIN segs g ON p.i > g.vi AND p.i <= g.vi2
+      |ORDER BY x_bin""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q111_blocklist_filter", q111, Some(q111Sql)),
     Q("q113_gopher_rules", q113, Some(q113Sql)),
@@ -589,5 +779,6 @@ object Filtering {
     Q("q176_drift_monitor", q176, Some(q176Sql)),
     Q("q215_conformal_gate", q215, Some(q215Sql)),
     Q("q228_gate_stack", q228, Some(q228Sql)),
+    Q("q260_isotonic_calibration", q260, Some(q260Sql)),
   )
 }
