@@ -750,6 +750,93 @@ object Sketches {
       |ORDER BY pct""".stripMargin
   }
 
+  // ---- q261: AMS / Tug-of-War F2 (self-join size) sketch ----------------
+
+  /** Independent estimator rows (median taken across them) and buckets
+    * per row (the Thorup-Zhang / Count-Sketch refinement of AMS'96:
+    * est_j = Σ_b Z_{j,b}², which shrinks the variance by the bucket
+    * count without changing the state size). 9×64 = 576 cells TOTAL —
+    * the whole sketch state regardless of stream length; per-row
+    * relative std ≈ √(2/64) ≈ 18%, tightened by the median across rows.
+    */
+  val AmsRows = 9
+  val AmsBuckets = 64L
+
+  // q261 — SECOND FREQUENCY MOMENT sketch: F2 = Σ_u f_u² of the
+  // events-per-user vector, i.e. the SELF-JOIN SIZE / skew mass a
+  // planner needs before committing to a join strategy. q164 computes
+  // join sizes EXACTLY by shuffling per-key count tables; AMS answers
+  // from 144 integers that fold map-side (each partition sketches its
+  // slice; cells add) — the moment member the sketch family here
+  // (cardinality q48/q134, frequency q83, membership q84, quantiles
+  // q259, reconciliation q237) was missing. One md5-backed hash per
+  // (event, row) supplies bucket (low 4 bits) and sign (bit 4) — the
+  // hash computed ONCE per slot, never inlined twice (the round-11
+  // CSE lesson); md5 stands in for the 4-wise family so DuckDB can
+  // replay the sketch bit-for-bit. Output per estimator row: its
+  // estimate, the exact F2, the median estimate, and the signed
+  // relative error in 2^20 fixed point.
+  //
+  // Scale shape: the sketch side shuffles 144 rows after map-side
+  // partial aggregation — no per-user state AT ALL (the exact side's
+  // per-user groupBy is the audit, not the sketch path). Squares and
+  // error terms stage through DECIMAL(38,0)/HUGEINT: Z ≤ stream
+  // length, so Z² passes 2^63 beyond ~3e9 events.
+  private def q261(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = events(s, d).select(col("user_id"))
+    val cells = ev
+      .select(explode(expr(s"sequence(0, ${AmsRows - 1})")).as("j"),
+        col("user_id"))
+      .select(col("j"),
+        hash60(concat(col("user_id").cast("string"), lit("#"),
+          col("j").cast("string"))).as("h"))
+      .select(col("j"), (col("h") % AmsBuckets).as("b"),
+        (lit(1L) - lit(2L) * expr(s"(h DIV $AmsBuckets) % 2")).as("sign"))
+      .groupBy(col("j"), col("b"))
+      .agg(sum(col("sign")).as("z"))
+    val estj = cells.groupBy(col("j"))
+      .agg(expr("CAST(sum(CAST(z AS DECIMAL(38,0)) * z) AS BIGINT)").as("est"))
+      .withColumn("rn", row_number().over(Window.orderBy(col("est"), col("j"))))
+    val ex = ev.groupBy(col("user_id")).agg(count(lit(1)).as("f"))
+      .agg(expr("CAST(sum(CAST(f AS DECIMAL(38,0)) * f) AS BIGINT)")
+        .as("exact_f2"))
+    val med = estj.where(col("rn") === (AmsRows + 1) / 2)
+      .select(col("est").as("median_est"))
+    estj.crossJoin(broadcast(ex)).crossJoin(broadcast(med))
+      .select(col("j").cast("long").as("j"), col("est"), col("exact_f2"),
+        col("median_est"),
+        expr("""CAST(CAST(median_est - exact_f2 AS DECIMAL(38,0)) * 1048576
+               |  DIV exact_f2 AS BIGINT)""".stripMargin).as("err_fp"))
+      .orderBy(col("j"))
+  }
+
+  private val q261Sql =
+    s"""WITH ev AS (SELECT user_id FROM events),
+      |cells AS MATERIALIZED (
+      |  SELECT j, h % $AmsBuckets AS b,
+      |    CAST(sum(1 - 2 * ((h // $AmsBuckets) % 2)) AS BIGINT) AS z
+      |  FROM (
+      |    SELECT j,
+      |      ('0x'||substr(md5(user_id::VARCHAR || '#' || j::VARCHAR),1,15))::BIGINT
+      |        AS h
+      |    FROM ev, (SELECT unnest(range(0, $AmsRows)) AS j))
+      |  GROUP BY 1, 2),
+      |estj AS MATERIALIZED (
+      |  SELECT j, CAST(sum(CAST(z AS HUGEINT) * z) AS BIGINT) AS est
+      |  FROM cells GROUP BY j),
+      |rk AS MATERIALIZED (
+      |  SELECT j, est, row_number() OVER (ORDER BY est, j) AS rn FROM estj),
+      |ex AS MATERIALIZED (
+      |  SELECT CAST(sum(CAST(f AS HUGEINT) * f) AS BIGINT) AS exact_f2
+      |  FROM (SELECT count(*) AS f FROM ev GROUP BY user_id)),
+      |med AS (SELECT est AS median_est FROM rk WHERE rn = ${(AmsRows + 1) / 2})
+      |SELECT CAST(r.j AS BIGINT) AS j, r.est, x.exact_f2, m.median_est,
+      |  CAST(CAST(m.median_est - x.exact_f2 AS HUGEINT) * 1048576
+      |    // x.exact_f2 AS BIGINT) AS err_fp
+      |FROM rk r, ex x, med m
+      |ORDER BY j""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q83_cms_heavy_hitters", q83, Some(q83Sql)),
     Q("q84_bloom_semi_join", q84, Some(q84Sql)),
@@ -758,5 +845,6 @@ object Sketches {
     Q("q192_sliding_distinct_exact", q192, Some(q192Sql)),
     Q("q239_hll_overlap", q239, Some(q239Sql)),
     Q("q259_qdigest_quantiles", q259, Some(q259Sql)),
+    Q("q261_ams_f2", q261, Some(q261Sql)),
   )
 }
