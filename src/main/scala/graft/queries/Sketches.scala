@@ -628,6 +628,15 @@ object Sketches {
   // itself, not just a derived answer. Output per requested percentile:
   // the digest's answer, the exact answer, and the realized rank error
   // next to the ε·n = (U/k)·n guarantee.
+  /** The q-digest's LIVE state: exact leaf counts per universe value —
+    * a pure aggregate, so Structured Streaming maintains it
+    * incrementally with the same code path as batch (the
+    * StreamingSketchSpec convention); compression is a pure function
+    * of this state, run on demand against any snapshot.
+    */
+  def qdLeafCounts(vals: DataFrame): DataFrame =
+    vals.groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+
   private def q259(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import s.implicits._
@@ -636,8 +645,7 @@ object Sketches {
       .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("v"))
     // ndv-bounded (≤ 2^24 by the universe, ~600k at sf0.1) — checkpoint
     // once, feeds the digest build, the exact answers, and the audit
-    val leaf = vals.groupBy(col("v")).agg(count(lit(1)).as("cnt"))
-      .localCheckpoint()
+    val leaf = qdLeafCounts(vals).localCheckpoint()
     // 1-row bounded driver read (the q41/q87/q257 class)
     val n = leaf.agg(sum(col("cnt")).cast("long")).first().getLong(0)
     val thr = math.max(n / QdK, 1L)
@@ -782,10 +790,13 @@ object Sketches {
   // per-user groupBy is the audit, not the sketch path). Squares and
   // error terms stage through DECIMAL(38,0)/HUGEINT: Z ≤ stream
   // length, so Z² passes 2^63 beyond ~3e9 events.
-  private def q261(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val ev = events(s, d).select(col("user_id"))
-    val cells = ev
+  /** The AMS sketch's LIVE state: 9×64 signed cell sums over a
+    * `user_id` stream — a pure aggregate (map-side combinable in
+    * batch, incrementally maintained by Structured Streaming in
+    * complete mode; StreamingSketchSpec pins stream ≡ batch).
+    */
+  def amsCellsOf(ev: DataFrame): DataFrame =
+    ev
       .select(explode(expr(s"sequence(0, ${AmsRows - 1})")).as("j"),
         col("user_id"))
       .select(col("j"),
@@ -795,6 +806,11 @@ object Sketches {
         (lit(1L) - lit(2L) * expr(s"(h DIV $AmsBuckets) % 2")).as("sign"))
       .groupBy(col("j"), col("b"))
       .agg(sum(col("sign")).as("z"))
+
+  private def q261(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = events(s, d).select(col("user_id"))
+    val cells = amsCellsOf(ev)
     val estj = cells.groupBy(col("j"))
       .agg(expr("CAST(sum(CAST(z AS DECIMAL(38,0)) * z) AS BIGINT)").as("est"))
       .withColumn("rn", row_number().over(Window.orderBy(col("est"), col("j"))))

@@ -55,4 +55,42 @@ class StreamingSketchSpec extends SparkSpec {
     assert(decoded == Seq(("a_only", 50L), ("a_only", 99L), ("b_only", 901L)),
       s"got $decoded")
   }
+
+  test("streaming q-digest leaf counts compress to the batch digest") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[Long]
+    val leaves = Sketches.qdLeafCounts(in.toDF().select(col("value").as("v")))
+    val q = leaves.writeStream.format("memory").queryName("qdleaves")
+      .outputMode("complete").trigger(Trigger.AvailableNow())
+    val vals = (1L to 500L).map(i => (i * i) % 4096)
+    in.addData(vals.take(200))
+    val h1 = q.start(); h1.awaitTermination()
+    in.addData(vals.drop(200))
+    val h2 = q.start(); h2.awaitTermination()
+    val thr = math.max(vals.length / Sketches.QdK, 1L)
+    val streamDigest = Sketches.qdigestOf(spark.table("qdleaves"), thr)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batchDigest = Sketches.qdigestOf(
+      Sketches.qdLeafCounts(vals.toDF("v")), thr)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamDigest == batchDigest && streamDigest.nonEmpty)
+  }
+
+  test("streaming AMS cells equal the batch sketch over all batches") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[Long]
+    val cells = Sketches.amsCellsOf(in.toDF().select(col("value").as("user_id")))
+    val q = cells.writeStream.format("memory").queryName("amscells")
+      .outputMode("complete").trigger(Trigger.AvailableNow())
+    val users = (1L to 600L).map(i => i % 37)
+    in.addData(users.take(250))
+    val h1 = q.start(); h1.awaitTermination()
+    in.addData(users.drop(250))
+    val h2 = q.start(); h2.awaitTermination()
+    val got = spark.table("amscells").collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val batch = Sketches.amsCellsOf(users.toDF("user_id"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == batch && got.values.exists(_ != 0L))
+  }
 }
