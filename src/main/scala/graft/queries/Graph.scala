@@ -1006,6 +1006,134 @@ object Graph {
       |ORDER BY step""".stripMargin
   }
 
+  // ---- q262: sampled bounded-hop betweenness (Brandes) ------------------
+
+  /** Forward/backward horizon. Bounded-radius betweenness
+    * (k-betweenness) is the published scalable variant: on this
+    * bipartite graph 3 hops spans supplier → part → co-supplier →
+    * part, the paths a brokerage measure cares about.
+    */
+  val BcHops = 3
+
+  // q262 — BETWEENNESS centrality, the one classic centrality the
+  // graph suite (q117 PageRank, q137 triangles, q157 k-core, q205
+  // BFS, q208 SSSP, q248 modularity, q255 HyperBall) was missing:
+  // which nodes sit ON the shortest paths between others — brokerage,
+  // not popularity. Exact all-pairs Brandes is O(V·E); the published
+  // scale path is SAMPLED sources (Brandes & Pich 2007) with a
+  // bounded radius (k-betweenness), both applied here: the q205 seed
+  // rule samples the sources, all sources run SIMULTANEOUSLY as one
+  // keyed frame (key = (source, node)), and the backward dependency
+  // accumulation δ(v) = Σ_succ σ_v/σ_w·(1+δ(w)) runs level-by-level
+  // in 2^20 fixed point with per-term integer DIV — deterministic in
+  // both engines, no float summation order anywhere.
+  //
+  // Scale shape: per level ONE equi-join frontier⋈edges plus a
+  // map-side-combinable (source, node) aggregate — work is
+  // O(S · E · H) for S sampled sources, the sampling knob that keeps
+  // the estimator linear in edges at any graph size; σ/δ products
+  // stage through DECIMAL(38,0)/HUGEINT (σ path counts multiply along
+  // levels). Each level's frontier is localCheckpointed once: it
+  // feeds the next level, the visited set, and the backward pass (the
+  // q247 rule).
+  private def q262(s: SparkSession, d: String): DataFrame = {
+    val e0 = lineitem(s, d)
+      .select((col("l_partkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    val ee = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    val seeds = supplier(s, d).filter(col("s_suppkey") % 10 === 0)
+      .select((col("s_suppkey") * 2 + 1).as("id"))
+    val f0 = seeds
+      .select(col("id").as("s"), col("id").as("v"), lit(1L).as("sigma"))
+      .localCheckpoint()
+    val levels = scala.collection.mutable.ArrayBuffer[DataFrame](f0)
+    var visited = f0.select(col("s"), col("v"))
+    for (_ <- 1 to BcHops) {
+      val cand = levels.last.join(ee, col("v") === col("src"))
+        .groupBy(col("s"), col("dst"))
+        .agg(sum(col("sigma")).as("sigma"))
+        .withColumnRenamed("dst", "v")
+      val next = cand.join(visited, Seq("s", "v"), "left_anti")
+        .localCheckpoint()
+      levels += next
+      visited = visited.unionAll(next.select(col("s"), col("v")))
+    }
+    // backward dependency accumulation, deepest level first (δ = 0 there)
+    var delta = levels(BcHops)
+      .select(col("s"), col("v"), col("sigma"), lit(0L).as("delta"))
+    val deps = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    for (h <- (BcHops - 1) to 1 by -1) {
+      val terms = levels(h).join(ee, col("v") === col("src"))
+        .select(col("s"), col("v"), col("sigma").as("sv"), col("dst").as("w"))
+        .join(delta.select(col("s"), col("v").as("w"),
+          col("sigma").as("sw"), col("delta").as("dw")), Seq("s", "w"))
+        .select(col("s"), col("v"), expr(
+          "CAST(CAST(sv AS DECIMAL(38,0)) * (1048576 + dw) DIV sw AS BIGINT)")
+          .as("term"))
+        .groupBy(col("s"), col("v")).agg(sum(col("term")).as("dep"))
+      val dh = levels(h).join(terms, Seq("s", "v"), "left")
+        .select(col("s"), col("v"), col("sigma"),
+          coalesce(col("dep"), lit(0L)).as("delta"))
+        .localCheckpoint()
+      deps += dh
+      delta = dh
+    }
+    deps.map(_.select(col("v"), col("delta"))).reduce(_ unionAll _)
+      .groupBy(col("v")).agg(sum(col("delta")).as("bc_fp"))
+      .where(col("bc_fp") > 0)
+      .select(
+        when(col("v") % 2 === 0, "part").otherwise("supplier").as("node_type"),
+        expr("v DIV 2").as("key"), col("bc_fp"))
+      .orderBy(col("bc_fp").desc, col("node_type"), col("key"))
+  }
+
+  private val q262Sql = {
+    def fwd(h: Int): Seq[String] = Seq(
+      s"""c$h AS (
+        |  SELECT f.s, ee.dst AS v, CAST(sum(f.sigma) AS BIGINT) AS sigma
+        |  FROM f${h - 1} f JOIN ee ON f.v = ee.src GROUP BY 1, 2)""".stripMargin,
+      s"""f$h AS MATERIALIZED (
+        |  SELECT c.s, c.v, c.sigma
+        |  FROM c$h c ANTI JOIN vis${h - 1} d ON d.s = c.s AND d.v = c.v)""".stripMargin,
+      s"""vis$h AS MATERIALIZED (
+        |  SELECT * FROM vis${h - 1} UNION ALL SELECT s, v FROM f$h)""".stripMargin)
+    def bwd(h: Int): Seq[String] = Seq(
+      s"""t$h AS (
+        |  SELECT f.s, f.v,
+        |    CAST(sum(CAST(f.sigma AS HUGEINT) * (1048576 + w.delta) // w.sigma)
+        |      AS BIGINT) AS dep
+        |  FROM f$h f JOIN ee ON f.v = ee.src
+        |  JOIN d${h + 1} w ON w.s = f.s AND w.v = ee.dst
+        |  GROUP BY 1, 2)""".stripMargin,
+      s"""d$h AS MATERIALIZED (
+        |  SELECT f.s, f.v, f.sigma, coalesce(t.dep, 0) AS delta
+        |  FROM f$h f LEFT JOIN t$h t ON t.s = f.s AND t.v = f.v)""".stripMargin)
+    s"""WITH e AS (
+      |  SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      |  FROM lineitem),
+      |ee AS MATERIALIZED (
+      |  SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+      |f0 AS MATERIALIZED (
+      |  SELECT s_suppkey * 2 + 1 AS s, s_suppkey * 2 + 1 AS v,
+      |    1::BIGINT AS sigma
+      |  FROM supplier WHERE s_suppkey % 10 = 0),
+      |vis0 AS (SELECT s, v FROM f0),
+      |${(1 to BcHops).flatMap(fwd).mkString(",\n")},
+      |d$BcHops AS (SELECT s, v, sigma, 0::BIGINT AS delta FROM f$BcHops),
+      |${((BcHops - 1) to 1 by -1).flatMap(bwd).mkString(",\n")}
+      |SELECT CASE WHEN v % 2 = 0 THEN 'part' ELSE 'supplier' END AS node_type,
+      |  v // 2 AS key, CAST(bc AS BIGINT) AS bc_fp
+      |FROM (
+      |  SELECT v, sum(delta) AS bc FROM (
+      |    ${((BcHops - 1) to 1 by -1).map(h => s"SELECT v, delta FROM d$h")
+             .mkString(" UNION ALL ")}) u
+      |  GROUP BY v)
+      |WHERE bc > 0
+      |ORDER BY bc_fp DESC, node_type, key""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q117_pagerank", q117, Some(q117Sql)),
     Q("q137_triangle_count", q137, Some(q137Sql)),
@@ -1018,5 +1146,6 @@ object Graph {
     Q("q248_modularity", q248, Some(q248Sql)),
     Q("q249_assortativity", q249, Some(q249Sql)),
     Q("q255_hyperball", q255, Some(q255Sql)),
+    Q("q262_betweenness", q262, Some(q262Sql)),
   )
 }
