@@ -1036,21 +1036,23 @@ object Graph {
   // levels). Each level's frontier is localCheckpointed once: it
   // feeds the next level, the visited set, and the backward pass (the
   // q247 rule).
-  private def q262(s: SparkSession, d: String): DataFrame = {
-    val e0 = lineitem(s, d)
-      .select((col("l_partkey") * 2).as("src"),
-        (col("l_suppkey") * 2 + 1).as("dst"))
-      .distinct()
+  /** Sampled-source, bounded-radius Brandes core: `e0` is one
+    * direction of the undirected edge list, `seeds` the sampled source
+    * ids (column `id`). Returns (v, bc_fp): Σ over sources of the
+    * dependency δ(v) in 2^20 fixed point, positive entries only.
+    * Extracted from q262 so BetweennessSpec can pin it against a
+    * sequential Brandes fold on a fixture graph.
+    */
+  private[graft] def betweennessOf(
+      e0: DataFrame, seeds: DataFrame, hops: Int): DataFrame = {
     val ee = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint()
-    val seeds = supplier(s, d).filter(col("s_suppkey") % 10 === 0)
-      .select((col("s_suppkey") * 2 + 1).as("id"))
     val f0 = seeds
       .select(col("id").as("s"), col("id").as("v"), lit(1L).as("sigma"))
       .localCheckpoint()
     val levels = scala.collection.mutable.ArrayBuffer[DataFrame](f0)
     var visited = f0.select(col("s"), col("v"))
-    for (_ <- 1 to BcHops) {
+    for (_ <- 1 to hops) {
       val cand = levels.last.join(ee, col("v") === col("src"))
         .groupBy(col("s"), col("dst"))
         .agg(sum(col("sigma")).as("sigma"))
@@ -1061,10 +1063,10 @@ object Graph {
       visited = visited.unionAll(next.select(col("s"), col("v")))
     }
     // backward dependency accumulation, deepest level first (δ = 0 there)
-    var delta = levels(BcHops)
+    var delta = levels(hops)
       .select(col("s"), col("v"), col("sigma"), lit(0L).as("delta"))
     val deps = scala.collection.mutable.ArrayBuffer[DataFrame]()
-    for (h <- (BcHops - 1) to 1 by -1) {
+    for (h <- (hops - 1) to 1 by -1) {
       val terms = levels(h).join(ee, col("v") === col("src"))
         .select(col("s"), col("v"), col("sigma").as("sv"), col("dst").as("w"))
         .join(delta.select(col("s"), col("v").as("w"),
@@ -1083,6 +1085,16 @@ object Graph {
     deps.map(_.select(col("v"), col("delta"))).reduce(_ unionAll _)
       .groupBy(col("v")).agg(sum(col("delta")).as("bc_fp"))
       .where(col("bc_fp") > 0)
+  }
+
+  private def q262(s: SparkSession, d: String): DataFrame = {
+    val e0 = lineitem(s, d)
+      .select((col("l_partkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    val seeds = supplier(s, d).filter(col("s_suppkey") % 10 === 0)
+      .select((col("s_suppkey") * 2 + 1).as("id"))
+    betweennessOf(e0, seeds, BcHops)
       .select(
         when(col("v") % 2 === 0, "part").otherwise("supplier").as("node_type"),
         expr("v DIV 2").as("key"), col("bc_fp"))

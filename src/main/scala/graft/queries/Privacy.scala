@@ -289,11 +289,84 @@ object Privacy {
       |FROM cum WHERE rk < m GROUP BY nk, seg
       |ORDER BY nationkey, mktsegment""".stripMargin
 
+  // q264 — differentially-private histogram RELEASE via the geometric
+  // mechanism (Ghosh, Roughgarden & Sundararajan 2009 — the universally
+  // optimal mechanism for counting queries). This completes what q207
+  // deliberately left out: q207 audits sensitivity and clips
+  // contributions; q264 adds the noise and emits the released counts.
+  // Cells are the (lang, source) counts over `documents` — disjoint
+  // cells, so parallel composition gives the whole histogram the same
+  // ε as one cell.
+  //
+  // α = 1/2 (ε = ln 2) is chosen because the two-sided geometric with
+  // a dyadic α has EXACTLY rational probabilities: truncated at
+  // |k| ≤ DpB, the distribution with weights 2^(DpB−|k|) per sign is
+  // sampled exactly by integer arithmetic on u ∈ [0, 3·2^DpB − 2) —
+  // magnitude = DpB + 1 − bitlen(2^DpB − 1 − m) recovers the geometric
+  // tail from the bit length (DpNoiseSpec pins the full histogram of
+  // the map against the closed-form weights). No float, no log: both
+  // engines produce bit-identical noise.
+  //
+  // u comes from a SEEDED portable hash of the cell key — this makes
+  // the release a deterministic test vector for the oracle compare; a
+  // production release swaps the seed for real entropy (that single
+  // line is the only nondeterminism a DP release needs, exactly the
+  // boundary q207's doc comment drew).
+  //
+  // Scale shape: one map-side-combined groupBy on the (lang, source)
+  // pair key; the noise is a per-cell scalar expression — nothing
+  // after the aggregate touches corpus-sized data.
+  val DpB = 20
+  /** u-range of the truncated sampler: 2^DpB central + 2·(2^DpB − 1). */
+  val DpT = 3L * (1L << DpB) - 2
+
+  private def q264(s: SparkSession, d: String): DataFrame = {
+    val half = 1L << DpB
+    graft.Tables.documents(s, d)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("u",
+        pmod(graft.functions.TextFns.hash60(
+          concat_ws("|", lit("dp-geom-1"), col("lang"), col("source"))),
+          lit(DpT)))
+      .withColumn("noise", expr(
+        s"""CASE WHEN u < $half THEN 0L ELSE
+           |  (1 - 2 * ((u - $half) % 2))
+           |  * ($DpB + 1 - length(bin($half - 1 - (u - $half) DIV 2)))
+           |END""".stripMargin))
+      .select(col("lang"), col("source"),
+        greatest(col("cnt") + col("noise"), lit(0L)).as("n_released"),
+        col("noise"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  private val q264Sql = {
+    val half = 1L << DpB
+    val u = s"(${graft.functions.TextFns.hash60Sql(
+      s"'dp-geom-1' || '|' || lang || '|' || source")} % $DpT + $DpT) % $DpT"
+    s"""WITH cells AS (
+      |  SELECT lang, source, count(*) AS cnt, $u AS u
+      |  FROM documents GROUP BY 1, 2),
+      |noised AS (
+      |  SELECT lang, source, cnt,
+      |    CASE WHEN u < $half THEN 0 ELSE
+      |      (1 - 2 * ((u - $half) % 2))
+      |      * ($DpB + 1 - length(bin($half - 1 - (u - $half) // 2)))
+      |    END AS noise
+      |  FROM cells)
+      |SELECT lang, source,
+      |  CAST(greatest(cnt + noise, 0) AS BIGINT) AS n_released,
+      |  CAST(noise AS BIGINT) AS noise
+      |FROM noised
+      |ORDER BY lang, source""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q186_k_anonymity", q186, Some(q186Sql)),
     Q("q187_incremental_agg", q187, Some(q187Sql)),
     Q("q207_dp_contribution", q207, Some(q207Sql)),
     Q("q251_recursive_ldiv", q251, Some(q251Sql)),
     Q("q252_t_closeness", q252, Some(q252Sql)),
+    Q("q264_dp_histogram", q264, Some(q264Sql)),
   )
 }

@@ -1,0 +1,183 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Preference aggregation — the model-eval surface of an LLM data
+  * pipeline: given pairwise "A beat B" comparisons (human preference
+  * labels, win/loss evals), fit a per-player strength so players can
+  * be ranked on a single scale even when no pair ever met directly.
+  * The reference (affo/ssp) has no comparable surface; this is
+  * beyond-reference capability, sibling to the calibration fit (q260:
+  * score → probability; here: comparisons → strengths).
+  *
+  * q263 — Bradley–Terry strength fit via Hunter's MM iteration
+  * (Hunter 2004, "MM algorithms for generalized Bradley-Terry
+  * models"): w_i ← W_i / Σ_j n_ij/(w_i + w_j), then rescale. The
+  * comparison corpus is derived deterministically from `documents`:
+  * each doc is matched against the docs at doc_id offsets +1 and +7
+  * (two equi-joins — at any corpus size this is two narrow shuffles
+  * of an (id, source, n_chars) projection, never an all-pairs
+  * surface), the longer doc wins (doc_id tiebreak, so no ties), and
+  * the PLAYERS are the 20 sources — "which source produces the
+  * content that wins head-to-head?". Offsets 1 and 7 make the
+  * comparison graph a circulant with two chord lengths: connected, so
+  * strengths are identifiable, but far from complete — exactly the
+  * sparse-comparison regime BT exists for.
+  *
+  * Everything runs in 2^20 fixed point with per-term truncating
+  * integer division and DECIMAL(38,0)/HUGEINT staging (the q262
+  * discipline), so Spark and DuckDB agree bit-for-bit: MM rounds are
+  * a FIXED budget (BtRounds, the PrIters convention) rather than a
+  * float convergence test. One pseudo-win per player (W_i + 1)
+  * regularizes zero-win players — the standard epsilon prior — and
+  * strengths are floored at 1 fixed-point ulp so the w_i + w_j
+  * denominators can never reach zero in either engine.
+  *
+  * Scale shape: ONE corpus projection feeds the two pair joins; all
+  * MM state is the |players|² games matrix and |players|-row strength
+  * vector — matrix-sized frames localCheckpointed per round (the q41
+  * k-means convention). The per-round normalization total is a 1-row
+  * broadcast (the q44/q75 pattern). At 100 TB the corpus cost is the
+  * two pair joins; the fit itself never touches the corpus again.
+  */
+object Ranking {
+
+  /** Fixed-point scale (2^20) shared with the SQL oracle. */
+  val BtScale = 1048576L
+
+  /** Fixed MM iteration budget (the q117 PrIters convention). */
+  val BtRounds = 8
+
+  /** doc_id offsets defining the deterministic comparison schedule. */
+  val BtOffsets = Seq(1, 7)
+
+  /** Bradley–Terry MM core over a comparison frame with columns
+    * (wsrc, lsrc): returns (i, n_games, n_wins, bt_fp). Extracted so
+    * RankingSpec can pin it against a sequential fold of the same
+    * fixed-point recurrence on a fixture schedule.
+    */
+  private[graft] def bradleyTerryOf(cmp0: DataFrame, rounds: Int): DataFrame = {
+    val cmp = cmp0.localCheckpoint()
+    val games = cmp.select(col("wsrc").as("i"), col("lsrc").as("j"))
+      .unionAll(cmp.select(col("lsrc").as("i"), col("wsrc").as("j")))
+      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val players = games.select(col("i")).distinct()
+    val wins = players.join(
+        cmp.groupBy(col("wsrc").as("i")).agg(count(lit(1)).as("wn")),
+        Seq("i"), "left")
+      .select(col("i"), coalesce(col("wn"), lit(0L)).as("wn"))
+      .localCheckpoint()
+    var w = players.select(col("i"), lit(BtScale).as("w"))
+    for (_ <- 1 to rounds) {
+      // denominator: Σ_j n_ij / (w_i + w_j), per-term truncating DIV
+      val denom = games
+        .join(w.select(col("i"), col("w").as("wi")), Seq("i"))
+        .join(w.select(col("i").as("j"), col("w").as("wj")), Seq("j"))
+        .groupBy(col("i"))
+        .agg(sum(expr(
+          s"CAST(CAST(n AS DECIMAL(38,0)) * $BtScale * $BtScale DIV (wi + wj) AS BIGINT)"))
+          .as("d"))
+      val upd = wins.join(denom, Seq("i"), "left")
+        .select(col("i"), greatest(expr(
+          s"CAST(CAST(wn + 1 AS DECIMAL(38,0)) * $BtScale * $BtScale DIV greatest(coalesce(d, 1), 1) AS BIGINT)"),
+          lit(1L)).as("wr"))
+      val tot = upd.agg(sum(col("wr")).as("tw"), count(lit(1)).as("ns"))
+      w = upd.crossJoin(broadcast(tot))
+        .select(col("i"), greatest(expr(
+          s"CAST(CAST(wr AS DECIMAL(38,0)) * ns * $BtScale DIV tw AS BIGINT)"),
+          lit(1L)).as("w"))
+        .localCheckpoint()
+    }
+    val played = games.groupBy(col("i")).agg(sum(col("n")).as("n_games"))
+    w.join(played, Seq("i")).join(wins, Seq("i"))
+      .select(col("i"), col("n_games"), col("wn").as("n_wins"),
+        col("w").as("bt_fp"))
+  }
+
+  /** The deterministic comparison schedule over `documents`: offsets
+    * +1/+7 by doc_id, longer text wins, doc_id tiebreak, same-source
+    * pairs skipped (they carry no between-player information).
+    */
+  private def comparisons(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    BtOffsets.map { k =>
+      docs.as("a")
+        .join(docs.as("b"), col("b.doc_id") === col("a.doc_id") + k)
+        .where(col("a.source") =!= col("b.source"))
+        .select(
+          when(col("a.n_chars") > col("b.n_chars") ||
+            (col("a.n_chars") === col("b.n_chars") &&
+              col("a.doc_id") > col("b.doc_id")),
+            col("a.source")).otherwise(col("b.source")).as("wsrc"),
+          when(col("a.n_chars") > col("b.n_chars") ||
+            (col("a.n_chars") === col("b.n_chars") &&
+              col("a.doc_id") > col("b.doc_id")),
+            col("b.source")).otherwise(col("a.source")).as("lsrc"))
+    }.reduce(_ unionAll _)
+  }
+
+  private def q263(s: SparkSession, d: String): DataFrame =
+    bradleyTerryOf(comparisons(s, d), BtRounds)
+      .select(col("i").as("source"), col("n_games"), col("n_wins"),
+        col("bt_fp"))
+      .orderBy(col("bt_fp").desc, col("source"))
+
+  private val q263Sql = {
+    val S = BtScale
+    def winner(a: String, b: String) =
+      s"$a.n_chars > $b.n_chars OR ($a.n_chars = $b.n_chars AND $a.doc_id > $b.doc_id)"
+    def pair(k: Int) =
+      s"""SELECT CASE WHEN ${winner("a", "b")} THEN a.source ELSE b.source END AS wsrc,
+        |  CASE WHEN ${winner("a", "b")} THEN b.source ELSE a.source END AS lsrc
+        |FROM docs a JOIN docs b ON b.doc_id = a.doc_id + $k
+        |WHERE a.source <> b.source""".stripMargin
+    def round(r: Int): String =
+      s"""t$r AS (
+        |  SELECT g.i,
+        |    CAST(sum(CAST(g.n AS HUGEINT) * $S * $S // (wi.w + wj.w)) AS BIGINT) AS d
+        |  FROM games g
+        |  JOIN w${r - 1} wi ON wi.i = g.i JOIN w${r - 1} wj ON wj.i = g.j
+        |  GROUP BY 1),
+        |u$r AS (
+        |  SELECT s.i,
+        |    greatest(CAST(CAST(s.wn + 1 AS HUGEINT) * $S * $S
+        |      // greatest(coalesce(t.d, 1), 1) AS BIGINT), 1) AS wr
+        |  FROM wins s LEFT JOIN t$r t ON t.i = s.i),
+        |w$r AS MATERIALIZED (
+        |  SELECT i, greatest(CAST(CAST(wr AS HUGEINT)
+        |      * (SELECT count(*) FROM u$r) * $S
+        |      // (SELECT sum(wr) FROM u$r) AS BIGINT), 1) AS w
+        |  FROM u$r)""".stripMargin
+    s"""WITH docs AS (SELECT doc_id, source, n_chars FROM documents),
+      |cmp AS MATERIALIZED (
+      |${BtOffsets.map(pair).mkString("", "\nUNION ALL\n", "")}),
+      |games AS MATERIALIZED (
+      |  SELECT i, j, count(*) AS n FROM (
+      |    SELECT wsrc AS i, lsrc AS j FROM cmp
+      |    UNION ALL SELECT lsrc AS i, wsrc AS j FROM cmp)
+      |  GROUP BY 1, 2),
+      |players AS (SELECT DISTINCT i FROM games),
+      |wins AS MATERIALIZED (
+      |  SELECT p.i, coalesce(c.wn, 0) AS wn
+      |  FROM players p LEFT JOIN (
+      |    SELECT wsrc AS i, count(*) AS wn FROM cmp GROUP BY 1) c
+      |  ON c.i = p.i),
+      |w0 AS (SELECT i, CAST($S AS BIGINT) AS w FROM players),
+      |${(1 to BtRounds).map(round).mkString(",\n")}
+      |SELECT w.i AS source,
+      |  CAST(p.n_games AS BIGINT) AS n_games,
+      |  CAST(s.wn AS BIGINT) AS n_wins, w.w AS bt_fp
+      |FROM w$BtRounds w
+      |JOIN (SELECT i, sum(n) AS n_games FROM games GROUP BY 1) p ON p.i = w.i
+      |JOIN wins s ON s.i = w.i
+      |ORDER BY bt_fp DESC, source""".stripMargin
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("q263_bradley_terry", q263, Some(q263Sql)),
+  )
+}
