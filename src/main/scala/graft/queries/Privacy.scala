@@ -320,9 +320,17 @@ object Privacy {
   /** u-range of the truncated sampler: 2^DpB central + 2·(2^DpB − 1). */
   val DpT = 3L * (1L << DpB) - 2
 
-  private def q264(s: SparkSession, d: String): DataFrame = {
+  /** The q264 release over any (lang, source) frame — shared by the
+    * batch query and the streaming twin (`StatefulStreams.
+    * streamingDpRelease`): because the noise is a function of the CELL
+    * KEY alone, every re-release (each micro-batch refresh of a live
+    * dashboard) is post-processing of the same single release — the
+    * privacy budget stays one ε no matter how often the counts are
+    * re-published, and the stream matches the batch bit-for-bit.
+    */
+  private[graft] def dpHistogramOf(docs: DataFrame): DataFrame = {
     val half = 1L << DpB
-    graft.Tables.documents(s, d)
+    docs
       .groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("u",
@@ -337,8 +345,11 @@ object Privacy {
       .select(col("lang"), col("source"),
         greatest(col("cnt") + col("noise"), lit(0L)).as("n_released"),
         col("noise"))
-      .orderBy(col("lang"), col("source"))
   }
+
+  private def q264(s: SparkSession, d: String): DataFrame =
+    dpHistogramOf(graft.Tables.documents(s, d))
+      .orderBy(col("lang"), col("source"))
 
   private val q264Sql = {
     val half = 1L << DpB

@@ -938,6 +938,21 @@ object StatefulStreams {
       }
   }
 
+  /** Live twin of batch q264's DP histogram release: the (lang,
+    * source) counts are a pure streaming aggregate (Complete mode),
+    * and the geometric-mechanism noise is a deterministic scalar of
+    * the CELL KEY — so every micro-batch refresh of the released
+    * dashboard is post-processing of ONE release. The privacy budget
+    * is spent once (ε = ln 2, parallel composition across disjoint
+    * cells) no matter how many times the stream re-publishes, which is
+    * exactly why the noise must NOT be redrawn per batch: fresh noise
+    * per refresh would compose sequentially and burn ε linearly in
+    * refresh count. StreamingDpSpec pins the stream bit-equal to the
+    * batch release over the union of the batches.
+    */
+  def streamingDpRelease(docs: DataFrame): DataFrame =
+    graft.queries.Privacy.dpHistogramOf(docs)
+
   /** O7 (broadcast fan-out, engine.go:196-211) for streams: one source
     * micro-batch delivered to N sinks via foreachBatch. The batch
     * DataFrame is persisted so the plan is computed once per epoch, not
