@@ -1864,9 +1864,131 @@ object Signals {
       |       WHEN s.s_stat < 0 THEN 'decreasing' ELSE 'none' END AS trend
       |FROM s, t""".stripMargin
 
+  // q267 — CUPED variance-reduced experiment readout (Deng, Xu,
+  // Kohavi & Walker, WSDM 2013 "Improving the Sensitivity of Online
+  // Controlled Experiments by Utilizing Pre-Experiment Data"): the
+  // continuous-metric sibling of q169's binary chi-square. Revenue per
+  // user in the experiment half of the log is adjusted by each user's
+  // PRE-period revenue: θ = Cov(X,Y)/Var(X) pooled, Y_adj = Y −
+  // θ·(X − mean(X)) — same arm means shift, variance shrinks by ρ²,
+  // which is the whole point: detect smaller effects with the same
+  // users. The period split is the log's midpoint timestamp; arms are
+  // the q169 id-parity assignment.
+  //
+  // Exact integer discipline (q160): cents grid, all sufficient
+  // statistics (Σx, Σy, Σx², Σxy, Σy²) staged through DECIMAL(38,0)/
+  // HUGEINT with one operand cast BEFORE the multiply; θ and ρ² are
+  // single fixed-point divisions of those stats (covariance numerators
+  // may be negative — Spark DIV and DuckDB // both truncate toward
+  // zero, so parity holds without sign-splitting); per-user adjusted
+  // values are pure multiplications at 2^40 scale, summed in decimal.
+  // The n-rescale before squaring (cn = cov_n2 DIV n) keeps ρ²'s
+  // operands inside DECIMAL(38,0) at 10^9-user scale (the q169 note).
+  //
+  // Scale shape: one (user) aggregate over the event scan (map-side
+  // combined), a 1-row stats broadcast back onto the per-user frame
+  // (the q44/q75 pattern), then a |arms|-row aggregate. Nothing
+  // corpus-sized shuffles twice.
+  private def q267(s: SparkSession, d: String): DataFrame = {
+    val S = 1048576L
+    val ev = events(s, d)
+      .select(col("user_id"), col("ts_ms"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val mid = ev.agg(
+      expr("(min(ts_ms) + max(ts_ms)) DIV 2").as("mid"))
+    val u = ev.crossJoin(broadcast(mid))
+      .groupBy(col("user_id"))
+      .agg(
+        coalesce(sum(when(col("ts_ms") < col("mid"), col("cents"))), lit(0L))
+          .as("x"),
+        coalesce(sum(when(col("ts_ms") >= col("mid"), col("cents"))), lit(0L))
+          .as("y"))
+      .select(pmod(col("user_id"), lit(2)).as("arm"), col("x"), col("y"))
+    val stats = u.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      expr("sum(CAST(x AS DECIMAL(38,0)) * x)").as("sxx"),
+      expr("sum(CAST(x AS DECIMAL(38,0)) * y)").as("sxy"),
+      expr("sum(CAST(y AS DECIMAL(38,0)) * y)").as("syy"))
+    val derived = stats.select(
+      expr(s"CAST((n * sxy - CAST(sx AS DECIMAL(38,0)) * sy) * $S" +
+        s" DIV greatest(n * sxx - CAST(sx AS DECIMAL(38,0)) * sx, 1)" +
+        " AS BIGINT)").as("theta_fp"),
+      expr(s"CAST(CAST(sx AS DECIMAL(38,0)) * $S DIV n AS BIGINT)")
+        .as("mean_x_fp"),
+      // DIV yields LONG: re-stage each rescaled factor through
+      // DECIMAL(38,0) before squaring/crossing or the products
+      // overflow (vx·vy ~ 1e20 already at sf0.001)
+      expr(s"""CAST(
+        |  CAST((n * sxy - CAST(sx AS DECIMAL(38,0)) * sy) DIV n
+        |    AS DECIMAL(38,0))
+        |  * ((n * sxy - CAST(sx AS DECIMAL(38,0)) * sy) DIV n) * $S
+        |  DIV greatest(
+        |    CAST((n * sxx - CAST(sx AS DECIMAL(38,0)) * sx) DIV n
+        |      AS DECIMAL(38,0))
+        |    * ((n * syy - CAST(sy AS DECIMAL(38,0)) * sy) DIV n), 1)
+        |  AS BIGINT)""".stripMargin).as("rho2_fp"))
+    u.crossJoin(broadcast(derived))
+      .groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("y")).as("sum_y_cents"),
+        expr(s"sum(CAST(y AS DECIMAL(38,0)) * $S * $S" +
+          s" - CAST(theta_fp AS DECIMAL(38,0)) * (x * $S - mean_x_fp))")
+          .as("syadj"),
+        max(col("theta_fp")).as("theta_fp"),
+        max(col("rho2_fp")).as("rho2_fp"))
+      .select(col("arm"), col("n_users"), col("sum_y_cents"),
+        expr(s"CAST(CAST(sum_y_cents AS DECIMAL(38,0)) * $S DIV n_users AS BIGINT)")
+          .as("mean_y_fp"),
+        expr(s"CAST(syadj DIV (n_users * $S) AS BIGINT)").as("mean_yadj_fp"),
+        col("theta_fp"), col("rho2_fp"))
+      .orderBy(col("arm"))
+  }
+
+  private val q267Sql = {
+    val S = 1048576L
+    s"""WITH ev AS (
+      |  SELECT user_id, epoch_ms(ts) AS ts_ms,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |mid AS (SELECT (min(ts_ms) + max(ts_ms)) // 2 AS mid FROM ev),
+      |u AS MATERIALIZED (
+      |  SELECT user_id % 2 AS arm,
+      |    coalesce(sum(CASE WHEN ts_ms < mid THEN cents END), 0) AS x,
+      |    coalesce(sum(CASE WHEN ts_ms >= mid THEN cents END), 0) AS y
+      |  FROM ev, mid GROUP BY 1, user_id),
+      |st AS (
+      |  SELECT count(*) AS n,
+      |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+      |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+      |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+      |    sum(CAST(y AS HUGEINT) * y) AS syy
+      |  FROM u),
+      |dv AS (
+      |  SELECT
+      |    CAST((n * sxy - sx * sy) * $S
+      |      // greatest(n * sxx - sx * sx, 1) AS BIGINT) AS theta_fp,
+      |    CAST(sx * $S // n AS BIGINT) AS mean_x_fp,
+      |    CAST(((n * sxy - sx * sy) // n) * ((n * sxy - sx * sy) // n) * $S
+      |      // greatest(((n * sxx - sx * sx) // n)
+      |        * ((n * syy - sy * sy) // n), 1) AS BIGINT) AS rho2_fp
+      |  FROM st)
+      |SELECT arm, count(*) AS n_users,
+      |  CAST(sum(y) AS BIGINT) AS sum_y_cents,
+      |  CAST(CAST(sum(y) AS HUGEINT) * $S // count(*) AS BIGINT) AS mean_y_fp,
+      |  CAST(sum(CAST(y AS HUGEINT) * $S * $S
+      |      - CAST(theta_fp AS HUGEINT) * (x * $S - mean_x_fp))
+      |    // (count(*) * $S) AS BIGINT) AS mean_yadj_fp,
+      |  max(theta_fp) AS theta_fp, max(rho2_fp) AS rho2_fp
+      |FROM u, dv
+      |GROUP BY arm
+      |ORDER BY arm""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q162_signal_correlation", q162, Some(q162Sql)),
     Q("q169_ab_conversion", q169, Some(q169Sql)),
+    Q("q267_cuped_readout", q267, Some(q267Sql)),
     Q("q173_bootstrap_ci", q173, Some(q173Sql)),
     Q("q174_randomization_test", q174, Some(q174Sql)),
     Q("q179_seasonality", q179, Some(q179Sql)),
