@@ -116,7 +116,10 @@ object Bench {
     // persist in bench_last.json, committed every round.
     val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"wordcount_words_per_s":$wordsPerS%.0f,"sf":"$sfDir"}"""
     val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"wordcount_words_per_s":$wordsPerS%.0f,"queries":$qsFull,"spreads":$sp,"sf":"$sfDir"}"""
-    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_last.json"),
+    // Subset sweeps (SPARK_GRAFT_ONLY) must not clobber the committed
+    // full-registry artifact — they write a sibling file instead.
+    val artifact = if (only.isEmpty) "bench_last.json" else "bench_subset_last.json"
+    try java.nio.file.Files.write(java.nio.file.Paths.get(artifact),
       (full + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
     println(line)

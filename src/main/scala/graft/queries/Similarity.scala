@@ -1240,6 +1240,83 @@ object Similarity {
       |ORDER BY sv_fp DESC, vec_id
       |LIMIT $SvTopN""".stripMargin
 
+  /** q268 — truncation prefix dims audited against the full 64. */
+  val TruncDims = Seq(8, 16, 32)
+
+  // q268 — embedding dimension-truncation retrieval audit (the
+  // Matryoshka question, Kusupati et al. 2022: how many leading
+  // dimensions does retrieval actually need?): for each query vector,
+  // top-5 by cosine over the first-d prefix (d ∈ 8/16/32) compared to
+  // the full-64 top-5; emitted per (d, query) as overlap@5 and its
+  // fixed-point recall. This is the audit run before shipping
+  // truncated embeddings to a serving tier — q74 measures QUANT error
+  // per vector, this measures what truncation does to the RANKING.
+  //
+  // One |queries|×corpus pass computes all four cosines (slice() +
+  // the codegen cosine_sim — prefix norms are genuinely different
+  // norms, not rescaled full ones), localCheckpointed once; each dim's
+  // top-5 is a rank-filter the injected rewrite turns into the
+  // bounded-heap TopK operator (the q40 pattern — no full sort). The
+  // overlap join is 4 tiny top-5 frames.
+  private def q268(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val e = embeddings(s, d)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val scored = e.filter(col("vec_id") >= 5).crossJoin(broadcast(q))
+      .select(Seq(col("query_id"), col("vec_id")) ++
+        (TruncDims :+ 64).map(k => expr(
+          s"cosine_sim(slice(qvec, 1, $k), slice(embedding, 1, $k))")
+          .as(s"cos$k")): _*)
+      .localCheckpoint()
+    def top5(k: Int): DataFrame = {
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col(s"cos$k").desc, col("vec_id"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(lit(k.toLong).as("dim"), col("query_id"), col("vec_id"))
+    }
+    // left join, not semi: a (dim, query) with ZERO overlap must still
+    // emit its row — that's the failing case the audit exists to catch
+    val full = top5(64).select(col("query_id"), col("vec_id"),
+      lit(1L).as("hit"))
+    TruncDims.map(top5).reduce(_ unionAll _)
+      .join(full, Seq("query_id", "vec_id"), "left")
+      .groupBy(col("dim"), col("query_id"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_overlap"))
+      .select(col("dim"), col("query_id"), col("n_overlap"),
+        expr("CAST(n_overlap * 1048576 DIV 5 AS BIGINT)").as("recall_fp"))
+      .orderBy(col("dim"), col("query_id"))
+  }
+
+  private val q268Sql = {
+    def cosK(k: Int) = {
+      def dot(u: String, v: String) =
+        s"list_reduce(list_transform(range($k), i -> CAST($u[i+1] AS DOUBLE) * CAST($v[i+1] AS DOUBLE)), (x, y) -> x + y)"
+      s"(${dot("q.qvec", "e.embedding")} / (sqrt(${dot("q.qvec", "q.qvec")}) * sqrt(${dot("e.embedding", "e.embedding")})))"
+    }
+    def topCte(k: Int) =
+      s"""t$k AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT q.query_id, e.vec_id, row_number() OVER (
+        |      PARTITION BY q.query_id
+        |      ORDER BY ${cosK(k)} DESC, e.vec_id) AS rk
+        |    FROM corpus e CROSS JOIN queries q) WHERE rk <= 5)""".stripMargin
+    s"""WITH queries AS (
+      |  SELECT vec_id AS query_id, embedding AS qvec
+      |  FROM embeddings WHERE vec_id < 5),
+      |corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5),
+      |${(TruncDims :+ 64).map(topCte).mkString(",\n")}
+      |SELECT dim, t.query_id,
+      |  CAST(count(f.vec_id) AS BIGINT) AS n_overlap,
+      |  CAST(count(f.vec_id) * 1048576 // 5 AS BIGINT) AS recall_fp
+      |FROM (${TruncDims.map(k => s"SELECT CAST($k AS BIGINT) AS dim, * FROM t$k")
+           .mkString(" UNION ALL ")}) t
+      |LEFT JOIN t64 f ON f.query_id = t.query_id AND f.vec_id = t.vec_id
+      |GROUP BY 1, 2
+      |ORDER BY dim, t.query_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q34_embed_neardup", q34, Some(q34Sql)),
     Q("q40_knn_brute", q40, Some(q40Sql)),
@@ -1254,6 +1331,7 @@ object Similarity {
     Q("q171_retrieval_eval", q171, Some(q171Sql)),
     Q("q183_embedding_drift", q183, Some(q183Sql)),
     Q("q265_knn_shapley", q265, Some(q265Sql)),
+    Q("q268_dim_truncation", q268, Some(q268Sql)),
     Q("q212_power_iteration", q212, Some(q212Sql)),
     Q("q213_anisotropy", q213, Some(q213Sql)),
     Q("q218_cluster_ari", q218, Some(q218Sql)),
