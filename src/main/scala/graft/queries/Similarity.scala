@@ -1167,18 +1167,14 @@ object Similarity {
   // pattern in rank-desc order. The neighbor-successor indicator
   // comes from an equi-join on (test_id, rk+1) — the q262 adjacency
   // rule — not a lead() window. Final top-N is TakeOrdered.
-  private def q265(s: SparkSession, d: String): DataFrame = {
-    GraftFunctions.register(s)
+  /** The KNN-Shapley recursion over a scored frame (test_id, vec_id,
+    * label, cos, ind) — extracted so ShapleySpec can drive it with a
+    * fixture and pin it against both a sequential fold of the same
+    * fixed-point recurrence AND the 2^n Shapley definition. Returns
+    * per (vec_id, label) the summed sv_fp.
+    */
+  private[graft] def knnShapleyOf(scored: DataFrame, k: Int): DataFrame = {
     val S = 1048576L
-    val e = embeddings(s, d)
-    val tests = e.filter(col("vec_id") < SvTestIds)
-      .select(col("vec_id").as("test_id"), col("embedding").as("tvec"),
-        col("label").as("tlabel"))
-    val train = e.filter(col("vec_id") >= SvTestIds)
-    val scored = train.crossJoin(broadcast(tests))
-      .select(col("test_id"), col("vec_id"), col("label"),
-        expr("cosine_sim(tvec, embedding)").as("cos"),
-        when(col("label") === col("tlabel"), 1L).otherwise(0L).as("ind"))
     val ranked = Sampling.rankDistributed(scored,
         Seq("test_id"), Seq(col("cos").desc, col("vec_id")))
       .select(col("test_id"), col("vec_id"), col("label"), col("rk"),
@@ -1192,12 +1188,26 @@ object Similarity {
       .withColumn("c", when(col("rk") === col("n"),
           expr(s"ind * $S DIV n"))
         .otherwise(expr(
-          s"ind * $S * least($SvK, rk) DIV ($SvK * rk)" +
-            s" - ind1 * $S * least($SvK, rk) DIV ($SvK * rk)")))
+          s"ind * $S * least($k, rk) DIV ($k * rk)" +
+            s" - ind1 * $S * least($k, rk) DIV ($k * rk)")))
     graft.ops.PrefixSum.prefixSum(contrib,
         Seq("test_id"), Seq(col("rk").desc), col("c"))
       .groupBy(col("vec_id"), col("label"))
       .agg(sum(col("cum")).as("sv_fp"))
+  }
+
+  private def q265(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val e = embeddings(s, d)
+    val tests = e.filter(col("vec_id") < SvTestIds)
+      .select(col("vec_id").as("test_id"), col("embedding").as("tvec"),
+        col("label").as("tlabel"))
+    val train = e.filter(col("vec_id") >= SvTestIds)
+    val scored = train.crossJoin(broadcast(tests))
+      .select(col("test_id"), col("vec_id"), col("label"),
+        expr("cosine_sim(tvec, embedding)").as("cos"),
+        when(col("label") === col("tlabel"), 1L).otherwise(0L).as("ind"))
+    knnShapleyOf(scored, SvK)
       .orderBy(col("sv_fp").desc, col("vec_id"))
       .limit(SvTopN)
       .orderBy(col("sv_fp").desc, col("vec_id"))
