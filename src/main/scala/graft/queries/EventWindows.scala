@@ -803,6 +803,182 @@ object EventWindows {
       |FROM states GROUP BY wk
       |ORDER BY wk""".stripMargin
 
+  /** q269 fixed value-iteration budget (the q117 PrIters convention). */
+  val MkRounds = 16
+  /** The removable (non-absorbing, non-START) channels. */
+  val MkChannels = Seq("click", "error", "signup", "view")
+
+  // q269 — Markov removal-effect attribution (Anderl, Becker, von
+  // Wangenheim & Schumann 2014): the data-driven upgrade of q144's
+  // last-touch credit. Sessions become paths through an absorbing
+  // Markov chain — START → events → CONV (first purchase truncates the
+  // path) or NULL (session ends unconverted) — and each channel's
+  // credit is its REMOVAL EFFECT: how much the START→CONV absorption
+  // probability drops when transitions into that channel are redirected
+  // to NULL (no renormalization — the removed state's mass is lost,
+  // the standard formulation). Credit shares are the normalized
+  // effects. q168 estimates this chain's matrix; q269 SOLVES it.
+  //
+  // The absorption probabilities come from a FIXED budget of
+  // value-iteration rounds (MkRounds, the q117 convention) in 2^20
+  // fixed point with one truncating division per (variant, state,
+  // round): p'(v) = Σ_s n(v,s)·p(s) DIV row_n(v) — counts, not
+  // pre-normalized probabilities, so each round truncates exactly
+  // once. All five variants (base + four removals) advance as ONE
+  // keyed frame (the q262 rule: variants are a key, not a driver
+  // loop).
+  //
+  // Scale shape: the sessionizer's one user_id exchange feeds the
+  // path-truncation windows (per-session partitions); everything
+  // after the (from, to) count aggregate is ≤|states|²×|variants|
+  // rows, localCheckpointed per round; terminal report is 4 rows.
+  private def q269(s: SparkSession, d: String): DataFrame =
+    removalEffectsOf(events(s, d))
+
+  /** The q269 pipeline over any (user_id, event_id, event_type, ts_ms)
+    * frame — extracted so MarkovAttributionSpec can drive it with
+    * hand-built paths whose removal effects are known exactly.
+    */
+  private[graft] def removalEffectsOf(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    val S = 1048576L
+    val bySess = Window.partitionBy(col("user_id"), col("session_id"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    val overSess = Window.partitionBy(col("user_id"), col("session_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val kept = sessionized(ev)
+      .withColumn("rn", row_number().over(bySess))
+      .withColumn("pos_p",
+        min(when(col("event_type") === "purchase", col("rn"))).over(overSess))
+      .filter(col("pos_p").isNull || col("rn") <= col("pos_p"))
+    val k2 = kept
+      .withColumn("frm",
+        coalesce(lag(col("event_type"), 1).over(bySess), lit("START")))
+      .withColumn("tost", when(col("event_type") === "purchase", "CONV")
+        .otherwise(col("event_type")))
+      .withColumn("last_rn", max(col("rn")).over(overSess))
+    val edges0 = k2.select(col("frm").as("from_state"), col("tost").as("to_state"))
+      .unionAll(k2.filter(col("rn") === col("last_rn") &&
+          col("event_type") =!= "purchase")
+        .select(col("event_type").as("from_state"), lit("NULL").as("to_state")))
+    val base = edges0.groupBy(col("from_state"), col("to_state"))
+      .agg(count(lit(1)).as("n"))
+    val vnames = "none" +: MkChannels
+    val edges = vnames.map { v =>
+      base.filter(lit(v) === "none" || col("from_state") =!= v)
+        .select(lit(v).as("variant"), col("from_state"),
+          when(lit(v) =!= "none" && col("to_state") === v, "NULL")
+            .otherwise(col("to_state")).as("to_state"),
+          col("n"))
+    }.reduce(_ unionAll _)
+      .groupBy(col("variant"), col("from_state"), col("to_state"))
+      .agg(sum(col("n")).as("n"))
+      .localCheckpoint()
+    val rowtot = edges.groupBy(col("variant"), col("from_state"))
+      .agg(sum(col("n")).as("row_n"))
+      .localCheckpoint()
+    val absorb = vnames.flatMap(v => Seq((v, "CONV", S), (v, "NULL", 0L)))
+      .toDF("variant", "state", "p")
+    var p = absorb
+    for (_ <- 1 to MkRounds) {
+      val nxt = edges
+        .join(p.select(col("variant"), col("state").as("to_state"), col("p")),
+          Seq("variant", "to_state"))
+        .groupBy(col("variant"), col("from_state"))
+        .agg(sum(expr("CAST(n AS DECIMAL(38,0)) * p")).as("num"))
+        .join(rowtot, Seq("variant", "from_state"))
+        .select(col("variant"), col("from_state").as("state"),
+          expr("CAST(num DIV row_n AS BIGINT)").as("p"))
+      p = nxt.unionAll(absorb).localCheckpoint()
+    }
+    val sel = p.filter(col("state") === "START")
+      .select(col("variant"), col("p"))
+    val baseP = sel.filter(col("variant") === "none")
+      .select(col("p").as("base_fp"))
+    val eff = sel.filter(col("variant") =!= "none")
+      .crossJoin(broadcast(baseP))
+      .select(col("variant").as("channel"), col("base_fp"),
+        col("p").as("removed_fp"),
+        expr("CAST((base_fp - p) * 1048576 DIV greatest(base_fp, 1) AS BIGINT)")
+          .as("removal_effect_fp"))
+    val tot = eff.agg(sum(col("removal_effect_fp")).as("tot_eff"))
+    eff.crossJoin(broadcast(tot))
+      .select(col("channel"), col("base_fp"), col("removed_fp"),
+        col("removal_effect_fp"),
+        expr("CAST(removal_effect_fp * 1048576 DIV greatest(tot_eff, 1) AS BIGINT)")
+          .as("share_fp"))
+      .orderBy(col("channel"))
+  }
+
+  private val q269Sql = {
+    val S = 1048576L
+    def round(r: Int): String =
+      s"""p$r AS MATERIALIZED (
+        |  SELECT e.variant, e.from_state AS state,
+        |    CAST(sum(CAST(e.n AS HUGEINT) * p.p) // max(t.row_n) AS BIGINT) AS p
+        |  FROM edges e
+        |  JOIN p${r - 1} p ON p.variant = e.variant AND p.state = e.to_state
+        |  JOIN rowtot t ON t.variant = e.variant AND t.from_state = e.from_state
+        |  GROUP BY 1, 2
+        |  UNION ALL SELECT * FROM p0)""".stripMargin
+    s"""WITH $sessCteSql,
+      |r AS (
+      |  SELECT user_id, session_id, event_id, event_type, ts_ms,
+      |    row_number() OVER (PARTITION BY user_id, session_id
+      |      ORDER BY ts_ms, event_id) AS rn
+      |  FROM sess),
+      |pp AS (
+      |  SELECT *, min(CASE WHEN event_type = 'purchase' THEN rn END)
+      |      OVER (PARTITION BY user_id, session_id) AS pos_p
+      |  FROM r),
+      |kept AS (SELECT * FROM pp WHERE pos_p IS NULL OR rn <= pos_p),
+      |k2 AS (
+      |  SELECT user_id, session_id, rn, event_type,
+      |    coalesce(lag(event_type) OVER (PARTITION BY user_id, session_id
+      |      ORDER BY rn), 'START') AS frm,
+      |    CASE WHEN event_type = 'purchase' THEN 'CONV'
+      |      ELSE event_type END AS tost,
+      |    max(rn) OVER (PARTITION BY user_id, session_id) AS last_rn
+      |  FROM kept),
+      |edges0 AS (
+      |  SELECT frm AS from_state, tost AS to_state FROM k2
+      |  UNION ALL
+      |  SELECT event_type, 'NULL' FROM k2
+      |  WHERE rn = last_rn AND event_type <> 'purchase'),
+      |cnt AS (SELECT from_state, to_state, count(*) AS n
+      |  FROM edges0 GROUP BY 1, 2),
+      |edges AS MATERIALIZED (
+      |  SELECT variant, from_state,
+      |    CASE WHEN variant <> 'none' AND to_state = variant THEN 'NULL'
+      |      ELSE to_state END AS to_state,
+      |    CAST(sum(n) AS BIGINT) AS n
+      |  FROM cnt CROSS JOIN (SELECT unnest([${("none" +: MkChannels)
+           .map(v => s"'$v'").mkString(", ")}]) AS variant) v
+      |  WHERE variant = 'none' OR from_state <> variant
+      |  GROUP BY 1, 2, 3),
+      |rowtot AS (SELECT variant, from_state, CAST(sum(n) AS BIGINT) AS row_n
+      |  FROM edges GROUP BY 1, 2),
+      |vs AS (SELECT DISTINCT variant FROM edges),
+      |p0 AS (
+      |  SELECT variant, 'CONV' AS state, CAST($S AS BIGINT) AS p FROM vs
+      |  UNION ALL SELECT variant, 'NULL', 0 FROM vs),
+      |${(1 to MkRounds).map(round).mkString(",\n")},
+      |sel AS (SELECT variant, p FROM p$MkRounds WHERE state = 'START'),
+      |eff AS (
+      |  SELECT s.variant AS channel, b.p AS base_fp, s.p AS removed_fp,
+      |    CAST((b.p - s.p) * $S // greatest(b.p, 1) AS BIGINT)
+      |      AS removal_effect_fp
+      |  FROM sel s, (SELECT p FROM sel WHERE variant = 'none') b
+      |  WHERE s.variant <> 'none')
+      |SELECT channel, base_fp, removed_fp, removal_effect_fp,
+      |  CAST(removal_effect_fp * $S
+      |    // greatest((SELECT sum(removal_effect_fp) FROM eff), 1)
+      |    AS BIGINT) AS share_fp
+      |FROM eff
+      |ORDER BY channel""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q26_tumbling_window", q26, Some(q26Sql)),
     Q("q27_sliding_window", q27, Some(q27Sql)),
@@ -818,6 +994,7 @@ object EventWindows {
     Q("q150_decayed_activity", q150, Some(q150Sql)),
     Q("q151_burst_detection", q151, Some(q151Sql)),
     Q("q168_markov_transitions", q168, Some(q168Sql)),
+    Q("q269_markov_attribution", q269, Some(q269Sql)),
     Q("q177_ltv_cohorts", q177, Some(q177Sql)),
     Q("q217_growth_accounting", q217, Some(q217Sql)),
   )
