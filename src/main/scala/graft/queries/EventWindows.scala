@@ -839,10 +839,13 @@ object EventWindows {
     * frame — extracted so MarkovAttributionSpec can drive it with
     * hand-built paths whose removal effects are known exactly.
     */
-  private[graft] def removalEffectsOf(ev: DataFrame): DataFrame = {
-    val s = ev.sparkSession
-    import s.implicits._
-    val S = 1048576L
+  /** The q269 path→edge derivation alone: (from_state, to_state) rows,
+    * one per kept event plus the NULL terminal of each unconverted
+    * session. Exposed for the streaming twin's parity spec
+    * (StatefulStreams.streamingAttributionEdges emits the same edges
+    * on arrival, minus the still-open sessions' NULL terminals).
+    */
+  private[graft] def attributionEdgesOf(ev: DataFrame): DataFrame = {
     val bySess = Window.partitionBy(col("user_id"), col("session_id"))
       .orderBy(col("ts_ms"), col("event_id"))
     val overSess = Window.partitionBy(col("user_id"), col("session_id"))
@@ -858,11 +861,17 @@ object EventWindows {
       .withColumn("tost", when(col("event_type") === "purchase", "CONV")
         .otherwise(col("event_type")))
       .withColumn("last_rn", max(col("rn")).over(overSess))
-    val edges0 = k2.select(col("frm").as("from_state"), col("tost").as("to_state"))
+    k2.select(col("frm").as("from_state"), col("tost").as("to_state"))
       .unionAll(k2.filter(col("rn") === col("last_rn") &&
           col("event_type") =!= "purchase")
         .select(col("event_type").as("from_state"), lit("NULL").as("to_state")))
-    val base = edges0.groupBy(col("from_state"), col("to_state"))
+  }
+
+  private[graft] def removalEffectsOf(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    val S = 1048576L
+    val base = attributionEdgesOf(ev).groupBy(col("from_state"), col("to_state"))
       .agg(count(lit(1)).as("n"))
     val vnames = "none" +: MkChannels
     val edges = vnames.map { v =>

@@ -938,6 +938,57 @@ object StatefulStreams {
       }
   }
 
+  /** Live twin of batch q269's path→edge derivation
+    * (EventWindows.attributionEdgesOf): absorbing-chain attribution
+    * edges emitted ON ARRIVAL, so the removal-effect model's input
+    * counts stay live. Per-user state is (last_ts of ANY event — the
+    * session-gap clock runs on raw events, exactly like the batch
+    * sessionizer — last kept type, converted?): a session's first
+    * event emits START→type (or START→CONV), each pre-conversion
+    * event emits prev→type, the first purchase emits prev→CONV and
+    * suppresses the rest of the session, and a session's NULL
+    * terminal is emitted when the NEXT session's first event proves
+    * the gap — the one edge class a stream cannot know for still-open
+    * sessions (the streamingIntervals open-interval caveat; the
+    * parity spec closes every session with a purchase so the batch
+    * and stream define the same edge set). Append mode — edges are
+    * facts, never revised. In-order arrival per user; within a
+    * micro-batch rows sort by (ts_ms, event_id).
+    */
+  def streamingAttributionEdges(ev: DataFrame): Dataset[(String, String)] = {
+    val spark = ev.sparkSession
+    import spark.implicits._
+    ev.select(col("user_id"), col("event_id"), col("event_type"), col("ts_ms"))
+      .as[(Long, Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, it: Iterator[(Long, Long, String, Long)],
+            gs: GroupState[(Long, String, Boolean)]) =>
+          var st = gs.getOption // (lastTs, lastKeptType, converted)
+          val out = Vector.newBuilder[(String, String)]
+          it.toIndexedSeq.sortBy(t => (t._4, t._2)).foreach { case (_, _, tp, ts) =>
+            val conv = tp == "purchase"
+            val mapped = if (conv) "CONV" else tp
+            st match {
+              case Some((lastTs, lastKept, converted))
+                  if ts - lastTs <= 1800000L =>
+                if (!converted) {
+                  out += ((lastKept, mapped))
+                  st = Some((ts, if (conv) lastKept else tp, conv))
+                } else st = Some((lastTs.max(ts), lastKept, converted))
+              case prev => // first event, or gap > 30 min: new session
+                prev.collect { case (_, lastKept, false) =>
+                  out += ((lastKept, "NULL"))
+                }
+                out += (("START", mapped))
+                st = Some((ts, if (conv) "START" else tp, conv))
+            }
+          }
+          st.foreach(gs.update)
+          out.result().iterator
+      }
+  }
+
   /** Live twin of batch q264's DP histogram release: the (lang,
     * source) counts are a pure streaming aggregate (Complete mode),
     * and the geometric-mechanism noise is a deterministic scalar of
