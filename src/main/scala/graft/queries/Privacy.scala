@@ -305,7 +305,13 @@ object Privacy {
   // magnitude = DpB + 1 − bitlen(2^DpB − 1 − m) recovers the geometric
   // tail from the bit length (DpNoiseSpec pins the full histogram of
   // the map against the closed-form weights). No float, no log: both
-  // engines produce bit-identical noise.
+  // engines produce bit-identical noise. Honesty note on the
+  // truncation: hard-truncating at ±DpB makes the guarantee
+  // (ε, δ)-DP with δ = P(|k| = DpB)·(1 − 1/e^ε) ≈ 2^−DpB/3 ≈ 3·10⁻⁷
+  // rather than pure ε-DP (adjacent counts can tell |k| = DpB from
+  // the impossible |k| = DpB+1); the untruncated mechanism, or
+  // reflecting the tail mass inward, restores pure ε at the cost of
+  // unbounded (resp. non-dyadic) noise values.
   //
   // u comes from a SEEDED portable hash of the cell key — this makes
   // the release a deterministic test vector for the oracle compare; a
