@@ -38,6 +38,37 @@ object Bench {
       SparkEntry.queries(n)(spark, sfDir).write.format("noop").mode("overwrite").save()
     }
 
+    // Per-query shuffle/spill accounting: wall time on a 32-core box
+    // says little about 100 TB behavior — bytes through the shuffle
+    // do. Each query runs under its own job group; the listener
+    // attributes completed stages to groups via the jobs that own
+    // them. Listener delivery is async, so the totals are flushed
+    // with a short drain wait before the artifact is written;
+    // per-query values are divided by that query's run count (the
+    // adaptive third pass makes it 2 or 3).
+    import java.util.concurrent.ConcurrentHashMap
+    import java.util.concurrent.atomic.AtomicLong
+    val stageGroup = new ConcurrentHashMap[Int, String]()
+    val shuffleBytes = new ConcurrentHashMap[String, AtomicLong]()
+    val spillBytes = new ConcurrentHashMap[String, AtomicLong]()
+    def acc(m: ConcurrentHashMap[String, AtomicLong], g: String, v: Long): Unit =
+      m.computeIfAbsent(g, _ => new AtomicLong).addAndGet(v)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val g = Option(js.properties).map(_.getProperty("spark.jobGroup.id")).orNull
+        if (g != null) js.stageIds.foreach(sid => stageGroup.put(sid, g))
+      }
+      override def onStageCompleted(sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val g = stageGroup.get(sc.stageInfo.stageId)
+        val m = sc.stageInfo.taskMetrics
+        if (g != null && m != null) {
+          acc(shuffleBytes, g, m.shuffleWriteMetrics.bytesWritten)
+          acc(spillBytes, g, m.diskBytesSpilled)
+        }
+      }
+    })
+    val runCount = new ConcurrentHashMap[String, AtomicLong]()
+
     // Min over INTERLEAVED passes, report the min: absorbs GC pauses,
     // page-cache misses and other host interference observed to inflate
     // single measurements 5-10x on this shared box. The passes run as
@@ -47,9 +78,12 @@ object Bench {
     // untouched 0.8 s query measured 5.3 s on both back-to-back runs).
     // Queries whose two samples still disagree by >1.5x get a third.
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      spark.sparkContext.setJobGroup(name, name)
+      runCount.computeIfAbsent(name, _ => new AtomicLong).incrementAndGet()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
+      finally spark.sparkContext.clearJobGroup()
       (System.nanoTime() - t0) / 1e9
     }
     // Local-iteration subset (the driver never sets this): run only the
@@ -114,8 +148,21 @@ object Bench {
     // query count, wordcount parity metric) — a fixed-size line that
     // parses at any query count. The full per-query map and spreads
     // persist in bench_last.json, committed every round.
+    // drain the async listener bus before reading the per-group totals
+    Thread.sleep(2000)
+    val shuffleMb = results.map(_._1).sorted.map { k =>
+      val runs = math.max(Option(runCount.get(k)).map(_.get).getOrElse(1L), 1L)
+      val mb = Option(shuffleBytes.get(k)).map(_.get).getOrElse(0L) / runs / 1048576.0
+      "\"" + k + "\":" + f"$mb%.1f"
+    }.mkString("{", ",", "}")
+    val spillMb = results.map(_._1).sorted.flatMap { k =>
+      val runs = math.max(Option(runCount.get(k)).map(_.get).getOrElse(1L), 1L)
+      val mb = Option(spillBytes.get(k)).map(_.get).getOrElse(0L) / runs / 1048576.0
+      if (mb >= 0.05) Some("\"" + k + "\":" + f"$mb%.1f") else None
+    }.mkString("{", ",", "}")
+
     val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"wordcount_words_per_s":$wordsPerS%.0f,"sf":"$sfDir"}"""
-    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"wordcount_words_per_s":$wordsPerS%.0f,"queries":$qsFull,"spreads":$sp,"sf":"$sfDir"}"""
+    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"wordcount_words_per_s":$wordsPerS%.0f,"queries":$qsFull,"spreads":$sp,"shuffle_mb":$shuffleMb,"spill_mb":$spillMb,"sf":"$sfDir"}"""
     // Subset sweeps (SPARK_GRAFT_ONLY) must not clobber the committed
     // full-registry artifact — they write a sibling file instead.
     val artifact = if (only.isEmpty) "bench_last.json" else "bench_subset_last.json"
