@@ -148,8 +148,23 @@ object Bench {
     // query count, wordcount parity metric) — a fixed-size line that
     // parses at any query count. The full per-query map and spreads
     // persist in bench_last.json, committed every round.
-    // drain the async listener bus before reading the per-group totals
-    Thread.sleep(2000)
+    // drain the async listener bus before reading the per-group totals:
+    // poll until the grand total is stable across two 300 ms windows
+    // (a fixed sleep undercounts whenever the bus backlog outlasts it),
+    // capped at 15 s so a wedged bus cannot hang the artifact write
+    def grandTotal(): Long = {
+      var t = 0L
+      shuffleBytes.values.forEach(v => t += v.get)
+      spillBytes.values.forEach(v => t += v.get)
+      t
+    }
+    var stablePrev = -1L
+    var waited = 0
+    while (grandTotal() != stablePrev && waited < 50) {
+      stablePrev = grandTotal()
+      Thread.sleep(300)
+      waited += 1
+    }
     val shuffleMb = results.map(_._1).sorted.map { k =>
       val runs = math.max(Option(runCount.get(k)).map(_.get).getOrElse(1L), 1L)
       val mb = Option(shuffleBytes.get(k)).map(_.get).getOrElse(0L) / runs / 1048576.0

@@ -33,8 +33,14 @@ object PrefixSum {
       .withColumn("__pid", spark_partition_id())
       .withColumn("__v", value)
       .localCheckpoint(false)
+    // explicit ROWS frame: the default frame for an ordered window is
+    // RANGE, under which ORDER ties collapse to one cumulative value —
+    // a running sum must advance per ROW (ties then break by physical
+    // position, arbitrary-but-deterministic for a fixed layout, the
+    // same contract row_number gave the pre-extraction copies)
     val wLocal = Window.partitionBy((col("__pid") +: partCols): _*)
       .orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wCarry = Window.partitionBy(partCols: _*).orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val carry = parted.groupBy((col("__pid") +: partCols): _*)

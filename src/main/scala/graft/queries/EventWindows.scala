@@ -855,12 +855,18 @@ object EventWindows {
       .withColumn("pos_p",
         min(when(col("event_type") === "purchase", col("rn"))).over(overSess))
       .filter(col("pos_p").isNull || col("rn") <= col("pos_p"))
+    // k2 feeds BOTH union branches below — materialize it once or the
+    // sessionizer + three-window corpus pipeline above it runs twice
+    // (the twice-consumed-frame rule recorded in BASELINE round 12)
     val k2 = kept
       .withColumn("frm",
         coalesce(lag(col("event_type"), 1).over(bySess), lit("START")))
       .withColumn("tost", when(col("event_type") === "purchase", "CONV")
         .otherwise(col("event_type")))
       .withColumn("last_rn", max(col("rn")).over(overSess))
+      .select(col("rn"), col("last_rn"), col("event_type"),
+        col("frm"), col("tost"))
+      .localCheckpoint()
     k2.select(col("frm").as("from_state"), col("tost").as("to_state"))
       .unionAll(k2.filter(col("rn") === col("last_rn") &&
           col("event_type") =!= "purchase")

@@ -353,8 +353,17 @@ object Privacy {
         col("noise"))
   }
 
+  /** The releasable projection: released counts ONLY. The noise column
+    * stays inside [[dpHistogramOf]] (specs reach it there) — emitting
+    * it would let any consumer reconstruct the exact count as
+    * n_released − noise, voiding the guarantee, so neither the batch
+    * query nor the streaming twin ever publishes it.
+    */
+  private[graft] def dpRelease(docs: DataFrame): DataFrame =
+    dpHistogramOf(docs).select(col("lang"), col("source"), col("n_released"))
+
   private def q264(s: SparkSession, d: String): DataFrame =
-    dpHistogramOf(graft.Tables.documents(s, d))
+    dpRelease(graft.Tables.documents(s, d))
       .orderBy(col("lang"), col("source"))
 
   private val q264Sql = {
@@ -372,8 +381,7 @@ object Privacy {
       |    END AS noise
       |  FROM cells)
       |SELECT lang, source,
-      |  CAST(greatest(cnt + noise, 0) AS BIGINT) AS n_released,
-      |  CAST(noise AS BIGINT) AS noise
+      |  CAST(greatest(cnt + noise, 0) AS BIGINT) AS n_released
       |FROM noised
       |ORDER BY lang, source""".stripMargin
   }

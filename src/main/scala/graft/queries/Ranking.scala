@@ -19,7 +19,8 @@ import graft.Tables._
   * each doc is matched against the docs at doc_id offsets +1 and +7
   * (two equi-joins — at any corpus size this is two narrow shuffles
   * of an (id, source, n_chars) projection, never an all-pairs
-  * surface), the longer doc wins (doc_id tiebreak, so no ties), and
+  * surface), the longer doc wins — length ties go to the LATER
+  * doc_id, i.e. always to b, since b.doc_id = a.doc_id + k — and
   * the PLAYERS are the 20 sources — "which source produces the
   * content that wins head-to-head?". Offsets 1 and 7 make the
   * comparison graph a circulant with two chord lengths: connected, so
@@ -98,8 +99,8 @@ object Ranking {
   }
 
   /** The deterministic comparison schedule over `documents`: offsets
-    * +1/+7 by doc_id, longer text wins, doc_id tiebreak, same-source
-    * pairs skipped (they carry no between-player information).
+    * +1/+7 by doc_id, longer text wins (length ties to the later doc),
+    * same-source pairs skipped (no between-player information).
     */
   private def comparisons(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
@@ -109,13 +110,9 @@ object Ranking {
         .join(docs.as("b"), col("b.doc_id") === col("a.doc_id") + k)
         .where(col("a.source") =!= col("b.source"))
         .select(
-          when(col("a.n_chars") > col("b.n_chars") ||
-            (col("a.n_chars") === col("b.n_chars") &&
-              col("a.doc_id") > col("b.doc_id")),
+          when(col("a.n_chars") > col("b.n_chars"),
             col("a.source")).otherwise(col("b.source")).as("wsrc"),
-          when(col("a.n_chars") > col("b.n_chars") ||
-            (col("a.n_chars") === col("b.n_chars") &&
-              col("a.doc_id") > col("b.doc_id")),
+          when(col("a.n_chars") > col("b.n_chars"),
             col("b.source")).otherwise(col("a.source")).as("lsrc"))
     }.reduce(_ unionAll _)
   }
@@ -128,8 +125,7 @@ object Ranking {
 
   private val q263Sql = {
     val S = BtScale
-    def winner(a: String, b: String) =
-      s"$a.n_chars > $b.n_chars OR ($a.n_chars = $b.n_chars AND $a.doc_id > $b.doc_id)"
+    def winner(a: String, b: String) = s"$a.n_chars > $b.n_chars"
     def pair(k: Int) =
       s"""SELECT CASE WHEN ${winner("a", "b")} THEN a.source ELSE b.source END AS wsrc,
         |  CASE WHEN ${winner("a", "b")} THEN b.source ELSE a.source END AS lsrc

@@ -248,39 +248,16 @@ object Sampling {
     * (quality desc, doc_id) per source until `budget` tokens. Shared by
     * q98 (whole corpus) and q100 (dedup survivors).
     */
-  private[queries] def tokenBudgetOver(scored: DataFrame, budget: Long): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val s = scored.sparkSession
-    val nParts = s.conf.get("spark.sql.shuffle.partitions").toIntOption
-      .getOrElse(s.sparkContext.defaultParallelism)
-    // localCheckpoint freezes the partition layout: the carry branch
-    // and the main branch both read THIS materialization, so __pid is
-    // one consistent assignment. Without it each branch re-plans the
-    // range exchange, and AQE may coalesce the two instances to
-    // different partition counts — the carry offsets then belong to a
-    // different pid numbering and global positions duplicate/skip
-    // (observed at sf0.1 in q107 before the fix).
-    val parted = scored
-      .repartitionByRange(nParts, col("source"), col("quality").desc, col("doc_id"))
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(false)
-    val wLocal = Window.partitionBy(col("__pid"), col("source"))
-      .orderBy(col("quality").desc, col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wCarry = Window.partitionBy(col("source")).orderBy(col("__pid"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val carry = parted.groupBy(col("__pid"), col("source"))
-      .agg(sum(col("n_toks")).as("__pt"))
-      .withColumn("__carry", sum(col("__pt")).over(wCarry))
-      .select(col("__pid"), col("source"), col("__carry"))
-    parted
-      .withColumn("__lcum", sum(col("n_toks")).over(wLocal))
-      .join(broadcast(carry), Seq("__pid", "source"))
-      .withColumn("cum_toks", col("__lcum") + coalesce(col("__carry"), lit(0L)))
+  private[queries] def tokenBudgetOver(scored: DataFrame, budget: Long): DataFrame =
+    // the generic carry pattern lives in ops.PrefixSum (single home for
+    // the AQE-fragile one-__pid-assignment invariant its scaladoc
+    // explains); this is its running token sum per source
+    graft.ops.PrefixSum.prefixSum(scored, Seq("source"),
+        Seq(col("quality").desc, col("doc_id")), col("n_toks"))
+      .withColumnRenamed("cum", "cum_toks")
       .filter(col("cum_toks") - col("n_toks") < budget)
       .select(col("source"), col("doc_id"), col("n_toks"), col("cum_toks"))
       .orderBy(col("source"), col("doc_id"))
-  }
 
   private def q98(s: SparkSession, d: String): DataFrame =
     tokenBudgetOver(scoredDocs(s, d), TokenBudget)
@@ -295,32 +272,12 @@ object Sampling {
     * long).
     */
   private[queries] def rankDistributed(
-      df: DataFrame, part: Seq[String], order: Seq[org.apache.spark.sql.Column]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val s = df.sparkSession
-    val nParts = s.conf.get("spark.sql.shuffle.partitions").toIntOption
-      .getOrElse(s.sparkContext.defaultParallelism)
-    val partCols = part.map(col)
-    // localCheckpoint for the same reason as [[tokenBudgetOver]]: both
-    // the carry aggregate and the ranked branch must see ONE __pid
-    // assignment; separately-planned instances of the range exchange
-    // can be AQE-coalesced to different partition counts.
-    val parted = df.repartitionByRange(nParts, (partCols ++ order): _*)
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(false)
-    val wLocal = Window.partitionBy((col("__pid") +: partCols): _*).orderBy(order: _*)
-    val wCarry = Window.partitionBy(partCols: _*).orderBy(col("__pid"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val carry = parted.groupBy((col("__pid") +: partCols): _*)
-      .agg(count(lit(1)).as("__pn"))
-      .withColumn("__carry", sum(col("__pn")).over(wCarry))
-      .select((col("__pid") +: partCols :+ col("__carry")): _*)
-    parted
-      .withColumn("__lrk", row_number().over(wLocal))
-      .join(broadcast(carry), "__pid" +: part)
-      .withColumn("rk", col("__lrk").cast("long") + coalesce(col("__carry"), lit(0L)))
-      .drop("__pid", "__lrk", "__carry")
-  }
+      df: DataFrame, part: Seq[String], order: Seq[org.apache.spark.sql.Column]): DataFrame =
+    // a rank is the running sum of 1 in the same total order — the
+    // generic carry machinery (and its one-__pid-assignment invariant)
+    // lives in ops.PrefixSum
+    graft.ops.PrefixSum.prefixSum(df, part, order, lit(1L))
+      .withColumnRenamed("cum", "rk")
 
   // q103 — per-source quality calibration: quality scores are only
   // comparable WITHIN a source (different boilerplate, different

@@ -1882,8 +1882,10 @@ object Signals {
   // may be negative — Spark DIV and DuckDB // both truncate toward
   // zero, so parity holds without sign-splitting); per-user adjusted
   // values are pure multiplications at 2^40 scale, summed in decimal.
-  // The n-rescale before squaring (cn = cov_n2 DIV n) keeps ρ²'s
-  // operands inside DECIMAL(38,0) at 10^9-user scale (the q169 note).
+  // The n²-rescale before squaring (cov_n2 DIV n DIV n ≈ the per-user
+  // covariance, ~σ² independent of n) keeps ρ²'s operands inside
+  // DECIMAL(38,0) at ANY user count (the q169 note; a single DIV n
+  // leaves n·σ²-sized factors that overflow around 10^8 users).
   //
   // Scale shape: one (user) aggregate over the event scan (map-side
   // combined), a 1-row stats broadcast back onto the per-user frame
@@ -1917,16 +1919,21 @@ object Signals {
       expr(s"CAST(CAST(sx AS DECIMAL(38,0)) * $S DIV n AS BIGINT)")
         .as("mean_x_fp"),
       // DIV yields LONG: re-stage each rescaled factor through
-      // DECIMAL(38,0) before squaring/crossing or the products
-      // overflow (vx·vy ~ 1e20 already at sf0.001)
+      // DECIMAL(38,0) before squaring/crossing. The rescale is DIV n
+      // TWICE per factor: X_n2 DIV n² ≈ the per-user (co)variance
+      // (~σ², independent of n), so the squared numerator stays
+      // ~σ⁴·2^20 at ANY user count — a single DIV n leaves factors
+      // ~n·σ² whose square overflows DECIMAL(38,0)/HUGEINT around
+      // 1e8 users. Truncation cost is ≤1 cents² per factor —
+      // identical in both engines.
       expr(s"""CAST(
-        |  CAST((n * sxy - CAST(sx AS DECIMAL(38,0)) * sy) DIV n
+        |  CAST((n * sxy - CAST(sx AS DECIMAL(38,0)) * sy) DIV n DIV n
         |    AS DECIMAL(38,0))
-        |  * ((n * sxy - CAST(sx AS DECIMAL(38,0)) * sy) DIV n) * $S
+        |  * ((n * sxy - CAST(sx AS DECIMAL(38,0)) * sy) DIV n DIV n) * $S
         |  DIV greatest(
-        |    CAST((n * sxx - CAST(sx AS DECIMAL(38,0)) * sx) DIV n
+        |    CAST((n * sxx - CAST(sx AS DECIMAL(38,0)) * sx) DIV n DIV n
         |      AS DECIMAL(38,0))
-        |    * ((n * syy - CAST(sy AS DECIMAL(38,0)) * sy) DIV n), 1)
+        |    * ((n * syy - CAST(sy AS DECIMAL(38,0)) * sy) DIV n DIV n), 1)
         |  AS BIGINT)""".stripMargin).as("rho2_fp"))
     u.crossJoin(broadcast(derived))
       .groupBy(col("arm"))
@@ -1969,9 +1976,10 @@ object Signals {
       |    CAST((n * sxy - sx * sy) * $S
       |      // greatest(n * sxx - sx * sx, 1) AS BIGINT) AS theta_fp,
       |    CAST(sx * $S // n AS BIGINT) AS mean_x_fp,
-      |    CAST(((n * sxy - sx * sy) // n) * ((n * sxy - sx * sy) // n) * $S
-      |      // greatest(((n * sxx - sx * sx) // n)
-      |        * ((n * syy - sy * sy) // n), 1) AS BIGINT) AS rho2_fp
+      |    CAST(((n * sxy - sx * sy) // n // n)
+      |        * ((n * sxy - sx * sy) // n // n) * $S
+      |      // greatest(((n * sxx - sx * sx) // n // n)
+      |        * ((n * syy - sy * sy) // n // n), 1) AS BIGINT) AS rho2_fp
       |  FROM st)
       |SELECT arm, count(*) AS n_users,
       |  CAST(sum(y) AS BIGINT) AS sum_y_cents,

@@ -1002,7 +1002,7 @@ object StatefulStreams {
     * batch release over the union of the batches.
     */
   def streamingDpRelease(docs: DataFrame): DataFrame =
-    graft.queries.Privacy.dpHistogramOf(docs)
+    graft.queries.Privacy.dpRelease(docs)
 
   /** O7 (broadcast fan-out, engine.go:196-211) for streams: one source
     * micro-batch delivered to N sinks via foreachBatch. The batch

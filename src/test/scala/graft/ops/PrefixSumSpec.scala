@@ -27,6 +27,16 @@ class PrefixSumSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("ORDER ties advance per row, never collapse (ROWS, not RANGE, frame)") {
+    // 32 identical order keys: a RANGE-framed sum would give every row
+    // the same cum (the q152 regression this pins); per-row the cums
+    // must be exactly 1..32 in some order
+    val df = Seq.fill(32)(("p", 7L, 1L)).toDF("part", "ord", "v")
+    val cums = PrefixSum.prefixSum(df, Seq("part"), Seq(col("ord")), col("v"))
+      .collect().map(_.getAs[Long]("cum")).sorted.toSeq
+    assert(cums == (1L to 32L), s"got $cums")
+  }
+
   test("no single-task window: the plan has no corpus-wide sort window per part") {
     // the local windows are per physical partition — the carry is the
     // only per-part ordered window and it runs over __pid counts, so

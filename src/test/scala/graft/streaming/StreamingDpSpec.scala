@@ -9,7 +9,9 @@ import graft.queries.Privacy
   * batch q264 release over the union of the micro-batches — the
   * property that makes a continuously-refreshed released dashboard
   * cost ONE ε: cell-keyed noise means each refresh is post-processing
-  * of the same single release, never a new draw.
+  * of the same single release, never a new draw. The published frame
+  * carries released counts ONLY; the noise column exists solely
+  * inside dpHistogramOf, where the reuse assertion reads it.
   */
 class StreamingDpSpec extends SparkSpec {
   import spark.implicits._
@@ -19,6 +21,7 @@ class StreamingDpSpec extends SparkSpec {
     val in = MemoryStream[(String, String)]
     val rel = StatefulStreams.streamingDpRelease(
       in.toDF().toDF("lang", "source"))
+    assert(!rel.columns.contains("noise")) // the release never leaks it
     val q = rel.writeStream.format("memory").queryName("dprel")
       .outputMode("complete").trigger(Trigger.AvailableNow())
     val b1 = (1 to 40).map(i => (s"l${i % 3}", s"s${i % 4}"))
@@ -26,18 +29,24 @@ class StreamingDpSpec extends SparkSpec {
     in.addData(b1)
     val h1 = q.start(); h1.awaitTermination()
     val mid = spark.table("dprel").collect()
-      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     in.addData(b2)
     val h2 = q.start(); h2.awaitTermination()
     val got = spark.table("dprel").collect()
-      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
-    val batch = Privacy.dpHistogramOf((b1 ++ b2).toDF("lang", "source"))
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val batch = Privacy.dpRelease((b1 ++ b2).toDF("lang", "source"))
       .collect()
-      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(got == batch, s"got $got want $batch")
-    // refreshes reuse the cell's noise — post-processing, not a redraw
-    val common = mid.keySet intersect got.keySet
-    assert(common.nonEmpty &&
-      common.forall(k => mid(k)._2 == got(k)._2))
+    // refreshes reuse the cell's noise — post-processing, not a redraw:
+    // the internal noise of every cell is identical across the two
+    // release snapshots (read via the internal frame, never published)
+    def noiseOf(rows: Seq[(String, String)]) =
+      Privacy.dpHistogramOf(rows.toDF("lang", "source")).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+    val n1 = noiseOf(b1); val n2 = noiseOf(b1 ++ b2)
+    val common = n1.keySet intersect n2.keySet
+    assert(common.nonEmpty && common.forall(k => n1(k) == n2(k)))
+    assert(mid.keySet.subsetOf(got.keySet))
   }
 }
