@@ -102,4 +102,36 @@ class CheckpointRecoverySpec extends SparkSpec {
       }
     }
   }
+
+  test("attribution-edge stream resumes from checkpoint: open session survives restart") {
+    implicit val sql = spark.sqlContext
+    val ckpt = Files.createTempDirectory("graft_ckpt_attr").toString
+    val h = 1700000000000L
+    val in = MemoryStream[(Long, Long, String, Long)]
+    val edges = StatefulStreams.streamingAttributionEdges(
+      in.toDF().toDF("event_id", "user_id", "event_type", "ts_ms"))
+    val received = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+    def start() = edges.writeStream
+      .foreachBatch { (batch: Dataset[(String, String)], _: Long) =>
+        batch.collect().foreach(received.add)
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+
+    // session open, unconverted, at the stop point
+    in.addData(Seq((1L, 1L, "view", h), (2L, 1L, "click", h + 1000)))
+    val q1 = start(); q1.awaitTermination()
+    assert(received.toArray(Array.empty[(String, String)]).sorted.toSeq ==
+      Seq(("START", "view"), ("view", "click")))
+
+    // restart from checkpoint: the in-session edge must continue from
+    // the recovered (last_ts, last_kept) state — no replayed START,
+    // and the NEXT session's arrival still emits the old one's NULL
+    in.addData(Seq((3L, 1L, "purchase", h + 2000),
+      (4L, 1L, "view", h + 9000000L)))
+    val q2 = start(); q2.awaitTermination()
+    assert(received.toArray(Array.empty[(String, String)]).sorted.toSeq ==
+      Seq(("START", "view"), ("START", "view"),
+        ("click", "CONV"), ("view", "click")))
+  }
 }
