@@ -21,9 +21,20 @@ object PrefixSum {
     * within `part`. `order` must be a total order within each part for
     * the result to be deterministic.
     */
+  /** Working/output column names this helper claims on the input frame.
+    * withColumn silently REPLACES an existing column of the same name —
+    * an input already carrying e.g. `cum` or `__v` would get silently
+    * wrong results — so their absence is asserted, not assumed.
+    */
+  private val Reserved = Seq("cum", "__pid", "__v", "__lcum", "__carry")
+
   def prefixSum(
       df: DataFrame, part: Seq[String], order: Seq[Column],
       value: Column): DataFrame = {
+    val clash = Reserved.filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"prefixSum reserves column names ${Reserved.mkString(", ")}; " +
+        s"input frame already has ${clash.mkString(", ")} — rename before calling")
     val s = df.sparkSession
     val nParts = s.conf.get("spark.sql.shuffle.partitions").toIntOption
       .getOrElse(s.sparkContext.defaultParallelism)

@@ -317,7 +317,10 @@ object Privacy {
   // the release a deterministic test vector for the oracle compare; a
   // production release swaps the seed for real entropy (that single
   // line is the only nondeterminism a DP release needs, exactly the
-  // boundary q207's doc comment drew).
+  // boundary q207's doc comment drew). The seed is therefore an
+  // INJECTED parameter: the test vector [[DpTestSeed]] appears only at
+  // the oracle-checked query / spec / streaming-twin call sites, never
+  // as a default.
   //
   // Scale shape: one map-side-combined groupBy on the (lang, source)
   // pair key; the noise is a per-cell scalar expression — nothing
@@ -325,6 +328,13 @@ object Privacy {
   val DpB = 20
   /** u-range of the truncated sampler: 2^DpB central + 2·(2^DpB − 1). */
   val DpT = 3L * (1L << DpB) - 2
+  /** Deterministic TEST-VECTOR seed — makes the release reproducible
+    * for the DuckDB oracle compare and the bit-equality specs. A code
+    * constant is PUBLIC: noise drawn from it can be recomputed by any
+    * consumer, so it carries zero privacy. Production callers must
+    * inject fresh secret entropy instead (see [[dpRelease]]).
+    */
+  private[graft] val DpTestSeed = "dp-geom-1"
 
   /** The q264 release over any (lang, source) frame — shared by the
     * batch query and the streaming twin (`StatefulStreams.
@@ -334,14 +344,21 @@ object Privacy {
     * privacy budget stays one ε no matter how often the counts are
     * re-published, and the stream matches the batch bit-for-bit.
     */
-  private[graft] def dpHistogramOf(docs: DataFrame): DataFrame = {
+  private[graft] def dpHistogramOf(docs: DataFrame, seed: String): DataFrame = {
     val half = 1L << DpB
+    // NULL key components are coalesced to '' BEFORE hashing: concat_ws
+    // silently SKIPS nulls while SQL || propagates them, so without the
+    // coalesce the two engines would disagree on any cell with a NULL
+    // lang/source (and the noise would collide with the non-null cell
+    // that happens to serialize the same).
     docs
       .groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("u",
         pmod(graft.functions.TextFns.hash60(
-          concat_ws("|", lit("dp-geom-1"), col("lang"), col("source"))),
+          concat_ws("|", lit(seed),
+            coalesce(col("lang"), lit("")),
+            coalesce(col("source"), lit("")))),
           lit(DpT)))
       .withColumn("noise", expr(
         s"""CASE WHEN u < $half THEN 0L ELSE
@@ -358,18 +375,27 @@ object Privacy {
     * it would let any consumer reconstruct the exact count as
     * n_released − noise, voiding the guarantee, so neither the batch
     * query nor the streaming twin ever publishes it.
+    *
+    * PRIVACY WARNING — the seed must be SECRET ENTROPY or there is no
+    * privacy at all: the noise is a deterministic function of (seed,
+    * cell key), so a consumer who knows the seed recomputes the noise
+    * and inverts n_released back to the exact count. Withholding the
+    * noise column only helps when the seed is unknown. [[DpTestSeed]]
+    * is a public code constant and therefore carries ZERO privacy — it
+    * exists solely so the oracle compare and the batch/stream
+    * bit-equality specs have a reproducible vector.
     */
-  private[graft] def dpRelease(docs: DataFrame): DataFrame =
-    dpHistogramOf(docs).select(col("lang"), col("source"), col("n_released"))
+  private[graft] def dpRelease(docs: DataFrame, seed: String): DataFrame =
+    dpHistogramOf(docs, seed).select(col("lang"), col("source"), col("n_released"))
 
   private def q264(s: SparkSession, d: String): DataFrame =
-    dpRelease(graft.Tables.documents(s, d))
+    dpRelease(graft.Tables.documents(s, d), DpTestSeed)
       .orderBy(col("lang"), col("source"))
 
   private val q264Sql = {
     val half = 1L << DpB
     val u = s"(${graft.functions.TextFns.hash60Sql(
-      s"'dp-geom-1' || '|' || lang || '|' || source")} % $DpT + $DpT) % $DpT"
+      s"'$DpTestSeed' || '|' || coalesce(lang, '') || '|' || coalesce(source, '')")} % $DpT + $DpT) % $DpT"
     s"""WITH cells AS (
       |  SELECT lang, source, count(*) AS cnt, $u AS u
       |  FROM documents GROUP BY 1, 2),

@@ -954,38 +954,73 @@ object StatefulStreams {
     * and stream define the same edge set). Append mode — edges are
     * facts, never revised. In-order arrival per user; within a
     * micro-batch rows sort by (ts_ms, event_id).
+    *
+    * State is BOUNDED by a processing-time timeout (`flushAfterMs`,
+    * default 2 h — well beyond the 30-min event-time gap): a user with
+    * no arrivals for that long is churned, so the pending (lastKept,
+    * NULL) terminal of their final unconverted session is flushed and
+    * the state entry removed. Without the flush the NULL-edge counts
+    * feeding the removal-effect model would permanently understate
+    * churned users' terminals AND per-user state would grow without
+    * bound. A user who re-appears after a flush simply starts a new
+    * session — identical edges to the never-flushed run, because a
+    * >2 h processing gap implies a >30 min event-time gap for any
+    * stream that is not replaying history faster than it churns.
+    * `flushAfterMs = None` disables the timer (the old unbounded
+    * behavior): needed by the AvailableNow batch-parity specs, because
+    * a processing-time timer makes the engine schedule batches forever
+    * (the TtlDedupSpec driving caveat) and AvailableNow never
+    * terminates. StateBoundSpec drives the timer path.
     */
-  def streamingAttributionEdges(ev: DataFrame): Dataset[(String, String)] = {
+  val AttributionFlushMs: Long = 2L * 3600 * 1000
+
+  def streamingAttributionEdges(
+      ev: DataFrame,
+      flushAfterMs: Option[Long] = Some(AttributionFlushMs)): Dataset[(String, String)] = {
     val spark = ev.sparkSession
     import spark.implicits._
+    val timeoutConf =
+      if (flushAfterMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     ev.select(col("user_id"), col("event_id"), col("event_type"), col("ts_ms"))
       .as[(Long, Long, String, Long)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf) {
         (_: Long, it: Iterator[(Long, Long, String, Long)],
             gs: GroupState[(Long, String, Boolean)]) =>
-          var st = gs.getOption // (lastTs, lastKeptType, converted)
-          val out = Vector.newBuilder[(String, String)]
-          it.toIndexedSeq.sortBy(t => (t._4, t._2)).foreach { case (_, _, tp, ts) =>
-            val conv = tp == "purchase"
-            val mapped = if (conv) "CONV" else tp
-            st match {
-              case Some((lastTs, lastKept, converted))
-                  if ts - lastTs <= 1800000L =>
-                if (!converted) {
-                  out += ((lastKept, mapped))
-                  st = Some((ts, if (conv) lastKept else tp, conv))
-                } else st = Some((lastTs.max(ts), lastKept, converted))
-              case prev => // first event, or gap > 30 min: new session
-                prev.collect { case (_, lastKept, false) =>
-                  out += ((lastKept, "NULL"))
-                }
-                out += (("START", mapped))
-                st = Some((ts, if (conv) "START" else tp, conv))
+          if (gs.hasTimedOut) {
+            // churned user: emit the final session's NULL terminal if it
+            // never converted, then drop the state entry entirely
+            val out = gs.getOption.collect {
+              case (_, lastKept, false) => (lastKept, "NULL")
             }
+            gs.remove()
+            out.iterator
+          } else {
+            var st = gs.getOption // (lastTs, lastKeptType, converted)
+            val out = Vector.newBuilder[(String, String)]
+            it.toIndexedSeq.sortBy(t => (t._4, t._2)).foreach { case (_, _, tp, ts) =>
+              val conv = tp == "purchase"
+              val mapped = if (conv) "CONV" else tp
+              st match {
+                case Some((lastTs, lastKept, converted))
+                    if ts - lastTs <= 1800000L =>
+                  if (!converted) {
+                    out += ((lastKept, mapped))
+                    st = Some((ts, if (conv) lastKept else tp, conv))
+                  } else st = Some((lastTs.max(ts), lastKept, converted))
+                case prev => // first event, or gap > 30 min: new session
+                  prev.collect { case (_, lastKept, false) =>
+                    out += ((lastKept, "NULL"))
+                  }
+                  out += (("START", mapped))
+                  st = Some((ts, if (conv) "START" else tp, conv))
+              }
+            }
+            st.foreach(gs.update)
+            flushAfterMs.foreach(gs.setTimeoutDuration)
+            out.result().iterator
           }
-          st.foreach(gs.update)
-          out.result().iterator
       }
   }
 
@@ -1000,9 +1035,13 @@ object StatefulStreams {
     * per refresh would compose sequentially and burn ε linearly in
     * refresh count. StreamingDpSpec pins the stream bit-equal to the
     * batch release over the union of the batches.
+    *
+    * The seed is injected (see Privacy.dpRelease's privacy warning):
+    * a live release is only private while its seed is secret entropy,
+    * and the specs pass the public test vector explicitly.
     */
-  def streamingDpRelease(docs: DataFrame): DataFrame =
-    graft.queries.Privacy.dpRelease(docs)
+  def streamingDpRelease(docs: DataFrame, seed: String): DataFrame =
+    graft.queries.Privacy.dpRelease(docs, seed)
 
   /** O7 (broadcast fan-out, engine.go:196-211) for streams: one source
     * micro-batch delivered to N sinks via foreachBatch. The batch

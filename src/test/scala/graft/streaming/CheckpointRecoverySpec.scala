@@ -108,8 +108,12 @@ class CheckpointRecoverySpec extends SparkSpec {
     val ckpt = Files.createTempDirectory("graft_ckpt_attr").toString
     val h = 1700000000000L
     val in = MemoryStream[(Long, Long, String, Long)]
+    // flushAfterMs = None: this spec pins batch parity via AvailableNow,
+    // which never terminates under a processing-time flush timer (the
+    // engine always schedules another batch so timers can fire);
+    // StateBoundSpec drives the timer path with a polling sink.
     val edges = StatefulStreams.streamingAttributionEdges(
-      in.toDF().toDF("event_id", "user_id", "event_type", "ts_ms"))
+      in.toDF().toDF("event_id", "user_id", "event_type", "ts_ms"), None)
     val received = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
     def start() = edges.writeStream
       .foreachBatch { (batch: Dataset[(String, String)], _: Long) =>

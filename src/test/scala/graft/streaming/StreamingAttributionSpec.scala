@@ -29,8 +29,12 @@ class StreamingAttributionSpec extends SparkSpec {
       (3L, 1L, "view", h + gap), (4L, 1L, "purchase", h + gap + 1000),
       (13L, 2L, "purchase", h + 2000 + gap))
     val in = MemoryStream[(Long, Long, String, Long)]
+    // flushAfterMs = None: this spec pins batch parity via AvailableNow,
+    // which never terminates under a processing-time flush timer (the
+    // engine always schedules another batch so timers can fire);
+    // StateBoundSpec drives the timer path with a polling sink.
     val edges = StatefulStreams.streamingAttributionEdges(
-      in.toDF().toDF("event_id", "user_id", "event_type", "ts_ms"))
+      in.toDF().toDF("event_id", "user_id", "event_type", "ts_ms"), None)
     val q = edges.toDF("from_state", "to_state")
       .writeStream.format("memory").queryName("attredges")
       .outputMode("append").trigger(Trigger.AvailableNow())

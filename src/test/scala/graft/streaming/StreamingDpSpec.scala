@@ -20,7 +20,7 @@ class StreamingDpSpec extends SparkSpec {
     implicit val sql = spark.sqlContext
     val in = MemoryStream[(String, String)]
     val rel = StatefulStreams.streamingDpRelease(
-      in.toDF().toDF("lang", "source"))
+      in.toDF().toDF("lang", "source"), Privacy.DpTestSeed)
     assert(!rel.columns.contains("noise")) // the release never leaks it
     val q = rel.writeStream.format("memory").queryName("dprel")
       .outputMode("complete").trigger(Trigger.AvailableNow())
@@ -34,7 +34,7 @@ class StreamingDpSpec extends SparkSpec {
     val h2 = q.start(); h2.awaitTermination()
     val got = spark.table("dprel").collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
-    val batch = Privacy.dpRelease((b1 ++ b2).toDF("lang", "source"))
+    val batch = Privacy.dpRelease((b1 ++ b2).toDF("lang", "source"), Privacy.DpTestSeed)
       .collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(got == batch, s"got $got want $batch")
@@ -42,7 +42,7 @@ class StreamingDpSpec extends SparkSpec {
     // the internal noise of every cell is identical across the two
     // release snapshots (read via the internal frame, never published)
     def noiseOf(rows: Seq[(String, String)]) =
-      Privacy.dpHistogramOf(rows.toDF("lang", "source")).collect()
+      Privacy.dpHistogramOf(rows.toDF("lang", "source"), Privacy.DpTestSeed).collect()
         .map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
     val n1 = noiseOf(b1); val n2 = noiseOf(b1 ++ b2)
     val common = n1.keySet intersect n2.keySet
