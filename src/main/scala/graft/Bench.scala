@@ -102,6 +102,18 @@ object Bench {
       else two)
     }
     val results = samples.map { case (n, ss) => n -> ss.min }
+    // Self-defense against host noise (the round-12 artifact was
+    // produced on a badly loaded box and nearly unusable): after the
+    // interleaved sweeps finish, re-measure the N slowest rows ISOLATED
+    // — one at a time, nothing else queued, sweep cache pressure gone —
+    // and record isolated_s = min(sweep min, isolated sample). A row
+    // whose isolated time is far under its sweep time was a victim of
+    // the box, not a regression.
+    val isolatedN = 15
+    val fnOf = named.toMap
+    val isolated = results.sortBy(-_._2).take(isolatedN).map { case (n, sweepMin) =>
+      n -> math.min(sweepMin, timeOnce(n, fnOf(n)))
+    }
     // Per-query dispersion (max/min across the interleaved samples):
     // the artifact itself shows which numbers are host noise — a query
     // whose spread is 3x did not get slower, its box did.
@@ -137,6 +149,20 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val wordsPerS = wcWords / wcSec
+    // host_factor: this box's speed relative to the previous committed
+    // round, measured by the fixed-workload wordcount anchor (identical
+    // code + data each round, so the ratio is pure host condition).
+    // 0.63 means "this box ran at 0.63x of last round's" — the reader
+    // divides raw per-query times by it before calling anything a
+    // regression. Read from the PRIOR bench_last.json before this run
+    // overwrites it; null when no prior artifact exists.
+    val hostFactor: Option[Double] = try {
+      val prior = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("bench_last.json")), "UTF-8")
+      val m = """"wordcount_words_per_s":(\d+)""".r.findFirstMatchIn(prior)
+      m.map(g => wordsPerS / g.group(1).toDouble)
+    } catch { case _: Throwable => None }
+    val hostFactorJson = hostFactor.map(v => f"$v%.3f").getOrElse("null")
 
     // Dispersion diagnostics go to stderr: the stdout metric line must
     // stay one short parseable JSON line (adding the spread map inlined
@@ -149,9 +175,12 @@ object Bench {
     // parses at any query count. The full per-query map and spreads
     // persist in bench_last.json, committed every round.
     // drain the async listener bus before reading the per-group totals:
-    // poll until the grand total is stable across two 300 ms windows
-    // (a fixed sleep undercounts whenever the bus backlog outlasts it),
-    // capped at 15 s so a wedged bus cannot hang the artifact write
+    // poll until the grand total holds the SAME value across two
+    // consecutive 300 ms windows — i.e. three equal reads, each taken
+    // once per iteration (reading it twice per iteration let a total
+    // that moved between the check and the store get recorded as the
+    // stable baseline) — capped at 15 s so a wedged bus cannot hang
+    // the artifact write.
     def grandTotal(): Long = {
       var t = 0L
       shuffleBytes.values.forEach(v => t += v.get)
@@ -159,9 +188,12 @@ object Bench {
       t
     }
     var stablePrev = -1L
+    var stableRuns = 0
     var waited = 0
-    while (grandTotal() != stablePrev && waited < 50) {
-      stablePrev = grandTotal()
+    while (stableRuns < 2 && waited < 50) {
+      val t = grandTotal()
+      if (t == stablePrev) stableRuns += 1
+      else { stableRuns = 0; stablePrev = t }
       Thread.sleep(300)
       waited += 1
     }
@@ -176,8 +208,10 @@ object Bench {
       if (mb >= 0.05) Some("\"" + k + "\":" + f"$mb%.1f") else None
     }.mkString("{", ",", "}")
 
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"wordcount_words_per_s":$wordsPerS%.0f,"sf":"$sfDir"}"""
-    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"wordcount_words_per_s":$wordsPerS%.0f,"queries":$qsFull,"spreads":$sp,"shuffle_mb":$shuffleMb,"spill_mb":$spillMb,"sf":"$sfDir"}"""
+    val isoJson = isolated.sortBy(_._1).map { case (k, v) =>
+      "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"wordcount_words_per_s":$wordsPerS%.0f,"host_factor":$hostFactorJson,"isolated_s":$isoJson,"sf":"$sfDir"}"""
+    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"wordcount_words_per_s":$wordsPerS%.0f,"host_factor":$hostFactorJson,"isolated_s":$isoJson,"queries":$qsFull,"spreads":$sp,"shuffle_mb":$shuffleMb,"spill_mb":$spillMb,"sf":"$sfDir"}"""
     // Subset sweeps (SPARK_GRAFT_ONLY) must not clobber the committed
     // full-registry artifact — they write a sibling file instead.
     val artifact = if (only.isEmpty) "bench_last.json" else "bench_subset_last.json"
