@@ -148,12 +148,33 @@ object Graph {
     val wedges = eor.as("l").join(eor.as("r"), Seq("src"))
       .filter(col("l.dstk") < col("r.dstk"))
       .select(col("src").as("u"), col("l.dst").as("v"), col("r.dst").as("w"))
+    // Bloom prefilter on the closure probe: the wedge side is
+    // Σ out-deg² rows (34× the edge count on the sf corpus — 441 MB of
+    // exchange at sf0.1, the single biggest shuffle in the registry),
+    // but only the CLOSING wedges (3·triangles, plus Bloom false
+    // positives) survive the join. A packed ~16-bits/edge bitset over
+    // the oriented edge keys, built in-plan and broadcast, drops
+    // non-closing wedges MAP-SIDE in the same stage that enumerates
+    // them — before the exchange, which is the only place the $Σ deg²$
+    // surface ever materializes. False positives only pass extra
+    // candidates to the exact join below, so the result is unchanged
+    // (TrianglePropertySpec/GraphSpec fixtures and the oracle hash pin
+    // it); the bitset is capped at 16 MB regardless of edge count
+    // (ops/BloomPrefilter.sizeBits), so the plan survives any scale.
+    val nEdges = eor.count() // eor is localCheckpointed — a cheap scan
+    val mBits = graft.ops.BloomPrefilter.sizeBits(nEdges)
+    val edgeBits = graft.ops.BloomPrefilter.packedBitset(
+      eor, graft.ops.BloomPrefilter.pairHash(col("src"), col("dst")),
+      k = 3, m = mBits)
+    val wedgesNear = graft.ops.BloomPrefilter.prefilterPacked(
+      wedges, graft.ops.BloomPrefilter.pairHash(col("v"), col("w")),
+      edgeBits, k = 3, m = mBits)
     // Closure probe as a SHUFFLED HASH join with the m-row edge list as
-    // build: the wedge side is Σ out-deg² rows (34× the edge count on
-    // the sf corpus) and must stream unsorted — the default sort-merge
-    // join spends its whole budget externally sorting wedges (7 s of a
-    // 13 s query at sf0.1; 2.6 s with the hash probe).
-    val tri = wedges.join(
+    // build: the (pre-filtered) wedge side streams unsorted — the
+    // default sort-merge join spends its whole budget externally
+    // sorting wedges (7 s of a 13 s query at sf0.1; 2.6 s with the
+    // hash probe, before the Bloom stage existed).
+    val tri = wedgesNear.join(
       eor.select(col("src").as("v"), col("dst").as("w")).hint("shuffle_hash"),
       Seq("v", "w"))
     val tc = tri.select(explode(array(col("u"), col("v"), col("w"))).as("v"))
