@@ -213,28 +213,30 @@ object Similarity {
   // assignment, all shuffle-free except the tiny per-cell aggregates.
   // Recall/probe is the standard IVF knob (QueryPackSpec pins >= 0.9
   // vs q40 at IvfProbe=6 of 16 cells).
-  private def q41(s: SparkSession, d: String): DataFrame = {
-    GraftFunctions.register(s)
-    val cellsN = confInt(s, "graft.ivf.cells", IvfCells)
-    val itersN = confInt(s, "graft.ivf.iters", IvfIters)
-    val probeN = confInt(s, "graft.ivf.probe", IvfProbe)
-    val e = embeddings(s, d)
-    val eq = e.select(col("vec_id"), col("embedding"),
-      transform(col("embedding"),
-        x => round(x.cast("double") * FixScale).cast("long")).as("qv"))
-    var centroids = eq.filter(col("vec_id") < cellsN)
-      .select(col("vec_id").cast("int").as("cell"),
-        transform(col("qv"),
-          q => (q.cast("double") / FixScale.toDouble).cast("float")).as("cvec"))
-    // argmax by (cos desc, cell asc) via max_by on (ccos, -cell): a
-    // hash aggregate with map-side partial combine — one shuffle of N
-    // rows — instead of a row_number window's sort-shuffle of N×cells
-    // rows. Result identical (cell is unique per candidate, so the
-    // ordering key has no ties); the oracle states it as row_number.
-    def argmaxCell(scored: DataFrame, keep: Column*): DataFrame =
-      scored.groupBy(col("vec_id"))
-        .agg(max_by(col("cell"), struct(col("ccos"), (-col("cell")).as("nc"))).as("cell"),
-          keep.map(c => first(c).as(c.toString)): _*)
+  /** argmax by (cos desc, cell asc) via max_by on (ccos, -cell): a
+    * hash aggregate with map-side partial combine — one shuffle of N
+    * rows — instead of a row_number window's sort-shuffle of N×cells
+    * rows. Result identical (cell is unique per candidate, so the
+    * ordering key has no ties); the oracles state it as row_number.
+    */
+  private def argmaxCell(scored: DataFrame, keep: Column*): DataFrame =
+    scored.groupBy(col("vec_id"))
+      .agg(max_by(col("cell"), struct(col("ccos"), (-col("cell")).as("nc"))).as("cell"),
+        keep.map(c => first(c).as(c.toString)): _*)
+
+  /** Iterated Lloyd/k-means on `eq` rows (vec_id, embedding, qv) from
+    * the `init` (cell, cvec) codebook — the q41 recipe, shared with
+    * q270's drift monitor: assignments are max-cosine (ties to the
+    * smaller cell), centroid updates are elementwise means over the
+    * 2^20 fixed-point quantized vectors, so the per-dimension sums are
+    * exact 64-bit integers (order-independent — Spark's partial
+    * aggregation order cannot perturb them) and the final division is
+    * one deterministic double op identical in DuckDB. Every centroid
+    * frame is O(cells × dim) — broadcast; the corpus is scanned once
+    * per iteration.
+    */
+  private def ivfTrainOn(eq: DataFrame, init: DataFrame, itersN: Int): DataFrame = {
+    var centroids = init
     for (_ <- 1 to itersN) {
       val assigned = argmaxCell(
         eq.join(broadcast(centroids))
@@ -250,6 +252,23 @@ object Similarity {
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cell"), transform(col("pm"), p => p.getField("m")).as("cvec"))
     }
+    centroids
+  }
+
+  private def q41(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val cellsN = confInt(s, "graft.ivf.cells", IvfCells)
+    val itersN = confInt(s, "graft.ivf.iters", IvfIters)
+    val probeN = confInt(s, "graft.ivf.probe", IvfProbe)
+    val e = embeddings(s, d)
+    val eq = e.select(col("vec_id"), col("embedding"),
+      transform(col("embedding"),
+        x => round(x.cast("double") * FixScale).cast("long")).as("qv"))
+    val init = eq.filter(col("vec_id") < cellsN)
+      .select(col("vec_id").cast("int").as("cell"),
+        transform(col("qv"),
+          q => (q.cast("double") / FixScale.toDouble).cast("float")).as("cvec"))
+    val centroids = ivfTrainOn(eq, init, itersN)
     val assigned = argmaxCell(
       e.join(broadcast(centroids))
         .withColumn("ccos", expr("cosine_sim(embedding, cvec)")), col("embedding"))
@@ -1327,6 +1346,197 @@ object Similarity {
       |ORDER BY dim, t.query_id""".stripMargin
   }
 
+  /** q270 retrain thresholds, 2^20 fixed point: occupancy TVD > 0.15,
+    * mean assigned-cosine drop > 0.02, or one cell holding > 1/2 of
+    * current traffic.
+    */
+  val DriftTvdFp = 157286L
+  val DriftDistFp = 20972L
+  val DriftShareFp = 524288L
+  /** q270 codebooks: (name, prefix dims) — the full-dim q41 codebook
+    * and the 16-dim truncated serving tier q268 audits.
+    */
+  val DriftBooks = Seq(("ivf_d16", 16), ("ivf_d64", 64))
+
+  // q270 — ANN codebook DRIFT MONITOR (capability gap named by the
+  // round-12 verdict: q41/q101 codebooks are static and
+  // streamingIvfAssign assigns against them forever — nothing decided
+  // WHEN a codebook must be retrained). For each serving codebook
+  // (full-64 and the 16-dim truncated tier), train it on the reference
+  // epoch (vec_id parity half 0 — the q183 epoch proxy; production
+  // compares training crawl to current traffic), assign BOTH epochs,
+  // and composes the two drift signals into a retrain/keep
+  // recommendation per codebook (the q167 advisor pattern):
+  //  - cell-occupancy TVD between the epochs' assignment histograms
+  //    (q176's exact-integer TVD discipline — n_a·N_b − n_b·N_a cross
+  //    products staged in DECIMAL(38,0) so no user count can overflow);
+  //  - current-epoch top-cell share (q132's skew alarm — a codebook
+  //    whose traffic collapses into one cell has stopped partitioning
+  //    the space, whatever the TVD says);
+  //  - assignment-distortion drift: mean assigned-cosine per epoch in
+  //    2^20 fixed point; a drop means current vectors sit farther from
+  //    every centroid — the quantizer no longer spans the data.
+  // Scale shape: training is q41's (corpus scan per iteration, all
+  // centroid structures broadcast); the monitor itself adds ONE extra
+  // full-corpus assignment pass and everything downstream is
+  // cells-sized. Nothing corpus-shaped shuffles beyond the N-row
+  // argmax aggregates.
+  private[graft] def codebookDriftOf(emb: DataFrame, cellsN: Int,
+      itersN: Int): DataFrame = {
+    val rows = DriftBooks.map { case (name, dim) =>
+      val base =
+        if (dim == 64) emb.select(col("vec_id"), col("embedding"))
+        else emb.select(col("vec_id"),
+          slice(col("embedding"), 1, dim).as("embedding"))
+      val eq = base.select(col("vec_id"), col("embedding"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * FixScale).cast("long")).as("qv"),
+        pmod(col("vec_id"), lit(2)).as("half"))
+      val ref = eq.filter(col("half") === 0)
+      // seed like q41: the first cellsN reference vectors (even ids)
+      val init = ref.filter(col("vec_id") < 2L * cellsN)
+        .select(expr("CAST(vec_id DIV 2 AS INT)").as("cell"),
+          transform(col("qv"),
+            q => (q.cast("double") / FixScale.toDouble).cast("float")).as("cvec"))
+      val cents = ivfTrainOn(ref.select("vec_id", "embedding", "qv"), init, itersN)
+      // one assignment pass over BOTH epochs; the max_by carries the
+      // WINNING cell's cosine along with it (a bare first(ccos) would
+      // pick an arbitrary candidate's), kept in fixed point (round()
+      // ties away-from-zero in both engines)
+      val asg = eq.join(broadcast(cents))
+        .withColumn("ccos", expr("cosine_sim(embedding, cvec)"))
+        .groupBy(col("vec_id"))
+        .agg(max_by(struct(col("cell"), col("ccos")),
+            struct(col("ccos"), (-col("cell")).as("nc"))).as("a"),
+          first(col("half")).as("half"))
+        .select(col("half"), col("a.cell").as("cell"),
+          expr(s"CAST(round(CAST(a.ccos AS DOUBLE) * $FixScale) AS BIGINT)").as("qcos"))
+        .localCheckpoint() // cells + totals both read it; train plan ends here
+      val cells = asg.groupBy(col("cell"))
+        .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("half") === 1, 1L).otherwise(0L)).as("n_b"))
+      val tot = asg.agg(
+        sum(when(col("half") === 0, 1L).otherwise(0L)).as("na_tot"),
+        sum(when(col("half") === 1, 1L).otherwise(0L)).as("nb_tot"),
+        sum(when(col("half") === 0, col("qcos")).otherwise(0L)).as("sqa"),
+        sum(when(col("half") === 1, col("qcos")).otherwise(0L)).as("sqb"))
+      cells.crossJoin(broadcast(tot))
+        .agg(
+          max(col("na_tot")).as("n_ref"), max(col("nb_tot")).as("n_cur"),
+          // DECIMAL(38,0) staging before the cross multiply (the
+          // Signals convention): n·N products cannot overflow BIGINT²
+          sum(abs(col("n_a").cast(DecimalType(38, 0)) * col("nb_tot") -
+            col("n_b").cast(DecimalType(38, 0)) * col("na_tot"))).as("sabs"),
+          max(col("n_b")).as("max_b"),
+          max(col("sqa")).as("sqa"), max(col("sqb")).as("sqb"))
+        .select(lit(name).as("codebook"), col("n_ref"), col("n_cur"),
+          expr(s"CAST((sabs * $FixScale) DIV " +
+            "(2 * CAST(n_ref AS DECIMAL(38,0)) * n_cur) AS BIGINT)").as("occ_tvd_fp"),
+          expr(s"(max_b * $FixScale) DIV n_cur").as("top_share_fp"),
+          expr("sqa DIV n_ref").as("dist_ref_fp"),
+          expr("sqb DIV n_cur").as("dist_cur_fp"))
+        .withColumn("dist_drop_fp", col("dist_ref_fp") - col("dist_cur_fp"))
+        .withColumn("action",
+          when(col("occ_tvd_fp") > DriftTvdFp ||
+            col("dist_drop_fp") > DriftDistFp ||
+            col("top_share_fp") > DriftShareFp, lit("retrain"))
+            .otherwise(lit("keep")))
+    }
+    rows.reduce(_ unionAll _).orderBy(col("codebook"))
+  }
+
+  private def q270(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    codebookDriftOf(embeddings(s, d), IvfCells, IvfIters)
+  }
+
+  private val q270Sql = {
+    def cosD(a: String, b: String, dim: Int) = {
+      def dot(u: String, v: String) =
+        s"list_reduce(list_transform(range($dim), i -> CAST($u[i+1] AS DOUBLE) * CAST($v[i+1] AS DOUBLE)), (x, y) -> x + y)"
+      s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
+    }
+    def kmIterD(dim: Int)(prevC: String, aName: String, cName: String) =
+      s"""$aName AS (
+        |  SELECT cell, qv FROM (
+        |    SELECT e.vec_id, c.cell, e.qv,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY ${cosD("e.embedding", "c.cvec", dim)} DESC, c.cell) AS crk
+        |    FROM ref_$dim e CROSS JOIN $prevC c) t
+        |  WHERE crk = 1),
+        |$cName AS (
+        |  SELECT cell, list(m ORDER BY pos) AS cvec FROM (
+        |    SELECT cell, pos,
+        |      CAST(CAST(sum(q) AS DOUBLE) /
+        |        (CAST(count(*) AS DOUBLE) * $FixScale.0) AS REAL) AS m
+        |    FROM (SELECT cell, r.i AS pos, qv[r.i + 1] AS q
+        |          FROM $aName, range($dim) r(i)) x
+        |    GROUP BY cell, pos) y
+        |  GROUP BY cell)""".stripMargin
+    def bookCtes(name: String, dim: Int) = {
+      val sliced = if (dim == 64) "embedding" else s"embedding[1:$dim]"
+      val iters = (1 to IvfIters)
+        .map(k => kmIterD(dim)(s"c${k - 1}_$dim", s"a${k}_$dim", s"c${k}_$dim"))
+        .mkString(",\n")
+      s"""eq_$dim AS (
+        |  SELECT vec_id, vec_id % 2 AS half, $sliced AS embedding,
+        |    list_transform($sliced,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * $FixScale) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |ref_$dim AS (SELECT * FROM eq_$dim WHERE half = 0),
+        |c0_$dim AS (
+        |  SELECT CAST(vec_id // 2 AS INT) AS cell,
+        |    list_transform(qv,
+        |      q -> CAST(CAST(q AS DOUBLE) / $FixScale.0 AS REAL)) AS cvec
+        |  FROM ref_$dim WHERE vec_id < ${2 * IvfCells}),
+        |$iters,
+        |asg_$dim AS (
+        |  SELECT half, cell,
+        |    CAST(round(CAST(ccos AS DOUBLE) * $FixScale) AS BIGINT) AS qcos
+        |  FROM (
+        |    SELECT e.half, c.cell,
+        |      ${cosD("e.embedding", "c.cvec", dim)} AS ccos,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY ${cosD("e.embedding", "c.cvec", dim)} DESC, c.cell) AS crk
+        |    FROM eq_$dim e CROSS JOIN c${IvfIters}_$dim c) t
+        |  WHERE crk = 1),
+        |cells_$dim AS (
+        |  SELECT cell,
+        |    sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS n_a,
+        |    sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS n_b
+        |  FROM asg_$dim GROUP BY cell),
+        |tot_$dim AS (
+        |  SELECT sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS na_tot,
+        |    sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS nb_tot,
+        |    sum(CASE WHEN half = 0 THEN qcos ELSE 0 END) AS sqa,
+        |    sum(CASE WHEN half = 1 THEN qcos ELSE 0 END) AS sqb
+        |  FROM asg_$dim),
+        |row_$dim AS (
+        |  SELECT '$name' AS codebook,
+        |    CAST(max(na_tot) AS BIGINT) AS n_ref,
+        |    CAST(max(nb_tot) AS BIGINT) AS n_cur,
+        |    CAST((sum(abs(CAST(n_a AS HUGEINT) * nb_tot
+        |        - CAST(n_b AS HUGEINT) * na_tot)) * $FixScale)
+        |      // (2 * CAST(max(na_tot) AS HUGEINT) * max(nb_tot)) AS BIGINT)
+        |      AS occ_tvd_fp,
+        |    CAST((max(n_b) * $FixScale) // max(nb_tot) AS BIGINT) AS top_share_fp,
+        |    CAST(max(sqa) // max(na_tot) AS BIGINT) AS dist_ref_fp,
+        |    CAST(max(sqb) // max(nb_tot) AS BIGINT) AS dist_cur_fp
+        |  FROM cells_$dim, tot_$dim)""".stripMargin
+    }
+    s"""WITH ${DriftBooks.map { case (n, d) => bookCtes(n, d) }.mkString(",\n")}
+      |SELECT codebook, n_ref, n_cur, occ_tvd_fp, top_share_fp,
+      |  dist_ref_fp, dist_cur_fp,
+      |  dist_ref_fp - dist_cur_fp AS dist_drop_fp,
+      |  CASE WHEN occ_tvd_fp > $DriftTvdFp
+      |      OR dist_ref_fp - dist_cur_fp > $DriftDistFp
+      |      OR top_share_fp > $DriftShareFp
+      |    THEN 'retrain' ELSE 'keep' END AS action
+      |FROM (${DriftBooks.map { case (_, d) => s"SELECT * FROM row_$d" }
+           .mkString(" UNION ALL ")}) books
+      |ORDER BY codebook""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q34_embed_neardup", q34, Some(q34Sql)),
     Q("q40_knn_brute", q40, Some(q40Sql)),
@@ -1342,6 +1552,7 @@ object Similarity {
     Q("q183_embedding_drift", q183, Some(q183Sql)),
     Q("q265_knn_shapley", q265, Some(q265Sql)),
     Q("q268_dim_truncation", q268, Some(q268Sql)),
+    Q("q270_codebook_drift", q270, Some(q270Sql)),
     Q("q212_power_iteration", q212, Some(q212Sql)),
     Q("q213_anisotropy", q213, Some(q213Sql)),
     Q("q218_cluster_ari", q218, Some(q218Sql)),
