@@ -3,7 +3,6 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{CosineSimilarity, MinHashSig, SimHash60, SortedIntersectCount}
 
 /** Session-extension entry point: makes graft's native expressions
   * available in ANY session via config, no code changes —
@@ -18,22 +17,20 @@ import graft.functions.{CosineSimilarity, MinHashSig, SimHash60, SortedIntersect
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction((
-      FunctionIdentifier("cosine_sim"),
-      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-      exprs => CosineSimilarity(exprs(0), exprs(1))))
-    e.injectFunction((
-      FunctionIdentifier("minhash_sig"),
-      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
-      exprs => MinHashSig(exprs.head, graft.queries.Dedup.NumHashes)))
-    e.injectFunction((
-      FunctionIdentifier("sorted_intersect_count"),
-      new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
-      exprs => SortedIntersectCount(exprs(0), exprs(1))))
-    e.injectFunction((
-      FunctionIdentifier("simhash60"),
-      new ExpressionInfo(classOf[SimHash60].getName, "simhash60"),
-      exprs => SimHash60(exprs.head)))
+    // every native expression, from the ONE builder table GraftFunctions
+    // keeps (adding an expression there exposes it on both surfaces —
+    // the registry stays in lockstep by construction): cosine_sim,
+    // minhash_sig, sorted_intersect_count, simhash60, rolling_hashes,
+    // repetition_stats, ngram_hash60, srp_code, hash60 — so a SQL-text
+    // user reaches every sketch/dedup/ANN hot-loop primitive with no
+    // DataFrame code (the reference has no SQL surface at all; this is
+    // beyond-parity like the q76 TopK route).
+    graft.functions.GraftFunctions.builders.foreach { case (name, b) =>
+      e.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions.GraftFunctions", name),
+        b))
+    }
     // whole-operator extension: plans graft.plans.TopKPerKeyNode as
     // partial/final bounded-heap execs (no sort, map-side combine)
     e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)

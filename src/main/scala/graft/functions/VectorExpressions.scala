@@ -167,29 +167,41 @@ object SrpCode {
   * call before using `expr("cosine_sim(a, b)")`.
   */
 object GraftFunctions {
+  import org.apache.spark.sql.catalyst.expressions.{Cast, Conv, Literal, Md5, Substring}
+
+  /** Name → builder for EVERY native graft expression — the single
+    * source of truth behind both deployment surfaces: the
+    * session-extension path (`spark.sql.extensions=graft.GraftExtensions`,
+    * which makes the engine's hot-loop primitives reachable from plain
+    * `spark.sql` TEXT with no graft import anywhere) and the
+    * programmatic [[register]] path the queries package uses.
+    * `hash60` is the expression-level form of [[TextFns.hash60]]
+    * (conv(substr(md5(x),1,15),16,10) cast long) so SQL-text users can
+    * reproduce every hash-keyed operator, not only the array ones.
+    */
+  private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "cosine_sim" -> (exprs => CosineSimilarity(exprs(0), exprs(1))),
+    "minhash_sig" -> (exprs => MinHashSig(exprs(0), graft.queries.Dedup.NumHashes)),
+    "sorted_intersect_count" -> (exprs => SortedIntersectCount(exprs(0), exprs(1))),
+    "simhash60" -> (exprs => SimHash60(exprs.head)),
+    "rolling_hashes" -> (exprs => RollingHashes(exprs(0),
+      exprs(1).eval().asInstanceOf[Number].intValue())),
+    "repetition_stats" -> (exprs => RepetitionStats(exprs.head)),
+    "ngram_hash60" -> (exprs => NGramHash60(exprs(0),
+      exprs(1).eval().asInstanceOf[Number].intValue(),
+      exprs(2).eval().asInstanceOf[Number].longValue())),
+    "srp_code" -> (exprs => SrpCode(exprs(0),
+      graft.queries.Similarity.SrpBits, graft.queries.Similarity.SrpDim,
+      graft.queries.Similarity.FixScale)),
+    "hash60" -> (exprs => Cast(
+      Conv(Substring(Md5(exprs.head), Literal(1), Literal(15)),
+        Literal(16), Literal(10)), LongType)),
+  )
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction(
-      "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction(
-      "minhash_sig", exprs => MinHashSig(exprs(0), graft.queries.Dedup.NumHashes), "built-in")
-    reg.createOrReplaceTempFunction(
-      "sorted_intersect_count",
-      exprs => SortedIntersectCount(exprs(0), exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction(
-      "simhash60", exprs => SimHash60(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction(
-      "rolling_hashes", exprs => RollingHashes(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
-    reg.createOrReplaceTempFunction(
-      "repetition_stats", exprs => RepetitionStats(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction(
-      "ngram_hash60", exprs => NGramHash60(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue(),
-        exprs(2).eval().asInstanceOf[Number].longValue()), "built-in")
-    reg.createOrReplaceTempFunction(
-      "srp_code", exprs => SrpCode(exprs(0),
-        graft.queries.Similarity.SrpBits, graft.queries.Similarity.SrpDim,
-        graft.queries.Similarity.FixScale), "built-in")
+    builders.foreach { case (name, b) =>
+      reg.createOrReplaceTempFunction(name, b, "built-in")
+    }
   }
 }
