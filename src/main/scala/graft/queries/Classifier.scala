@@ -1,0 +1,274 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.TextFns._
+
+/** Learned quality filtering — the classifier step of a pretraining
+  * pipeline: production corpora are filtered by a CHEAP linear model
+  * trained to imitate an expensive labeler (CCNet trains fastText
+  * against Wikipedia, GPT-3's WebText classifier against curated
+  * positives). The reference (affo/ssp) has no model-fit surface; this
+  * is beyond-reference capability, sibling to q260 (isotonic fit) and
+  * q263 (Bradley-Terry fit).
+  *
+  * q271 — distill the q113 Gopher rule stack into linear weights:
+  * label y = the rule-gate verdict; features = an intercept plus
+  * VIOLATION GAUGES derived from the q52 quality signals — distance of
+  * the word count from the band center, duplicate-token fraction,
+  * stopword ratio, distance of the mean word length from its band
+  * center. Gauges rather than raw signals because the gate's band
+  * rules are non-monotone in the raw values (a band needs two linear
+  * cuts, but one gauge folds it into one), which is exactly the
+  * feature engineering a production quality classifier does. Training
+  * is CLASS-BALANCED batch gradient descent (positive residuals scaled
+  * by the neg/pos ratio — the standard reweighting; without it the
+  * ~30%-positive gate collapses the fit to the majority class).
+  * Once trained, scoring a new document costs five integer multiplies
+  * instead of the full rule evaluation — and, unlike the hard gate,
+  * yields a graded score for threshold sweeps. The linear probe of an
+  * AND-gate is deliberately imperfect (~0.78 balanced accuracy at
+  * sf0.1) — the residual IS the signal for which rules resist linear
+  * distillation.
+  *
+  * Bit-reproducibility: the logistic sigmoid needs exp(), whose last
+  * ULP differs between Java and C libm, so the link is the SOFTSIGN
+  * sigmoid s(z) = (1 + z/(1+|z|))/2 — a rational function computable
+  * EXACTLY in fixed point (a standard fast-sigmoid; same monotone
+  * S-shape, gradient step keeps the same sign structure). Everything
+  * runs in 2^20 fixed point with truncating integer division (Spark
+  * `DIV` and DuckDB `//` both truncate toward zero, including for the
+  * negative residuals this fit produces — pinned by the spec fixture
+  * that drives z negative) and DECIMAL(38,0)/HUGEINT staging; GD runs
+  * a FIXED budget of rounds (the q117/q263 convention), no float
+  * convergence test.
+  *
+  * Scale shape: the corpus is scanned ONCE to build the narrow
+  * (y, x0..x4) feature frame (5 longs/row), which is checkpointed and
+  * re-aggregated per GD round — each round is one map-side-combinable
+  * 5-column sum, the cheapest possible pass. The weight state is a
+  * single broadcast row (the q44/q75 1-row pattern). At 100 TB the
+  * corpus cost is the feature scan; the fit touches only the narrow
+  * frame. Gradient sums stage in DECIMAL(38,0): |r|<=S, x<=S, so the
+  * per-row term is <=2^40 and 10^12 rows stay under 10^25 << 10^38.
+  */
+object Classifier {
+
+  /** Fixed-point scale (2^20), shared with the SQL oracle. */
+  val QcScale = 1048576L
+
+  /** Fixed GD round budget: measured plateau of the balanced fit
+    * (24/lr4: balanced accuracy 0.775 at sf0.1; 30+ rounds gain <0.01).
+    */
+  val QcRounds = 24
+
+  /** Learning rate in fixed point (lr = 4.0): features live in [0,S],
+    * so mean gradients are small; 4.0 converges within the round
+    * budget without the oscillation measured at lr 8-16 (which LOST
+    * accuracy: 40 rounds/lr16 scored worse than 20/lr4).
+    */
+  val QcLrFp: Long = 4L * QcScale
+
+  /** Feature names in output order (w_* rows of the report). */
+  val QcFeatures = Seq("intercept", "lendist", "dupfrac", "stop", "wlendist")
+
+  /** Shared arithmetic: both engines compute these formulas over the
+    * same integer base columns (n_words, sum_chars, n_distinct,
+    * sw_hits and the q113 rule label). `d` is the dialect's truncating
+    * integer-division operator. Band centers in tenths: the word-count
+    * band [20,90] centers at 55.0, the mean-word-length band [4.2,10.0]
+    * at 7.1 — each gauge is |signal - center| normalized by the center
+    * and capped at S, so "violates the rule" is monotone in the gauge.
+    */
+  private def featureExprs(d: String): Seq[(String, String)] = {
+    val S = QcScale
+    Seq(
+      "x0" -> s"CAST($S AS BIGINT)",
+      // distance of word count from the band center, in [0,S]
+      "x1" -> s"least(abs(10 * n_words - 550) * $S $d 550, $S)",
+      // duplicate-token fraction in [0,S]
+      "x2" -> s"((n_words - n_distinct) * $S) $d greatest(n_words, 1)",
+      // stopword ratio in [0,S]
+      "x3" -> s"(sw_hits * $S) $d greatest(n_words, 1)",
+      // distance of mean word length from the band center, in [0,S]
+      "x4" -> s"least(abs(sum_chars * 10 - 71 * n_words) * $S $d (71 * greatest(n_words, 1)), $S)",
+    )
+  }
+
+  /** z = (Σ w_j x_j) DIV S against weight columns w0..w4. */
+  private def zExpr(d: String, big: String): String = {
+    val terms = (0 to 4).map(j => s"CAST(x$j AS $big) * w$j").mkString(" + ")
+    s"(($terms) $d ${QcScale})"
+  }
+
+  /** Softsign sigmoid in fixed point: p = (S + z*S DIV (S+|z|)) DIV 2,
+    * exact in both engines including negative z (truncating DIV).
+    */
+  private def pExpr(d: String, big: String): String = {
+    val S = QcScale
+    val z = zExpr(d, big)
+    s"(($S + (($z) * $S $d ($S + abs($z)))) $d 2)"
+  }
+
+  /** q113's rule verdict recomputed as the weak label (same constants
+    * — Filtering owns them; a drifted copy would silently train against
+    * a different gate than the one it claims to distill).
+    */
+  private def labelExpr: String = {
+    import Filtering.{MinWords, MaxWords, MinMeanLenTenths, MaxMeanLenTenths, MaxDupFracTenths}
+    s"""CAST(n_words BETWEEN $MinWords AND $MaxWords
+       | AND sum_chars * 10 >= n_words * $MinMeanLenTenths
+       | AND sum_chars * 10 <= n_words * $MaxMeanLenTenths
+       | AND stop_ok
+       | AND (n_words - n_distinct) * 10 <= n_words * $MaxDupFracTenths
+       | AS BIGINT)""".stripMargin.replace("\n", " ")
+  }
+
+  /** GD core over a feature frame with columns (y, x0..x4): returns
+    * the 1-row weight frame (w0..w4) after `rounds` fixed-point steps.
+    * Aggregates `feats` once per round — callers checkpoint it first.
+    * Exposed for the spec's sequential-fold pin.
+    */
+  private[graft] def fitOf(feats: DataFrame, rounds: Int): DataFrame = {
+    val S = QcScale
+    // one bounded action for the class balance: n, positives. BAL is
+    // the neg/pos ratio in fixed point (truncating division, matching
+    // the oracle's scalar subquery). Staging note: the balanced
+    // per-row gradient term is <= S*BAL*x <= S^2 * S*(neg/pos), so the
+    // DECIMAL(38,0) sums hold as long as the positive share stays
+    // above ~1e-6 of a 10^12-row corpus — any real quality gate does.
+    val head = feats.agg(count(lit(1)), sum(col("y"))).head
+    val n = math.max(head.getLong(0), 1L)
+    val pos = math.max(if (head.isNullAt(1)) 0L else head.getLong(1), 1L)
+    val bal = (n - pos) * S / pos
+    var w = feats.sparkSession.range(1).select(
+      (0 to 4).map(j => lit(0L).as(s"w$j")): _*)
+    for (_ <- 1 to rounds) {
+      val p = pExpr("DIV", "DECIMAL(38,0)")
+      // residual r = p - y*S (scale S, in [-S, S]), then class-balanced:
+      // positive-class residuals scaled by BAL (r*S DIV S is exact for
+      // the y=0 branch, so one unified expression serves both)
+      val gCols = (0 to 4).map(j => sum(expr(
+        s"""CAST((($p) - y * $S) AS DECIMAL(38,0))
+           | * (y * $bal + (1 - y) * $S) DIV $S * x$j"""
+          .stripMargin.replace("\n", " "))).as(s"g$j"))
+      val grads = feats.crossJoin(broadcast(w)).agg(gCols.head, gCols.tail: _*)
+      w = grads.crossJoin(broadcast(w)).select((0 to 4).map(j => expr(
+        s"""CAST(w$j - (CAST(g$j AS DECIMAL(38,0)) DIV $n) * $QcLrFp
+           | DIV (CAST($S AS DECIMAL(38,0)) * $S) AS BIGINT)""".stripMargin
+          .replace("\n", " ")).as(s"w$j")): _*)
+        // materialize the 1-row weights each round: without this the
+        // lineage (and the re-aggregated feature passes) double per round
+        .localCheckpoint()
+    }
+    w
+  }
+
+  private def featureFrame(s: SparkSession, d: String): DataFrame = {
+    import Filtering.{Stopwords => GateStops}
+    documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_words"),
+        aggregate(col("toks"), lit(0L), (a, x) => a + length(x)).as("sum_chars"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+        markerHits(col("toks"), Stopwords).as("sw_hits"),
+        GateStops.map(w => array_contains(col("toks"), w)).reduce(_ && _).as("stop_ok"))
+      .select(
+        (expr(labelExpr).as("y") +:
+          featureExprs("DIV").map { case (nm, e) => expr(e).as(nm) }): _*)
+  }
+
+  private def q271(s: SparkSession, d: String): DataFrame = {
+    val S = QcScale
+    val feats = featureFrame(s, d).localCheckpoint()
+    val w = fitOf(feats, QcRounds)
+    val p = pExpr("DIV", "DECIMAL(38,0)")
+    val scored = feats.crossJoin(broadcast(w))
+      .select(col("y"), expr(s"CAST($p AS BIGINT)").as("p"))
+    val confusion = scored.agg(
+      sum(expr(s"CAST(y = 1 AND p >= ${S / 2} AS BIGINT)")).as("tp"),
+      sum(expr(s"CAST(y = 0 AND p >= ${S / 2} AS BIGINT)")).as("fp"),
+      sum(expr(s"CAST(y = 0 AND p < ${S / 2} AS BIGINT)")).as("tn"),
+      sum(expr(s"CAST(y = 1 AND p < ${S / 2} AS BIGINT)")).as("fn"))
+    val wRows = QcFeatures.zipWithIndex.map { case (nm, j) =>
+      w.select(lit(s"w_$nm").as("metric"), col(s"w$j").as("value_fp"))
+    }.reduce(_ unionAll _)
+    val cRows = Seq("tp", "fp", "tn", "fn").map(m =>
+      confusion.select(lit(m).as("metric"), col(m).cast("long").as("value_fp")))
+      .reduce(_ unionAll _)
+    wRows.unionAll(cRows).orderBy(col("metric"))
+  }
+
+  private val q271Sql = {
+    val S = QcScale
+    val d = "//"
+    val feat = featureExprs(d).map { case (nm, e) => s"$e AS $nm" }.mkString(",\n    ")
+    val p = pExpr(d, "HUGEINT")
+    import Filtering.{MinWords, MaxWords, MinMeanLenTenths, MaxMeanLenTenths,
+      MaxDupFracTenths, Stopwords => GateStops}
+    val stopPred = GateStops.map(w => s"list_contains(toks, '$w')").mkString(" AND ")
+    val sw = markerHitsSql("toks", Stopwords)
+    def round(r: Int): String = {
+      val grads = (0 to 4).map(j =>
+        s"""sum(CAST((($p) - y * $S) AS HUGEINT)
+           | * (y * bal + (1 - y) * $S) $d $S * x$j) AS g$j"""
+          .stripMargin.replace("\n", " ")).mkString(",\n      ")
+      val upd = (0 to 4).map(j =>
+        s"""CAST(w$j - (CAST(g$j AS HUGEINT) $d (SELECT greatest(count(*), 1) FROM feats))
+           | * $QcLrFp $d (CAST($S AS HUGEINT) * $S) AS BIGINT) AS w$j"""
+          .stripMargin.replace("\n", " ")).mkString(",\n    ")
+      s"""g$r AS (
+        |  SELECT $grads
+        |  FROM feats, w${r - 1}, balance),
+        |w$r AS MATERIALIZED (
+        |  SELECT $upd
+        |  FROM g$r, w${r - 1})""".stripMargin
+    }
+    val w0 = (0 to 4).map(j => s"CAST(0 AS BIGINT) AS w$j").mkString(", ")
+    val wRows = QcFeatures.zipWithIndex.map { case (nm, j) =>
+      s"SELECT 'w_$nm' AS metric, w$j AS value_fp FROM w$QcRounds"
+    }.mkString("\nUNION ALL ")
+    s"""WITH t AS (
+      |  SELECT regexp_extract_all(lower(text), '$TokenPattern') AS toks
+      |  FROM documents),
+      |base AS (
+      |  SELECT CAST(len(toks) AS BIGINT) AS n_words,
+      |    CAST(coalesce(list_sum(list_transform(toks, x -> len(x))), 0) AS BIGINT)
+      |      AS sum_chars,
+      |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+      |    CAST($sw AS BIGINT) AS sw_hits,
+      |    ($stopPred) AS stop_ok
+      |  FROM t),
+      |feats AS MATERIALIZED (
+      |  SELECT CAST(n_words BETWEEN $MinWords AND $MaxWords
+      |      AND sum_chars * 10 >= n_words * $MinMeanLenTenths
+      |      AND sum_chars * 10 <= n_words * $MaxMeanLenTenths
+      |      AND stop_ok
+      |      AND (n_words - n_distinct) * 10 <= n_words * $MaxDupFracTenths
+      |      AS BIGINT) AS y,
+      |    $feat
+      |  FROM base),
+      |balance AS (
+      |  SELECT CAST((count(*) - sum(y)) * $S $d greatest(sum(y), 1) AS BIGINT)
+      |    AS bal
+      |  FROM feats),
+      |w0 AS (SELECT $w0),
+      |${(1 to QcRounds).map(round).mkString(",\n")},
+      |scored AS (
+      |  SELECT y, CAST($p AS BIGINT) AS p FROM feats, w$QcRounds)
+      |SELECT * FROM (
+      |$wRows
+      |UNION ALL SELECT 'tp', CAST(sum(CAST(y = 1 AND p >= ${S / 2} AS BIGINT)) AS BIGINT) FROM scored
+      |UNION ALL SELECT 'fp', CAST(sum(CAST(y = 0 AND p >= ${S / 2} AS BIGINT)) AS BIGINT) FROM scored
+      |UNION ALL SELECT 'tn', CAST(sum(CAST(y = 0 AND p < ${S / 2} AS BIGINT)) AS BIGINT) FROM scored
+      |UNION ALL SELECT 'fn', CAST(sum(CAST(y = 1 AND p < ${S / 2} AS BIGINT)) AS BIGINT) FROM scored
+      |) ORDER BY metric""".stripMargin
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("q271_quality_classifier", q271, Some(q271Sql)),
+  )
+}
