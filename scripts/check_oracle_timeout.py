@@ -1,0 +1,107 @@
+#!/usr/bin/env python3
+"""check_oracle.py variant for the sf1 heavy-tail sweeps: identical
+canonicalization/compare, but each oracle statement runs in its OWN
+subprocess with a wall-clock timeout so one pathological DuckDB plan
+at 10x data cannot wedge the whole sweep. Usage:
+  check_oracle_timeout.py SF_DIR OUT_DIR [TIMEOUT_S]
+"""
+import json
+import math
+import multiprocessing as mp
+import sys
+
+import pyarrow.parquet as pq
+
+
+def canon(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    rows = []
+    for t in df.itertuples(index=False):
+        row = []
+        for v in t:
+            if isinstance(v, float):
+                if math.isnan(v):
+                    row.append("NaN")
+                else:
+                    row.append(f"{v:.17g}")
+            else:
+                row.append(str(v))
+        rows.append(tuple(row))
+    rows.sort()
+    return df.columns.tolist(), rows
+
+
+def run_oracle(sql, q):
+    import duckdb
+    import os
+    import re
+    # Spark-written tables (ScaleUp's lineitem/documents) are parquet
+    # DIRECTORIES; DuckDB needs a glob for those, single files stay as-is
+    def fix(m):
+        path = m.group(1)
+        return ("'" + path + "/*.parquet'") if os.path.isdir(path) else m.group(0)
+    sql = re.sub(r"'([^']+\.parquet)'", fix, sql)
+    con = duckdb.connect()
+    con.execute("SET threads TO 16")
+    q.put(canon(con.execute(sql).df()))
+
+
+def main(sf_dir, out_dir, timeout_s):
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            got = pq.read_table(f"{out_dir}/{name}").to_pandas()
+        except Exception as e:
+            print(f"FAIL {name}: no spark output ({e})", flush=True)
+            n_fail += 1
+            continue
+        # consume the queue BEFORE join: a child flushing a large result
+        # into the queue's pipe blocks until the parent reads — a parent
+        # sitting in join() first deadlocks on any result > pipe buffer
+        q = mp.Queue()
+        p = mp.Process(target=run_oracle, args=(sql, q))
+        p.start()
+        import time
+        deadline = time.monotonic() + timeout_s
+        result = None
+        while time.monotonic() < deadline:
+            try:
+                result = q.get(timeout=1)
+                break
+            except Exception:
+                if not p.is_alive() and q.empty():
+                    break  # crashed without producing
+        if result is None:
+            if p.is_alive():
+                p.terminate()
+                p.join()
+                print(f"TIMEOUT {name}: oracle exceeded {timeout_s}s", flush=True)
+            else:
+                p.join()
+                print(f"FAIL {name}: oracle crashed (exit {p.exitcode})", flush=True)
+            n_fail += 1
+            continue
+        p.join()
+        want_cols, want_rows = result
+        got_cols, got_rows = canon(got)
+        if sorted(got_cols) != sorted(want_cols):
+            print(f"FAIL {name}: columns {sorted(got_cols)} vs {sorted(want_cols)}",
+                  flush=True)
+            n_fail += 1
+        elif got_rows != want_rows:
+            diff = sum(1 for a, b in zip(got_rows, want_rows) if a != b)
+            diff += abs(len(got_rows) - len(want_rows))
+            print(f"FAIL {name}: {len(got_rows)} vs {len(want_rows)} rows, "
+                  f"{diff} differing", flush=True)
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(got_rows)} rows)", flush=True)
+            n_pass += 1
+    print(f"== {n_pass} pass / {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    t = int(sys.argv[3]) if len(sys.argv) > 3 else 900
+    sys.exit(main(sys.argv[1], sys.argv[2], t))

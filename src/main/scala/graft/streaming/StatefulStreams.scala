@@ -1043,6 +1043,52 @@ object StatefulStreams {
   def streamingDpRelease(docs: DataFrame, seed: String): DataFrame =
     graft.queries.Privacy.dpRelease(docs, seed)
 
+  /** Live twin of batch q272's Wald SPRT monitor — and the form a
+    * sequential test actually exists for: the batch query computes the
+    * stopping retrospectively, a live experiment platform HAS to hold
+    * the accumulated (trials, conversions) per arm and freeze the
+    * verdict at the first boundary crossing. Input is a stream of
+    * per-user TRIAL records (arm, enroll_ms, user_id, conv) — already
+    * one row per user, e.g. via ttlDedup on user_id upstream.
+    *
+    * Semantics vs batch: trials fold in ARRIVAL order (micro-batch
+    * order, then (enroll_ms, user_id) within a batch — a platform's
+    * real enrollment order); after a crossing, `decision`/`n_decided`
+    * FREEZE (the test has stopped; later data cannot reverse it —
+    * SprtStreamSpec plants exactly that reversal) while n/c keep
+    * counting for observability. The LLR recurrence and boundary
+    * constants are q272's fixed-point literals, so on identically
+    * ordered input the frozen verdict equals the batch first-crossing.
+    *
+    * State bound: ONE 4-field row per arm (n, c, decision, n_decided)
+    * — experiment-arm-sized forever, never trial-sized; nothing to
+    * evict (README/STATE, asserted in SprtStreamSpec).
+    */
+  def streamingSprtMonitor(
+      trials: DataFrame): Dataset[(Long, Long, Long, Long, String, Long)] = {
+    import graft.queries.Sequential._
+    val spark = trials.sparkSession
+    import spark.implicits._
+    trials.select(col("arm"), col("enroll_ms"), col("user_id"), col("conv"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (arm: Long, it: Iterator[(Long, Long, Long, Long)],
+            gs: GroupState[(Long, Long, String, Long)]) =>
+          var (n, c, dec, nd) = gs.getOption.getOrElse((0L, 0L, "continue", -1L))
+          it.toIndexedSeq.sortBy(t => (t._2, t._3)).foreach { case (_, _, _, conv) =>
+            n += 1; c += conv
+            if (dec == "continue") {
+              val llr = c * (SprtC1 - SprtC0) + n * SprtC0
+              if (llr >= SprtA) { dec = "accept_h1"; nd = n }
+              else if (llr <= SprtB) { dec = "accept_h0"; nd = n }
+            }
+          }
+          gs.update((n, c, dec, nd))
+          (arm, n, c, c * (SprtC1 - SprtC0) + n * SprtC0, dec, nd)
+      }
+  }
+
   /** O7 (broadcast fan-out, engine.go:196-211) for streams: one source
     * micro-batch delivered to N sinks via foreachBatch. The batch
     * DataFrame is persisted so the plan is computed once per epoch, not
