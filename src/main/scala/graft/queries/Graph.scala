@@ -703,8 +703,13 @@ object Graph {
 
   private val q247Sql = {
     import graft.functions.TextFns.hash60Sql
+    // every multiply-referenced CTE is MATERIALIZED: each wN is read
+    // twice by the final select and feeds wN+1, and adj carries a
+    // window over the whole edge list — left inlinable, DuckDB
+    // re-evaluates the deep tree per reference (2^steps blowup), which
+    // overflowed temp storage at the sf1 probe scale
     def stepCte(prev: String, name: String, t: Int) =
-      s"""$name AS (
+      s"""$name AS MATERIALIZED (
         |  SELECT a.dst AS cur FROM $prev f
         |  JOIN degs g ON g.src = f.cur
         |  JOIN adj a ON a.src = f.cur
@@ -722,13 +727,13 @@ object Graph {
       |  FROM lineitem),
       |e AS (SELECT src, dst FROM e0
       |      UNION ALL SELECT dst AS src, src AS dst FROM e0),
-      |adj AS (
+      |adj AS MATERIALIZED (
       |  SELECT src, dst,
       |    CAST(row_number() OVER (PARTITION BY src ORDER BY dst) - 1
       |      AS BIGINT) AS idx
       |  FROM e),
-      |degs AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
-      |w0 AS (SELECT DISTINCT src AS cur FROM e0),
+      |degs AS MATERIALIZED (SELECT src, count(*) AS deg FROM e GROUP BY src),
+      |w0 AS MATERIALIZED (SELECT DISTINCT src AS cur FROM e0),
       |${stepCte("w0", "w1", 1)},
       |${stepCte("w1", "w2", 2)},
       |${stepCte("w2", "w3", 3)},
