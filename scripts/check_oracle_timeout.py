@@ -31,19 +31,32 @@ def canon(df):
     return df.columns.tolist(), rows
 
 
-def run_oracle(sql, q):
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+
+def run_oracle(sf_dir, sql, q):
     import duckdb
     import os
     import re
     # Spark-written tables (ScaleUp's lineitem/documents) are parquet
     # DIRECTORIES; DuckDB needs a glob for those, single files stay as-is
+    def glob_of(path):
+        return path + "/*.parquet" if os.path.isdir(path) else path
+
     def fix(m):
-        path = m.group(1)
-        return ("'" + path + "/*.parquet'") if os.path.isdir(path) else m.group(0)
+        return "'" + glob_of(m.group(1)) + "'"
     sql = re.sub(r"'([^']+\.parquet)'", fix, sql)
     con = duckdb.connect()
     con.execute("SET threads TO 16")
-    q.put(canon(con.execute(sql).df()))
+    # same views as check_oracle.py so bare-table oracle SQL (anything
+    # not path-inlined by Verify) also resolves against sf_dir
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{glob_of(p)}'")
+    df = con.execute(sql).df()
+    q.put((canon(df), {c: df.dtypes[c].kind for c in df.columns}))
 
 
 def main(sf_dir, out_dir, timeout_s):
@@ -60,7 +73,7 @@ def main(sf_dir, out_dir, timeout_s):
         # into the queue's pipe blocks until the parent reads — a parent
         # sitting in join() first deadlocks on any result > pipe buffer
         q = mp.Queue()
-        p = mp.Process(target=run_oracle, args=(sql, q))
+        p = mp.Process(target=run_oracle, args=(sf_dir, sql, q))
         p.start()
         import time
         deadline = time.monotonic() + timeout_s
@@ -83,11 +96,21 @@ def main(sf_dir, out_dir, timeout_s):
             n_fail += 1
             continue
         p.join()
-        want_cols, want_rows = result
+        (want_cols, want_rows), want_kinds = result
         got_cols, got_rows = canon(got)
+        # dtype-KIND check, same as check_oracle.py: DuckDB sum(int)
+        # arrives HUGEINT -> float64 and %.17g masks "3.0" vs "3" —
+        # int-vs-float skew must fail here like the driver's gate would
+        gk = {c: got.dtypes[c].kind for c in got.columns}
+        grp = lambda k: "i" if k in "iu" else k
+        kind_diff = {c: (gk[c], want_kinds[c]) for c in gk
+                     if c in want_kinds and grp(gk[c]) != grp(want_kinds[c])}
         if sorted(got_cols) != sorted(want_cols):
             print(f"FAIL {name}: columns {sorted(got_cols)} vs {sorted(want_cols)}",
                   flush=True)
+            n_fail += 1
+        elif kind_diff:
+            print(f"FAIL {name}: dtype kinds differ {kind_diff}", flush=True)
             n_fail += 1
         elif got_rows != want_rows:
             diff = sum(1 for a, b in zip(got_rows, want_rows) if a != b)

@@ -208,9 +208,15 @@ object Bench {
       if (mb >= 0.05) Some("\"" + k + "\":" + f"$mb%.1f") else None
     }.mkString("{", ",", "}")
 
+    // stdout carries isolated_s under SHORT query ids (the qNNN prefix,
+    // unique across the registry): the full names at isolatedN=15 push
+    // the one-line contract toward the tail-capture limit that broke
+    // parsing in r7/r9 — the full-name map persists in bench_last.json
     val isoJson = isolated.sortBy(_._1).map { case (k, v) =>
       "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"wordcount_words_per_s":$wordsPerS%.0f,"host_factor":$hostFactorJson,"isolated_s":$isoJson,"sf":"$sfDir"}"""
+    val isoShortJson = isolated.sortBy(_._1).map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"wordcount_words_per_s":$wordsPerS%.0f,"host_factor":$hostFactorJson,"isolated_s":$isoShortJson,"sf":"$sfDir"}"""
     val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"wordcount_words_per_s":$wordsPerS%.0f,"host_factor":$hostFactorJson,"isolated_s":$isoJson,"queries":$qsFull,"spreads":$sp,"shuffle_mb":$shuffleMb,"spill_mb":$spillMb,"sf":"$sfDir"}"""
     // Subset sweeps (SPARK_GRAFT_ONLY) must not clobber the committed
     // full-registry artifact — they write a sibling file instead.

@@ -53,6 +53,14 @@ object BloomPrefilter {
 
   val P = 2147483647L
 
+  /** Working-column names must not collide with the probe's own schema
+    * (withColumn silently REPLACES an existing column, corrupting the
+    * output) — suffix until free. Shared by both prefilter paths.
+    */
+  private def fresh(base: String, taken: Set[String]): String =
+    Iterator.from(0).map(i => if (i == 0) base else s"${base}_$i")
+      .find(n => !taken.contains(n)).get
+
   /** Sorted distinct bit positions (k affine hashes of `keyHash`,
     * mod m). Distinct because two of a key's hashes may collide — the
     * membership test compares against the array's own size.
@@ -78,12 +86,6 @@ object BloomPrefilter {
   def prefilter(probe: DataFrame, keyHash: Column, bits: DataFrame,
       k: Int, m: Int): DataFrame = {
     graft.functions.GraftFunctions.register(probe.sparkSession)
-    // Working-column names must not collide with the probe's own schema
-    // (withColumn silently REPLACES an existing column, corrupting the
-    // output) — suffix until free.
-    def fresh(base: String, taken: Set[String]): String =
-      Iterator.from(0).map(i => if (i == 0) base else s"${base}_$i")
-        .find(n => !taken.contains(n)).get
     val taken = probe.columns.toSet
     val pposCol = fresh("__ppos", taken)
     val bitsCol = fresh("__bloom_bits", taken + pposCol)
@@ -139,9 +141,6 @@ object BloomPrefilter {
     */
   def prefilterPacked(probe: DataFrame, keyHash: Column, words: DataFrame,
       k: Int, m: Int): DataFrame = {
-    def fresh(base: String, taken: Set[String]): String =
-      Iterator.from(0).map(i => if (i == 0) base else s"${base}_$i")
-        .find(n => !taken.contains(n)).get
     val taken = probe.columns.toSet
     val hCol = fresh("__bh", taken)
     val bitsCol = fresh("__bloom_words", taken + hCol)

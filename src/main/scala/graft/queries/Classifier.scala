@@ -149,15 +149,19 @@ object Classifier {
       // residual r = p - y*S (scale S, in [-S, S]), then class-balanced:
       // positive-class residuals scaled by BAL (r*S DIV S is exact for
       // the y=0 branch, so one unified expression serves both)
+      // re-stage after the DIV: Spark's IntegralDivide returns BIGINT,
+      // so without the outer CAST the * x_j product and its sum()
+      // accumulate in LongType — wrapping (or throwing under ANSI) past
+      // ~4M rows while the HUGEINT oracle stays exact
       val gCols = (0 to 4).map(j => sum(expr(
-        s"""CAST((($p) - y * $S) AS DECIMAL(38,0))
-           | * (y * $bal + (1 - y) * $S) DIV $S * x$j"""
+        s"""CAST(CAST((($p) - y * $S) AS DECIMAL(38,0))
+           | * (y * $bal + (1 - y) * $S) DIV $S AS DECIMAL(38,0)) * x$j"""
           .stripMargin.replace("\n", " "))).as(s"g$j"))
       val grads = feats.crossJoin(broadcast(w)).agg(gCols.head, gCols.tail: _*)
       w = grads.crossJoin(broadcast(w)).select((0 to 4).map(j => expr(
-        s"""CAST(w$j - (CAST(g$j AS DECIMAL(38,0)) DIV $n) * $QcLrFp
-           | DIV (CAST($S AS DECIMAL(38,0)) * $S) AS BIGINT)""".stripMargin
-          .replace("\n", " ")).as(s"w$j")): _*)
+        s"""CAST(w$j - CAST(CAST(g$j AS DECIMAL(38,0)) DIV $n AS DECIMAL(38,0))
+           | * $QcLrFp DIV (CAST($S AS DECIMAL(38,0)) * $S) AS BIGINT)"""
+          .stripMargin.replace("\n", " ")).as(s"w$j")): _*)
         // materialize the 1-row weights each round: without this the
         // lineage (and the re-aggregated feature passes) double per round
         .localCheckpoint()
