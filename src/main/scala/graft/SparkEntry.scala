@@ -18,7 +18,7 @@ object SparkEntry {
       Extras.all ++ Extras2.all ++ Pipeline.all ++ ProductQuant.all ++ Filtering.all ++
       Graph.all ++ Cleanup.all ++ Fluency.all ++ Batching.all ++ IndexHealth.all ++
       Layout.all ++ Frontier.all ++ Expectations.all ++ Signals.all ++ Privacy.all ++
-      Matching.all ++ Maintenance.all ++ Ranking.all ++ Classifier.all ++ Sequential.all ++ Linkage.all ++
+      Matching.all ++ Maintenance.all ++ Ranking.all ++ Classifier.all ++ Sequential.all ++ Linkage.all ++ Causal.all ++
       Seq(Q("q70_media_features", graft.multimodal.Multimodal.mediaFeaturesQuery,
           Some(graft.multimodal.Multimodal.q70Sql)),
         Q("q71_frame_samples", graft.multimodal.Multimodal.frameSamplesQuery,

@@ -104,8 +104,9 @@ object Classifier {
 
   /** Softsign sigmoid in fixed point: p = (S + z*S DIV (S+|z|)) DIV 2,
     * exact in both engines including negative z (truncating DIV).
+    * Shared with q274, which scores propensities with the same link.
     */
-  private def pExpr(d: String, big: String): String = {
+  private[graft] def pExpr(d: String, big: String): String = {
     val S = QcScale
     val z = zExpr(d, big)
     s"(($S + (($z) * $S $d ($S + abs($z)))) $d 2)"
@@ -206,15 +207,17 @@ object Classifier {
     wRows.unionAll(cRows).orderBy(col("metric"))
   }
 
-  private val q271Sql = {
+  /** The class-balance + w0 + GD-round CTE chain over a CTE named
+    * `feats` with columns (y, x0..x4): splice after the feats CTE (with
+    * a leading comma) and read the fitted weights from w[[QcRounds]].
+    * One builder, two users (q271's quality fit, q274's propensity fit)
+    * — a drifted copy would silently fit a different recurrence than
+    * the Spark side's shared fitOf.
+    */
+  private[graft] def gdChainSql: String = {
     val S = QcScale
     val d = "//"
-    val feat = featureExprs(d).map { case (nm, e) => s"$e AS $nm" }.mkString(",\n    ")
     val p = pExpr(d, "HUGEINT")
-    import Filtering.{MinWords, MaxWords, MinMeanLenTenths, MaxMeanLenTenths,
-      MaxDupFracTenths, Stopwords => GateStops}
-    val stopPred = GateStops.map(w => s"list_contains(toks, '$w')").mkString(" AND ")
-    val sw = markerHitsSql("toks", Stopwords)
     def round(r: Int): String = {
       val grads = (0 to 4).map(j =>
         s"""sum(CAST((($p) - y * $S) AS HUGEINT)
@@ -232,6 +235,23 @@ object Classifier {
         |  FROM g$r, w${r - 1})""".stripMargin
     }
     val w0 = (0 to 4).map(j => s"CAST(0 AS BIGINT) AS w$j").mkString(", ")
+    s"""balance AS (
+      |  SELECT CAST((count(*) - sum(y)) * $S $d greatest(sum(y), 1) AS BIGINT)
+      |    AS bal
+      |  FROM feats),
+      |w0 AS (SELECT $w0),
+      |${(1 to QcRounds).map(round).mkString(",\n")}""".stripMargin
+  }
+
+  private val q271Sql = {
+    val S = QcScale
+    val d = "//"
+    val feat = featureExprs(d).map { case (nm, e) => s"$e AS $nm" }.mkString(",\n    ")
+    val p = pExpr(d, "HUGEINT")
+    import Filtering.{MinWords, MaxWords, MinMeanLenTenths, MaxMeanLenTenths,
+      MaxDupFracTenths, Stopwords => GateStops}
+    val stopPred = GateStops.map(w => s"list_contains(toks, '$w')").mkString(" AND ")
+    val sw = markerHitsSql("toks", Stopwords)
     val wRows = QcFeatures.zipWithIndex.map { case (nm, j) =>
       s"SELECT 'w_$nm' AS metric, w$j AS value_fp FROM w$QcRounds"
     }.mkString("\nUNION ALL ")
@@ -255,12 +275,7 @@ object Classifier {
       |      AS BIGINT) AS y,
       |    $feat
       |  FROM base),
-      |balance AS (
-      |  SELECT CAST((count(*) - sum(y)) * $S $d greatest(sum(y), 1) AS BIGINT)
-      |    AS bal
-      |  FROM feats),
-      |w0 AS (SELECT $w0),
-      |${(1 to QcRounds).map(round).mkString(",\n")},
+      |$gdChainSql,
       |scored AS (
       |  SELECT y, CAST($p AS BIGINT) AS p FROM feats, w$QcRounds)
       |SELECT * FROM (
