@@ -86,9 +86,41 @@ object Causal {
     "x4" -> s"(least(span_days, 40) * $S) $d 40",
   )
 
-  /** Per-user treatment/outcome/covariate frame off one events scan. */
+  /** Unguarded cross-multiplied mean difference of treated vs control
+    * outcome sums, in fixed point — and its NULL-guarded form. ONE
+    * builder for all three report rows in BOTH dialects (six sites
+    * hand-copied would drift exactly the way gdChainSql's doc warns).
+    */
+  private def diffCore(d: String, big: String,
+      syt: String, syc: String, nt: String, nc: String): String =
+    s"CAST(($syt * $nc - $syc * $nt) * $S $d (CAST($nt AS $big) * $nc) AS BIGINT)"
+
+  private def diffExpr(d: String, big: String,
+      syt: String, syc: String, nt: String, nc: String): String =
+    s"""CASE WHEN $nt > 0 AND $nc > 0
+       | THEN ${diffCore(d, big, syt, syc, nt, nc)}
+       | ELSE NULL END""".stripMargin.replace("\n", " ")
+
+  /** The treated-count-weighted average of per-stratum differences:
+    * the inner DIV lands in BIGINT (IntegralDivide), so it re-stages
+    * through the wide type before the * n_treat and the sum, or the
+    * weighted terms wrap at ~1e9 treated per band. Callers pre-filter
+    * to overlapping strata.
+    */
+  private def attExpr(d: String, big: String): String =
+    s"""CAST(sum(CAST(${diffCore(d, big, "syt", "syc", "n_treat", "n_ctrl")}
+       | AS $big) * n_treat) $d greatest(sum(n_treat), 1) AS BIGINT)"""
+      .stripMargin.replace("\n", " ")
+
+  /** Per-user treatment/outcome/covariate frame off one events scan.
+    * NULL user_ids are dropped up front: a row with no unit identity
+    * is not a unit, and the NULL would otherwise land at opposite ends
+    * of the two engines' rank orders (Spark NULLS FIRST vs DuckDB
+    * row_number NULLS LAST) and shift every stratum boundary by one.
+    */
   private def userFrame(s: SparkSession, d: String): DataFrame =
     events(s, d)
+      .filter(col("user_id").isNotNull)
       .groupBy(col("user_id"))
       .agg(
         count(lit(1)).as("n_ev"),
@@ -113,7 +145,10 @@ object Causal {
     val scoredUsers = users.crossJoin(broadcast(w))
       .select(col("user_id"), col("y").as("t"), col("y_cents"),
         expr(s"CAST($p AS BIGINT)").as("p"))
-    val n1 = scoredUsers.agg(count(lit(1)).as("n_users"))
+    // count off the CHECKPOINTED users frame: counting scoredUsers
+    // would re-evaluate the scoring cross-join and the softsign
+    // expression a second time for a number users already knows
+    val n1 = users.agg(count(lit(1)).as("n_users"))
     val banded = Sampling
       .rankDistributed(scoredUsers, Seq.empty, Seq(col("p"), col("user_id")))
       .crossJoin(broadcast(n1))
@@ -126,35 +161,28 @@ object Causal {
         sum(((lit(1L) - col("t")) * col("y_cents")).cast(DecimalType(38, 0)))
           .as("syc"))
       .localCheckpoint() // ≤PsBands rows; reused by rows + both summaries
+    val (dd, bg) = ("DIV", "DECIMAL(38,0)")
     val bandRows = perBand.select(
       col("stratum"), col("n_treat"), col("n_ctrl"),
-      expr(s"""CASE WHEN n_treat > 0 AND n_ctrl > 0
-        | THEN CAST((syt * n_ctrl - syc * n_treat) * $S
-        |   DIV (CAST(n_treat AS DECIMAL(38,0)) * n_ctrl) AS BIGINT)
-        | ELSE NULL END""".stripMargin.replace("\n", " ")).as("diff_fp"))
+      expr(diffExpr(dd, bg, "syt", "syc", "n_treat", "n_ctrl")).as("diff_fp"))
     // ATT: per-band differences weighted by the band's treated count,
     // over bands satisfying overlap
     val att = perBand.filter(col("n_treat") > 0 && col("n_ctrl") > 0)
       .agg(
         sum(col("n_treat")).as("n_treat"),
         sum(col("n_ctrl")).as("n_ctrl"),
-        // the inner DIV lands in BIGINT (IntegralDivide) — re-stage
-        // through DECIMAL(38,0) before the * n_treat and the sum, or
-        // the weighted terms wrap at ~1e9 treated per band
-        expr(s"""CAST(sum(CAST((syt * n_ctrl - syc * n_treat) * $S
-          | DIV (CAST(n_treat AS DECIMAL(38,0)) * n_ctrl) AS DECIMAL(38,0))
-          | * n_treat) DIV greatest(sum(n_treat), 1) AS BIGINT)"""
-          .stripMargin.replace("\n", " ")).as("diff_fp"))
+        expr(attExpr(dd, bg)).as("diff_fp"))
       .select(lit(-1L).as("stratum"), col("n_treat"), col("n_ctrl"),
         col("diff_fp"))
+    // the naive contrast over all users — NULL-guarded like the band
+    // rows: a corpus with zero treated (or zero control) users must
+    // report NULL, not throw under ANSI while the oracle yields NULL
     val naive = perBand.agg(
         sum(col("n_treat")).as("n_treat"),
         sum(col("n_ctrl")).as("n_ctrl"),
         sum(col("syt")).as("syt"), sum(col("syc")).as("syc"))
       .select(lit(-2L).as("stratum"), col("n_treat"), col("n_ctrl"),
-        expr(s"""CAST((syt * n_ctrl - syc * n_treat) * $S
-          | DIV (CAST(n_treat AS DECIMAL(38,0)) * n_ctrl) AS BIGINT)"""
-          .stripMargin.replace("\n", " ")).as("diff_fp"))
+        expr(diffExpr(dd, bg, "syt", "syc", "n_treat", "n_ctrl")).as("diff_fp"))
     bandRows.unionAll(att).unionAll(naive).orderBy(col("stratum"))
   }
 
@@ -173,7 +201,7 @@ object Causal {
       |    CAST(sum(CASE WHEN event_type = 'purchase'
       |      THEN CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT)
       |      ELSE 0 END) AS BIGINT) AS y_cents
-      |  FROM events GROUP BY user_id),
+      |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
       |feats AS MATERIALIZED (
       |  SELECT user_id, y_cents, CAST(n_err >= $PsErrMin AS BIGINT) AS y,
       |    $cov
@@ -196,21 +224,16 @@ object Causal {
       |  FROM banded GROUP BY stratum)
       |SELECT * FROM (
       |  SELECT stratum, n_treat, n_ctrl,
-      |    CASE WHEN n_treat > 0 AND n_ctrl > 0
-      |      THEN CAST((syt * n_ctrl - syc * n_treat) * $S
-      |        $d (CAST(n_treat AS HUGEINT) * n_ctrl) AS BIGINT)
-      |      ELSE NULL END AS diff_fp
+      |    ${diffExpr(d, "HUGEINT", "syt", "syc", "n_treat", "n_ctrl")} AS diff_fp
       |  FROM per_band
       |  UNION ALL
       |  SELECT -1, CAST(sum(n_treat) AS BIGINT), CAST(sum(n_ctrl) AS BIGINT),
-      |    CAST(sum((syt * n_ctrl - syc * n_treat) * $S
-      |      $d (CAST(n_treat AS HUGEINT) * n_ctrl)
-      |      * n_treat) $d greatest(sum(n_treat), 1) AS BIGINT)
+      |    ${attExpr(d, "HUGEINT")}
       |  FROM per_band WHERE n_treat > 0 AND n_ctrl > 0
       |  UNION ALL
       |  SELECT -2, CAST(sum(n_treat) AS BIGINT), CAST(sum(n_ctrl) AS BIGINT),
-      |    CAST((sum(syt) * sum(n_ctrl) - sum(syc) * sum(n_treat)) * $S
-      |      $d (CAST(sum(n_treat) AS HUGEINT) * sum(n_ctrl)) AS BIGINT)
+      |    ${diffExpr(d, "HUGEINT",
+                      "sum(syt)", "sum(syc)", "sum(n_treat)", "sum(n_ctrl)")}
       |  FROM per_band
       |) ORDER BY stratum""".stripMargin
   }

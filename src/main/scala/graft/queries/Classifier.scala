@@ -235,7 +235,7 @@ object Classifier {
         |  FROM g$r, w${r - 1})""".stripMargin
     }
     val w0 = (0 to 4).map(j => s"CAST(0 AS BIGINT) AS w$j").mkString(", ")
-    s"""balance AS (
+    s"""balance AS MATERIALIZED (
       |  SELECT CAST((count(*) - sum(y)) * $S $d greatest(sum(y), 1) AS BIGINT)
       |    AS bal
       |  FROM feats),
