@@ -86,6 +86,13 @@ def main(sf_dir, out_dir, timeout_s):
                 if not p.is_alive() and q.empty():
                     break  # crashed without producing
         if result is None:
+            # the child may have enqueued its result in the instant the
+            # deadline expired — drain once before declaring a timeout
+            try:
+                result = q.get_nowait()
+            except Exception:
+                pass
+        if result is None:
             if p.is_alive():
                 p.terminate()
                 p.join()

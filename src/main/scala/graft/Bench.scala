@@ -214,8 +214,14 @@ object Bench {
     // parsing in r7/r9 — the full-name map persists in bench_last.json
     val isoJson = isolated.sortBy(_._1).map { case (k, v) =>
       "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-    val isoShortJson = isolated.sortBy(_._1).map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val isoShort = isolated.sortBy(_._1).map { case (k, v) =>
+      (k.takeWhile(_ != '_'), v) }
+    // prefixes are unique across the registry today; a future qNNN
+    // collision would silently emit duplicate JSON keys — fail loudly
+    require(isoShort.map(_._1).distinct.size == isoShort.size,
+      s"duplicate short query ids in isolated_s: ${isoShort.map(_._1).mkString(",")}")
+    val isoShortJson = isoShort.map { case (k, v) =>
+      "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"wordcount_words_per_s":$wordsPerS%.0f,"host_factor":$hostFactorJson,"isolated_s":$isoShortJson,"sf":"$sfDir"}"""
     val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"wordcount_words_per_s":$wordsPerS%.0f,"host_factor":$hostFactorJson,"isolated_s":$isoJson,"queries":$qsFull,"spreads":$sp,"shuffle_mb":$shuffleMb,"spill_mb":$spillMb,"sf":"$sfDir"}"""
     // Subset sweeps (SPARK_GRAFT_ONLY) must not clobber the committed

@@ -76,8 +76,11 @@ object Causal {
     */
   private def covariateExprs(d: String): Seq[(String, String)] = Seq(
     "x0" -> s"CAST($S AS BIGINT)",
-    // non-error event volume, capped at 200, scaled to [0,S]
-    "x1" -> s"(least(n_ev - n_err, 200) * $S) $d 200",
+    // browse volume (views + clicks), capped at 200, scaled to [0,S].
+    // Deliberately NOT n_ev - n_err: that difference counts purchase
+    // events, i.e. the outcome itself, and conditioning the propensity
+    // model on an outcome-derived gauge is post-treatment bias.
+    "x1" -> s"(least(n_view + n_click, 200) * $S) $d 200",
     // view count, capped at 100
     "x2" -> s"(least(n_view, 100) * $S) $d 100",
     // click count, capped at 100

@@ -140,9 +140,13 @@ object Classifier {
     // DECIMAL(38,0) sums hold as long as the positive share stays
     // above ~1e-6 of a 10^12-row corpus — any real quality gate does.
     val head = feats.agg(count(lit(1)), sum(col("y"))).head
-    val n = math.max(head.getLong(0), 1L)
-    val pos = math.max(if (head.isNullAt(1)) 0L else head.getLong(1), 1L)
-    val bal = (n - pos) * S / pos
+    val nRaw = head.getLong(0)
+    val n = math.max(nRaw, 1L)
+    // mirror gdChainSql exactly: (count(*) - sum(y)) * S // greatest(sum(y), 1)
+    // — clamp ONLY the divisor, so a zero-positive corpus fits the same
+    // (degenerate) weights in both engines instead of drifting by one S
+    val sumY = if (head.isNullAt(1)) 0L else head.getLong(1)
+    val bal = (nRaw - sumY) * S / math.max(sumY, 1L)
     var w = feats.sparkSession.range(1).select(
       (0 to 4).map(j => lit(0L).as(s"w$j")): _*)
     for (_ <- 1 to rounds) {
