@@ -830,6 +830,134 @@ object Dedup {
       |FROM r WHERE rk = 1
       |ORDER BY doc_id""".stripMargin
 
+  /** q276 window length in tokens (power of two: [[SuffixRounds]]
+    * prefix-doubling rounds reach it exactly) and the cross-document
+    * duplication floor. Lee et al. 2021 ("Deduplicating Training Data
+    * Makes Language Models Better") uses 50 BPE tokens on real corpora;
+    * 16 word-tokens is the same operator scaled to the synthetic docs
+    * (10-99 tokens each).
+    */
+  val SuffixL = 16
+  val SuffixRounds = 4
+  val SuffixMinDocs = 2
+
+  // q276 — EXACT substring dedup at suffix granularity: every maximal
+  // cross-document duplicated token span, with exact boundaries. This
+  // is the operator q86 only APPROXIMATES (winnowing samples 1/16 of
+  // window fingerprints — it finds which DOCS overlap, not where) and
+  // q121 quantizes (fixed 8-token segment grid — a duplicate straddling
+  // a segment boundary is invisible): here EVERY L-token window gets a
+  // fingerprint, windows duplicated across >= SuffixMinDocs docs are
+  // flagged, and runs of consecutive flagged starts merge into maximal
+  // spans [span_start, span_end] (token offsets, 0-based inclusive).
+  //
+  // Algorithm: prefix doubling over hashed suffix ranks (the
+  // Manber-Myers suffix-array construction step, bounded to window
+  // length L): rank_0(pos) = h(token at pos); rank_{2w}(pos) =
+  // h(rank_w(pos), rank_w(pos+w)). After log2(L) rounds rank_L
+  // identifies the exact L-token substring (60-bit fingerprint space;
+  // a collision needs ~2^30 DISTINCT windows per birthday bound — and
+  // the same md5 chain runs in the oracle, so the gate is bit-exact
+  // regardless).
+  //
+  // Scale shape: ONE exchange total on the corpus side — tokens hash
+  // behind a doc_id repartition, then every doubling round is
+  // lead(rank, w) OVER (PARTITION BY doc_id ORDER BY pos): an
+  // in-partition window sort, NO join and NO shuffle (the equi-join
+  // formulation would pay 2 exchanges per round). Rows carry
+  // (doc_id, pos, 8-byte rank) — token text never shuffles. The
+  // duplicated-window set is duplicate-mass-sized but NOT assumed
+  // broadcastable (at 100 TB every boilerplate header lands in it — the
+  // q114/q121 rule), so it flows back through a shuffled equi-join on
+  // the fingerprint. Span merging is one more in-partition window.
+  /** The q276 pipeline over any (doc_id, text) frame — split out so
+    * SubstringSpanSpec can check it against brute-force window
+    * enumeration on planted fixtures.
+    */
+  private[graft] def substringSpansOf(docs: DataFrame): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .repartition(col("doc_id"))
+      .localCheckpoint() // q73 lesson: materialize toks behind the exchange
+    val ord = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    var r = base
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        hash60(col("tok")).as("r"))
+      .localCheckpoint()
+    var width = 1
+    while (width < SuffixL) {
+      // rank of the 2w-window = hash of (rank of left w-window, rank of
+      // right w-window); tails without a full window drop out here, so
+      // surviving positions always carry a complete L-token window
+      r = r.withColumn("r2", lead(col("r"), width).over(ord))
+        .filter(col("r2").isNotNull)
+        .select(col("doc_id"), col("pos"),
+          hash60(concat_ws(":", col("r"), col("r2"))).as("r"))
+        .localCheckpoint() // linear lineage: 4 rounds, not 2^4 scan leaves
+      width *= 2
+    }
+    val dup = r.groupBy(col("r"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= SuffixMinDocs)
+    val flagged = r.join(dup, Seq("r"))
+    // gaps-and-islands: consecutive flagged starts share (pos - rn)
+    val spans = flagged
+      .withColumn("grp", col("pos") -
+        row_number().over(ord).cast("long"))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (SuffixL - 1)).as("span_end"),
+        count(lit(1)).as("n_windows"),
+        min_by(col("r"), col("pos")).as("first_fp"),
+        max(col("df")).as("max_df"))
+    spans.select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_len"),
+        col("n_windows"), col("first_fp"), col("max_df"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
+  private def q276(s: SparkSession, d: String): DataFrame =
+    substringSpansOf(documents(s, d))
+
+  private val q276Sql = {
+    val h0 = hash60Sql("tok")
+    def hPair(a: String, b: String) = hash60Sql(s"$a || ':' || $b")
+    val rounds = Seq(1, 2, 4, 8).zipWithIndex.map { case (w, i) =>
+      val prev = s"r$i"
+      s"""r${i + 1} AS (
+        |  SELECT doc_id, pos, ${hPair("r", s"lead(r, $w) OVER w")} AS r
+        |  FROM $prev
+        |  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        |  QUALIFY lead(r, $w) OVER w IS NOT NULL)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tk AS (
+      |  SELECT doc_id,
+      |    unnest(regexp_extract_all(lower(text), '$TokenPattern')) AS tok,
+      |    generate_subscripts(regexp_extract_all(lower(text), '$TokenPattern'), 1)
+      |      - 1 AS pos
+      |  FROM documents),
+      |r0 AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos, $h0 AS r FROM tk),
+      |$rounds,
+      |dup AS (
+      |  SELECT r, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      |  FROM r4 GROUP BY r HAVING count(DISTINCT doc_id) >= $SuffixMinDocs),
+      |fl AS (
+      |  SELECT f.doc_id, f.pos, f.r, d.df,
+      |    f.pos - row_number() OVER (PARTITION BY f.doc_id ORDER BY f.pos)
+      |      AS grp
+      |  FROM r4 f JOIN dup d USING (r))
+      |SELECT doc_id, min(pos) AS span_start,
+      |  max(pos) + ${SuffixL - 1} AS span_end,
+      |  max(pos) + ${SuffixL - 1} - min(pos) + 1 AS span_len,
+      |  CAST(count(*) AS BIGINT) AS n_windows,
+      |  arg_min(r, pos) AS first_fp,
+      |  max(df) AS max_df
+      |FROM fl GROUP BY doc_id, grp
+      |ORDER BY doc_id, span_start""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q30_dedup_exact", q30, Some(q30Sql)),
     Q("q31_dedup_norm", q31, Some(q31Sql)),
@@ -843,5 +971,6 @@ object Dedup {
     Q("q128_cluster_histogram", q128, Some(q128Sql)),
     Q("q141_incremental_lsh", q141, Some(q141Sql)),
     Q("q189_prefix_filter_join", q189, Some(q189Sql)),
+    Q("q276_substring_spans", q276, Some(q276Sql)),
   )
 }

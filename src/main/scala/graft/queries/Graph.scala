@@ -923,67 +923,88 @@ object Graph {
   // the row-based DuckDB oracle) are unchanged bit-for-bit. Per-round
   // output is a 1-row reduction. Nothing is ever node² — that is the
   // whole point of the algorithm.
-  private def q255(s: SparkSession, d: String): DataFrame = {
-    import graft.functions.TextFns.hash60
-    import Sketches.{HllW, HllM}
+  private[graft] val hbRegNames: Seq[String] =
+    (0 until Sketches.HllM).map(i => s"r$i")
+
+  /** q255 stage 1: undirected edge list, hash-partitioned on src ONCE —
+    * every round's state comes out of groupBy(v) hash-partitioned on v,
+    * so the v = src equi-join reuses both sides' partitioning: zero
+    * exchanges on the join, exactly ONE (partial-agg-reduced) shuffle
+    * per round. Split out (with [[hbInit]]/[[hbMerge]]/[[hbSummary]])
+    * so `graft.HbProfile` can time each phase in isolation.
+    */
+  private[graft] def hbEdges(s: SparkSession, d: String): DataFrame = {
     val e0 = lineitem(s, d)
       .select((col("l_partkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
       .distinct()
-    // Hash-partition edges on src ONCE: every round's state comes out
-    // of groupBy(v) hash-partitioned on v, so the v = src equi-join
-    // reuses both sides' partitioning — zero exchanges on the join,
-    // leaving exactly ONE (partial-agg-reduced) shuffle per round.
-    // shuffle_hash keeps the 1-row-per-node state side from being
-    // sort-merged against the edge list every round.
-    val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+    e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
       .repartition(col("src")).localCheckpoint()
-    val regNames = (0 until HllM).map(i => s"r$i")
-    val regCols = regNames.map(col)
+  }
+
+  /** q255 stage 2: per-node initial register rows (radius-0 balls). */
+  private[graft] def hbInit(edges: DataFrame): DataFrame = {
+    import graft.functions.TextFns.hash60
+    import Sketches.HllW
     val h = hash60(col("v").cast("string"))
     val rho = instr(lpad(bin(h % (1L << HllW)), HllW, "0"), "1")
     // two-step projection: evaluate the md5-backed hash/bucket ONCE per
     // node, then fan out to the 64 register columns with cheap
     // bucket = i conditionals (inlining h into all 64 when()s measured
     // 6x slower — no CSE across projection slots)
-    val r0 = edges.select(col("src").as("v")).distinct()
+    edges.select(col("src").as("v")).distinct()
       .select(col("v"), shiftright(h, HllW).as("bucket"),
         when(rho === 0, lit(HllW + 1)).otherwise(rho).cast("long").as("regv"))
-      .select(col("v") +: regNames.zipWithIndex.map { case (n, i) =>
+      .select(col("v") +: hbRegNames.zipWithIndex.map { case (n, i) =>
         when(col("bucket") === i, col("regv")).otherwise(lit(0L)).as(n)
       }: _*)
       .repartition(col("v"))
       .localCheckpoint()
-    def merge(r: DataFrame, last: Boolean): DataFrame = {
-      val m = r.join(edges.hint("shuffle_hash"), col("v") === col("src"))
-        .select(col("dst").as("v") +: regCols: _*)
-        .unionAll(r.select(col("v") +: regCols: _*))
-        .groupBy(col("v"))
-        .agg(max(regCols.head).as(regNames.head),
-          regNames.tail.map(n => max(col(n)).as(n)): _*)
-      // the final round's state feeds exactly one summary — checkpoint
-      // (an eager extra job) only when the state is consumed twice
-      if (last) m else m.localCheckpoint()
-    }
-    def summary(r: DataFrame, t: Int): DataFrame = {
-      val rr = regNames.map(n => when(col(n) > 0, 1L).otherwise(lit(0L)))
-        .reduce(_ + _)
-      val pn = regNames.map(n => expr(s"shiftleft(1L, cast(56 - $n as int))"))
-        .reduce(_ + _)
-      r.select(rr.as("rr"), pn.as("pn"))
-        .select(col("rr"),
-          expr(s"""CAST(CAST(709 AS DECIMAL(38,0)) * ${HllM.toLong * HllM}
-                  |  * ${1L << 56} * 1048576
-                  |  DIV (CAST(1000 AS DECIMAL(38,0)) * pn) AS BIGINT)"""
-            .stripMargin).as("ef"))
-        .agg(lit(t.toLong).as("step"), count(lit(1)).as("n_nodes"),
-          sum(col("rr")).as("reg_rows"), sum(col("ef")).as("nf_fp"),
-          max(col("ef")).as("max_est_fp"))
-    }
+  }
+
+  /** q255 round: neighbor max-merge of all 64 registers. shuffle_hash
+    * keeps the 1-row-per-node state side from being sort-merged against
+    * the edge list every round.
+    */
+  private[graft] def hbMerge(r: DataFrame, edges: DataFrame,
+      last: Boolean): DataFrame = {
+    val regCols = hbRegNames.map(col)
+    val m = r.join(edges.hint("shuffle_hash"), col("v") === col("src"))
+      .select(col("dst").as("v") +: regCols: _*)
+      .unionAll(r.select(col("v") +: regCols: _*))
+      .groupBy(col("v"))
+      .agg(max(regCols.head).as(hbRegNames.head),
+        hbRegNames.tail.map(n => max(col(n)).as(n)): _*)
+    // the final round's state feeds exactly one summary — checkpoint
+    // (an eager extra job) only when the state is consumed twice
+    if (last) m else m.localCheckpoint()
+  }
+
+  /** q255 per-round 1-row reduction (neighborhood-function estimate). */
+  private[graft] def hbSummary(r: DataFrame, t: Int): DataFrame = {
+    import Sketches.HllM
+    val rr = hbRegNames.map(n => when(col(n) > 0, 1L).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val pn = hbRegNames.map(n => expr(s"shiftleft(1L, cast(56 - $n as int))"))
+      .reduce(_ + _)
+    r.select(rr.as("rr"), pn.as("pn"))
+      .select(col("rr"),
+        expr(s"""CAST(CAST(709 AS DECIMAL(38,0)) * ${HllM.toLong * HllM}
+                |  * ${1L << 56} * 1048576
+                |  DIV (CAST(1000 AS DECIMAL(38,0)) * pn) AS BIGINT)"""
+          .stripMargin).as("ef"))
+      .agg(lit(t.toLong).as("step"), count(lit(1)).as("n_nodes"),
+        sum(col("rr")).as("reg_rows"), sum(col("ef")).as("nf_fp"),
+        max(col("ef")).as("max_est_fp"))
+  }
+
+  private def q255(s: SparkSession, d: String): DataFrame = {
+    val edges = hbEdges(s, d)
+    val r0 = hbInit(edges)
     var r = r0
-    var out = summary(r, 0)
+    var out = hbSummary(r, 0)
     for (t <- 1 to HbRounds) {
-      r = merge(r, last = t == HbRounds)
-      out = out.unionAll(summary(r, t))
+      r = hbMerge(r, edges, last = t == HbRounds)
+      out = out.unionAll(hbSummary(r, t))
     }
     out.orderBy(col("step"))
   }

@@ -312,12 +312,15 @@ object Similarity {
       |    GROUP BY cell, pos) y
       |  GROUP BY cell)""".stripMargin
 
-  private val q41Sql = {
+  /** Shared DuckDB prefix (q41 + q275): the fixed-point Lloyd chain to
+    * the final codebook `cFin`, plus the corpus `assigned` CTE.
+    */
+  private val ivfCFin = s"c$IvfIters"
+  private val ivfAssignedPrefixSql = {
     val iters = (1 to IvfIters)
       .map(k => kmIterSql(s"c${k - 1}", s"a$k", s"c$k"))
       .mkString(",\n")
-    val cFin = s"c$IvfIters"
-    s"""WITH eq AS (
+    s"""eq AS (
       |  SELECT vec_id, embedding,
       |    list_transform(embedding,
       |      x -> CAST(round(CAST(x AS DOUBLE) * $FixScale) AS BIGINT)) AS qv
@@ -333,8 +336,13 @@ object Similarity {
       |    SELECT e.vec_id, c.cell, e.embedding,
       |      row_number() OVER (PARTITION BY e.vec_id
       |        ORDER BY ${cosSql("e.embedding", "c.cvec")} DESC, c.cell) AS crk
-      |    FROM embeddings e CROSS JOIN $cFin c) t
-      |  WHERE crk = 1),
+      |    FROM embeddings e CROSS JOIN $ivfCFin c) t
+      |  WHERE crk = 1)""".stripMargin
+  }
+
+  private val q41Sql = {
+    val cFin = ivfCFin
+    s"""WITH $ivfAssignedPrefixSql,
       |probed AS (
       |  SELECT query_id, qvec, cell FROM (
       |    SELECT q.vec_id AS query_id, q.embedding AS qvec, c.cell,
@@ -1537,6 +1545,247 @@ object Similarity {
       |ORDER BY codebook""".stripMargin
   }
 
+  /** q275 audit knobs: query-set size, recall cutoff, and the audited
+    * retrieval configurations (IVF probe depths nested up to q41's
+    * serving default, SRP Hamming-probe radii over q95's 16-bit codes).
+    */
+  val RecallQueries = 20
+  val RecallK = 10
+  val RecallProbes: Seq[Int] = Seq(1, 2, 4, 6)
+  val RecallHams: Seq[Int] = Seq(0, 1, 2)
+
+  // q275 — ANN recall@k audit: the number an ANN index owner actually
+  // watches. For a sampled query set (vec_id < RecallQueries) compute
+  // the EXACT cosine top-k (q40's brute-force semantics, k = RecallK),
+  // then replay each approximate retrieval policy — IVF at probe depth
+  // p ∈ RecallProbes over q41's trained codebook, SRP Hamming-radius
+  // probing at r ∈ RecallHams over q95's 16-bit sign codes — and report
+  // per config: mean recall@5 / recall@10 (2^20 fixed point, integer-
+  // exact), the WORST per-query recall@10 (tail queries are what pages
+  // the on-call), and the mean candidate count (the cost axis recall is
+  // traded against). A 'brute' row (all non-self candidates) pins the
+  // harness: its recall is exactly 2^20 by construction.
+  //
+  // Scale shape: the exact ground truth and every candidate generator
+  // are broadcast-the-queries scans — the corpus never self-joins and
+  // never shuffles; per-family candidates are generated ONCE at the
+  // deepest probe level and the nested shallower configs are derived by
+  // filtering on the per-candidate level (prk for IVF cells, Hamming
+  // distance for SRP), so adding a config costs a predicate, not a
+  // corpus pass. The audit is an offline sampled job: O(|Q|·N) cosines
+  // at |Q| = 20 is the documented budget, NOT a serving path.
+  /** The audit body, parameterized on the codebook so AnnRecallSpec can
+    * inject a deliberately bad one and assert the audit flags it.
+    */
+  private[graft] def recallAuditOn(e: DataFrame, centroids: DataFrame): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    val QN = RecallQueries
+    val K = RecallK
+    val q = e.filter(col("vec_id") < QN)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    // exact ground truth: rank re over ALL non-self corpus rows
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val bruteScored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos", expr("cosine_sim(qvec, embedding)"))
+      .select(col("query_id"), col("vec_id"), col("cos"))
+      .localCheckpoint() // feeds the exact cut AND the brute config rows
+    val exact = bruteScored.withColumn("re", row_number().over(wq))
+      .filter(col("re") <= K)
+      .select(col("query_id"), col("vec_id"), col("re"))
+    // IVF candidates at the deepest probe level, tagged with the cell's
+    // probe rank so shallower configs filter instead of re-scanning
+    val assigned = argmaxCell(
+      e.join(broadcast(centroids))
+        .withColumn("ccos", expr("cosine_sim(embedding, cvec)")), col("embedding"))
+      .select(col("vec_id"), col("cell"), col("embedding"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("qcos").desc, col("cell"))
+    val probed = q.join(broadcast(centroids))
+      .withColumn("qcos", expr("cosine_sim(qvec, cvec)"))
+      .withColumn("prk", row_number().over(wProbe))
+      .filter(col("prk") <= RecallProbes.max)
+      .select(col("query_id"), col("qvec"), col("cell"), col("prk"))
+    val ivfCand = assigned.join(broadcast(probed), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", expr("cosine_sim(qvec, embedding)"))
+      .select(col("query_id"), col("vec_id"), col("cos"), col("prk").as("lvl"))
+    // SRP candidates at the widest Hamming radius, tagged with distance
+    val codes = e.select(col("vec_id"), col("embedding"),
+      expr("srp_code(embedding)").as("code"))
+    val qc = codes.filter(col("vec_id") < QN)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+        col("code").as("qcode"))
+    val srpCand = codes.join(broadcast(qc), col("vec_id") =!= col("query_id"))
+      .withColumn("lvl", expr("bit_count(code ^ qcode)").cast("long"))
+      .filter(col("lvl") <= RecallHams.max)
+      .withColumn("cos", expr("cosine_sim(qvec, embedding)"))
+      .select(col("query_id"), col("vec_id"), col("cos"), col("lvl"))
+    val ivfCfgs = RecallProbes.map(_.toLong).toDF("param")
+    val srpCfgs = RecallHams.map(_.toLong).toDF("param")
+    val cand = ivfCand.join(broadcast(ivfCfgs), col("lvl") <= col("param"))
+      .select(lit("ivf").as("idx"), col("param"), col("query_id"),
+        col("vec_id"), col("cos"))
+      .unionAll(srpCand.join(broadcast(srpCfgs), col("lvl") <= col("param"))
+        .select(lit("srp").as("idx"), col("param"), col("query_id"),
+          col("vec_id"), col("cos")))
+      .unionAll(bruteScored.select(lit("brute").as("idx"), lit(0L).as("param"),
+        col("query_id"), col("vec_id"), col("cos")))
+      .localCheckpoint() // feeds the ranked cut AND the candidate counts
+    val wCfg = Window.partitionBy(col("idx"), col("param"), col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val candN = cand.groupBy(col("idx"), col("param"), col("query_id"))
+      .agg(count(lit(1)).as("cand_n"))
+    val hits = cand.withColumn("ra", row_number().over(wCfg))
+      .filter(col("ra") <= K)
+      .join(exact, Seq("query_id", "vec_id"), "left")
+      .groupBy(col("idx"), col("param"), col("query_id"))
+      .agg(
+        sum(when(col("re").isNotNull && col("ra") <= 5 && col("re") <= 5, 1L)
+          .otherwise(0L)).as("hits5"),
+        sum(when(col("re").isNotNull, 1L).otherwise(0L)).as("hits10"))
+    // every (config, query) pair survives — a query with an EMPTY
+    // candidate set is a recall-0 row, not a dropped row
+    val cfgs = (Seq(("brute", 0L)) ++ RecallProbes.map(p => ("ivf", p.toLong)) ++
+      RecallHams.map(r => ("srp", r.toLong))).toDF("idx", "param")
+    cfgs.crossJoin(q.select(col("query_id")))
+      .join(candN, Seq("idx", "param", "query_id"), "left")
+      .join(hits, Seq("idx", "param", "query_id"), "left")
+      .groupBy(col("idx"), col("param"))
+      .agg(count(lit(1)).as("n_q"),
+        sum(coalesce(col("hits5"), lit(0L))).as("sh5"),
+        sum(coalesce(col("hits10"), lit(0L))).as("sh10"),
+        min(coalesce(col("hits10"), lit(0L))).as("mh10"),
+        sum(coalesce(col("cand_n"), lit(0L))).as("sc"))
+      .select(col("idx"), col("param"), col("n_q"),
+        expr(s"CAST(sh5 * $FixScale DIV (5 * $QN) AS BIGINT)").as("recall5_fp"),
+        expr(s"CAST(sh10 * $FixScale DIV ($K * $QN) AS BIGINT)").as("recall10_fp"),
+        expr(s"CAST(mh10 * $FixScale DIV $K AS BIGINT)").as("min_recall10_fp"),
+        expr(s"CAST(sc DIV $QN AS BIGINT)").as("mean_cand"))
+      .orderBy(col("idx"), col("param"))
+  }
+
+  private def q275(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val e = embeddings(s, d)
+    val eq = e.select(col("vec_id"), col("embedding"),
+      transform(col("embedding"),
+        x => round(x.cast("double") * FixScale).cast("long")).as("qv"))
+    val init = eq.filter(col("vec_id") < IvfCells)
+      .select(col("vec_id").cast("int").as("cell"),
+        transform(col("qv"),
+          q => (q.cast("double") / FixScale.toDouble).cast("float")).as("cvec"))
+    recallAuditOn(e, ivfTrainOn(eq, init, IvfIters))
+  }
+
+  private val q275Sql = {
+    val QN = RecallQueries
+    val K = RecallK
+    val ivfVals = RecallProbes.map(p => s"($p)").mkString(", ")
+    val srpVals = RecallHams.map(r => s"($r)").mkString(", ")
+    val cfgVals = (Seq("('brute', 0)") ++ RecallProbes.map(p => s"('ivf', $p)") ++
+      RecallHams.map(r => s"('srp', $r)")).mkString(", ")
+    s"""WITH $ivfAssignedPrefixSql,
+      |qset AS (
+      |  SELECT vec_id AS query_id, embedding AS qvec
+      |  FROM embeddings WHERE vec_id < $QN),
+      |brutecand AS (
+      |  SELECT q.query_id, e.vec_id,
+      |    ${cosSql("q.qvec", "e.embedding")} AS cos
+      |  FROM embeddings e JOIN qset q ON e.vec_id <> q.query_id),
+      |exact AS (
+      |  SELECT query_id, vec_id, re FROM (
+      |    SELECT query_id, vec_id,
+      |      row_number() OVER (PARTITION BY query_id
+      |        ORDER BY cos DESC, vec_id) AS re
+      |    FROM brutecand) t
+      |  WHERE re <= $K),
+      |probed AS (
+      |  SELECT query_id, qvec, cell, prk FROM (
+      |    SELECT q.query_id, q.qvec, c.cell,
+      |      row_number() OVER (PARTITION BY q.query_id
+      |        ORDER BY ${cosSql("q.qvec", "c.cvec")} DESC, c.cell) AS prk
+      |    FROM qset q CROSS JOIN $ivfCFin c) t
+      |  WHERE prk <= ${RecallProbes.max}),
+      |ivfcand AS (
+      |  SELECT p.query_id, a.vec_id,
+      |    ${cosSql("p.qvec", "a.embedding")} AS cos, p.prk AS lvl
+      |  FROM assigned a JOIN probed p ON a.cell = p.cell
+      |  WHERE a.vec_id <> p.query_id),
+      |sq AS (SELECT vec_id,
+      |    list_transform(embedding,
+      |      x -> CAST(round(CAST(x AS DOUBLE) * $FixScale) AS BIGINT)) AS qe
+      |  FROM embeddings),
+      |pb AS (SELECT vec_id, b,
+      |    list_sum(list_transform(range($SrpDim), i ->
+      |      ((1103515245 * (b * $SrpDim + i) + 12345) % 2147483647 - 1073741823)
+      |        * qe[i+1])) AS dot
+      |  FROM sq, (SELECT unnest(range($SrpBits)) AS b) bs),
+      |codes AS (SELECT vec_id,
+      |    CAST(sum(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+      |      AS BIGINT) AS code
+      |  FROM pb GROUP BY vec_id),
+      |qcodes AS (
+      |  SELECT c.vec_id AS query_id, e.embedding AS qvec, c.code AS qcode
+      |  FROM codes c JOIN embeddings e ON e.vec_id = c.vec_id
+      |  WHERE c.vec_id < $QN),
+      |srpcand AS (
+      |  SELECT q.query_id, c.vec_id,
+      |    ${cosSql("q.qvec", "e.embedding")} AS cos,
+      |    bit_count(xor(c.code, q.qcode)) AS lvl
+      |  FROM codes c JOIN embeddings e ON e.vec_id = c.vec_id
+      |  JOIN qcodes q ON c.vec_id <> q.query_id
+      |  WHERE bit_count(xor(c.code, q.qcode)) <= ${RecallHams.max}),
+      |cand AS (
+      |  SELECT 'ivf' AS idx, CAST(f.param AS BIGINT) AS param,
+      |    c.query_id, c.vec_id, c.cos
+      |  FROM ivfcand c JOIN (VALUES $ivfVals) f(param) ON c.lvl <= f.param
+      |  UNION ALL
+      |  SELECT 'srp', CAST(f.param AS BIGINT), c.query_id, c.vec_id, c.cos
+      |  FROM srpcand c JOIN (VALUES $srpVals) f(param) ON c.lvl <= f.param
+      |  UNION ALL
+      |  SELECT 'brute', 0, query_id, vec_id, cos FROM brutecand),
+      |candn AS (
+      |  SELECT idx, param, query_id, CAST(count(*) AS BIGINT) AS cand_n
+      |  FROM cand GROUP BY 1, 2, 3),
+      |hits AS (
+      |  SELECT r.idx, r.param, r.query_id,
+      |    sum(CASE WHEN x.re IS NOT NULL AND r.ra <= 5 AND x.re <= 5
+      |      THEN 1 ELSE 0 END) AS hits5,
+      |    sum(CASE WHEN x.re IS NOT NULL THEN 1 ELSE 0 END) AS hits10
+      |  FROM (
+      |    SELECT idx, param, query_id, vec_id,
+      |      row_number() OVER (PARTITION BY idx, param, query_id
+      |        ORDER BY cos DESC, vec_id) AS ra
+      |    FROM cand) r
+      |  LEFT JOIN exact x ON r.query_id = x.query_id AND r.vec_id = x.vec_id
+      |  WHERE r.ra <= $K
+      |  GROUP BY 1, 2, 3),
+      |allq AS (
+      |  SELECT CAST(f.idx AS VARCHAR) AS idx, CAST(f.param AS BIGINT) AS param,
+      |    q.query_id
+      |  FROM (VALUES $cfgVals) f(idx, param) CROSS JOIN qset q)
+      |SELECT idx, param, n_q,
+      |  CAST(sh5 * $FixScale // (5 * $QN) AS BIGINT) AS recall5_fp,
+      |  CAST(sh10 * $FixScale // ($K * $QN) AS BIGINT) AS recall10_fp,
+      |  CAST(mh10 * $FixScale // $K AS BIGINT) AS min_recall10_fp,
+      |  CAST(sc // $QN AS BIGINT) AS mean_cand
+      |FROM (
+      |  SELECT a.idx, a.param, CAST(count(*) AS BIGINT) AS n_q,
+      |    sum(coalesce(h.hits5, 0)) AS sh5,
+      |    sum(coalesce(h.hits10, 0)) AS sh10,
+      |    min(coalesce(h.hits10, 0)) AS mh10,
+      |    sum(coalesce(c.cand_n, 0)) AS sc
+      |  FROM allq a
+      |  LEFT JOIN hits h ON a.idx = h.idx AND a.param = h.param
+      |    AND a.query_id = h.query_id
+      |  LEFT JOIN candn c ON a.idx = c.idx AND a.param = c.param
+      |    AND a.query_id = c.query_id
+      |  GROUP BY 1, 2) agg
+      |ORDER BY idx, param""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q34_embed_neardup", q34, Some(q34Sql)),
     Q("q40_knn_brute", q40, Some(q40Sql)),
@@ -1553,6 +1802,7 @@ object Similarity {
     Q("q265_knn_shapley", q265, Some(q265Sql)),
     Q("q268_dim_truncation", q268, Some(q268Sql)),
     Q("q270_codebook_drift", q270, Some(q270Sql)),
+    Q("q275_ann_recall", q275, Some(q275Sql)),
     Q("q212_power_iteration", q212, Some(q212Sql)),
     Q("q213_anisotropy", q213, Some(q213Sql)),
     Q("q218_cluster_ari", q218, Some(q218Sql)),
