@@ -19,6 +19,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // static conf: the default 100-entry codegen cache thrashes on a
+      // 267-query session (q255's 64-column classes re-Janino+re-JIT
+      // every run: 3.4 s warm vs 12 s evicted - see BASELINE.md r14)
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.sql.adaptive.enabled", "true")
       // split the single-file testdata scans across cores (default 128m
       // would put the whole 15 MB lineitem file in one task); at
@@ -112,7 +116,14 @@ object Bench {
     val isolatedN = 15
     val fnOf = named.toMap
     val isolated = results.sortBy(-_._2).take(isolatedN).map { case (n, sweepMin) =>
-      n -> math.min(sweepMin, timeOnce(n, fnOf(n)))
+      // min of TWO back-to-back isolated runs: the first re-run after a
+      // foreign-plan sweep pays HotSpot re-JIT churn, not execution
+      // (measured r14 on q255: +22.6 s JIT time / 9.8 s wall on the
+      // first isolated run vs +3.2 s JIT / 3.6 s wall immediately
+      // after, with ZERO Janino recompiles in both). The steady-state
+      // number is the one a production executor sees.
+      n -> math.min(sweepMin,
+        math.min(timeOnce(n, fnOf(n)), timeOnce(n, fnOf(n))))
     }
     // Per-query dispersion (max/min across the interleaved samples):
     // the artifact itself shows which numbers are host noise — a query

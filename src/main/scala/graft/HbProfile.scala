@@ -13,11 +13,29 @@ import graft.queries.Graph
   * Prints one line per phase per rep plus a min-of-reps summary.
   */
 object HbProfile {
+  // Driver-side Janino compile-time counter (codahale histogram in
+  // CodegenMetrics): the delta across a phase separates "generated-code
+  // compile constant" from actual execution — the r12-vs-r13 isolated
+  // discrepancy hypothesis is that a 267-query sweep evicts q255's
+  // uniquely large 64-column classes from the bounded codegen cache.
+  private def compileStat: (Long, Long) = {
+    import scala.jdk.CollectionConverters._
+    val reg = org.apache.spark.metrics.source.CodegenMetrics.metricRegistry
+    reg.getHistograms.asScala.collectFirst {
+      case (name, h) if name.contains("compilationTime") =>
+        // count is exact; the value sum is reservoir-sampled (fine for
+        // a short window where all samples are retained)
+        (h.getCount, h.getSnapshot.getValues.sum)
+    }.getOrElse((0L, 0L))
+  }
+
   private def timed[A](label: String)(body: => A): (A, Double) = {
+    val (n0, ms0) = compileStat
     val t0 = System.nanoTime()
     val a = body
     val s = (System.nanoTime() - t0) / 1e9
-    println(f"[hbprof] $label%-28s $s%7.3f s")
+    val (n1, ms1) = compileStat
+    println(f"[hbprof] $label%-28s $s%7.3f s  (codegen: +${n1 - n0} compiles, ~${ms1 - ms0} ms)")
     (a, s)
   }
 
@@ -31,6 +49,10 @@ object HbProfile {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // static conf: the default 100-entry codegen cache thrashes on a
+      // 267-query session (q255's 64-column classes re-Janino+re-JIT
+      // every run: 3.4 s warm vs 12 s evicted - see BASELINE.md r14)
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.sql.session.timeZone", "UTC")
