@@ -174,9 +174,14 @@ object Classifier {
     w
   }
 
-  private def featureFrame(s: SparkSession, d: String): DataFrame = {
+  /** Per-document label + feature row over any (doc_id, text) frame —
+    * all narrow deterministic ops (no aggregation, no state), so it
+    * runs identically over a STREAMING frame. Keeps doc_id so scoring
+    * callers can attribute.
+    */
+  private[graft] def featureFrameOf(docsDf: DataFrame): DataFrame = {
     import Filtering.{Stopwords => GateStops}
-    documents(s, d)
+    docsDf
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(
         col("doc_id"),
@@ -186,9 +191,34 @@ object Classifier {
         markerHits(col("toks"), Stopwords).as("sw_hits"),
         GateStops.map(w => array_contains(col("toks"), w)).reduce(_ && _).as("stop_ok"))
       .select(
-        (expr(labelExpr).as("y") +:
+        (col("doc_id") +: expr(labelExpr).as("y") +:
           featureExprs("DIV").map { case (nm, e) => expr(e).as(nm) }): _*)
   }
+
+  private def featureFrame(s: SparkSession, d: String): DataFrame =
+    featureFrameOf(documents(s, d))
+
+  /** Score any (doc_id, text) frame against a fitted 1-row (w0..w4)
+    * weight frame: p in [0, S] under the softsign link, plus the rule
+    * label for drift monitoring. Stateless — the five integer
+    * multiplies fold per row against the broadcast weights, so the
+    * SAME function is the production streaming scorer
+    * (see [[streamingQualityScores]]).
+    */
+  private[graft] def scoredOf(docsDf: DataFrame, w: DataFrame): DataFrame = {
+    val p = pExpr("DIV", "DECIMAL(38,0)")
+    featureFrameOf(docsDf).crossJoin(broadcast(w))
+      .select(col("doc_id"), col("y"), expr(s"CAST($p AS BIGINT)").as("p"))
+  }
+
+  /** Streaming twin of q271's scoring path — the production shape: the
+    * filter trains OFFLINE (q271 / [[fitOf]]); arrivals score ONLINE
+    * against the broadcast weight frame. Append mode, zero state,
+    * per-row cost of five integer multiplies — bit-equal to the batch
+    * scores on the same rows (QualityScoreStreamSpec pins it).
+    */
+  def streamingQualityScores(stream: DataFrame, weights: DataFrame): DataFrame =
+    scoredOf(stream, weights)
 
   private def q271(s: SparkSession, d: String): DataFrame = {
     val S = QcScale
