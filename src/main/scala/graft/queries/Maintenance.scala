@@ -230,14 +230,15 @@ object Maintenance {
     * plan incrementally maintains the sketch under Structured Streaming
     * (StreamingSketchSpec pins stream-built cells to this batch form).
     */
-  private[graft] def ibltCellsOf(signed: DataFrame): DataFrame =
+  private[graft] def ibltCellsOf(signed: DataFrame,
+      bank: Int = IbBank): DataFrame =
     signed
       .select(col("doc_id"), col("sign"),
         TextFns.hash60(concat(lit("ibv:"), col("doc_id").cast("string"))).as("hv"),
         explode(array((0 until IbHashes).map { j =>
-          (lit(j.toLong * IbBank) +
+          (lit(j.toLong * bank) +
             pmod(TextFns.hash60(concat(lit(s"ib$j:"), col("doc_id").cast("string"))),
-              lit(IbBank))).as(s"c$j")
+              lit(bank))).as(s"c$j")
         }: _*)).as("cell"))
       .groupBy(col("cell"))
       .agg(sum(col("sign")).as("cnt"),
@@ -246,7 +247,8 @@ object Maintenance {
 
   /** Driver peel over collected (cell, cnt, ids, hs) rows. */
   private[graft] def ibltDecode(
-      cells: Array[org.apache.spark.sql.Row]): Seq[(String, Long)] = {
+      cells: Array[org.apache.spark.sql.Row],
+      bank: Int = IbBank): Seq[(String, Long)] = {
     val cls = scala.collection.mutable.Map[Long, (Long, BigInt, BigInt)]()
     cells.foreach { r =>
       cls(r.getLong(0)) = (r.getLong(1),
@@ -264,7 +266,7 @@ object Maintenance {
             out += ((if (cnt == 1L) "a_only" else "b_only", id))
             val hv = BigInt(ibltH60(s"ibv:$id"))
             (0 until IbHashes).foreach { j =>
-              val cc = j.toLong * IbBank + java.lang.Math.floorMod(ibltH60(s"ib$j:$id"), IbBank.toLong)
+              val cc = j.toLong * bank + java.lang.Math.floorMod(ibltH60(s"ib$j:$id"), bank.toLong)
               val (c2, i2, h2) = cls.getOrElse(cc, (0L, BigInt(0), BigInt(0)))
               cls(cc) = (c2 - cnt, i2 - BigInt(cnt) * id, h2 - BigInt(cnt) * hv)
             }
@@ -287,7 +289,7 @@ object Maintenance {
     if (residue > 0)
       throw new IllegalStateException(
         s"IBLT peel stalled: $residue residual cells of ${cls.size} — " +
-          s"symmetric difference exceeds the ${IbHashes}x$IbBank sketch " +
+          s"symmetric difference exceeds the ${IbHashes}x$bank sketch " +
           "capacity; resize the sketch (IbBank ~ 1.5x expected diff, " +
           "e.g. from q203's count deltas) and resend")
     out.result().sorted
@@ -297,12 +299,13 @@ object Maintenance {
     * subtracted IBLT sketches. Returns (side, doc_id) rows.
     * Fixture-testable.
     */
-  private[graft] def ibltReconcileOf(idsA: DataFrame, idsB: DataFrame): DataFrame = {
+  private[graft] def ibltReconcileOf(idsA: DataFrame, idsB: DataFrame,
+      bank: Int = IbBank): DataFrame = {
     val s = idsA.sparkSession
     import s.implicits._
     val signed = idsA.select(col("doc_id"), lit(1L).as("sign"))
       .unionAll(idsB.select(col("doc_id"), lit(-1L).as("sign")))
-    ibltDecode(ibltCellsOf(signed).collect())
+    ibltDecode(ibltCellsOf(signed, bank).collect(), bank)
       .toDF("side", "doc_id").orderBy(col("side"), col("doc_id"))
   }
 
