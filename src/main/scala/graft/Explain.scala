@@ -12,12 +12,15 @@ import org.apache.spark.sql.SparkSession
   */
 object Explain {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val positional = args.filterNot(_.startsWith("--"))
+    val sfDir = positional.headOption.getOrElse("/root/testdata/sf0.01")
     val audit = args.contains("--audit")
-    val names = if (audit) SparkEntry.queries.keys.toSeq.sorted
-    else if (args.length > 1) args(1).split(",").toSeq
-    else Seq("q01_pricing_summary", "q02_filter_project", "q03_top_revenue",
-      "q05_star_join", "q06_filter_agg", "q26_tumbling_window", "q32_minhash_lsh")
+    // --audit alone audits the whole registry; --audit plus a name list
+    // audits the subset (the cross-SF plan-diff workflow)
+    val names = positional.lift(1).map(_.split(",").toSeq)
+      .getOrElse(if (audit) SparkEntry.queries.keys.toSeq.sorted
+      else Seq("q01_pricing_summary", "q02_filter_project", "q03_top_revenue",
+        "q05_star_join", "q06_filter_agg", "q26_tumbling_window", "q32_minhash_lsh"))
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -683,8 +683,13 @@ object Sketches {
       .groupBy(col("pct")).agg(sum(col("cnt")).cast("long").as("n_le_est"))
     val dn = digest.agg(count(lit(1)).as("digest_nodes"))
     est
-      .join(exact, Seq("pct"))
-      .join(below, Seq("pct"))
+      // one row per requested percentile on every side — provably
+      // bounded by |QdPcts|, so broadcast EXPLICITLY: at sf0.001 AQE
+      // happened to pick broadcast from stats, at sf0.1 the estimates
+      // flipped these to sort-merge joins (the r14 cross-SF plan audit
+      // caught it; PlanShapeSpec pins it now)
+      .join(broadcast(exact), Seq("pct"))
+      .join(broadcast(below), Seq("pct"))
       .crossJoin(broadcast(dn))
       .select(col("pct"), col("target_rank"), col("est_cents"),
         col("exact_cents"),

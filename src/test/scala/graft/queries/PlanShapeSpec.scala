@@ -74,4 +74,21 @@ class PlanShapeSpec extends SparkSpec {
       assert(execs.nonEmpty, "expected TopKPerKeyExec in the q171 plan")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
+
+  test("q259's per-percentile report joins broadcast at EVERY input size") {
+    // the r14 cross-SF plan audit caught these 5-row joins flipping to
+    // sort-merge at sf0.1 when left to stats — they are bounded by the
+    // requested-percentile count, so the plan must pin the broadcast.
+    // sf0.1 is the scale where the unpinned plan flipped.
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = graft.SparkEntry.queries("q259_qdigest_quantiles")(
+        spark, "/root/testdata/sf0.1")
+      val smj = df.queryExecution.executedPlan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }
+      assert(smj.isEmpty, s"q259 planned ${smj.length} sort-merge join(s)")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
 }
