@@ -874,7 +874,10 @@ object Dedup {
     * SubstringSpanSpec can check it against brute-force window
     * enumeration on planted fixtures.
     */
-  private[graft] def substringSpansOf(docs: DataFrame): DataFrame = {
+  /** Shared front half of q276/q277: the tokenized per-doc base frame
+    * and the flagged duplicated-window starts (doc_id, pos, r, df).
+    */
+  private[graft] def suffixFlagged(docs: DataFrame): (DataFrame, DataFrame) = {
     val base = docs
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .repartition(col("doc_id"))
@@ -901,7 +904,13 @@ object Dedup {
     val dup = r.groupBy(col("r"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") >= SuffixMinDocs)
-    val flagged = r.join(dup, Seq("r"))
+    (base, r.join(dup, Seq("r")))
+  }
+
+  private[graft] def substringSpansOf(docs: DataFrame): DataFrame = {
+    val ord = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val (_, flagged) = suffixFlagged(docs)
     // gaps-and-islands: consecutive flagged starts share (pos - rn)
     val spans = flagged
       .withColumn("grp", col("pos") -
@@ -921,7 +930,115 @@ object Dedup {
   private def q276(s: SparkSession, d: String): DataFrame =
     substringSpansOf(documents(s, d))
 
-  private val q276Sql = {
+  // q277 — the ACTION half of q276 (Lee et al. 2021 apply step): scrub
+  // every duplicated span from the corpus, keeping ONE canonical copy.
+  // The canonical occurrence of a duplicated L-window fingerprint is
+  // its globally-first occurrence (min (doc_id, pos) — deterministic,
+  // engine-independent). A token position is removed iff it is covered
+  // by at least one NON-canonical flagged window and by NO canonical
+  // window of its own doc (the canonical copy keeps its full text even
+  // where overlapping duplicates cross it). Emits per doc the token
+  // counts, removed-span count, and the fingerprint of the reassembled
+  // text — the q121 output contract at suffix granularity.
+  //
+  // Scale shape: reuses [[suffixFlagged]] (one corpus exchange, windowed
+  // doubling); everything after is DUPLICATE-MASS-sized: the canonical
+  // mark is a window over flagged rows partitioned by fingerprint, the
+  // coverage explode is 16x flagged rows, and the removed-index SETS
+  // join back to the 1-row-per-doc base frame where the text rebuilds
+  // IN-ROW from the token array (the q121 rule: reassembly never
+  // shuffles tokens).
+  /** The q277 pipeline over any (doc_id, text) frame — split out so
+    * SubstringSpanSpec can check it against brute-force removal on
+    * planted fixtures.
+    */
+  private[graft] def substringScrubOf(docs: DataFrame): DataFrame = {
+    val (base, flagged) = suffixFlagged(docs)
+    val wCanon = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("r")).orderBy(col("doc_id"), col("pos"))
+    val cover = flagged
+      .withColumn("canon", (row_number().over(wCanon) === 1).cast("int"))
+      .select(col("doc_id"), col("canon"),
+        explode(sequence(col("pos"), col("pos") + (SuffixL - 1))).as("p"))
+    val removed = cover.groupBy(col("doc_id"), col("p"))
+      .agg(max(col("canon")).as("any_canon"))
+      .filter(col("any_canon") === 0)
+      .select(col("doc_id"), col("p"))
+      .localCheckpoint() // feeds the per-doc set AND the island count
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("p"))
+    val rem = removed
+      .withColumn("grp", col("p") - row_number().over(wOrd).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_removed"),
+        countDistinct(col("grp")).as("n_spans_dropped"),
+        collect_list(col("p")).as("rps"))
+    base.join(rem, Seq("doc_id"), "left")
+      .withColumn("rset", coalesce(col("rps"), array().cast("array<bigint>")))
+      .withColumn("kept",
+        filter(col("toks"), (_, i) => !array_contains(col("rset"), i.cast("long"))))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(col("kept")).cast("long").as("n_kept"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("n_spans_dropped"), lit(0L)).as("n_spans_dropped"),
+        hash60(concat_ws(" ", col("kept"))).as("clean_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def q277(s: SparkSession, d: String): DataFrame =
+    substringScrubOf(documents(s, d))
+
+  private val q277Sql = {
+    val fpClean = hash60Sql("coalesce(reb.clean, '')")
+    s"""WITH $suffixChainSql,
+      |fl AS (
+      |  SELECT f.doc_id, f.pos,
+      |    CAST(row_number() OVER (PARTITION BY f.r
+      |      ORDER BY f.doc_id, f.pos) = 1 AS INT) AS canon
+      |  FROM r4 f JOIN dup d USING (r)),
+      |cover AS (
+      |  SELECT doc_id, pos + u.i AS p, canon
+      |  FROM fl, range($SuffixL) u(i)),
+      |removed AS (
+      |  SELECT doc_id, p FROM cover
+      |  GROUP BY doc_id, p HAVING max(canon) = 0),
+      |rem AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed,
+      |    CAST(count(DISTINCT p - rn) AS BIGINT) AS n_spans_dropped
+      |  FROM (SELECT doc_id, p,
+      |      row_number() OVER (PARTITION BY doc_id ORDER BY p) AS rn
+      |    FROM removed) x
+      |  GROUP BY doc_id),
+      |kept AS (
+      |  SELECT t.doc_id, t.pos, t.tok FROM tk t
+      |  WHERE NOT EXISTS (SELECT 1 FROM removed x
+      |    WHERE x.doc_id = t.doc_id AND x.p = t.pos)),
+      |reb AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+      |    string_agg(tok, ' ' ORDER BY pos) AS clean
+      |  FROM kept GROUP BY doc_id),
+      |tot AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+      |  FROM tk GROUP BY doc_id)
+      |SELECT t.doc_id, t.n_tokens,
+      |  coalesce(reb.n_kept, 0) AS n_kept,
+      |  coalesce(rem.n_removed, 0) AS n_removed,
+      |  coalesce(rem.n_spans_dropped, 0) AS n_spans_dropped,
+      |  $fpClean AS clean_fp
+      |FROM tot t
+      |LEFT JOIN reb ON reb.doc_id = t.doc_id
+      |LEFT JOIN rem ON rem.doc_id = t.doc_id
+      |ORDER BY t.doc_id""".stripMargin
+  }
+
+  /** Shared DuckDB prefix of the q276/q277 oracles: tokenized positions
+    * (tk), the hashed prefix-doubling rounds to r4 (= rank of the full
+    * L-token window), and the cross-doc duplicated fingerprints (dup).
+    */
+  // lazy: q277Sql initializes earlier in the object body (the q218Sql
+  // init-order rule — a plain val here would splice "null" into it)
+  private lazy val suffixChainSql = {
     val h0 = hash60Sql("tok")
     def hPair(a: String, b: String) = hash60Sql(s"$a || ':' || $b")
     val rounds = Seq(1, 2, 4, 8).zipWithIndex.map { case (w, i) =>
@@ -932,7 +1049,7 @@ object Dedup {
         |  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
         |  QUALIFY lead(r, $w) OVER w IS NOT NULL)""".stripMargin
     }.mkString(",\n")
-    s"""WITH tk AS (
+    s"""tk AS (
       |  SELECT doc_id,
       |    unnest(regexp_extract_all(lower(text), '$TokenPattern')) AS tok,
       |    generate_subscripts(regexp_extract_all(lower(text), '$TokenPattern'), 1)
@@ -942,7 +1059,12 @@ object Dedup {
       |$rounds,
       |dup AS (
       |  SELECT r, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
-      |  FROM r4 GROUP BY r HAVING count(DISTINCT doc_id) >= $SuffixMinDocs),
+      |  FROM r4 GROUP BY r HAVING count(DISTINCT doc_id) >= $SuffixMinDocs)"""
+      .stripMargin
+  }
+
+  private val q276Sql = {
+    s"""WITH $suffixChainSql,
       |fl AS (
       |  SELECT f.doc_id, f.pos, f.r, d.df,
       |    f.pos - row_number() OVER (PARTITION BY f.doc_id ORDER BY f.pos)
@@ -972,5 +1094,6 @@ object Dedup {
     Q("q141_incremental_lsh", q141, Some(q141Sql)),
     Q("q189_prefix_filter_join", q189, Some(q189Sql)),
     Q("q276_substring_spans", q276, Some(q276Sql)),
+    Q("q277_substring_scrub", q277, Some(q277Sql)),
   )
 }
