@@ -77,7 +77,18 @@ object Fluency {
   /** The q122 score over any (doc_id, lang, text) frame — public for
     * fixture specs.
     */
-  def fluencyOf(docs: DataFrame): DataFrame = {
+  def fluencyOf(docs: DataFrame): DataFrame =
+    scoredOf(docs)
+      .withColumn("keep",
+        when(col("fp_mean") >= KeepMinFpMean, 1L).otherwise(0L))
+      .orderBy(col("doc_id"))
+
+  /** Unordered per-doc fluency scores (doc_id, n_bigrams, fp_mean) —
+    * the q122 core without the gate column or the presentation sort,
+    * for downstream consumers (q278 domain mixture) that aggregate the
+    * scores rather than emit them.
+    */
+  def scoredOf(docs: DataFrame): DataFrame = {
     val bi = bigramsOf(docs)
     val ref = bi.filter(col("lang") === "en")
     val c2 = ref.groupBy(col("b2")).agg(count(lit(1)).as("c2"))
@@ -91,17 +102,17 @@ object Fluency {
       .agg(count(lit(1)).as("n_bigrams"), sum(col("fp")).as("fp_sum"))
       .select(col("doc_id"), col("n_bigrams"),
         expr("fp_sum div n_bigrams").as("fp_mean"))
-      .withColumn("keep",
-        when(col("fp_mean") >= KeepMinFpMean, 1L).otherwise(0L))
-      .orderBy(col("doc_id"))
   }
 
-  private val q122Sql = {
+  /** DuckDB CTE list producing `sc(doc_id, n_bigrams, fp_sum)` — the
+    * per-doc fluency score core, shared by the q122 and q278 oracles.
+    */
+  private[queries] val scoreCteSql = {
     val h1 = hash60Sql("toks[i+1]")
     val h2 = hash60Sql("toks[i+1] || ' ' || toks[i+2]")
-    s"""WITH t AS (SELECT doc_id, lang,
-      |             regexp_extract_all(lower(text), '$TokenPattern') AS toks
-      |           FROM documents),
+    s"""t AS (SELECT doc_id, lang,
+      |        regexp_extract_all(lower(text), '$TokenPattern') AS toks
+      |      FROM documents),
       |bi AS (SELECT doc_id, lang, $h1 % $Buckets AS b1, $h2 % $Buckets AS b2
       |       FROM (SELECT doc_id, lang, toks, unnest(range(len(toks) - 1)) AS i
       |             FROM t)),
@@ -111,7 +122,11 @@ object Fluency {
       |         SUM((coalesce(c2.c, 0) + 1) * $FpScale
       |             // (coalesce(c1.c, 0) + $Buckets)) AS fp_sum
       |       FROM bi LEFT JOIN c2 USING (b2) LEFT JOIN c1 USING (b1)
-      |       GROUP BY doc_id)
+      |       GROUP BY doc_id)""".stripMargin
+  }
+
+  private val q122Sql = {
+    s"""WITH $scoreCteSql
       |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
       |  CAST(fp_sum // n_bigrams AS BIGINT) AS fp_mean,
       |  CAST(CASE WHEN fp_sum // n_bigrams >= $KeepMinFpMean
