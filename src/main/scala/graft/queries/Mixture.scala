@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
 
@@ -102,7 +102,120 @@ object Mixture {
       .orderBy(col("source"))
   }
 
-  private val q278Sql = {
+  /** Seed for the resample hash — content-independent, so a document's
+    * keep verdict never changes when unrelated documents arrive.
+    */
+  val ResampleSeed = "mx1"
+
+  private def q280(s: SparkSession, d: String): DataFrame =
+    resampleOf(documents(s, d))
+
+  /** Per-domain keep probability (scale S) from a learned weight frame
+    * (source, n_docs, avg_alpha_fp): target-share over current-share,
+    * normalized so the most UP-weighted domain keeps everything and the
+    * rest downsample proportionally — DoReMi stage 2 as deterministic
+    * Bernoulli-by-hash thinning (no domain is oversampled; repetition
+    * policy is q105's job).
+    *
+    * The ratio is alpha * N_total div n_d — N/n_d is O(#domains)
+    * regardless of corpus size, so fixed-point precision survives a
+    * 10^12-doc corpus (alpha * S div n_d would truncate to zero).
+    * Staged through DECIMAL(38,0) because alpha * N_total alone can
+    * pass 2^63 past ~10^13 docs.
+    */
+  def keepProbsOf(weights: DataFrame): DataFrame = {
+    val tot = weights.agg(sum(col("n_docs")).as("nt"))
+    val r = weights.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"),
+        expr("CAST(avg_alpha_fp AS DECIMAL(38,0)) * nt div n_docs").as("ratio"))
+    val m = r.agg(max(col("ratio")).as("rmax"))
+    r.crossJoin(broadcast(m))
+      .select(col("source"), expr(s"ratio * ${S}L div rmax").as("p_keep_fp"))
+  }
+
+  /** The keep verdict column: portable 60-bit hash of the seeded
+    * doc_id against the domain's keep probability. hash % S is in
+    * [0, S), so p_keep_fp = S keeps every document — the max-ratio
+    * domain survives intact by construction.
+    */
+  private def keptCol: Column =
+    (pmod(graft.functions.TextFns.hash60(
+      concat(lit(ResampleSeed), col("doc_id").cast("string"))), lit(S))
+      < col("p_keep_fp")).cast("long")
+
+  /** q280 — apply the q278 mixture: learn the weights, thin each domain
+    * to its learned share, report the realized mix. One extra corpus
+    * pass over q278 (thin projection + D-row broadcast join + one
+    * combinable aggregate); no text shuffles.
+    */
+  def resampleOf(docs: DataFrame): DataFrame = {
+    // D rows; pin so the per-doc scan below doesn't re-run the whole
+    // mixture plan once per consumer
+    val p = keepProbsOf(mixtureOf(docs)).localCheckpoint()
+    val agg = docs.select(col("source"), col("doc_id"), col("n_chars"))
+      .join(broadcast(p), "source")
+      .withColumn("kept", keptCol)
+      .groupBy(col("source"))
+      .agg(max(col("p_keep_fp")).as("p_keep_fp"),
+        count(lit(1)).as("n_docs_in"),
+        sum(col("kept")).as("n_kept"),
+        sum(col("kept") * col("n_chars")).as("kept_chars"))
+    val tot = agg.agg(sum(col("n_kept")).as("tk"))
+    agg.crossJoin(broadcast(tot))
+      .select(col("source"), col("p_keep_fp"), col("n_docs_in"),
+        col("n_kept"), col("kept_chars"),
+        expr(s"n_kept * ${S}L div greatest(tk, 1L)").as("kept_share_fp"))
+      .orderBy(col("source"))
+  }
+
+  /** Streaming form of the resample — the production shape: weights
+    * learned offline on a static corpus, arrivals thinned online. The
+    * keep-probability frame broadcasts as a D-row static side of a
+    * stream-static join; the verdict is one hash per arrival — no
+    * state, no shuffle, append mode. Emits (doc_id, source, p_keep_fp,
+    * kept) so a sink can route or drop.
+    */
+  def resampleStream(stream: DataFrame, keepProbs: DataFrame): DataFrame =
+    stream.join(broadcast(keepProbs), "source")
+      .withColumn("kept", keptCol)
+      .select(col("doc_id"), col("source"), col("p_keep_fp"), col("kept"))
+
+  private lazy val q280Sql = {
+    val keptSql =
+      s"""CASE WHEN ${graft.functions.TextFns.hash60Sql(
+        s"'$ResampleSeed' || CAST(doc_id AS VARCHAR)")} % $S < p_keep_fp
+         | THEN 1 ELSE 0 END""".stripMargin.replace("\n", " ")
+    s"""WITH $mixCtesSql,
+      |tot AS (SELECT sum(n_docs) AS nt FROM mix),
+      |ratios AS (
+      |  SELECT source, CAST(avg_alpha_fp AS HUGEINT) * nt // n_docs AS ratio
+      |  FROM mix CROSS JOIN tot),
+      |pk AS (
+      |  SELECT source, ratio * $S // (SELECT max(ratio) FROM ratios)
+      |    AS p_keep_fp
+      |  FROM ratios),
+      |tagged AS (
+      |  SELECT d.source, p_keep_fp, d.n_chars, $keptSql AS kept
+      |  FROM documents d JOIN pk USING (source)),
+      |agg AS (
+      |  SELECT source, max(p_keep_fp) AS p_keep_fp, count(*) AS n_docs_in,
+      |    sum(kept) AS n_kept, sum(kept * n_chars) AS kept_chars
+      |  FROM tagged GROUP BY source),
+      |tk AS (SELECT sum(n_kept) AS tk FROM agg)
+      |SELECT source, CAST(p_keep_fp AS BIGINT) AS p_keep_fp,
+      |  CAST(n_docs_in AS BIGINT) AS n_docs_in,
+      |  CAST(n_kept AS BIGINT) AS n_kept,
+      |  CAST(kept_chars AS BIGINT) AS kept_chars,
+      |  CAST(n_kept * $S // greatest(tk, 1) AS BIGINT) AS kept_share_fp
+      |FROM agg CROSS JOIN tk
+      |ORDER BY source""".stripMargin
+  }
+
+  /** DuckDB CTE list producing `mix(source, n_docs, mean_deficit_fp,
+    * final_alpha_fp, avg_alpha_fp)` — the whole q278 computation,
+    * shared with the q280 resample oracle.
+    */
+  private[queries] val mixCtesSql = {
     val lCols = (0 until Steps).map(t =>
       s"""coalesce(sum(CASE WHEN step = $t THEN deficit END), 0)
          | // greatest(coalesce(sum(CASE WHEN step = $t THEN 1 END), 0), 1) AS l$t"""
@@ -115,7 +228,7 @@ object Mixture {
     val nCols = (0 until Steps).map(t => s"sum(c$t) AS n$t").mkString(", ")
     val aCols = (0 until Steps).map(t => s"c$t * $S // n$t AS a$t")
       .mkString(",\n    ")
-    s"""WITH ${Fluency.scoreCteSql},
+    s"""${Fluency.scoreCteSql},
       |pd AS (
       |  SELECT d.source, s.doc_id % $Steps AS step,
       |    greatest(0, ${Fluency.KeepMinFpMean} - fp_sum // n_bigrams) AS deficit
@@ -130,17 +243,26 @@ object Mixture {
       |alphas AS (
       |  SELECT source, n_docs, mean_deficit_fp,
       |    $aCols
-      |  FROM cum${Steps - 1} CROSS JOIN norms)
+      |  FROM cum${Steps - 1} CROSS JOIN norms),
+      |mix AS (
+      |  SELECT source, n_docs, mean_deficit_fp,
+      |    a${Steps - 1} AS final_alpha_fp,
+      |    (${(0 until Steps).map(t => s"a$t").mkString(" + ")}) // $Steps
+      |      AS avg_alpha_fp
+      |  FROM alphas)""".stripMargin
+  }
+
+  private val q278Sql =
+    s"""WITH $mixCtesSql
       |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
       |  CAST(mean_deficit_fp AS BIGINT) AS mean_deficit_fp,
-      |  CAST(a${Steps - 1} AS BIGINT) AS final_alpha_fp,
-      |  CAST((${(0 until Steps).map(t => s"a$t").mkString(" + ")}) // $Steps
-      |    AS BIGINT) AS avg_alpha_fp
-      |FROM alphas
+      |  CAST(final_alpha_fp AS BIGINT) AS final_alpha_fp,
+      |  CAST(avg_alpha_fp AS BIGINT) AS avg_alpha_fp
+      |FROM mix
       |ORDER BY source""".stripMargin
-  }
 
   val all: Seq[Q] = Seq(
     Q("q278_domain_mixture", q278, Some(q278Sql)),
+    Q("q280_mixture_resample", q280, Some(q280Sql)),
   )
 }

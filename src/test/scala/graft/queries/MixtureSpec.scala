@@ -84,4 +84,87 @@ class MixtureSpec extends SparkSpec {
     assert(alphaSum <= S && alphaSum >= S - sources.length)
     d.unpersist()
   }
+
+  /** Test-side twin of TextFns.hash60 (top 15 hex chars of md5). */
+  private def md5hash60(s: String): Long = {
+    val dg = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(dg.map("%02x".format(_)).mkString.take(15), 16)
+  }
+
+  /** Independent per-doc keep fold: p from the (already pinned) q278
+    * output via the same DECIMAL-staged ratio arithmetic, verdicts from
+    * a test-side md5. Returns (perDoc kept rows, p by source).
+    */
+  private def keptFold(d: org.apache.spark.sql.DataFrame)
+      : (Seq[(Long, String, Long, Long)], Map[String, Long]) = {
+    val mix = Mixture.mixtureOf(d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(4)))
+    val nt = mix.map(_._2).sum
+    val ratios = mix.map { case (src, n, a) =>
+      src -> (BigInt(a) * nt / n).toLong }.toMap
+    val rmax = ratios.values.max
+    val p = ratios.map { case (src, r) => src -> r * S / rmax }
+    val rows = d.select($"doc_id", $"source", $"n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val kept = rows.toSeq.map { case (id, src, nc) =>
+      (id, src, nc,
+        if (md5hash60(Mixture.ResampleSeed + id) % S < p(src)) 1L else 0L)
+    }
+    (kept, p)
+  }
+
+  test("q280 resample matches an independent fold; up-weighted domain kept whole") {
+    val d = docs
+      .withColumn("n_chars",
+        org.apache.spark.sql.functions.length($"text").cast("long"))
+      .cache()
+    val (kept, p) = keptFold(d)
+    val totKept = kept.map(_._4).sum
+    val expected = kept.groupBy(_._2).toSeq.sortBy(_._1).map { case (src, rs) =>
+      (src, p(src), rs.length.toLong, rs.map(_._4).sum,
+        rs.filter(_._4 == 1L).map(_._3).sum,
+        rs.map(_._4).sum * S / math.max(totKept, 1L))
+    }
+    val got = Mixture.resampleOf(d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expected)
+
+    // DoReMi stage-2 direction: the hard domain is the max-ratio one —
+    // keep probability exactly S, so it survives intact; the easy
+    // domain thins
+    val m = got.map(r => r._1 -> r).toMap
+    assert(m("spam")._2 == S && m("spam")._4 == 16L)
+    assert(m("web")._2 < S && m("web")._4 < 16L)
+    d.unpersist()
+  }
+
+  test("resample stream verdicts are bit-equal to batch, with zero state rows") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlc = spark.sqlContext
+    val d = docs
+      .withColumn("n_chars",
+        org.apache.spark.sql.functions.length($"text").cast("long"))
+      .cache()
+    val (kept, _) = keptFold(d)
+    val expected = kept.map { case (id, src, _, k) => (id, src, k) }.toSet
+
+    val probs = Mixture.keepProbsOf(Mixture.mixtureOf(d)).localCheckpoint()
+    val in = MemoryStream[(Long, String)]
+    val q = Mixture.resampleStream(in.toDF().toDF("doc_id", "source"), probs)
+      .writeStream.format("memory").queryName("resample_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(kept.map(r => (r._1, r._2)))
+      q.processAllAvailable()
+      val got = spark.table("resample_stream").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toSet
+      assert(got == expected, s"stream $got != batch $expected")
+      val state = q.lastProgress.stateOperators
+      assert(state == null || state.isEmpty,
+        s"resampler must be stateless, found ${state.length} state operators")
+    } finally q.stop()
+    d.unpersist()
+  }
 }
