@@ -160,6 +160,9 @@ object Mixture {
         count(lit(1)).as("n_docs_in"),
         sum(col("kept")).as("n_kept"),
         sum(col("kept") * col("n_chars")).as("kept_chars"))
+      // D rows; pin so the kept-total below reuses the aggregate
+      // instead of re-running the corpus scan
+      .localCheckpoint()
     val tot = agg.agg(sum(col("n_kept")).as("tk"))
     agg.crossJoin(broadcast(tot))
       .select(col("source"), col("p_keep_fp"), col("n_docs_in"),

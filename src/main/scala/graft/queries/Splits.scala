@@ -97,15 +97,17 @@ object Splits {
 
   private val q279Sql =
     s"""WITH RECURSIVE ${Dedup.pairsCteSql},
-      |undirected(a, b) AS (
-      |  SELECT doc_a, doc_b FROM pairs UNION SELECT doc_b, doc_a FROM pairs
-      |  UNION SELECT doc_a, doc_a FROM pairs UNION SELECT doc_b, doc_b FROM pairs),
+      |pairs_m AS MATERIALIZED (SELECT doc_a, doc_b FROM pairs),
+      |undirected(a, b) AS MATERIALIZED (
+      |  SELECT doc_a, doc_b FROM pairs_m UNION SELECT doc_b, doc_a FROM pairs_m
+      |  UNION SELECT doc_a, doc_a FROM pairs_m UNION SELECT doc_b, doc_b FROM pairs_m),
       |reach(a, b) AS (
       |  SELECT a, b FROM undirected
       |  UNION
       |  SELECT r.a, u.b FROM reach r JOIN undirected u ON r.b = u.a),
-      |comp AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
-      |asg AS (
+      |comp AS MATERIALIZED (
+      |  SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+      |asg AS MATERIALIZED (
       |  SELECT d.doc_id, d.n_chars,
       |    coalesce(c.cluster_id, d.doc_id) AS cluster_id,
       |    ${splitSql("coalesce(c.cluster_id, d.doc_id)")} AS safe_split,
@@ -115,10 +117,10 @@ object Splits {
       |  SELECT safe_split AS split, count(*) AS n_docs,
       |    count(DISTINCT cluster_id) AS n_clusters, sum(n_chars) AS n_chars
       |  FROM asg GROUP BY 1),
-      |px AS (
+      |px AS MATERIALIZED (
       |  SELECT a1.safe_split AS sa, a2.safe_split AS sb,
       |    a1.naive_split AS na, a2.naive_split AS nb
-      |  FROM pairs p
+      |  FROM pairs_m p
       |  JOIN asg a1 ON p.doc_a = a1.doc_id
       |  JOIN asg a2 ON p.doc_b = a2.doc_id),
       |ncross AS (SELECT na AS split, count(*) AS ncp FROM px WHERE na <> nb GROUP BY 1),
