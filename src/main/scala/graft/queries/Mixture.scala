@@ -120,8 +120,11 @@ object Mixture {
     * The ratio is alpha * N_total div n_d — N/n_d is O(#domains)
     * regardless of corpus size, so fixed-point precision survives a
     * 10^12-doc corpus (alpha * S div n_d would truncate to zero).
-    * Staged through DECIMAL(38,0) because alpha * N_total alone can
-    * pass 2^63 past ~10^13 docs.
+    * BOTH multiplies stage through DECIMAL(38,0): alpha * N_total can
+    * pass 2^63 past ~10^13 docs, and under domain skew (one rare hard
+    * domain) the ratio itself can reach ~alpha * N/n_d ~ 10^13, so the
+    * un-staged ratio * S would wrap negative exactly for the max-ratio
+    * domain — the one the normalization promises to keep whole.
     */
   def keepProbsOf(weights: DataFrame): DataFrame = {
     val tot = weights.agg(sum(col("n_docs")).as("nt"))
@@ -130,7 +133,8 @@ object Mixture {
         expr("CAST(avg_alpha_fp AS DECIMAL(38,0)) * nt div n_docs").as("ratio"))
     val m = r.agg(max(col("ratio")).as("rmax"))
     r.crossJoin(broadcast(m))
-      .select(col("source"), expr(s"ratio * ${S}L div rmax").as("p_keep_fp"))
+      .select(col("source"),
+        expr(s"CAST(ratio AS DECIMAL(38,0)) * ${S}L div rmax").as("p_keep_fp"))
   }
 
   /** The keep verdict column: portable 60-bit hash of the seeded
@@ -147,13 +151,19 @@ object Mixture {
     * to its learned share, report the realized mix. One extra corpus
     * pass over q278 (thin projection + D-row broadcast join + one
     * combinable aggregate); no text shuffles.
+    *
+    * A domain ABSENT from the weight frame (every document under 2
+    * tokens at learning time, or newly arrived) defaults to p = S:
+    * kept whole and VISIBLE in the report, never silently dropped —
+    * the join is left, not inner.
     */
   def resampleOf(docs: DataFrame): DataFrame = {
     // D rows; pin so the per-doc scan below doesn't re-run the whole
     // mixture plan once per consumer
     val p = keepProbsOf(mixtureOf(docs)).localCheckpoint()
     val agg = docs.select(col("source"), col("doc_id"), col("n_chars"))
-      .join(broadcast(p), "source")
+      .join(broadcast(p), Seq("source"), "left")
+      .withColumn("p_keep_fp", coalesce(col("p_keep_fp"), lit(S)))
       .withColumn("kept", keptCol)
       .groupBy(col("source"))
       .agg(max(col("p_keep_fp")).as("p_keep_fp"),
@@ -176,17 +186,21 @@ object Mixture {
     * keep-probability frame broadcasts as a D-row static side of a
     * stream-static join; the verdict is one hash per arrival — no
     * state, no shuffle, append mode. Emits (doc_id, source, p_keep_fp,
-    * kept) so a sink can route or drop.
+    * kept) so a sink can route or drop. Arrivals from a domain the
+    * weight frame has never seen default to p = S (kept, emitted) —
+    * an inner join would make them vanish with neither verdict.
     */
   def resampleStream(stream: DataFrame, keepProbs: DataFrame): DataFrame =
-    stream.join(broadcast(keepProbs), "source")
+    stream.join(broadcast(keepProbs), Seq("source"), "left")
+      .withColumn("p_keep_fp", coalesce(col("p_keep_fp"), lit(S)))
       .withColumn("kept", keptCol)
       .select(col("doc_id"), col("source"), col("p_keep_fp"), col("kept"))
 
   private lazy val q280Sql = {
     val keptSql =
       s"""CASE WHEN ${graft.functions.TextFns.hash60Sql(
-        s"'$ResampleSeed' || CAST(doc_id AS VARCHAR)")} % $S < p_keep_fp
+        s"'$ResampleSeed' || CAST(doc_id AS VARCHAR)")} % $S
+         | < coalesce(p_keep_fp, $S)
          | THEN 1 ELSE 0 END""".stripMargin.replace("\n", " ")
     s"""WITH $mixCtesSql,
       |tot AS (SELECT sum(n_docs) AS nt FROM mix),
@@ -198,8 +212,9 @@ object Mixture {
       |    AS p_keep_fp
       |  FROM ratios),
       |tagged AS (
-      |  SELECT d.source, p_keep_fp, d.n_chars, $keptSql AS kept
-      |  FROM documents d JOIN pk USING (source)),
+      |  SELECT d.source, coalesce(p_keep_fp, $S) AS p_keep_fp, d.n_chars,
+      |    $keptSql AS kept
+      |  FROM documents d LEFT JOIN pk USING (source)),
       |agg AS (
       |  SELECT source, max(p_keep_fp) AS p_keep_fp, count(*) AS n_docs_in,
       |    sum(kept) AS n_kept, sum(kept * n_chars) AS kept_chars

@@ -24,12 +24,19 @@ import graft.functions.TextFns._
   * CONSTRUCTION (both endpoints share a cluster, hence a split), and
   * the oracle proves it rather than asserting it.
   *
-  * Split fractions are the standard 80/10/10 over ten hash buckets of
-  * the portable 60-bit hash (same md5 fragment in both engines), so the
-  * assignment is deterministic, engine-independent, and stable under
-  * corpus growth: a document's split never changes when unrelated
-  * documents arrive — unless dedup MERGES its cluster, which is exactly
-  * the case where moving it is the point.
+  * The bucketing IS q89's (same seed, same 100-bucket 80/10/10
+  * thresholds) so the naive column audits the exact assignment the
+  * registered pipeline runs, not a lookalike; the safe column feeds
+  * the same seeded hash the cluster id instead of the doc id. Both are
+  * deterministic, engine-independent, and stable under corpus growth:
+  * a document's split never changes when unrelated documents arrive —
+  * unless dedup MERGES its cluster, which is exactly the case where
+  * moving it is the point. The report always carries all three split
+  * rows (a static spine, zeros where a split is empty), and each cross
+  * count is attributed to doc_a's split UNDER ITS OWN assignment —
+  * naive crossings to doc_a's naive split, safe to doc_a's safe split
+  * — so no count can land on (or vanish from) a row keyed by the other
+  * scheme.
   *
   * Scale shape: the component frame holds only docs appearing in a
   * candidate pair (tiny at real dup rates); the corpus contributes one
@@ -40,15 +47,19 @@ import graft.functions.TextFns._
   */
 object Splits {
 
-  /** Split of a key: ten hash60 buckets, 0-7 train / 8 val / 9 test. */
+  /** Split of a key — q89's bucketing verbatim (same seed, same
+    * 100-bucket 80/10/10 thresholds), so feeding it doc_id reproduces
+    * the registered q89 assignment bit-for-bit.
+    */
   private def splitOf(key: Column): Column = {
-    val b = pmod(hash60(key.cast("string")), lit(10L))
-    when(b < 8, "train").when(b === 8, "val").otherwise("test")
+    val b = pmod(hash60(concat(lit(Sampling.SplitSeed), key.cast("string"))),
+      lit(100L))
+    when(b < 80, "train").when(b < 90, "val").otherwise("test")
   }
 
   private def splitSql(key: String): String = {
-    val b = s"${hash60Sql(s"CAST($key AS VARCHAR)")} % 10"
-    s"CASE WHEN $b < 8 THEN 'train' WHEN $b = 8 THEN 'val' ELSE 'test' END"
+    val b = s"${hash60Sql(s"'${Sampling.SplitSeed}' || CAST($key AS VARCHAR)")} % 100"
+    s"CASE WHEN $b < 80 THEN 'train' WHEN $b < 90 THEN 'val' ELSE 'test' END"
   }
 
   private def q279(s: SparkSession, d: String): DataFrame =
@@ -87,9 +98,19 @@ object Splits {
       .groupBy(col("na").as("split")).agg(count(lit(1)).as("ncp"))
     val scross = px.filter(col("sa") =!= col("sb"))
       .groupBy(col("sa").as("split")).agg(count(lit(1)).as("scp"))
-    per.join(broadcast(ncross), Seq("split"), "left")
+    // static 3-row spine: every split row always present, so a cross
+    // count keyed by a split no document's SAFE assignment takes (the
+    // counts are keyed by doc_a's own scheme) can never be dropped
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val spine = Seq("train", "val", "test").toDF("split")
+    spine.join(broadcast(per), Seq("split"), "left")
+      .join(broadcast(ncross), Seq("split"), "left")
       .join(broadcast(scross), Seq("split"), "left")
-      .select(col("split"), col("n_docs"), col("n_clusters"), col("n_chars"),
+      .select(col("split"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_clusters"), lit(0L)).as("n_clusters"),
+        coalesce(col("n_chars"), lit(0L)).as("n_chars"),
         coalesce(col("ncp"), lit(0L)).as("naive_cross_pairs"),
         coalesce(col("scp"), lit(0L)).as("safe_cross_pairs"))
       .orderBy(col("split"))
@@ -124,13 +145,15 @@ object Splits {
       |  JOIN asg a1 ON p.doc_a = a1.doc_id
       |  JOIN asg a2 ON p.doc_b = a2.doc_id),
       |ncross AS (SELECT na AS split, count(*) AS ncp FROM px WHERE na <> nb GROUP BY 1),
-      |scross AS (SELECT sa AS split, count(*) AS scp FROM px WHERE sa <> sb GROUP BY 1)
-      |SELECT split, CAST(n_docs AS BIGINT) AS n_docs,
-      |  CAST(n_clusters AS BIGINT) AS n_clusters,
-      |  CAST(n_chars AS BIGINT) AS n_chars,
+      |scross AS (SELECT sa AS split, count(*) AS scp FROM px WHERE sa <> sb GROUP BY 1),
+      |spine(split) AS (SELECT * FROM (VALUES ('train'), ('val'), ('test')) s(sp))
+      |SELECT split, CAST(coalesce(n_docs, 0) AS BIGINT) AS n_docs,
+      |  CAST(coalesce(n_clusters, 0) AS BIGINT) AS n_clusters,
+      |  CAST(coalesce(n_chars, 0) AS BIGINT) AS n_chars,
       |  CAST(coalesce(ncp, 0) AS BIGINT) AS naive_cross_pairs,
       |  CAST(coalesce(scp, 0) AS BIGINT) AS safe_cross_pairs
-      |FROM per LEFT JOIN ncross USING (split) LEFT JOIN scross USING (split)
+      |FROM spine LEFT JOIN per USING (split)
+      |  LEFT JOIN ncross USING (split) LEFT JOIN scross USING (split)
       |ORDER BY split""".stripMargin
 
   val all: Seq[Q] = Seq(

@@ -2,55 +2,88 @@ package graft.queries
 
 import graft.SparkSpec
 
-/** q279 behavioral pins on a planted corpus: duplicate families whose
-  * members the naive per-doc hash split demonstrably scatters across
+/** q279 pins on a planted corpus: duplicate families whose members the
+  * naive per-doc hash split demonstrably scatters across
   * train/val/test, while the cluster-keyed assignment keeps every
-  * family whole (safe_cross_pairs == 0 is computed by the query, not
-  * assumed — the spec checks the computation on a corpus engineered to
-  * make the naive column nonzero).
+  * family whole. The expected report is recomputed test-side from
+  * first principles (md5 bucketing identical to TextFns.hash60, family
+  * membership as the pair/cluster ground truth), so the spec pins the
+  * whole query — including that the naive column IS q89's registered
+  * assignment (same seed, same 100-bucket 80/10/10 thresholds).
   */
 class SplitsSpec extends SparkSpec {
   import spark.implicits._
+
+  /** Test-side twin of TextFns.hash60 (top 15 hex chars of md5). */
+  private def md5hash60(s: String): Long = {
+    val dg = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(dg.map("%02x".format(_)).mkString.take(15), 16)
+  }
+
+  /** q89's bucketing, recomputed independently. */
+  private def splitOf(key: Long): String = {
+    val b = md5hash60("sp8" + key) % 100
+    if (b < 80) "train" else if (b < 90) "val" else "test"
+  }
 
   /** 3 exact-duplicate families (20 + 5 + 3 members) among 30 unique
     * fillers: 58 docs, 33 clusters. Identical texts guarantee identical
     * MinHash signatures, so every within-family pair is an LSH
     * candidate; fillers share no shingles.
     */
+  private val families: Seq[Seq[Long]] = Seq(
+    (0L until 20L).map(i => 100L + i * 7L),
+    (0L until 5L).map(i => 300L + i * 11L),
+    (0L until 3L).map(i => 400L + i * 13L),
+  )
+  private val fillerIds: Seq[Long] = (0L until 30L).map(500L + _)
+
   private def docs = {
-    val fam = Seq(
-      (0L until 20L).map(i => (100L + i * 7L, "duplicate family alpha body text " * 6)),
-      (0L until 5L).map(i => (300L + i * 11L, "duplicate family beta payload words " * 6)),
-      (0L until 3L).map(i => (400L + i * 13L, "duplicate family gamma content run " * 6)),
-    ).flatten
-    val fillers = (0L until 30L).map(i =>
-      (500L + i, (0 until 30).map(j => s"uniq${i}w${j * 3}t").mkString(" ")))
+    val famTexts = Seq(
+      "duplicate family alpha body text " * 6,
+      "duplicate family beta payload words " * 6,
+      "duplicate family gamma content run " * 6)
+    val fam = families.zip(famTexts).flatMap { case (ids, t) => ids.map((_, t)) }
+    val fillers = fillerIds.map(i =>
+      (i, (0 until 30).map(j => s"uniq${i}w${j * 3}t").mkString(" ")))
     (fam ++ fillers).toDF("doc_id", "text")
       .withColumn("n_chars",
         org.apache.spark.sql.functions.length($"text").cast("long"))
   }
 
-  test("q279 keeps duplicate families whole where the naive split leaks") {
+  test("q279 report matches the first-principles fold; families stay whole") {
     val d = docs.cache()
-    val pairs = Dedup.candidatePairsFrom(d)
-    val rep = Splits.splitReportOf(d, pairs).collect()
+    val nChars = d.collect().map(r => r.getLong(0) -> r.getString(1).length.toLong).toMap
+
+    // ground truth: cluster = min doc_id of the family; fillers are
+    // their own cluster; candidate pairs = all within-family pairs
+    val cluster: Map[Long, Long] =
+      (families.flatMap(ids => ids.map(_ -> ids.min)) ++
+        fillerIds.map(i => i -> i)).toMap
+    val safe = cluster.map { case (id, c) => id -> splitOf(c) }
+    val naive = cluster.keys.map(id => id -> splitOf(id)).toMap
+    val pairs = families.flatMap(ids =>
+      for (a <- ids; b <- ids if a < b) yield (a, b))
+
+    val perSplit = Seq("test", "train", "val").map { s =>
+      val members = cluster.keys.filter(safe(_) == s).toSeq
+      (s, members.size.toLong,
+        members.map(cluster).distinct.size.toLong,
+        members.map(nChars).sum,
+        pairs.count { case (a, b) => naive(a) == s && naive(a) != naive(b) }.toLong,
+        pairs.count { case (a, b) => safe(a) == s && safe(a) != safe(b) }.toLong)
+    }
+
+    val rep = Splits.splitReportOf(d, Dedup.candidatePairsFrom(d)).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getLong(4), r.getLong(5)))
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(rep == perSplit)
 
-    // full partition of the corpus, clusters counted once per split
-    assert(rep.map(_._2).sum == 58L)
-    assert(rep.map(_._3).sum == 33L)
-    assert(rep.map(_._1).toSet.subsetOf(Set("train", "val", "test")))
-
-    // the audit: cluster-keyed assignment NEVER splits a candidate
-    // pair; the naive doc_id hash provably does on this corpus
-    assert(rep.map(_._6).sum == 0L)
-    assert(rep.map(_._5).sum > 0L)
-
-    // chars conserved
-    val totalChars = d.agg(org.apache.spark.sql.functions.sum($"n_chars"))
-      .collect().head.getLong(0)
-    assert(rep.map(_._4).sum == totalChars)
+    // the headline properties, independent of hash luck
+    assert(rep.length == 3 && rep.map(_._2).sum == 58L && rep.map(_._3).sum == 33L)
+    assert(rep.map(_._6).sum == 0L, "cluster-keyed split may never cross a pair")
+    assert(rep.map(_._5).sum > 0L, "fixture must exhibit naive leakage")
     d.unpersist()
   }
 
@@ -61,6 +94,7 @@ class SplitsSpec extends SparkSpec {
       .withColumn("n_chars",
         org.apache.spark.sql.functions.length($"text").cast("long"))
     val rep = Splits.splitReportOf(solo, Dedup.candidatePairsFrom(solo)).collect()
+    assert(rep.length == 3)
     assert(rep.map(_.getLong(1)).sum == 12L)
     assert(rep.map(_.getLong(2)).sum == 12L)
     assert(rep.map(_.getLong(4)).sum == 0L)
