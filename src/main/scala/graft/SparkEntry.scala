@@ -19,7 +19,7 @@ object SparkEntry {
       Graph.all ++ Cleanup.all ++ Fluency.all ++ Batching.all ++ IndexHealth.all ++
       Layout.all ++ Frontier.all ++ Expectations.all ++ Signals.all ++ Privacy.all ++
       Matching.all ++ Maintenance.all ++ Ranking.all ++ Classifier.all ++ Sequential.all ++ Linkage.all ++ Causal.all ++
-      Mixture.all ++ Splits.all ++
+      Mixture.all ++ Splits.all ++ Statistics.all ++
       Seq(Q("q70_media_features", graft.multimodal.Multimodal.mediaFeaturesQuery,
           Some(graft.multimodal.Multimodal.q70Sql)),
         Q("q71_frame_samples", graft.multimodal.Multimodal.frameSamplesQuery,
