@@ -1,0 +1,42 @@
+package graft
+
+/** Registry/documentation drift gate: the per-round artifacts that
+  * claim to cover "every registered query" must actually track the
+  * registry. Round 14 found q277 silently missing from PLANS.md (added
+  * after the last refresh) — this spec turns that class of drift into
+  * a red test instead of a judge finding.
+  */
+class RegistryAuditSpec extends SparkSpec {
+
+  private def registered: Set[String] = SparkEntry.queries.keySet
+
+  test("PLANS.md has exactly one audit row per registered query") {
+    val lines = scala.io.Source.fromFile("PLANS.md", "UTF-8").getLines().toSeq
+    val rows = lines.filter(l => l.startsWith("| q") && l.count(_ == '|') == 7)
+      .map(_.split('|')(1).trim)
+      .filter(_.matches("q\\d+_.*"))
+    val missing = registered -- rows.toSet
+    val stale = rows.toSet -- registered
+    val dup = rows.groupBy(identity).collect { case (n, xs) if xs.size > 1 => n }
+    assert(missing.isEmpty, s"queries missing a PLANS.md row: $missing")
+    assert(stale.isEmpty, s"stale PLANS.md rows (no such query): $stale")
+    assert(dup.isEmpty, s"duplicate PLANS.md rows: $dup")
+    // the header's advertised count must match reality
+    val header = lines.head
+    val n = "\\((\\d+) queries".r.findFirstMatchIn(header).map(_.group(1).toInt)
+    assert(n.contains(registered.size),
+      s"PLANS.md header says $n queries, registry has ${registered.size}")
+  }
+
+  test("every registered query has an oracle statement") {
+    val noOracle = registered -- SparkEntry.oracleSql.keySet
+    assert(noOracle.isEmpty,
+      s"queries without a DuckDB oracle (driver falls back to rows-only): $noOracle")
+  }
+
+  test("Bench short-id keys are unique across the registry") {
+    val shorts = registered.toSeq.map(_.takeWhile(_ != '_'))
+    val dup = shorts.groupBy(identity).collect { case (k, xs) if xs.size > 1 => k }
+    assert(dup.isEmpty, s"duplicate qNNN prefixes would collide in Bench JSON: $dup")
+  }
+}
