@@ -176,14 +176,15 @@ object Dedup {
   private def q32(s: SparkSession, d: String): DataFrame =
     candidatePairs(s, d).orderBy(col("doc_a"), col("doc_b"))
 
-  /** DuckDB CTE list producing `pairs(doc_a, doc_b, est_jaccard)` —
-    * shared by the q32 and q35 oracles.
+  /** DuckDB CTE list producing `pairs(doc_a, doc_b, est_jaccard)` over
+    * an arbitrary (doc_id, text) relation — shared by the q32/q35
+    * oracles (over `documents`) and subset consumers (q282's kept set).
     */
-  private[queries] val pairsCteSql = {
+  private[queries] def pairsCteSqlFrom(tbl: String): String = {
     val rows = NumHashes / Bands
     s"""sigs AS (
       |  SELECT doc_id, $signatureSql AS sig
-      |  FROM (SELECT doc_id, $shingleHashesSql AS shashes FROM documents) t),
+      |  FROM (SELECT doc_id, $shingleHashesSql AS shashes FROM $tbl) t),
       |banded AS (
       |  SELECT doc_id, sig, b.band AS band,
       |    array_to_string(sig[b.band*$rows+1 : b.band*$rows+$rows], ',') AS bkey
@@ -195,6 +196,9 @@ object Dedup {
       |  FROM banded a JOIN banded b
       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)""".stripMargin
   }
+
+  /** The canonical instance over `documents`. */
+  private[queries] val pairsCteSql = pairsCteSqlFrom("documents")
 
   private val q32Sql =
     s"""WITH $pairsCteSql

@@ -142,7 +142,7 @@ object Mixture {
     * [0, S), so p_keep_fp = S keeps every document — the max-ratio
     * domain survives intact by construction.
     */
-  private def keptCol: Column =
+  private[queries] def keptCol: Column =
     (pmod(graft.functions.TextFns.hash60(
       concat(lit(ResampleSeed), col("doc_id").cast("string"))), lit(S))
       < col("p_keep_fp")).cast("long")
@@ -196,13 +196,19 @@ object Mixture {
       .withColumn("kept", keptCol)
       .select(col("doc_id"), col("source"), col("p_keep_fp"), col("kept"))
 
-  private lazy val q280Sql = {
-    val keptSql =
-      s"""CASE WHEN ${graft.functions.TextFns.hash60Sql(
-        s"'$ResampleSeed' || CAST(doc_id AS VARCHAR)")} % $S
-         | < coalesce(p_keep_fp, $S)
-         | THEN 1 ELSE 0 END""".stripMargin.replace("\n", " ")
-    s"""WITH $mixCtesSql,
+  /** The per-doc keep verdict, DuckDB dialect (NULL p = default keep). */
+  private[queries] lazy val keptSql =
+    s"""CASE WHEN ${graft.functions.TextFns.hash60Sql(
+      s"'$ResampleSeed' || CAST(doc_id AS VARCHAR)")} % $S
+       | < coalesce(p_keep_fp, $S)
+       | THEN 1 ELSE 0 END""".stripMargin.replace("\n", " ")
+
+  /** DuckDB CTE list producing `pk(source, p_keep_fp)` — the whole
+    * q278 + keep-probability derivation, shared with q280 and the
+    * q282 capstone.
+    */
+  private[queries] lazy val keepProbCtesSql =
+    s"""$mixCtesSql,
       |tot AS (SELECT sum(n_docs) AS nt FROM mix),
       |ratios AS (
       |  SELECT source, CAST(avg_alpha_fp AS HUGEINT) * nt // n_docs AS ratio
@@ -210,7 +216,10 @@ object Mixture {
       |pk AS (
       |  SELECT source, ratio * $S // (SELECT max(ratio) FROM ratios)
       |    AS p_keep_fp
-      |  FROM ratios),
+      |  FROM ratios)""".stripMargin
+
+  private lazy val q280Sql = {
+    s"""WITH $keepProbCtesSql,
       |tagged AS (
       |  SELECT d.source, coalesce(p_keep_fp, $S) AS p_keep_fp, d.n_chars,
       |    $keptSql AS kept

@@ -412,11 +412,110 @@ object Pipeline {
       |ORDER BY band, batch_idx""".stripMargin
   }
 
+  // q282 — the round-14 capstone: the LEARNED curation pipeline as one
+  // oracle-verified plan, upgrading both halves of q90 (fixed gates +
+  // naive split) with this round's learned machinery:
+  //
+  //   1. learned mixture thinning — q278's DoReMi weights applied as
+  //      q280's deterministic hash resample (unknown domains kept);
+  //   2. near-dup clustering of the SURVIVORS — the LSH pair pipeline +
+  //      connected components run on the thinned corpus (thinning first
+  //      shrinks the quadratic-ish pair surface, the order a production
+  //      pass uses);
+  //   3. leakage-safe split — q279's cluster-keyed assignment over the
+  //      survivor clusters;
+  //
+  // reporting the end state per (split, source) cell: doc/cluster/char
+  // counts and the cell's share of its split (scale 2^20) — which
+  // should read roughly equal across splits (hash uniformity) and
+  // roughly alpha across sources (the learned mix), making the capstone
+  // its own sanity check. Cells are data-driven (no spine: an empty
+  // (split, source) cell is absent in both engines).
+  //
+  // Scale shape: the mixture collapse + D-row keep probabilities are
+  // bounded prior jobs; the thinned corpus re-derives by narrow ops
+  // (scan + broadcast join + hash filter — recomputation is cheaper
+  // than materializing corpus text); pairs/components run only on
+  // survivors; the report aggregate is one combinable shuffle keyed by
+  // (split, source).
+  private def q282(s: SparkSession, d: String): DataFrame =
+    learnedCurationOf(documents(s, d))
+
+  /** The q282 plan over any (doc_id, lang, source, text, n_chars)
+    * frame — public for fixture specs.
+    */
+  def learnedCurationOf(docs: DataFrame): DataFrame = {
+    val S = Fluency.FpScale
+    val probs = Mixture.keepProbsOf(Mixture.mixtureOf(docs)).localCheckpoint()
+    val kept = docs
+      .join(broadcast(probs), Seq("source"), "left")
+      .withColumn("p_keep_fp", coalesce(col("p_keep_fp"), lit(S)))
+      .filter(Mixture.keptCol === 1L)
+      .select(col("doc_id"), col("source"), col("text"), col("n_chars"))
+    val pairs = Dedup.candidatePairsFrom(kept)
+      .select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val comp = graft.ops.ConnectedComponents
+      .minLabel(pairs.select(col("doc_a").as("a"), col("doc_b").as("b")))
+      .select(col("id").as("doc_id"), col("comp"))
+    val cell = kept.select(col("doc_id"), col("source"), col("n_chars"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("source"), col("n_chars"),
+        coalesce(col("comp"), col("doc_id")).as("cluster_id"))
+      .withColumn("split", Splits.splitOf(col("cluster_id")))
+      .groupBy(col("split"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("cluster_id")).as("n_clusters"),
+        sum(col("n_chars")).as("n_chars"))
+      // <= 3 x |domains| rows; pin so the split totals reuse it
+      .localCheckpoint()
+    val tot = cell.groupBy(col("split")).agg(sum(col("n_docs")).as("td"))
+    cell.join(broadcast(tot), "split")
+      .select(col("split"), col("source"), col("n_docs"), col("n_clusters"),
+        col("n_chars"),
+        expr(s"n_docs * ${S}L div td").as("cell_share_fp"))
+      .orderBy(col("split"), col("source"))
+  }
+
+  private lazy val q282Sql = {
+    val S = Fluency.FpScale
+    s"""WITH RECURSIVE ${Mixture.keepProbCtesSql},
+      |kept AS MATERIALIZED (
+      |  SELECT d.doc_id, d.source, d.text, d.n_chars
+      |  FROM documents d LEFT JOIN pk USING (source)
+      |  WHERE ${Mixture.keptSql} = 1),
+      |${Dedup.pairsCteSqlFrom("kept")},
+      |pairs_m AS MATERIALIZED (SELECT doc_a, doc_b FROM pairs),
+      |undirected(a, b) AS MATERIALIZED (
+      |  SELECT doc_a, doc_b FROM pairs_m UNION SELECT doc_b, doc_a FROM pairs_m
+      |  UNION SELECT doc_a, doc_a FROM pairs_m UNION SELECT doc_b, doc_b FROM pairs_m),
+      |reach(a, b) AS (
+      |  SELECT a, b FROM undirected
+      |  UNION
+      |  SELECT r.a, u.b FROM reach r JOIN undirected u ON r.b = u.a),
+      |comp AS MATERIALIZED (
+      |  SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+      |cell AS (
+      |  SELECT ${Splits.splitSql("coalesce(c.cluster_id, k.doc_id)")} AS split,
+      |    k.source, count(*) AS n_docs,
+      |    count(DISTINCT coalesce(c.cluster_id, k.doc_id)) AS n_clusters,
+      |    sum(k.n_chars) AS n_chars
+      |  FROM kept k LEFT JOIN comp c USING (doc_id)
+      |  GROUP BY 1, 2),
+      |stot AS (SELECT split, sum(n_docs) AS td FROM cell GROUP BY 1)
+      |SELECT split, source, CAST(n_docs AS BIGINT) AS n_docs,
+      |  CAST(n_clusters AS BIGINT) AS n_clusters,
+      |  CAST(n_chars AS BIGINT) AS n_chars,
+      |  CAST(n_docs * $S // td AS BIGINT) AS cell_share_fp
+      |FROM cell JOIN stot USING (split)
+      |ORDER BY split, source""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q55_training_pipeline", q55, Some(q55Sql)),
     Q("q90_curation_pipeline", q90, Some(q90Sql)),
     Q("q100_mixing_pipeline", q100, Some(q100Sql)),
     Q("q110_loader_order", q110, Some(q110Sql)),
     Q("q130_cleanup_capstone", q130, Some(q130Sql)),
+    Q("q282_learned_curation", q282, Some(q282Sql)),
   )
 }

@@ -51,13 +51,13 @@ object Splits {
     * 100-bucket 80/10/10 thresholds), so feeding it doc_id reproduces
     * the registered q89 assignment bit-for-bit.
     */
-  private def splitOf(key: Column): Column = {
+  private[queries] def splitOf(key: Column): Column = {
     val b = pmod(hash60(concat(lit(Sampling.SplitSeed), key.cast("string"))),
       lit(100L))
     when(b < 80, "train").when(b < 90, "val").otherwise("test")
   }
 
-  private def splitSql(key: String): String = {
+  private[queries] def splitSql(key: String): String = {
     val b = s"${hash60Sql(s"'${Sampling.SplitSeed}' || CAST($key AS VARCHAR)")} % 100"
     s"CASE WHEN $b < 80 THEN 'train' WHEN $b < 90 THEN 'val' ELSE 'test' END"
   }
