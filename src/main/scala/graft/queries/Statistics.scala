@@ -55,7 +55,7 @@ object Statistics {
   /** Fixed-point log2 over a non-negative bigint SQL expression —
     * Spark dialect. Zero guards to greatest(x,1) (log2fp(1) = 0).
     */
-  private def log2fpSpark(c: String): String = {
+  private[queries] def log2fpSpark(c: String): String = {
     val g = s"greatest($c, 1L)"
     s"""(length(bin($g)) - 1) * ${S}L
        | + CAST(CAST($g AS DECIMAL(38,0)) * ${S}L

@@ -83,6 +83,31 @@ class StatisticsSpec extends SparkSpec {
     assert(beta > 0 && beta < S, s"beta=$beta")
   }
 
+  test("fixed-point log2 matches the fold on adversarial values") {
+    // powers of two (exact points), their neighbors (interpolation
+    // boundaries), an LCG sample, and the extremes
+    val pows = (0 to 62).map(1L << _)
+    val lcg = Iterator.iterate(88172645463325252L)(x =>
+      x * 6364136223846793005L + 1442695040888963407L)
+      .take(64).map(x => math.abs(x % Long.MaxValue)).toSeq
+    val vals = (pows ++ pows.map(_ - 1) ++ pows.map(_ + 1) ++ lcg ++
+      Seq(0L, 1L, 2L, 3L, Long.MaxValue)).distinct.filter(_ >= 0)
+    val got = vals.toDF("n")
+      .withColumn("l", org.apache.spark.sql.functions.expr(
+        Statistics.log2fpSpark("n")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    vals.foreach { n =>
+      assert(got(n) == log2fp(n), s"log2fp($n): ${got(n)} != ${log2fp(n)}")
+    }
+    // monotone over the sorted sample; exact at powers of two
+    val sorted = vals.sorted
+    sorted.zip(sorted.tail).foreach { case (a, b) =>
+      assert(got(a) <= got(b), s"log2fp not monotone at ($a, $b)")
+    }
+    pows.foreach(p => assert(got(p) ==
+      (63 - java.lang.Long.numberOfLeadingZeros(p)) * S))
+  }
+
   test("boilerplate corpus reads as beta = 0 and slope = 0") {
     val byDoc = (0L until 16L).map(_ -> Seq("the", "same", "words")).toMap
     val df = byDoc.toSeq.map { case (id, ts) => (id, ts.mkString(" ")) }
