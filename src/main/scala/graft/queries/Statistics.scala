@@ -81,9 +81,13 @@ object Statistics {
       sum(col("lx")).as("sx"), sum(col("ly")).as("sy"),
       sum(expr("CAST(lx AS DECIMAL(38,0)) * ly")).as("sxy"),
       sum(expr("CAST(lx AS DECIMAL(38,0)) * lx")).as("sxx"))
+      // a degenerate fit (all lx equal -> zero denominator) is defined
+      // as slope 0 — guarded BEFORE the division (ANSI Spark throws on
+      // div-by-zero; DuckDB would return NULL)
       .select(expr(
-        s"""CAST(n * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DECIMAL(38,0))
-           | * ${S}L div (n * sxx - CAST(sx AS DECIMAL(38,0)) * sx)"""
+        s"""CASE WHEN n * sxx - CAST(sx AS DECIMAL(38,0)) * sx = 0 THEN 0L
+           | ELSE CAST(n * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DECIMAL(38,0))
+           |   * ${S}L div (n * sxx - CAST(sx AS DECIMAL(38,0)) * sx) END"""
           .stripMargin.replace("\n", " ")).as(out))
 
   private def q281(s: SparkSession, d: String): DataFrame =
@@ -103,8 +107,12 @@ object Statistics {
         explode(tokens(col("text"))).as("w"))
       .groupBy(col("w"), col("b")).agg(count(lit(1)).as("c"))
       .localCheckpoint()
+    // vocab-sized, consumed by both the vb branch and the Zipf top-R
+    // cut — pin it so the groupBy(w) shuffle runs once (the oracle
+    // materializes the same frame)
     val words = wb.groupBy(col("w"))
       .agg(sum(col("c")).as("cnt"), min(col("b")).as("minb"))
+      .localCheckpoint()
     val tc = wb.groupBy(col("b")).agg(sum(col("c")).as("tokc"))
     val vb = words.groupBy(col("minb")).agg(count(lit(1)).as("nv"))
 
@@ -139,10 +147,12 @@ object Statistics {
 
   private val q281Sql = {
     val slope = (src: String) =>
-      s"""SELECT (count(*) * sum(CAST(lx AS HUGEINT) * ly)
+      s"""SELECT CASE WHEN count(*) * sum(CAST(lx AS HUGEINT) * lx)
+         |        - sum(CAST(lx AS HUGEINT)) * sum(lx) = 0 THEN 0
+         |   ELSE (count(*) * sum(CAST(lx AS HUGEINT) * ly)
          |        - sum(CAST(lx AS HUGEINT)) * sum(ly)) * $S
          |   // (count(*) * sum(CAST(lx AS HUGEINT) * lx)
-         |        - sum(CAST(lx AS HUGEINT)) * sum(lx)) AS v
+         |        - sum(CAST(lx AS HUGEINT)) * sum(lx)) END AS v
          | FROM $src""".stripMargin.replace("\n", " ")
     s"""WITH toks AS (
       |  SELECT doc_id % $PrefixBuckets AS b,

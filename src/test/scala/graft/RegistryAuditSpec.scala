@@ -11,7 +11,8 @@ class RegistryAuditSpec extends SparkSpec {
   private def registered: Set[String] = SparkEntry.queries.keySet
 
   test("PLANS.md has exactly one audit row per registered query") {
-    val lines = scala.io.Source.fromFile("PLANS.md", "UTF-8").getLines().toSeq
+    val lines = scala.util.Using.resource(
+      scala.io.Source.fromFile("PLANS.md", "UTF-8"))(_.getLines().toSeq)
     val rows = lines.filter(l => l.startsWith("| q") && l.count(_ == '|') == 7)
       .map(_.split('|')(1).trim)
       .filter(_.matches("q\\d+_.*"))

@@ -16,16 +16,7 @@ class CurationCapstoneSpec extends SparkSpec {
 
   private val S = Fluency.FpScale
 
-  private def md5hash60(s: String): Long = {
-    val dg = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8"))
-    java.lang.Long.parseLong(dg.map("%02x".format(_)).mkString.take(15), 16)
-  }
-
-  private def splitOf(key: Long): String = {
-    val b = md5hash60("sp8" + key) % 100
-    if (b < 80) "train" else if (b < 90) "val" else "test"
-  }
+  import TestFolds.{md5hash60, splitOf}
 
   private val fluent = "the cat sat on the mat and the dog sat on the rug " * 4
 

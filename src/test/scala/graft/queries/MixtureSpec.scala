@@ -85,13 +85,6 @@ class MixtureSpec extends SparkSpec {
     d.unpersist()
   }
 
-  /** Test-side twin of TextFns.hash60 (top 15 hex chars of md5). */
-  private def md5hash60(s: String): Long = {
-    val dg = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8"))
-    java.lang.Long.parseLong(dg.map("%02x".format(_)).mkString.take(15), 16)
-  }
-
   /** Independent per-doc keep fold: p from the (already pinned) q278
     * output via the same DECIMAL-staged ratio arithmetic, verdicts from
     * a test-side md5. Returns (perDoc kept rows, p by source).
@@ -109,7 +102,7 @@ class MixtureSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     val kept = rows.toSeq.map { case (id, src, nc) =>
       (id, src, nc,
-        if (md5hash60(Mixture.ResampleSeed + id) % S < p(src)) 1L else 0L)
+        if (TestFolds.md5hash60(Mixture.ResampleSeed + id) % S < p(src)) 1L else 0L)
     }
     (kept, p)
   }

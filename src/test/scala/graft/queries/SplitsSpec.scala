@@ -14,18 +14,7 @@ import graft.SparkSpec
 class SplitsSpec extends SparkSpec {
   import spark.implicits._
 
-  /** Test-side twin of TextFns.hash60 (top 15 hex chars of md5). */
-  private def md5hash60(s: String): Long = {
-    val dg = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8"))
-    java.lang.Long.parseLong(dg.map("%02x".format(_)).mkString.take(15), 16)
-  }
-
-  /** q89's bucketing, recomputed independently. */
-  private def splitOf(key: Long): String = {
-    val b = md5hash60("sp8" + key) % 100
-    if (b < 80) "train" else if (b < 90) "val" else "test"
-  }
+  import TestFolds.splitOf
 
   /** 3 exact-duplicate families (20 + 5 + 3 members) among 30 unique
     * fillers: 58 docs, 33 clusters. Identical texts guarantee identical

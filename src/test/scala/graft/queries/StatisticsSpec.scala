@@ -28,7 +28,9 @@ class StatisticsSpec extends SparkSpec {
     val sy = pts.map(p => BigInt(p._2)).sum
     val sxy = pts.map(p => BigInt(p._1) * p._2).sum
     val sxx = pts.map(p => BigInt(p._1) * p._1).sum
-    ((n * sxy - sx * sy) * S / (n * sxx - sx * sx)).toLong
+    val den = n * sxx - sx * sx
+    // degenerate fit defined as 0, mirroring the query's coalesce
+    if (den == 0) 0L else ((n * sxy - sx * sy) * S / den).toLong
   }
 
   /** Zipfian fixture: word r occurring max(1, 1000/r) times, spread
@@ -116,6 +118,18 @@ class StatisticsSpec extends SparkSpec {
     assert(got == fold(byDoc))
     assert(got.head._6 == 0L, "constant vocabulary must fit beta = 0")
     assert(got.head._7 == 0L, "equal frequencies must fit slope = 0")
+  }
+
+  test("single-residue corpus (all prefixes equal) fits slope 0, not NULL") {
+    // every doc_id = 0 mod 8: n_tokens/vocab identical across all 8
+    // prefixes -> zero fit denominator -> defined as 0 in both engines
+    val byDoc = (0L until 4L).map(i =>
+      i * 8 -> (0 until 12).map(j => s"res${i}y$j")).toMap
+    val df = byDoc.toSeq.map { case (id, ts) => (id, ts.mkString(" ")) }
+      .toDF("doc_id", "text")
+    val got = run(df)
+    assert(got == fold(byDoc))
+    assert(got.head._6 == 0L)
   }
 
   test("ID-pollution corpus reads as beta = S (linear vocabulary growth)") {
