@@ -1094,9 +1094,9 @@ object Graph {
       e0: DataFrame, seeds: DataFrame, hops: Int): DataFrame = {
     val ee = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint()
+    // seed-sized and trivially recomputable - not worth a barrier
     val f0 = seeds
       .select(col("id").as("s"), col("id").as("v"), lit(1L).as("sigma"))
-      .localCheckpoint()
     val levels = scala.collection.mutable.ArrayBuffer[DataFrame](f0)
     var visited = f0.select(col("s"), col("v"))
     for (_ <- 1 to hops) {
@@ -1122,10 +1122,14 @@ object Graph {
           "CAST(CAST(sv AS DECIMAL(38,0)) * (1048576 + dw) DIV sw AS BIGINT)")
           .as("term"))
         .groupBy(col("s"), col("v")).agg(sum(col("term")).as("dep"))
+      // no checkpoint: each dh is consumed at most twice (next
+      // backward level + final union) and its lineage bottoms out in
+      // the checkpointed levels/ee after <= hops joins - re-deriving
+      // one join+aggregate is cheaper than a materialization barrier
+      // (measured: see BASELINE.md round-14 q262 note)
       val dh = levels(h).join(terms, Seq("s", "v"), "left")
         .select(col("s"), col("v"), col("sigma"),
           coalesce(col("dep"), lit(0L)).as("delta"))
-        .localCheckpoint()
       deps += dh
       delta = dh
     }
