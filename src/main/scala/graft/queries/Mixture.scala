@@ -177,7 +177,11 @@ object Mixture {
     agg.crossJoin(broadcast(tot))
       .select(col("source"), col("p_keep_fp"), col("n_docs_in"),
         col("n_kept"), col("kept_chars"),
-        expr(s"n_kept * ${S}L div greatest(tk, 1L)").as("kept_share_fp"))
+        // staged through DECIMAL(38,0) like keepProbsOf: n_kept * S
+        // wraps Long once a domain passes ~8.8e12 kept docs — the
+        // 10^13-doc scale the ratio math already defends
+        expr(s"CAST(CAST(n_kept AS DECIMAL(38,0)) * ${S}L" +
+          " div greatest(tk, 1L) AS BIGINT)").as("kept_share_fp"))
       .orderBy(col("source"))
   }
 
@@ -210,7 +214,7 @@ object Mixture {
   private[queries] lazy val keepProbCtesSql =
     s"""$mixCtesSql,
       |tot AS (SELECT sum(n_docs) AS nt FROM mix),
-      |ratios AS (
+      |ratios AS MATERIALIZED (
       |  SELECT source, CAST(avg_alpha_fp AS HUGEINT) * nt // n_docs AS ratio
       |  FROM mix CROSS JOIN tot),
       |pk AS (
@@ -233,7 +237,8 @@ object Mixture {
       |  CAST(n_docs_in AS BIGINT) AS n_docs_in,
       |  CAST(n_kept AS BIGINT) AS n_kept,
       |  CAST(kept_chars AS BIGINT) AS kept_chars,
-      |  CAST(n_kept * $S // greatest(tk, 1) AS BIGINT) AS kept_share_fp
+      |  CAST(CAST(n_kept AS HUGEINT) * $S // greatest(tk, 1) AS BIGINT)
+      |    AS kept_share_fp
       |FROM agg CROSS JOIN tk
       |ORDER BY source""".stripMargin
   }
@@ -249,8 +254,12 @@ object Mixture {
         .stripMargin.replace("\n", " ")).mkString(",\n    ")
     val cumCtes = (0 until Steps).map { t =>
       val f = s"($S + $Eta * l$t)"
+      // the last cum CTE is read by BOTH norms and alphas — without
+      // MATERIALIZED DuckDB re-evaluates the whole corpus-scan chain
+      // per reference (the q279 timeout class; see BASELINE.md)
+      val mat = if (t == Steps - 1) " MATERIALIZED" else ""
       if (t == 0) s"cum0 AS (SELECT *, $f AS c0 FROM base)"
-      else s"cum$t AS (SELECT *, c${t - 1} * $f // $S AS c$t FROM cum${t - 1})"
+      else s"cum$t AS$mat (SELECT *, c${t - 1} * $f // $S AS c$t FROM cum${t - 1})"
     }.mkString(",\n")
     val nCols = (0 until Steps).map(t => s"sum(c$t) AS n$t").mkString(", ")
     val aCols = (0 until Steps).map(t => s"c$t * $S // n$t AS a$t")
@@ -271,7 +280,7 @@ object Mixture {
       |  SELECT source, n_docs, mean_deficit_fp,
       |    $aCols
       |  FROM cum${Steps - 1} CROSS JOIN norms),
-      |mix AS (
+      |mix AS MATERIALIZED (
       |  SELECT source, n_docs, mean_deficit_fp,
       |    a${Steps - 1} AS final_alpha_fp,
       |    (${(0 until Steps).map(t => s"a$t").mkString(" + ")}) // $Steps

@@ -472,7 +472,10 @@ object Pipeline {
     cell.join(broadcast(tot), "split")
       .select(col("split"), col("source"), col("n_docs"), col("n_clusters"),
         col("n_chars"),
-        expr(s"n_docs * ${S}L div td").as("cell_share_fp"))
+        // DECIMAL(38,0)-staged: n_docs * S overflows Long past
+        // ~8.8e12 docs per split cell (same bound keepProbsOf defends)
+        expr(s"CAST(CAST(n_docs AS DECIMAL(38,0)) * ${S}L div td" +
+          " AS BIGINT)").as("cell_share_fp"))
       .orderBy(col("split"), col("source"))
   }
 
@@ -505,7 +508,7 @@ object Pipeline {
       |SELECT split, source, CAST(n_docs AS BIGINT) AS n_docs,
       |  CAST(n_clusters AS BIGINT) AS n_clusters,
       |  CAST(n_chars AS BIGINT) AS n_chars,
-      |  CAST(n_docs * $S // td AS BIGINT) AS cell_share_fp
+      |  CAST(CAST(n_docs AS HUGEINT) * $S // td AS BIGINT) AS cell_share_fp
       |FROM cell JOIN stot USING (split)
       |ORDER BY split, source""".stripMargin
   }

@@ -13,9 +13,12 @@ class RegistryAuditSpec extends SparkSpec {
   test("PLANS.md has exactly one audit row per registered query") {
     val lines = scala.util.Using.resource(
       scala.io.Source.fromFile("PLANS.md", "UTF-8"))(_.getLines().toSeq)
-    val rows = lines.filter(l => l.startsWith("| q") && l.count(_ == '|') == 7)
-      .map(_.split('|')(1).trim)
-      .filter(_.matches("q\\d+_.*"))
+    // key on the leading `| qNNN_...` cell, not a pipe count — a new
+    // audit column must not silently deselect every row
+    val rowRe = "^\\|\\s*(q\\d+_\\w+)\\s*\\|.*".r
+    val rows = lines.collect { case rowRe(name) => name }
+    assert(rows.nonEmpty, "PLANS.md row extraction found zero audit rows — " +
+      "table format changed? (expected lines starting `| qNNN_...`)")
     val missing = registered -- rows.toSet
     val stale = rows.toSet -- registered
     val dup = rows.groupBy(identity).collect { case (n, xs) if xs.size > 1 => n }
