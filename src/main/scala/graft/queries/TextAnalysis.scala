@@ -1049,24 +1049,51 @@ object TextAnalysis {
         .limit(1).collect()(0)
       val (l, r, c) = (best.getString(0), best.getString(1), best.getLong(2))
       learned += ((k.toLong, l, r, c))
-      // greedy leftmost non-overlapping rewrite as a token FOLD — a
-      // space-padded string replace looks equivalent but eats the
-      // separator it matched, so consecutive repeats mis-merge
-      // ("a a a a" must become "aa aa", replace gives "aa a a"; pinned
-      // by BpeMergesSpec). The fold merges x into the accumulator's
-      // last token exactly when that token is l and x is r; a token
-      // just created by a merge is lr != l, so it never re-merges —
-      // the same advance-past-the-match rule as a left-to-right scan.
-      vocab = vocab.select(col("w"), col("cnt"), expr(
-        s"""aggregate(split(syms, ' '), '', (acc, x) ->
-           |  CASE WHEN acc = '' THEN x
-           |       WHEN acc = '$l' AND x = '$r' THEN '$l$r'
-           |       WHEN endswith(acc, ' $l') AND x = '$r'
-           |         THEN left(acc, length(acc) - ${l.length}) || '$l$r'
-           |       ELSE acc || ' ' || x END)""".stripMargin).as("syms"))
+      vocab = vocab.select(col("w"), col("cnt"),
+        expr(mergeFoldSql(l, r)).as("syms"))
         .localCheckpoint()
     }
     (learned.result(), vocab)
+  }
+
+  /** Greedy leftmost non-overlapping rewrite of ONE merge (l, r) over a
+    * space-joined symbol string, as a token FOLD — a space-padded string
+    * replace looks equivalent but eats the separator it matched, so
+    * consecutive repeats mis-merge ("a a a a" must become "aa aa",
+    * replace gives "aa a a"; pinned by BpeMergesSpec). The fold merges x
+    * into the accumulator's last token exactly when that token is l and
+    * x is r; a token just created by a merge is lr != l, so it never
+    * re-merges — the same advance-past-the-match rule as a
+    * left-to-right scan. Shared by training's per-round rewrite and the
+    * decoupled apply/encode pass (q283).
+    */
+  private def mergeFoldSql(l: String, r: String): String =
+    s"""aggregate(split(syms, ' '), '', (acc, x) ->
+       |  CASE WHEN acc = '' THEN x
+       |       WHEN acc = '$l' AND x = '$r' THEN '$l$r'
+       |       WHEN endswith(acc, ' $l') AND x = '$r'
+       |         THEN left(acc, length(acc) - ${l.length}) || '$l$r'
+       |       ELSE acc || ' ' || x END)""".stripMargin
+
+  /** The Sennrich APPLY loop, decoupled from training: encode a
+    * distinct-word frame (column `w`; other columns pass through) under
+    * a SHIPPED rank-ordered merge table — the artifact a production
+    * tokenizer distributes as merges.txt. Each merge is one greedy
+    * leftmost rewrite ([[mergeFoldSql]]); all |merges| folds compose
+    * into a SINGLE vocab-sized projection (no shuffles, no
+    * materialization between rounds — bounded rounds, one pass), so at
+    * 100 TB the encode cost is the word-frequency frame, never the
+    * corpus. Property-tested against a sequential per-word BPE encoder
+    * in BpeApplySpec, and pinned equal to training's own final vocab
+    * state when given training's merges.
+    */
+  private[graft] def bpeApply(words: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    val init = words.withColumn("syms",
+      concat(regexp_replace(col("w"), "(.)", "$1 "), lit("</w>")))
+    merges.foldLeft(init) { case (df, (l, r)) =>
+      df.withColumn("syms", expr(mergeFoldSql(l, r)))
+    }
   }
 
   /** Core: learned-merge table alone (q257's surface). */
@@ -1123,9 +1150,14 @@ object TextAnalysis {
       .orderBy(col("lang"))
   }
 
-  private val q258Sql = {
-    // the q257 chain, carrying the word through each rewrite so the
-    // final state joins back to the per-lang counts
+  /** DuckDB CTE list: the q257 training chain CARRYING the word through
+    * each rewrite (w0 .. w{BpeRounds}), so the final per-word symbol
+    * state joins back to corpus tables — shared by the q258 fertility
+    * oracle and the q283 encode oracle. Every CTE MATERIALIZED (the
+    * q236 rule: chained multiply-referenced CTEs re-evaluate
+    * exponentially when inlined).
+    */
+  private lazy val bpeWordChainSql: String = {
     val w0 =
       """w0 AS MATERIALIZED (
         |  SELECT w, count(*) AS cnt,
@@ -1148,12 +1180,16 @@ object TextAnalysis {
         |           THEN left(acc, len(acc) - len(l)) || l || r
         |         ELSE acc || ' ' || x END) AS syms
         |  FROM w${k - 1}, p$k)""".stripMargin)
+    (w0 +: (1 to BpeRounds).flatMap(round)).mkString(",\n")
+  }
+
+  private lazy val q258Sql = {
     s"""WITH wl AS MATERIALIZED (
       |  SELECT lang, w, count(*) AS cnt
       |  FROM (SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
       |        FROM documents)
       |  GROUP BY 1, 2),
-      |${(w0 +: (1 to BpeRounds).flatMap(round)).mkString(",\n")},
+      |$bpeWordChainSql,
       |enc AS (SELECT w, len(string_split(syms, ' ')) AS nsym
       |        FROM w$BpeRounds)
       |SELECT lang, CAST(sum(cnt) AS BIGINT) AS n_words,
@@ -1167,6 +1203,101 @@ object TextAnalysis {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
   }
+
+  // q283 — BPE APPLY/ENCODE: tokenize the corpus under q257's learned
+  // merges and EMIT the tokenized corpus — the step every downstream
+  // token count presupposes (q91 proxies with a fixed regex
+  // pre-tokenizer; q257 trains merges; q258 evaluates fertility under
+  // them; nothing previously emitted token ids per document). Token ids
+  // are assigned deterministically over the final symbol inventory
+  // (lexicographic rank — chars + </w> + the merged symbols, a frame
+  // bounded by |alphabet| + BpeRounds, never corpus- or vocab-sized).
+  // Per document the output digests the FULL ordered token-id sequence
+  // into a fold hash (h -> (h*8191 + id) mod 2^31-1, overflow-free in
+  // ANSI Spark and DuckDB alike), so the oracle compare pins the exact
+  // per-doc sequence both engines would ship to a trainer — order
+  // included — without dumping corpus-sized token rows into the diff.
+  //
+  // Scale shape: ONE corpus scan builds the word-frequency frame
+  // (training input), ONE corpus scan re-reads text for per-doc word
+  // positions (inherent: emission must touch every document); encoding
+  // itself is [[bpeApply]] — a single vocab-sized projection under the
+  // shipped merges, joined back to the positions on the word key (a
+  // shuffle keyed on w: vocab-sized build, never broadcast at 100 TB),
+  // then one doc_id-keyed aggregate assembles sequences. The symbol
+  // table broadcasts (≤ |alphabet| + rounds rows). Docs with zero
+  // [a-z0-9] tokens have no sequence and are absent in both engines.
+  private def q283(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    // corpus scan #1: word frequencies; pinned — feeds training (which
+    // re-checkpoints its own state) and the decoupled apply pass
+    val wc = docs.select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val merges = bpeTrain(wc, BpeRounds)._1.map { case (_, l, r, _) => (l, r) }
+    // the decoupled Sennrich apply: vocab-sized, one projection; pinned
+    // (two consumers: symbol inventory + the per-doc join)
+    val enc = bpeApply(wc.select(col("w")), merges).localCheckpoint()
+    // ≤ |alphabet| + BpeRounds rows — the single-partition window is a
+    // bounded action, same class as the 1-row norm broadcasts
+    val symtab = enc.select(explode(split(col("syms"), " ")).as("sym"))
+      .distinct()
+      .withColumn("token_id",
+        row_number().over(Window.orderBy(col("sym"))).cast("long"))
+    // corpus scan #2: per-doc word positions -> symbol positions -> ids
+    val dtok = docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("wpos", "w")))
+      .join(enc, "w")
+      .select(col("doc_id"), col("wpos"),
+        posexplode(split(col("syms"), " ")).as(Seq("spos", "sym")))
+      .join(broadcast(symtab), "sym")
+    dtok.groupBy(col("doc_id"))
+      .agg(
+        (max(col("wpos")) + 1L).cast("long").as("n_words"),
+        count(lit(1)).as("n_tokens"),
+        countDistinct(col("token_id")).as("n_unique_tokens"),
+        collect_list(struct(col("wpos"), col("spos"), col("token_id"))).as("seq"))
+      .select(col("doc_id"), col("n_words"), col("n_tokens"),
+        col("n_unique_tokens"),
+        expr("""aggregate(transform(array_sort(seq), x -> x.token_id),
+               |  0L, (acc, t) -> (acc * 8191L + t) % 2147483647L)"""
+          .stripMargin.replace("\n", " ")).as("token_seq_hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  private lazy val q283Sql =
+    s"""WITH $bpeWordChainSql,
+      |enc AS MATERIALIZED (
+      |  SELECT w, string_split(syms, ' ') AS sa FROM w$BpeRounds),
+      |symtab AS MATERIALIZED (
+      |  SELECT sym, CAST(row_number() OVER (ORDER BY sym) AS BIGINT)
+      |      AS token_id
+      |  FROM (SELECT DISTINCT unnest(sa) AS sym FROM enc)),
+      |dw AS (
+      |  SELECT doc_id, u['wpos'] AS wpos, u['w'] AS w FROM (
+      |    SELECT doc_id, unnest(list_transform(range(len(ws)),
+      |        j -> {'wpos': j, 'w': ws[j+1]})) AS u
+      |    FROM (SELECT doc_id,
+      |            regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+      |          FROM documents))),
+      |dsym AS (
+      |  SELECT doc_id, wpos, v['spos'] AS spos, v['sym'] AS sym FROM (
+      |    SELECT doc_id, wpos, unnest(list_transform(range(len(sa)),
+      |        j -> {'spos': j, 'sym': sa[j+1]})) AS v
+      |    FROM dw JOIN enc USING (w))),
+      |dtok AS (
+      |  SELECT doc_id, wpos, spos, token_id FROM dsym JOIN symtab USING (sym))
+      |SELECT doc_id,
+      |  CAST(max(wpos) + 1 AS BIGINT) AS n_words,
+      |  CAST(count(*) AS BIGINT) AS n_tokens,
+      |  CAST(count(DISTINCT token_id) AS BIGINT) AS n_unique_tokens,
+      |  CAST(list_reduce(
+      |      list_prepend(CAST(0 AS BIGINT), list(token_id ORDER BY wpos, spos)),
+      |      (acc, x) -> (acc * 8191 + x) % 2147483647) AS BIGINT)
+      |    AS token_seq_hash
+      |FROM dtok
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
 
   private val q257Sql = {
     // every CTE MATERIALIZED (the q236 rule): the p_k scalar subqueries
@@ -1225,5 +1356,6 @@ object TextAnalysis {
     Q("q256_repeat_span", q256, Some(q256Sql)),
     Q("q257_bpe_merges", q257, Some(q257Sql)),
     Q("q258_bpe_fertility", q258, Some(q258Sql)),
+    Q("q283_bpe_encode", q283, Some(q283Sql)),
   )
 }
