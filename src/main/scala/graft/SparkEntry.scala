@@ -28,6 +28,8 @@ object SparkEntry {
           Some(graft.multimodal.Multimodal.q127Sql)),
         Q("q209_audio_segments", graft.multimodal.Multimodal.audioSegmentsQuery,
           Some(graft.multimodal.Multimodal.q209Sql)),
+        Q("q284_pair_integrity", graft.multimodal.Multimodal.pairIntegrityQuery,
+          Some(graft.multimodal.Multimodal.q284Sql)),
         Q("q72_topk_native", graft.plans.TopK.q72, Some(graft.plans.TopK.q72Sql)),
         Q("q76_topk_sql", graft.plans.TopK.q76, Some(graft.plans.TopK.q72Sql)))
 

@@ -352,6 +352,164 @@ object Multimodal {
       |ORDER BY media_id, seg_no""".stripMargin
   }
 
+  // ======================================================================
+  // q284 — cross-modal pair-integrity audit (the CLIP-style check):
+  // verify that paired text/media columns actually belong together.
+  // Each side embeds through its own modality path — text through the
+  // token-bucket head directly, media through the stub cross-modal
+  // encoder (a real system runs a trained image/audio tower; the
+  // deterministic stand-in "captions" the payload via decode and shares
+  // the text head — the seam where a model swaps in). Pair score is
+  // EXACT integer cosine² in 2^20 fixed point (dot²·S div (‖a‖²·‖b‖²),
+  // DECIMAL(38,0)-staged); with exact stub encoders a matched pair
+  // scores exactly S and ANY re-pairing of differing content scores
+  // lower, so the gate is cos2 < S. The audited manifest carries a
+  // deterministic ingest corruption (docs with doc_id % 23 == 3 claim
+  // media doc_id XOR 1 — the adjacent-shard off-by-one) so the audit
+  // measures real mismatches, not a vacuous all-green table.
+  //
+  // Scale shape: one corpus scan per modality into (id, 32-bucket
+  // count) frames — 33 longs per row, a tiny fraction of the payload
+  // bytes, and payloads never shuffle; the audit is two id-keyed
+  // equi-joins (manifest ⋈ textVec ⋈ mediaVec, all corpus-scale,
+  // nothing broadcast — the q123 bipartite shape) and one combinable
+  // per-kind aggregate. Docs whose claimed media id does not exist
+  // drop at the join in both engines (dense ids here; a production
+  // run would left-join and count them).
+  // ======================================================================
+
+  /** Cross-modal embedding head width (hashed token-count buckets). */
+  val PairBuckets = 32
+
+  /** Fixed-point scale for pair cosine² (2^20, the repo standard). */
+  val PairFpScale = 1048576L
+
+  private def bucketCols(prefix: String): Seq[org.apache.spark.sql.Column] =
+    (0 until PairBuckets).map(i =>
+      sum(when(col("bk") === i.toLong, 1L).otherwise(0L)).as(s"$prefix$i"))
+
+  /** Shared embedding head: hashed-token-bucket counts per id. Extra
+    * key columns (e.g. kind) ride through the groupBy.
+    */
+  private def bucketVecs(df: DataFrame, idCols: Seq[String], txtCol: String,
+      prefix: String): DataFrame = {
+    val keys = idCols.map(col)
+    val cols = bucketCols(prefix)
+    df.select(keys :+
+        explode(graft.functions.TextFns.tokens(col(txtCol))).as("tok"): _*)
+      .withColumn("bk",
+        pmod(graft.functions.TextFns.hash60(col("tok")), lit(PairBuckets.toLong)))
+      .groupBy(keys: _*)
+      .agg(cols.head, cols.tail: _*)
+  }
+
+  /** Text-side vectors: (doc_id, t0..t31). */
+  private[multimodal] def textVecsOf(docs: DataFrame): DataFrame =
+    bucketVecs(docs, Seq("doc_id"), "text", "t")
+
+  /** Media-side vectors through the stub cross-modal encoder:
+    * (media_id, kind, m0..m31). Payloads decode ONCE, scan-side.
+    */
+  private[multimodal] def captionVecsOf(media: Dataset[MediaRecord]): DataFrame =
+    bucketVecs(
+      media.toDF().select(col("media_id"), col("kind"),
+        decode(col("payload"), "UTF-8").as("caption")),
+      Seq("media_id", "kind"), "caption", "m")
+
+  /** The audit core over any (doc_id, media_id) manifest: per claimed
+    * media kind — pair count, pairs below the exact-alignment gate,
+    * and the min/avg cosine² distribution. Spec-driven with planted
+    * swaps in PairIntegritySpec.
+    */
+  private[multimodal] def pairIntegrityOf(textVecs: DataFrame,
+      mediaVecs: DataFrame, manifest: DataFrame): DataFrame = {
+    val dot = (0 until PairBuckets)
+      .map(i => s"t$i * m$i").mkString(" + ")
+    val na = (0 until PairBuckets).map(i => s"t$i * t$i").mkString(" + ")
+    val nb = (0 until PairBuckets).map(i => s"m$i * m$i").mkString(" + ")
+    manifest.join(textVecs, "doc_id").join(mediaVecs, "media_id")
+      .select(col("kind"), expr(dot).as("dot"),
+        expr(na).as("na"), expr(nb).as("nb"))
+      .select(col("kind"), expr(
+        s"""CASE WHEN na = 0 OR nb = 0 THEN 0L
+           |  ELSE CAST(CAST(dot AS DECIMAL(38,0)) * dot * $PairFpScale
+           |    div (CAST(na AS DECIMAL(38,0)) * nb) AS BIGINT) END"""
+          .stripMargin.replace("\n", " ")).as("cos2"))
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("cos2") < PairFpScale, 1L).otherwise(0L)).as("n_flagged"),
+        min(col("cos2")).as("min_cos2_fp"),
+        expr(s"sum(cos2) div count(1)").as("avg_cos2_fp"))
+      .orderBy(col("kind"))
+  }
+
+  /** The registered query: audit the deterministically-corrupted
+    * manifest over the documents-derived media table.
+    */
+  def pairIntegrityQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val manifest = docs.select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(23L)) === 3L, expr("doc_id ^ 1"))
+        .otherwise(col("doc_id")).as("media_id"))
+    pairIntegrityOf(
+      textVecsOf(docs),
+      captionVecsOf(mediaFromDocuments(spark, sfDir)),
+      manifest)
+  }
+
+  /** DuckDB oracle for [[pairIntegrityQuery]]: both towers recomputed
+    * from documents (the stub caption decode is the identity on the
+    * UTF-8 round trip, so the media vectors are the text vectors keyed
+    * by media id + kind), HUGEINT-staged cosine², same gate.
+    */
+  val q284Sql: String = {
+    val h = graft.functions.TextFns.hash60Sql("tok")
+    val tCols = (0 until PairBuckets)
+      .map(i => s"sum(CASE WHEN bk = $i THEN 1 ELSE 0 END) AS t$i")
+      .mkString(",\n    ")
+    val mCols = (0 until PairBuckets).map(i => s"t$i AS m$i").mkString(", ")
+    val dot = (0 until PairBuckets).map(i => s"t$i * m$i").mkString(" + ")
+    val na = (0 until PairBuckets).map(i => s"t$i * t$i").mkString(" + ")
+    val nb = (0 until PairBuckets).map(i => s"m$i * m$i").mkString(" + ")
+    s"""WITH tv AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    $tCols
+      |  FROM (
+      |    SELECT doc_id, $h % $PairBuckets AS bk
+      |    FROM (SELECT doc_id,
+      |            unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      |          FROM documents))
+      |  GROUP BY doc_id),
+      |mv AS (
+      |  SELECT doc_id AS media_id,
+      |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+      |      ELSE 'video' END AS kind,
+      |    $mCols
+      |  FROM tv),
+      |mf AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 23 = 3 THEN xor(doc_id, 1) ELSE doc_id END
+      |      AS media_id
+      |  FROM documents),
+      |j AS (
+      |  SELECT kind, $dot AS dot, $na AS na, $nb AS nb
+      |  FROM mf JOIN tv USING (doc_id) JOIN mv USING (media_id)),
+      |c AS (
+      |  SELECT kind,
+      |    CASE WHEN na = 0 OR nb = 0 THEN 0
+      |      ELSE CAST(CAST(dot AS HUGEINT) * dot * $PairFpScale
+      |        // (CAST(na AS HUGEINT) * nb) AS BIGINT) END AS cos2
+      |  FROM j)
+      |SELECT kind, CAST(count(*) AS BIGINT) AS n_pairs,
+      |  CAST(sum(CASE WHEN cos2 < $PairFpScale THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_flagged,
+      |  CAST(min(cos2) AS BIGINT) AS min_cos2_fp,
+      |  CAST(sum(cos2) // count(*) AS BIGINT) AS avg_cos2_fp
+      |FROM c
+      |GROUP BY kind
+      |ORDER BY kind""".stripMargin
+  }
+
   /** DuckDB oracle for [[frameSamplesQuery]]: chunk i of the payload is
     * hex positions [2·64·i+1, 2·64·(i+1)] (substr clamps the tail).
     */
