@@ -32,6 +32,34 @@ class RegistryAuditSpec extends SparkSpec {
       s"PLANS.md header says $n queries, registry has ${registered.size}")
   }
 
+  private def auditRows(lines: Seq[String]): Map[String, Seq[Int]] = {
+    val rowRe = "^\\|?\\s*(q\\d+_\\w+)[\\s|\\t]+(\\d+)[\\s|\\t]+(\\d+)[\\s|\\t]+(\\d+)[\\s|\\t]+(\\d+)[\\s|\\t]+(\\d+).*".r
+    lines.collect { case rowRe(name, a, b, c, d, e) =>
+      name -> Seq(a, b, c, d, e).map(_.toInt)
+    }.toMap
+  }
+
+  test("cross-SF plan audit: no bnlj/cartesian flips between sf0.001 and sf0.1") {
+    // PLANS.md is the sf0.001 audit; PLANS_SF01.tsv the sf0.1 re-audit
+    // (one Explain --audit sweep per scale). A query whose join plan
+    // degrades to BroadcastNestedLoopJoin or CartesianProduct only at
+    // the larger scale is exactly the drift this gate exists to catch
+    // (the round-14 q259 flip class).
+    def read(p: String) = auditRows(scala.util.Using.resource(
+      scala.io.Source.fromFile(p, "UTF-8"))(_.getLines().toSeq))
+    val small = read("PLANS.md")
+    val big = read("PLANS_SF01.tsv")
+    assert(small.nonEmpty && big.nonEmpty, "audit table extraction found no rows")
+    assert(small.keySet == big.keySet,
+      s"audit coverage differs: only-sf0.001=${small.keySet -- big.keySet}, " +
+        s"only-sf0.1=${big.keySet -- small.keySet}")
+    val cart = (small ++ big).collect { case (q, c) if c(3) > 0 => q }
+    assert(cart.isEmpty, s"CartesianProduct present: $cart")
+    val bnljFlips = small.keys.filter(q => small(q)(2) == 0 && big(q)(2) > 0)
+    assert(bnljFlips.isEmpty,
+      s"bnlj appears only at sf0.1 (scale-degraded join plan): $bnljFlips")
+  }
+
   test("every registered query has an oracle statement") {
     val noOracle = registered -- SparkEntry.oracleSql.keySet
     assert(noOracle.isEmpty,
