@@ -1099,15 +1099,22 @@ object Graph {
       .select(col("id").as("s"), col("id").as("v"), lit(1L).as("sigma"))
     val levels = scala.collection.mutable.ArrayBuffer[DataFrame](f0)
     var visited = f0.select(col("s"), col("v"))
-    for (_ <- 1 to hops) {
+    for (h <- 1 to hops) {
       val cand = levels.last.join(ee, col("v") === col("src"))
         .groupBy(col("s"), col("dst"))
         .agg(sum(col("sigma")).as("sigma"))
         .withColumnRenamed("dst", "v")
-      val next = cand.join(visited, Seq("s", "v"), "left_anti")
-        .localCheckpoint()
+      val raw = cand.join(visited, Seq("s", "v"), "left_anti")
+      // inner levels feed >= 3 consumers (next frontier, visited
+      // anti-joins, backward pass) — checkpoint them; the DEEPEST level
+      // has exactly one consumer (the backward-pass delta init), so its
+      // barrier is pure overhead: leave it lazy and let that single
+      // consumer evaluate the one join+agg+anti off the checkpointed
+      // level below (measured: see BASELINE.md round-15 q262 note)
+      val next = if (h < hops) raw.localCheckpoint() else raw
       levels += next
-      visited = visited.unionAll(next.select(col("s"), col("v")))
+      if (h < hops)
+        visited = visited.unionAll(next.select(col("s"), col("v")))
     }
     // backward dependency accumulation, deepest level first (δ = 0 there)
     var delta = levels(hops)
