@@ -1251,16 +1251,23 @@ object TextAnalysis {
       .select(col("doc_id"), col("wpos"),
         posexplode(split(col("syms"), " ")).as(Seq("spos", "sym")))
       .join(broadcast(symtab), "sym")
+    // n_unique comes from the already-collected sequence, NOT a
+    // countDistinct: a distinct aggregate alongside collect_list forces
+    // the two-phase (doc, token)/(doc) plan that drags the list buffers
+    // through an extra exchange — post-hoc array_distinct keeps the
+    // aggregate single-phase on doc_id (one exchange; measured in
+    // BASELINE.md round 15)
     dtok.groupBy(col("doc_id"))
       .agg(
         (max(col("wpos")) + 1L).cast("long").as("n_words"),
         count(lit(1)).as("n_tokens"),
-        countDistinct(col("token_id")).as("n_unique_tokens"),
         collect_list(struct(col("wpos"), col("spos"), col("token_id"))).as("seq"))
       .select(col("doc_id"), col("n_words"), col("n_tokens"),
-        col("n_unique_tokens"),
-        expr("""aggregate(transform(array_sort(seq), x -> x.token_id),
-               |  0L, (acc, t) -> (acc * 8191L + t) % 2147483647L)"""
+        expr("transform(array_sort(seq), x -> x.token_id)").as("ids"))
+      .select(col("doc_id"), col("n_words"), col("n_tokens"),
+        size(array_distinct(col("ids"))).cast("long").as("n_unique_tokens"),
+        expr("""aggregate(ids, 0L,
+               |  (acc, t) -> (acc * 8191L + t) % 2147483647L)"""
           .stripMargin.replace("\n", " ")).as("token_seq_hash"))
       .orderBy(col("doc_id"))
   }
