@@ -1067,13 +1067,16 @@ object TextAnalysis {
     * left-to-right scan. Shared by training's per-round rewrite and the
     * decoupled apply/encode pass (q283).
     */
-  private def mergeFoldSql(l: String, r: String): String =
-    s"""aggregate(split(syms, ' '), '', (acc, x) ->
+  private def mergeFoldSqlOn(inner: String, l: String, r: String): String =
+    s"""aggregate(split($inner, ' '), '', (acc, x) ->
        |  CASE WHEN acc = '' THEN x
        |       WHEN acc = '$l' AND x = '$r' THEN '$l$r'
        |       WHEN endswith(acc, ' $l') AND x = '$r'
        |         THEN left(acc, length(acc) - ${l.length}) || '$l$r'
        |       ELSE acc || ' ' || x END)""".stripMargin
+
+  private def mergeFoldSql(l: String, r: String): String =
+    mergeFoldSqlOn("syms", l, r)
 
   /** The Sennrich APPLY loop, decoupled from training: encode a
     * distinct-word frame (column `w`; other columns pass through) under
@@ -1270,6 +1273,70 @@ object TextAnalysis {
                |  (acc, t) -> (acc * 8191L + t) % 2147483647L)"""
           .stripMargin.replace("\n", " ")).as("token_seq_hash"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Streaming form of the q283 encode — the production INFERENCE path:
+    * arrivals are tokenized under a FROZEN tokenizer artifact (the
+    * merge table learned offline by q257, the symbol table it induces)
+    * entirely inside one projection — the whole merge chain composes
+    * into a per-word scalar expression evaluated inline, symbol→id is
+    * an `element_at` over a literal map (the artifact is bounded by
+    * |alphabet| + rounds, so it ships as a literal, never a join) — no
+    * state, no shuffle, append mode. A symbol outside the frozen
+    * inventory (an unseen character) maps to token id 0, the UNK
+    * convention every production tokenizer ships.
+    *
+    * Deliberate shape difference from batch q283, documented: batch
+    * encodes each DISTINCT word once on the vocab frame and joins back
+    * (right at 100 TB, where word frequency is heavy-tailed); a
+    * stateless stream has no distinct-word frame, so each arrival
+    * re-encodes its own words inline — the standard serving tradeoff.
+    * EncodeStreamSpec pins the stream rows bit-equal to batch q283's
+    * per-doc digests over the same corpus + artifact.
+    */
+  def encodeStream(stream: DataFrame, merges: Seq[(String, String)],
+      symbolIds: Map[String, Long]): DataFrame = {
+    val enc = merges.foldLeft("concat(regexp_replace(w, '(.)', '$1 '), '</w>')") {
+      case (inner, (l, r)) => mergeFoldSqlOn(inner, l, r)
+    }
+    val mapLit = symbolIds.toSeq.sortBy(_._1)
+      .flatMap { case (s, i) => Seq(s"'${s}'", s"${i}L") }
+      .mkString("map(", ", ", ")")
+    stream
+      .withColumn("ids", expr(
+        s"""flatten(transform(${tokensSql}, w ->
+           |  transform(split($enc, ' '), s ->
+           |    coalesce(element_at($mapLit, s), 0L))))"""
+          .stripMargin.replace("\n", " ")))
+      .select(col("doc_id"),
+        size(expr(tokensSql)).cast("long").as("n_words"),
+        size(col("ids")).cast("long").as("n_tokens"),
+        size(array_distinct(col("ids"))).cast("long").as("n_unique_tokens"),
+        expr("aggregate(ids, 0L, (acc, t) -> (acc * 8191L + t) % 2147483647L)")
+          .as("token_seq_hash"))
+  }
+
+  /** The token expression over a `text` column, as SQL text (the
+    * [[graft.functions.TextFns.tokens]] formula).
+    */
+  private val tokensSql =
+    s"regexp_extract_all(lower(text), '${graft.functions.TextFns.TokenPattern}', 0)"
+
+  /** The frozen artifact [[encodeStream]] consumes: train merges on a
+    * static corpus, derive the symbol inventory ids exactly as q283
+    * does (lexicographic rank over the final symbols). The collect is
+    * bounded by |alphabet| + rounds (the q41 bounded-action class).
+    */
+  def tokenizerArtifact(docs: DataFrame, rounds: Int = BpeRounds)
+      : (Seq[(String, String)], Map[String, Long]) = {
+    val wc = docs.select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val (learned, vocab) = bpeTrain(wc, rounds)
+    val syms = vocab.select(explode(split(col("syms"), " ")).as("sym"))
+      .distinct().orderBy(col("sym"))
+      .collect().map(_.getString(0))
+    (learned.map { case (_, l, r, _) => (l, r) },
+      syms.zipWithIndex.map { case (s, i) => s -> (i + 1L) }.toMap)
   }
 
   private lazy val q283Sql =
