@@ -130,6 +130,18 @@ object Dedup {
     // cost 29 s at sf0.1; this is ~ms).
     val toksDf = documentsDf
       .select(col("doc_id"), tokens(col("text")).as("toks"))
+      // Shingle-eligibility gate: a doc with fewer than 3 tokens (or
+      // NULL text) produces ZERO shingles, and minhash over an empty
+      // shingle set is the all-P sentinel — every such doc would share
+      // one signature and pair at est_jaccard 1.0 with zero content
+      // evidence, and at 100 TB millions of null/short rows would pile
+      // into one quadratic bucket. Too-short docs are out of scope for
+      // shingle-granularity LSH by definition (exact dedup q30 owns
+      // them); the same WHERE lives in the DuckDB pairs CTE, and the
+      // streaming twin inherits this gate (null arrivals cannot poison
+      // bucket state). Pinned by NullRobustnessSpec; no testdata doc is
+      // affected (min tokens/doc = 10 at every SF).
+      .filter(size(col("toks")) >= 3)
       .repartition(col("doc_id"))
     val docs = toksDf
       .select(col("doc_id"), shingleHashes(col("toks")).as("shashes"))
@@ -184,7 +196,8 @@ object Dedup {
     val rows = NumHashes / Bands
     s"""sigs AS (
       |  SELECT doc_id, $signatureSql AS sig
-      |  FROM (SELECT doc_id, $shingleHashesSql AS shashes FROM $tbl) t),
+      |  FROM (SELECT doc_id, $shingleHashesSql AS shashes FROM $tbl
+      |        WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+')) >= 3) t),
       |banded AS (
       |  SELECT doc_id, sig, b.band AS band,
       |    array_to_string(sig[b.band*$rows+1 : b.band*$rows+$rows], ',') AS bkey
@@ -223,14 +236,15 @@ object Dedup {
 
   private val q35Sql =
     s"""WITH RECURSIVE $pairsCteSql,
-      |undirected(a, b) AS (
-      |  SELECT doc_a, doc_b FROM pairs UNION SELECT doc_b, doc_a FROM pairs
-      |  UNION SELECT doc_a, doc_a FROM pairs UNION SELECT doc_b, doc_b FROM pairs),
+      |pairs_m AS MATERIALIZED (SELECT doc_a, doc_b FROM pairs),
+      |undirected(a, b) AS MATERIALIZED (
+      |  SELECT doc_a, doc_b FROM pairs_m UNION SELECT doc_b, doc_a FROM pairs_m
+      |  UNION SELECT doc_a, doc_a FROM pairs_m UNION SELECT doc_b, doc_b FROM pairs_m),
       |reach(a, b) AS (
       |  SELECT a, b FROM undirected
       |  UNION
       |  SELECT r.a, u.b FROM reach r JOIN undirected u ON r.b = u.a),
-      |comp AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a)
+      |comp AS MATERIALIZED (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a)
       |SELECT doc_id, cluster_id,
       |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
       |FROM comp
@@ -274,14 +288,15 @@ object Dedup {
 
   private val q93Sql =
     s"""WITH RECURSIVE $pairsCteSql,
-      |undirected(a, b) AS (
-      |  SELECT doc_a, doc_b FROM pairs UNION SELECT doc_b, doc_a FROM pairs
-      |  UNION SELECT doc_a, doc_a FROM pairs UNION SELECT doc_b, doc_b FROM pairs),
+      |pairs_m AS MATERIALIZED (SELECT doc_a, doc_b FROM pairs),
+      |undirected(a, b) AS MATERIALIZED (
+      |  SELECT doc_a, doc_b FROM pairs_m UNION SELECT doc_b, doc_a FROM pairs_m
+      |  UNION SELECT doc_a, doc_a FROM pairs_m UNION SELECT doc_b, doc_b FROM pairs_m),
       |reach(a, b) AS (
       |  SELECT a, b FROM undirected
       |  UNION
       |  SELECT r.a, u.b FROM reach r JOIN undirected u ON r.b = u.a),
-      |comp AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+      |comp AS MATERIALIZED (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
       |qual AS (SELECT doc_id,
       |    CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1) *
       |      (CASE WHEN len(toks) >= 20 AND len(toks) <= 1000 THEN 1.0 ELSE 0.0 END)
@@ -379,6 +394,11 @@ object Dedup {
     graft.functions.GraftFunctions.register(s)
     val toksDf = documents(s, d)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
+      // token-free docs (empty/NULL/punctuation-only text) all simhash
+      // to sig 0 and would pair mutually at hamming 0 with zero content
+      // evidence — the same degenerate class the MinHash shingle gate
+      // excludes (NullRobustnessSpec); no testdata doc is affected
+      .filter(size(col("toks")) >= 1)
       .repartition(col("doc_id"))
     val sigs = toksDf
       .select(col("doc_id"),
@@ -415,7 +435,7 @@ object Dedup {
     s"""WITH sigs AS (
       |  SELECT doc_id, $simhash AS sig
       |  FROM (SELECT doc_id, list_transform($toks, t -> ${hash60Sql("t")}) AS hs
-      |        FROM documents) t),
+      |        FROM documents WHERE len($toks) >= 1) t),
       |banded AS (
       |  SELECT doc_id, sig, cc.c AS c, (sig >> (15 * cc.c)) & 32767 AS chunk
       |  FROM sigs, (SELECT unnest(range(4)) AS c) cc)
@@ -616,14 +636,15 @@ object Dedup {
 
   private val q128Sql =
     s"""WITH RECURSIVE $pairsCteSql,
-      |undirected(a, b) AS (
-      |  SELECT doc_a, doc_b FROM pairs UNION SELECT doc_b, doc_a FROM pairs
-      |  UNION SELECT doc_a, doc_a FROM pairs UNION SELECT doc_b, doc_b FROM pairs),
+      |pairs_m AS MATERIALIZED (SELECT doc_a, doc_b FROM pairs),
+      |undirected(a, b) AS MATERIALIZED (
+      |  SELECT doc_a, doc_b FROM pairs_m UNION SELECT doc_b, doc_a FROM pairs_m
+      |  UNION SELECT doc_a, doc_a FROM pairs_m UNION SELECT doc_b, doc_b FROM pairs_m),
       |reach(a, b) AS (
       |  SELECT a, b FROM undirected
       |  UNION
       |  SELECT r.a, u.b FROM reach r JOIN undirected u ON r.b = u.a),
-      |comp AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+      |comp AS MATERIALIZED (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
       |cs AS (SELECT cluster_id, count(*) AS cluster_size FROM comp
       |       GROUP BY cluster_id),
       |hist AS (SELECT cluster_size, count(*) AS n_clusters,
@@ -686,7 +707,8 @@ object Dedup {
     val rows = NumHashes / Bands
     s"""WITH sigs AS (
       |  SELECT doc_id, $signatureSql AS sig
-      |  FROM (SELECT doc_id, $shingleHashesSql AS shashes FROM documents) t),
+      |  FROM (SELECT doc_id, $shingleHashesSql AS shashes FROM documents
+      |        WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+')) >= 3) t),
       |banded AS (
       |  SELECT doc_id, sig, b.band AS band,
       |    array_to_string(sig[b.band*$rows+1 : b.band*$rows+$rows], ',') AS bkey

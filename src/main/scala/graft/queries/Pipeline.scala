@@ -47,8 +47,9 @@ object Pipeline {
   private val q55Sql = {
     val toks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
     s"""WITH RECURSIVE ${Dedup.pairsCteSql},
-      |undirected(a, b) AS (
-      |  SELECT doc_a, doc_b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+      |pairs_m AS MATERIALIZED (SELECT doc_a, doc_b FROM pairs),
+      |undirected(a, b) AS MATERIALIZED (
+      |  SELECT doc_a, doc_b FROM pairs_m UNION SELECT doc_b, doc_a FROM pairs_m),
       |reach(a, b) AS (
       |  SELECT a, b FROM undirected
       |  UNION
@@ -175,14 +176,15 @@ object Pipeline {
 
   private val q100Sql =
     s"""WITH RECURSIVE ${Dedup.pairsCteSql},
-      |undirected(a, b) AS (
-      |  SELECT doc_a, doc_b FROM pairs UNION SELECT doc_b, doc_a FROM pairs
-      |  UNION SELECT doc_a, doc_a FROM pairs UNION SELECT doc_b, doc_b FROM pairs),
+      |pairs_m AS MATERIALIZED (SELECT doc_a, doc_b FROM pairs),
+      |undirected(a, b) AS MATERIALIZED (
+      |  SELECT doc_a, doc_b FROM pairs_m UNION SELECT doc_b, doc_a FROM pairs_m
+      |  UNION SELECT doc_a, doc_a FROM pairs_m UNION SELECT doc_b, doc_b FROM pairs_m),
       |reach(a, b) AS (
       |  SELECT a, b FROM undirected
       |  UNION
       |  SELECT r.a, u.b FROM reach r JOIN undirected u ON r.b = u.a),
-      |comp AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+      |comp AS MATERIALIZED (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
       |qual AS (SELECT doc_id, source, len(toks) AS n_toks,
       |    CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1) *
       |      (CASE WHEN len(toks) >= 20 AND len(toks) <= 1000 THEN 1.0 ELSE 0.0 END)

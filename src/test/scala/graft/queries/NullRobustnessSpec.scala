@@ -1,0 +1,102 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Degenerate-input hardening for the fixture-testable operator cores:
+  * a production corpus ALWAYS contains rows the testdata doesn't —
+  * NULL text, empty text, single-char docs, all-punctuation docs. The
+  * library contract pinned here: no core throws (ANSI mode makes
+  * silent-throw the default failure), NULL/empty documents simply
+  * contribute nothing to token-derived frames, and corpus-level
+  * reports still produce exact rows for the well-formed remainder.
+  */
+class NullRobustnessSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  private def degenerate() = Seq(
+    (1L, "a normal english document with words", "en", "web", 37L),
+    (2L, null.asInstanceOf[String], "en", "web", 0L),
+    (3L, "", "en", "cc", 0L),
+    (4L, "x", "en", "cc", 1L),
+    (5L, "!!! ??? ...", "en", "books", 11L),
+    (6L, "another normal document of words", "en", "books", 32L))
+    .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("token extraction: NULL and token-free docs contribute nothing") {
+    val docs = degenerate()
+    val toks = docs.select(col("doc_id"),
+      explode(graft.functions.TextFns.tokens(col("text"))).as("t"))
+    val perDoc = toks.groupBy(col("doc_id")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!perDoc.contains(2L) && !perDoc.contains(3L) && !perDoc.contains(5L),
+      s"NULL/empty/punctuation docs leaked tokens: $perDoc")
+    assert(perDoc(1L) == 6L && perDoc(4L) == 1L && perDoc(6L) == 5L)
+  }
+
+  test("dedup signatures: shingle-ineligible docs are gated out entirely") {
+    val sigs = Dedup.bandedSignatures(degenerate())
+    val ids = sigs.select(col("doc_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    // NULL text, empty text, <3-token docs produce ZERO shingles —
+    // without the gate they all share the sentinel signature and pair
+    // at est_jaccard 1.0 with no content evidence (and at 100 TB pile
+    // into one quadratic bucket). They are out of scope for
+    // shingle-granularity LSH; exact dedup (q30) owns them.
+    assert(ids == Set(1L, 6L), s"gate leaked: $ids")
+  }
+
+  test("LSH pairs over a degenerate-heavy corpus: no sentinel-signature pairs") {
+    // four degenerate docs + two normal UNRELATED docs -> zero pairs;
+    // before the gate the degenerate docs paired mutually at 1.0
+    val pairs = Dedup.candidatePairsFrom(degenerate()).collect()
+    assert(pairs.isEmpty, s"phantom pairs: ${pairs.mkString(",")}")
+  }
+
+  test("fluency scoring: trains and scores on the well-formed subset only") {
+    val scored = Fluency.scoredOf(degenerate())
+      .collect().map(r => r.getLong(0)).toSet
+    assert(scored.contains(1L) && scored.contains(6L))
+    assert(!scored.contains(2L) && !scored.contains(3L))
+  }
+
+  test("mixture learning survives domains made entirely of degenerate docs") {
+    // 'web' has one real doc + the NULL doc; 'cc' is empty+single-char
+    // only; 'books' has punctuation + one real doc — the aggregate must
+    // produce a row per domain that has ANY scorable doc and never
+    // throw on the ones that don't
+    val mix = Mixture.mixtureOf(degenerate())
+      .collect().map(r => r.getString(0)).toSet
+    assert(mix.subsetOf(Set("web", "cc", "books")), s"unexpected domains: $mix")
+    assert(mix.contains("web") && mix.contains("books"))
+  }
+
+  test("BPE training and apply survive a corpus with degenerate rows") {
+    val wc = degenerate()
+      .select(explode(graft.functions.TextFns.tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val (learned, vocab) = TextAnalysis.bpeTrain(wc.localCheckpoint(), 2)
+    assert(learned.size == 2)
+    val applied = TextAnalysis.bpeApply(wc.select(col("w")),
+      learned.map { case (_, l, r, _) => (l, r) })
+    assert(applied.count() == vocab.count())
+  }
+
+  test("streaming encode: NULL text yields an empty, hash-zero row, no throw") {
+    val train = Seq((1L, "alpha beta alpha beta")).toDF("doc_id", "text")
+    val (merges, symIds) = TextAnalysis.tokenizerArtifact(train, rounds = 2)
+    val got = TextAnalysis.encodeStream(
+      Seq((7L, null.asInstanceOf[String]), (8L, ""), (9L, "alpha"))
+        .toDF("doc_id", "text"), merges, symIds)
+      .collect().map(r => r.getLong(0) ->
+        (r.isNullAt(1), if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(4)) -1L else r.getLong(4))).toMap
+    // NULL text: regexp over NULL is NULL -> the row survives with NULL
+    // counts (the caller can filter), never an exception
+    assert(got.contains(7L) && got.contains(8L) && got.contains(9L))
+    val (_, t8, h8) = got(8L)
+    assert(t8 == 0L && h8 == 0L, s"empty doc: tokens=$t8 hash=$h8")
+    val (_, t9, h9) = got(9L)
+    assert(t9 > 0L && h9 > 0L)
+  }
+}
