@@ -38,6 +38,22 @@ object TextFns {
   def normalizeSql(col: String): String =
     s"trim(regexp_replace(regexp_replace(lower($col), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
 
+  /** DuckDB fragment: list of `window`-char rolling hashes
+    * ((acc·257 + c) mod 2^31−1) over a string column — the oracle twin
+    * of the codegen RollingHashes expression. The char codes are
+    * extracted ONCE per row (bound through a 1-element list_transform
+    * lambda) and each window reduces an int-list slice; the earlier
+    * per-window `ascii(substr(...))` form re-scanned the string per
+    * window element and was the hot CTE of every winnow/CDC oracle at
+    * the sf1 scale (measured 900 s+ → ~5 s on q128's chain).
+    */
+  def rollingHashesSql(normCol: String, window: Int): String =
+    s"""list_transform([list_transform(range(length($normCol)),
+       |    k -> CAST(ascii(substr($normCol, CAST(k+1 AS INT), 1)) AS BIGINT))],
+       |  codes -> list_transform(range(greatest(len(codes) - ${window - 1}, 0)),
+       |    i -> list_reduce(codes[CAST(i+1 AS INT):CAST(i+$window AS INT)],
+       |      (acc, c) -> (acc * 257 + c) % 2147483647)))[1]""".stripMargin
+
   /** Portable deterministic 60-bit hash: the top 15 hex chars of md5,
     * parsed as an unsigned integer. Identical in Spark
     * (`conv(substr(md5(x),1,15),16,10)`) and DuckDB

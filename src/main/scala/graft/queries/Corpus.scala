@@ -247,10 +247,7 @@ object Corpus {
     val norm = normalizeSql("text")
     s"""WITH n AS (SELECT doc_id, $norm AS norm FROM documents),
       |r AS (SELECT doc_id, CAST(length(norm) AS BIGINT) AS len,
-      |  list_transform(range(greatest(length(norm) - ${CdcWindow - 1}, 0)), i ->
-      |    list_reduce(list_transform(range($CdcWindow),
-      |      j -> CAST(ascii(substr(norm, i + j + 1, 1)) AS BIGINT)),
-      |      (acc, c) -> (acc * 257 + c) % 2147483647)) AS rh
+      |  ${graft.functions.TextFns.rollingHashesSql("norm", CdcWindow)} AS rh
       |  FROM n),
       |c AS (SELECT doc_id, len,
       |    list_filter(range(len(rh)), i -> i > 0 AND rh[i+1] % $CdcDivisor = 0) AS cuts
@@ -515,10 +512,7 @@ object Corpus {
     val norm = normalizeSql("text")
     s"""WITH n AS (SELECT doc_id, source, $norm AS norm FROM documents),
       |r AS (SELECT source, norm, CAST(length(norm) AS BIGINT) AS len,
-      |  list_transform(range(greatest(length(norm) - ${CdcWindow - 1}, 0)), i ->
-      |    list_reduce(list_transform(range($CdcWindow),
-      |      j -> CAST(ascii(substr(norm, i + j + 1, 1)) AS BIGINT)),
-      |      (acc, c) -> (acc * 257 + c) % 2147483647)) AS rh
+      |  ${graft.functions.TextFns.rollingHashesSql("norm", CdcWindow)} AS rh
       |  FROM n),
       |b AS (SELECT source, norm, len,
       |    list_concat(list_concat([CAST(0 AS BIGINT)],

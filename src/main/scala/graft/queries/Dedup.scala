@@ -514,10 +514,7 @@ object Dedup {
     val norm = normalizeSql("text")
     s"""wn AS (SELECT doc_id, $norm AS norm FROM documents),
       |wrh AS (SELECT doc_id,
-      |  list_transform(range(greatest(length(norm) - ${SubstrWindow - 1}, 0)), i ->
-      |    list_reduce(list_transform(range($SubstrWindow),
-      |      j -> CAST(ascii(substr(norm, i + j + 1, 1)) AS BIGINT)),
-      |      (acc, c) -> (acc * 257 + c) % 2147483647)) AS rh
+      |  ${graft.functions.TextFns.rollingHashesSql("norm", SubstrWindow)} AS rh
       |  FROM wn),
       |wfp AS (SELECT DISTINCT doc_id, h
       |  FROM (SELECT doc_id, unnest(rh) AS h FROM wrh)

@@ -170,10 +170,7 @@ object TextAnalysis {
       |  list_max(rh) AS max_fp, len(list_distinct(rh)) AS distinct_fps
       |FROM (
       |  SELECT doc_id,
-      |    list_transform(range(greatest(length(norm) - 15, 0)), i ->
-      |      list_reduce(list_transform(range(16),
-      |        j -> CAST(ascii(substr(norm, i + j + 1, 1)) AS BIGINT)),
-      |        (acc, c) -> (acc * 257 + c) % 2147483647)) AS rh
+      |    ${graft.functions.TextFns.rollingHashesSql("norm", 16)} AS rh
       |  FROM (SELECT doc_id, $norm AS norm FROM documents) t1) t2
       |ORDER BY doc_id""".stripMargin
   }
