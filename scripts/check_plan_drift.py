@@ -10,8 +10,10 @@ Workflow (the round-N sf1 protocol):
       -> prints NEW/CHANGED/REMOVED queries + a comma list for Verify
     sbt "runMain graft.Verify /tmp/sf1 /tmp/verify_sf1 <comma-list>"
     python3 scripts/check_oracle_timeout.py /tmp/sf1 /tmp/verify_sf1 900
-    python3 scripts/check_plan_drift.py PLAN_FPS.tsv /tmp/plan_fps.tsv --update
-      -> after the sf1 sweep is green, promote the fresh file to baseline
+    python3 scripts/check_plan_drift.py PLAN_FPS.tsv /tmp/plan_fps.tsv --update --force
+      -> ONLY after the sf1 sweep is green: promote the fresh file to
+         baseline. --update alone refuses while drift is present, so a
+         premature promote can't launder unverified plan changes.
 
 Exit status: 0 if no drift, 1 if any query is new/changed/removed (so a
 round script can gate on it), 2 on usage errors.
@@ -63,6 +65,14 @@ def main():
     else:
         print("== no plan drift: registry-wide sf1 holds by composition ==")
     if update:
+        # Promoting a baseline that still shows drift would launder
+        # unverified plan changes: --update is only legal once the sf1
+        # re-verify of the changed set is green, which a caller asserts
+        # with --force.
+        if (need or removed) and "--force" not in sys.argv:
+            print("[update] REFUSED: drift present — run the sf1 re-verify "
+                  "of the changed set first, then pass --force to promote")
+            sys.exit(1)
         with open(base_path, "w") as f:
             for n in sorted(cur):
                 f.write(f"{n}\t{cur[n]}\n")

@@ -167,13 +167,26 @@ object Bench {
     // divides raw per-query times by it before calling anything a
     // regression. Read from the PRIOR bench_last.json before this run
     // overwrites it; null when no prior artifact exists.
-    val hostFactor: Option[Double] = try {
+    // The artifact is SELF-DESCRIBING (r15 verdict): it carries both
+    // denominators it normalizes against — host_anchor_words_per_s
+    // (the prior-round anchor host_factor divides by, so the ratio is
+    // reproducible from the artifact alone) and the fixed quiet-box
+    // calibration with its own factor (host_factor_vs_quiet), the
+    // round-independent convention BASELINE.md normalizes with.
+    val priorAnchor: Option[Long] = try {
       val prior = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("bench_last.json")), "UTF-8")
-      val m = """"wordcount_words_per_s":(\d+)""".r.findFirstMatchIn(prior)
-      m.map(g => wordsPerS / g.group(1).toDouble)
+      """"wordcount_words_per_s":(\d+)""".r.findFirstMatchIn(prior)
+        .map(_.group(1).toLong)
     } catch { case _: Throwable => None }
+    val hostFactor = priorAnchor.map(a => wordsPerS / a.toDouble)
     val hostFactorJson = hostFactor.map(v => f"$v%.3f").getOrElse("null")
+    val priorAnchorJson = priorAnchor.map(_.toString).getOrElse("null")
+    // The quiet-box calibration anchor: 2,491,654 words/s, measured on
+    // an idle container (BASELINE.md round-14 quiet calibration). Fixed
+    // by convention; re-baseline only with a new quiet measurement.
+    val QuietAnchorWordsPerS = 2491654L
+    val vsQuiet = wordsPerS / QuietAnchorWordsPerS.toDouble
 
     // Dispersion diagnostics go to stderr: the stdout metric line must
     // stay one short parseable JSON line (adding the spread map inlined
@@ -233,8 +246,8 @@ object Bench {
       s"duplicate short query ids in isolated_s: ${isoShort.map(_._1).mkString(",")}")
     val isoShortJson = isoShort.map { case (k, v) =>
       "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"wordcount_words_per_s":$wordsPerS%.0f,"host_factor":$hostFactorJson,"isolated_s":$isoShortJson,"sf":"$sfDir"}"""
-    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"wordcount_words_per_s":$wordsPerS%.0f,"host_factor":$hostFactorJson,"isolated_s":$isoJson,"queries":$qsFull,"spreads":$sp,"shuffle_mb":$shuffleMb,"spill_mb":$spillMb,"sf":"$sfDir"}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"wordcount_words_per_s":$wordsPerS%.0f,"host_factor":$hostFactorJson,"host_anchor_words_per_s":$priorAnchorJson,"quiet_anchor_words_per_s":$QuietAnchorWordsPerS,"host_factor_vs_quiet":$vsQuiet%.3f,"isolated_s":$isoShortJson,"sf":"$sfDir"}"""
+    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"wordcount_words_per_s":$wordsPerS%.0f,"host_factor":$hostFactorJson,"host_anchor_words_per_s":$priorAnchorJson,"quiet_anchor_words_per_s":$QuietAnchorWordsPerS,"host_factor_vs_quiet":$vsQuiet%.3f,"isolated_s":$isoJson,"queries":$qsFull,"spreads":$sp,"shuffle_mb":$shuffleMb,"spill_mb":$spillMb,"sf":"$sfDir"}"""
     // Subset sweeps (SPARK_GRAFT_ONLY) must not clobber the committed
     // full-registry artifact — they write a sibling file instead.
     val artifact = if (only.isEmpty) "bench_last.json" else "bench_subset_last.json"

@@ -43,6 +43,11 @@ object Explain {
     val sfDir = positional.headOption.getOrElse("/root/testdata/sf0.01")
     val audit = args.contains("--audit")
     val fpOut = if (args.contains("--fingerprint")) positional.lift(1) else None
+    if (args.contains("--fingerprint") && fpOut.isEmpty) {
+      System.err.println(
+        "usage: graft.Explain <sfDir> --fingerprint <outFile>  (missing output file)")
+      sys.exit(2)
+    }
     // --audit alone audits the whole registry; --audit plus a name list
     // audits the subset (the cross-SF plan-diff workflow)
     val names =

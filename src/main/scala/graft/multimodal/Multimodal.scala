@@ -362,8 +362,15 @@ object Multimodal {
   // the text head — the seam where a model swaps in). Pair score is
   // EXACT integer cosine² in 2^20 fixed point (dot²·S div (‖a‖²·‖b‖²),
   // DECIMAL(38,0)-staged); with exact stub encoders a matched pair
-  // scores exactly S and ANY re-pairing of differing content scores
-  // lower, so the gate is cos2 < S. The audited manifest carries a
+  // scores exactly S with EQUAL squared norms, so the gate is
+  // cos2 < S OR na <> nb. The two terms split the failure modes:
+  // non-parallel content breaks the cosine; parallel-but-proportional
+  // content ("alpha" vs "alpha alpha") scores exactly S and only the
+  // norm term catches it (n_norm_flagged counts those). The one swap
+  // no content-based check can see — CLIP-gate included — is genuinely
+  // identical content under two ids: equal vectors on both sides are
+  // indistinguishable by construction (pinned in PairIntegritySpec).
+  // The audited manifest carries a
   // deterministic ingest corruption (docs with doc_id % 23 == 3 claim
   // media doc_id XOR 1 — the adjacent-shard off-by-one) so the audit
   // measures real mismatches, not a vacuous all-green table.
@@ -434,10 +441,15 @@ object Multimodal {
         s"""CASE WHEN na = 0 OR nb = 0 THEN 0L
            |  ELSE CAST(CAST(dot AS DECIMAL(38,0)) * dot * $PairFpScale
            |    div (CAST(na AS DECIMAL(38,0)) * nb) AS BIGINT) END"""
-          .stripMargin.replace("\n", " ")).as("cos2"))
+          .stripMargin.replace("\n", " ")).as("cos2"),
+        (col("na") =!= col("nb")).as("norm_mismatch"))
       .groupBy(col("kind"))
       .agg(count(lit(1)).as("n_pairs"),
-        sum(when(col("cos2") < PairFpScale, 1L).otherwise(0L)).as("n_flagged"),
+        sum(when(col("cos2") < PairFpScale || col("norm_mismatch"), 1L)
+          .otherwise(0L)).as("n_flagged"),
+        // the proportional-content catches only the norm term sees
+        sum(when(col("cos2") >= PairFpScale && col("norm_mismatch"), 1L)
+          .otherwise(0L)).as("n_norm_flagged"),
         min(col("cos2")).as("min_cos2_fp"),
         expr(s"sum(cos2) div count(1)").as("avg_cos2_fp"))
       .orderBy(col("kind"))
@@ -498,11 +510,14 @@ object Multimodal {
       |  SELECT kind,
       |    CASE WHEN na = 0 OR nb = 0 THEN 0
       |      ELSE CAST(CAST(dot AS HUGEINT) * dot * $PairFpScale
-      |        // (CAST(na AS HUGEINT) * nb) AS BIGINT) END AS cos2
+      |        // (CAST(na AS HUGEINT) * nb) AS BIGINT) END AS cos2,
+      |    na <> nb AS norm_mismatch
       |  FROM j)
       |SELECT kind, CAST(count(*) AS BIGINT) AS n_pairs,
-      |  CAST(sum(CASE WHEN cos2 < $PairFpScale THEN 1 ELSE 0 END) AS BIGINT)
-      |    AS n_flagged,
+      |  CAST(sum(CASE WHEN cos2 < $PairFpScale OR norm_mismatch
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+      |  CAST(sum(CASE WHEN cos2 >= $PairFpScale AND norm_mismatch
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_norm_flagged,
       |  CAST(min(cos2) AS BIGINT) AS min_cos2_fp,
       |  CAST(sum(cos2) // count(*) AS BIGINT) AS avg_cos2_fp
       |FROM c

@@ -1288,8 +1288,9 @@ object TextAnalysis {
     * (right at 100 TB, where word frequency is heavy-tailed); a
     * stateless stream has no distinct-word frame, so each arrival
     * re-encodes its own words inline — the standard serving tradeoff.
-    * EncodeStreamSpec pins the stream rows bit-equal to batch q283's
-    * per-doc digests over the same corpus + artifact.
+    * Token-free/NULL-text arrivals are filtered (batch emits no row for
+    * them), so EncodeStreamSpec's bit-equality to batch q283's per-doc
+    * digests holds unconditionally, not just on token-bearing corpora.
     */
   def encodeStream(stream: DataFrame, merges: Seq[(String, String)],
       symbolIds: Map[String, Long]): DataFrame = {
@@ -1300,6 +1301,10 @@ object TextAnalysis {
       .flatMap { case (s, i) => Seq(s"'${s}'", s"${i}L") }
       .mkString("map(", ", ", ")")
     stream
+      // batch q283 has no row for a token-free/NULL-text document (the
+      // word join drops it); filter the same docs here so stream/batch
+      // parity is unconditional, not corpus-dependent
+      .where(expr(s"size($tokensSql) >= 1"))
       .withColumn("ids", expr(
         s"""flatten(transform(${tokensSql}, w ->
            |  transform(split($enc, ' '), s ->

@@ -5,9 +5,11 @@ import graft.SparkSpec
 /** Pins the q284 cross-modal pair-integrity audit on planted swaps: a
   * manifest that re-pairs two docs with differing content must flag
   * exactly those two claims (under the kinds of the CLAIMED media),
-  * matched pairs must score exactly PairFpScale, and a swap between
-  * IDENTICAL texts must NOT flag — the honest limitation shared with a
-  * real CLIP gate (equal embeddings are indistinguishable).
+  * matched pairs must score exactly PairFpScale with equal norms,
+  * PROPORTIONAL content (parallel vectors, cos2 = S) must flag via the
+  * norm term, and a swap between IDENTICAL texts must NOT flag — the
+  * one inherent limitation of any content-based gate, CLIP included
+  * (equal embeddings on both sides are indistinguishable).
   */
 class PairIntegritySpec extends SparkSpec {
   import spark.implicits._
@@ -22,8 +24,8 @@ class PairIntegritySpec extends SparkSpec {
     (4L, "nu xi omicron pi"),
     (5L, "same words here exactly")) // identical to doc 2
 
-  private def fixture() = {
-    val docs = texts.toDF("doc_id", "text")
+  private def towers(rows: Seq[(Long, String)]) = {
+    val docs = rows.toDF("doc_id", "text")
     val media = docs.as[(Long, String)].map { case (id, t) =>
       val kind = (id % 3) match {
         case 0 => "image"; case 1 => "audio"; case _ => "video"
@@ -33,20 +35,25 @@ class PairIntegritySpec extends SparkSpec {
     (Multimodal.textVecsOf(docs), Multimodal.captionVecsOf(media))
   }
 
+  private def fixture() = towers(texts)
+
+  /** kind -> (n_pairs, n_flagged, n_norm_flagged, min_cos2_fp) */
   private def audit(tv: org.apache.spark.sql.DataFrame,
       mv: org.apache.spark.sql.DataFrame, pairs: Seq[(Long, Long)]) =
     Multimodal.pairIntegrityOf(tv, mv, pairs.toDF("doc_id", "media_id"))
       .collect()
-      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
       .toMap
 
   test("matched manifest: zero flags, every kind at exactly PairFpScale") {
     val (tv, mv) = fixture()
     val got = audit(tv, mv, (0L to 5L).map(i => (i, i)))
     assert(got.keySet == Set("image", "audio", "video"))
-    for ((k, (n, flagged, minc)) <- got) {
+    for ((k, (n, flagged, normFlagged, minc)) <- got) {
       assert(n == 2L, s"$k n_pairs $n")
       assert(flagged == 0L, s"$k flagged $flagged")
+      assert(normFlagged == 0L, s"$k norm_flagged $normFlagged")
       assert(minc == Multimodal.PairFpScale, s"$k min_cos2 $minc")
     }
   }
@@ -58,20 +65,35 @@ class PairIntegritySpec extends SparkSpec {
     val manifest = Seq((0L, 4L), (4L, 0L)) ++
       Seq(1L, 2L, 3L, 5L).map(i => (i, i))
     val got = audit(tv, mv, manifest)
-    assert(got("audio") == ((2L, 1L, 0L)), s"audio ${got("audio")}")
-    assert(got("image") == ((2L, 1L, 0L)), s"image ${got("image")}")
+    assert(got("audio") == ((2L, 1L, 0L, 0L)), s"audio ${got("audio")}")
+    assert(got("image") == ((2L, 1L, 0L, 0L)), s"image ${got("image")}")
     assert(got("video") ==
-      ((2L, 0L, Multimodal.PairFpScale)), s"video ${got("video")}")
+      ((2L, 0L, 0L, Multimodal.PairFpScale)), s"video ${got("video")}")
   }
 
-  test("swap between identical texts is invisible — the CLIP limitation") {
+  test("proportional content scores cos2 = S but the norm term flags it") {
+    // 'dup dup' vs 'dup': one shared hash bucket, so the count vectors
+    // are PARALLEL — cosine² is exactly S and the cosine gate alone is
+    // blind. Squared norms differ (4 vs 1), so the norm term catches
+    // the adversarially-duplicated claim, counted in n_norm_flagged.
+    val (tv, mv) = towers(Seq((0L, "dup dup"), (3L, "dup")))  // both image
+    val got = audit(tv, mv, Seq((0L, 3L), (3L, 0L)))
+    assert(got("image") == ((2L, 2L, 2L, Multimodal.PairFpScale)),
+      s"image ${got("image")}")
+  }
+
+  test("swap between identical texts is invisible — inherent to any " +
+      "content-based gate") {
     val (tv, mv) = fixture()
-    // docs 2 and 5 share the text; both are 'video' media
+    // docs 2 and 5 share the text; both are 'video' media. Equal texts
+    // give equal vectors — equal norms AND cos2 = S — so no signal
+    // derived from content alone can separate this manifest from the
+    // matched one. Named outcome: passes unflagged, by construction.
     val manifest = Seq((2L, 5L), (5L, 2L)) ++
       Seq(0L, 1L, 3L, 4L).map(i => (i, i))
     val got = audit(tv, mv, manifest)
     assert(got("video") ==
-      ((2L, 0L, Multimodal.PairFpScale)), s"video ${got("video")}")
+      ((2L, 0L, 0L, Multimodal.PairFpScale)), s"video ${got("video")}")
   }
 
   test("q284 on testdata flags exactly the planted manifest corruption") {
