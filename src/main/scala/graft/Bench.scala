@@ -128,13 +128,16 @@ object Bench {
     // Per-query dispersion (max/min across the interleaved samples):
     // the artifact itself shows which numbers are host noise — a query
     // whose spread is 3x did not get slower, its box did.
+    // SPARK_GRAFT_ONLY="" (empty) runs ZERO queries — the cheap
+    // box-speed probe: warmup + wordcount anchor only, ~2 min, used to
+    // decide whether a 30-min full sweep would land on a quiet box.
     val spreads = samples.map { case (n, ss) => n -> ss.max / math.max(ss.min, 1e-9) }
     val qsFull = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val sp = spreads.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val maxSpread = spreads.map(_._2).max
+    val maxSpread = spreads.map(_._2).maxOption.getOrElse(1.0)
 
     // Reference-parity word count as a machine-readable named metric:
     // the reference's only benchmark (bench/wordcount_test.go:12-49) is

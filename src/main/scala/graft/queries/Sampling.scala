@@ -99,7 +99,7 @@ object Sampling {
   // its own stream). Integer `div`/`%` throughout — exact at any
   // cumulative-sum magnitude, where double division would round past
   // 2^53 tokens.
-  private val PackBudget = 2048
+  private[queries] val PackBudget = 2048
   private val PackShards = 16
 
   private def q80(s: SparkSession, d: String): DataFrame = {
@@ -348,7 +348,7 @@ object Sampling {
     * repeats the marginal value of repeated data decays — the
     * data-constrained-scaling rule of thumb).
     */
-  private val RepCapBp = 40000L
+  private[queries] val RepCapBp = 40000L
 
   // q105 — deterministic repetition schedule (data-constrained
   // scaling): small sources are repeated to rebalance the mix, with a

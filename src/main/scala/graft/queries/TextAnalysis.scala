@@ -1088,12 +1088,134 @@ object TextAnalysis {
     * state when given training's merges.
     */
   private[graft] def bpeApply(words: DataFrame,
+      merges: Seq[(String, String)]): DataFrame =
+    if (merges.size <= ExprFoldMaxMerges) bpeApplyExpr(words, merges)
+    else bpeApplyTable(words, merges)
+
+  /** The expression-fold apply: one composed Catalyst projection, fully
+    * codegen'd — the fastest path at training-scale merge counts, but
+    * the expression tree grows one nested fold per merge, so it cannot
+    * plan/compile at production merge counts (see [[bpeApplyTable]]).
+    */
+  private[graft] def bpeApplyExpr(words: DataFrame,
       merges: Seq[(String, String)]): DataFrame = {
     val init = words.withColumn("syms",
       concat(regexp_replace(col("w"), "(.)", "$1 "), lit("</w>")))
     merges.foldLeft(init) { case (df, (l, r)) =>
       df.withColumn("syms", expr(mergeFoldSql(l, r)))
     }
+  }
+
+  /** Merge-count ceiling for the expression-fold apply. Above it,
+    * [[bpeApply]] switches to the data-driven [[bpeApplyTable]]: the
+    * fold composes one nested `aggregate` per merge, and past a few
+    * dozen ranks analysis/codegen time grows superlinearly in tree
+    * depth (measured in BASELINE.md round 16) long before Janino's
+    * 64 KB method limit formally breaks it.
+    */
+  private[graft] val ExprFoldMaxMerges = 16
+
+  /** JVM single-word Sennrich APPLY under a rank map — the data-driven
+    * twin of [[mergeFoldSql]]'s fold, used when the merge table is too
+    * large to compose as an expression. Semantics: identical to looping
+    * EVERY merge in rank order with one greedy leftmost
+    * non-overlapping pass each (BpeApplySpec's sequential reference).
+    * Each iteration finds the smallest PRESENT rank strictly above the
+    * last applied one and runs that single pass; skipped ranks are
+    * exactly the no-op passes of the full loop, and a pair created by
+    * a merge only ever fires if its rank lies ahead of the loop
+    * cursor. Cost: O(|word| · merges-applied) with O(1) rank lookups —
+    * independent of |merges|, so an 8k-64k production table costs the
+    * same as a toy one.
+    */
+  private[graft] def encodeWordSyms(word: String,
+      ranks: java.util.HashMap[String, Array[Int]],
+      pairs: Array[(String, String)]): Array[String] = {
+    var syms = new scala.collection.mutable.ArrayBuffer[String](word.length + 1)
+    var c = 0
+    while (c < word.length) { syms += word.charAt(c).toString; c += 1 }
+    syms += "</w>"
+    var last = -1
+    var done = false
+    while (!done) {
+      var best = Int.MaxValue
+      var i = 0
+      while (i < syms.length - 1) {
+        // a pair may occur at SEVERAL ranks (duplicate merges — legal,
+        // and a later duplicate fires on adjacencies an intermediate
+        // merge created); rs is ascending, take its first rank > last
+        val rs = ranks.get(syms(i) + " " + syms(i + 1))
+        if (rs != null) {
+          var p = 0
+          while (p < rs.length && rs(p) <= last) p += 1
+          if (p < rs.length && rs(p) < best) best = rs(p)
+        }
+        i += 1
+      }
+      if (best == Int.MaxValue) done = true
+      else {
+        val (l, rr) = pairs(best)
+        val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+        var j = 0
+        while (j < syms.length) {
+          if (j + 1 < syms.length && syms(j) == l && syms(j + 1) == rr) {
+            out += l + rr; j += 2
+          } else { out += syms(j); j += 1 }
+        }
+        syms = out
+        last = best
+      }
+    }
+    syms.toArray
+  }
+
+  /** Data-driven APPLY — same contract as [[bpeApplyExpr]] (column `w`
+    * in, `syms` appended, other columns ride through) but the merge
+    * table ships as DATA: one broadcast rank array consumed by a typed
+    * mapPartitions encoder, so plan size and codegen are independent
+    * of |merges| and a production merges.txt (8k-64k ranks) runs where
+    * the composed expression tree cannot plan, codegen, or compile.
+    * Still one vocab-sized projection — no shuffle, no
+    * materialization — so the 100 TB encode cost remains the
+    * word-frequency frame. Pinned equal to [[bpeApplyExpr]] and to the
+    * sequential Sennrich loop in BpeApplySpec; 256-merge scale case in
+    * BpeScaleSpec.
+    */
+  /** pair "l r" -> ascending ranks of its occurrences in the table
+    * (space-safe: symbols are [a-z0-9]+ fragments or `</w>`, never
+    * containing a space). Built once per partition from the broadcast
+    * array — O(|merges|), cheaper than shipping a serialized map.
+    */
+  private[graft] def bpeRankMap(pairs: Array[(String, String)])
+      : java.util.HashMap[String, Array[Int]] = {
+    val m = new java.util.HashMap[String, scala.collection.mutable.ArrayBuffer[Int]]()
+    var k = 0
+    while (k < pairs.length) {
+      m.computeIfAbsent(pairs(k)._1 + " " + pairs(k)._2,
+        _ => new scala.collection.mutable.ArrayBuffer[Int](1)) += k
+      k += 1
+    }
+    val out = new java.util.HashMap[String, Array[Int]](m.size * 2)
+    m.forEach((key, v) => out.put(key, v.toArray))
+    out
+  }
+
+  private[graft] def bpeApplyTable(words: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    val sess = words.sparkSession
+    val bc = sess.sparkContext.broadcast(merges.toArray)
+    val schema = org.apache.spark.sql.types.StructType(
+      words.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "syms", org.apache.spark.sql.types.StringType, nullable = true))
+    val wIdx = words.schema.fieldIndex("w")
+    words.mapPartitions { it =>
+      val pairs = bc.value
+      val ranks = bpeRankMap(pairs)
+      it.map { row =>
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+
+          encodeWordSyms(row.getString(wIdx), ranks, pairs).mkString(" "))
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
   }
 
   /** Core: learned-merge table alone (q257's surface). */
@@ -1227,7 +1349,14 @@ object TextAnalysis {
   // then one doc_id-keyed aggregate assembles sequences. The symbol
   // table broadcasts (≤ |alphabet| + rounds rows). Docs with zero
   // [a-z0-9] tokens have no sequence and are absent in both engines.
-  private def q283(s: SparkSession, d: String): DataFrame = {
+  private def q283(s: SparkSession, d: String): DataFrame =
+    bpeDocStats(s, d).orderBy(col("doc_id"))
+
+  /** q283's core, unordered: per-doc BPE token stats + the ordered
+    * token-id sequence digest. Shared by q283 and the q285 pack/loader
+    * capstone (which re-keys it by source and never needs the order).
+    */
+  private[queries] def bpeDocStats(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
     // corpus scan #1: word frequencies; pinned — feeds training (which
     // re-checkpoints its own state) and the decoupled apply pass
@@ -1269,7 +1398,6 @@ object TextAnalysis {
         expr("""aggregate(ids, 0L,
                |  (acc, t) -> (acc * 8191L + t) % 2147483647L)"""
           .stripMargin.replace("\n", " ")).as("token_seq_hash"))
-      .orderBy(col("doc_id"))
   }
 
   /** Streaming form of the q283 encode — the production INFERENCE path:
@@ -1294,6 +1422,8 @@ object TextAnalysis {
     */
   def encodeStream(stream: DataFrame, merges: Seq[(String, String)],
       symbolIds: Map[String, Long]): DataFrame = {
+    if (merges.size > ExprFoldMaxMerges)
+      return encodeStreamScalable(stream, merges, symbolIds)
     val enc = merges.foldLeft("concat(regexp_replace(w, '(.)', '$1 '), '</w>')") {
       case (inner, (l, r)) => mergeFoldSqlOn(inner, l, r)
     }
@@ -1316,6 +1446,55 @@ object TextAnalysis {
         size(array_distinct(col("ids"))).cast("long").as("n_unique_tokens"),
         expr("aggregate(ids, 0L, (acc, t) -> (acc * 8191L + t) % 2147483647L)")
           .as("token_seq_hash"))
+  }
+
+  /** Production-vocab form of [[encodeStream]]: the same per-arrival
+    * stateless encode, but the frozen artifact ships as a broadcast
+    * merge array + symbol map consumed by a typed mapPartitions
+    * encoder ([[encodeWordSyms]]) — plan size independent of |merges|,
+    * so an 8k-64k merges.txt serves where the literal-map expression
+    * cannot even parse. Same row contract: token-free/NULL-text
+    * arrivals emit nothing, unknown symbols map to UNK id 0. Pinned
+    * bit-equal to the expression path at training scale
+    * (EncodeStreamSpec) and exercised at 256 merges (BpeScaleSpec).
+    * Tokenization uses Locale.ROOT lowercasing — equal to Spark's
+    * `lower` on the ASCII range the token pattern keeps.
+    */
+  private[graft] def encodeStreamScalable(stream: DataFrame,
+      merges: Seq[(String, String)], symbolIds: Map[String, Long]): DataFrame = {
+    val sess = stream.sparkSession
+    import sess.implicits._
+    val bc = sess.sparkContext.broadcast((merges.toArray, symbolIds))
+    stream.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val (pairs, symIds) = bc.value
+        val ranks = bpeRankMap(pairs)
+        val re = java.util.regex.Pattern
+          .compile(graft.functions.TextFns.TokenPattern)
+        it.flatMap { case (docId, text) =>
+          val words = scala.collection.mutable.ArrayBuffer[String]()
+          if (text != null) {
+            val m = re.matcher(text.toLowerCase(java.util.Locale.ROOT))
+            while (m.find()) words += m.group()
+          }
+          if (words.isEmpty) None
+          else {
+            var nTok = 0L
+            var h = 0L
+            val uniq = new java.util.HashSet[Long]()
+            words.foreach { w =>
+              encodeWordSyms(w, ranks, pairs).foreach { s =>
+                val id = symIds.getOrElse(s, 0L)
+                nTok += 1
+                uniq.add(id)
+                h = (h * 8191L + id) % 2147483647L
+              }
+            }
+            Some((docId, words.length.toLong, nTok, uniq.size.toLong, h))
+          }
+        }
+      }.toDF("doc_id", "n_words", "n_tokens", "n_unique_tokens",
+        "token_seq_hash")
   }
 
   /** The token expression over a `text` column, as SQL text (the
@@ -1375,6 +1554,126 @@ object TextAnalysis {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  // q285 — tokenize-and-pack CAPSTONE: the final training-batch
+  // manifest, composed end to end from REAL token ids — q283's per-doc
+  // BPE sequences (counts + order digest), the q105/q110 repetition
+  // schedule re-weighted by BPE token mass (the unit a training mix is
+  // actually specified in; q110 used the regex proxy), the q110
+  // loader-shuffle rank within each source, and q80's concat-then-chunk
+  // packing over that loader order. One row per materialized copy in
+  // loader order: which fixed-budget training sequence it lands in
+  // (seq_no), where in that sequence it starts (seq_offset), and the
+  // content digest that ties the slot back to the exact token ids —
+  // the artifact this whole pipeline exists to ship to a trainer.
+  //
+  // Scale shape: the doc-stats frame (one BPE encode, pinned — two
+  // consumers over an expensive upstream) feeds a |sources|-row
+  // broadcast factor table; the copy explode is ≤ RepCap× doc rows;
+  // the loader rank is rankDistributed (carry machinery, no global
+  // sort); the pack running sum is windowed PER SOURCE — every stage
+  // partitioned, nothing corpus-scale on one task, same as its parts.
+  private def q285(s: SparkSession, d: String): DataFrame = {
+    val dd = bpeDocStats(s, d)
+      .select(col("doc_id"), col("n_tokens"), col("token_seq_hash"))
+      .join(documents(s, d).select(col("doc_id"), col("source")), "doc_id")
+      .localCheckpoint() // 2 consumers over the full BPE encode
+    val counts = dd.groupBy(col("source")).agg(sum(col("n_tokens")).as("t_src"))
+    val mx = counts.agg(max(col("t_src")).as("t_max"))
+    // t_src >= 1 by construction (only token-bearing docs reach dd),
+    // so the div is safe under ANSI
+    val factors = counts.crossJoin(broadcast(mx))
+      .withColumn("factor_bp",
+        least(lit(Sampling.RepCapBp), expr("(10000 * t_max) div t_src")))
+      .select(col("source"), col("factor_bp"))
+    val copies = dd.join(broadcast(factors), Seq("source"))
+      .withColumn("u",
+        hash60(concat(lit("rep"), col("doc_id").cast("string"))) % 10000)
+      .withColumn("copies", expr("factor_bp div 10000") +
+        when(col("u") < col("factor_bp") % 10000, 1L).otherwise(0L))
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+        col("token_seq_hash"),
+        explode(sequence(lit(0L), col("copies") - 1)).as("rep_idx"))
+      .withColumn("draw", hash60(concat(lit("lo"), col("doc_id").cast("string"),
+        lit("_"), col("rep_idx").cast("string"))))
+    val ranked = Sampling.rankDistributed(copies, Seq("source"),
+        Seq(col("draw"), col("doc_id"), col("rep_idx")))
+      .withColumnRenamed("rk", "k")
+    val w = Window.partitionBy(col("source")).orderBy(col("k"))
+    ranked.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .select(col("source"), col("k"), col("doc_id"), col("rep_idx"),
+        col("n_tokens"), col("cum_tokens"),
+        expr(s"(cum_tokens - n_tokens) div ${Sampling.PackBudget}").as("seq_no"),
+        expr(s"(cum_tokens - n_tokens) % ${Sampling.PackBudget}").as("seq_offset"),
+        col("token_seq_hash"))
+      .orderBy(col("source"), col("k"))
+  }
+
+  private lazy val q285Sql =
+    s"""WITH $bpeWordChainSql,
+      |enc AS MATERIALIZED (
+      |  SELECT w, string_split(syms, ' ') AS sa FROM w$BpeRounds),
+      |symtab AS MATERIALIZED (
+      |  SELECT sym, CAST(row_number() OVER (ORDER BY sym) AS BIGINT)
+      |      AS token_id
+      |  FROM (SELECT DISTINCT unnest(sa) AS sym FROM enc)),
+      |dw AS (
+      |  SELECT doc_id, u['wpos'] AS wpos, u['w'] AS w FROM (
+      |    SELECT doc_id, unnest(list_transform(range(len(ws)),
+      |        j -> {'wpos': j, 'w': ws[j+1]})) AS u
+      |    FROM (SELECT doc_id,
+      |            regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+      |          FROM documents))),
+      |dsym AS (
+      |  SELECT doc_id, wpos, v['spos'] AS spos, v['sym'] AS sym FROM (
+      |    SELECT doc_id, wpos, unnest(list_transform(range(len(sa)),
+      |        j -> {'spos': j, 'sym': sa[j+1]})) AS v
+      |    FROM dw JOIN enc USING (w))),
+      |dtok AS (
+      |  SELECT doc_id, wpos, spos, token_id FROM dsym JOIN symtab USING (sym)),
+      |dstats AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |    CAST(list_reduce(
+      |        list_prepend(CAST(0 AS BIGINT), list(token_id ORDER BY wpos, spos)),
+      |        (acc, x) -> (acc * 8191 + x) % 2147483647) AS BIGINT)
+      |      AS token_seq_hash
+      |  FROM dtok GROUP BY doc_id),
+      |d AS MATERIALIZED (
+      |  SELECT doc_id, source, n_tokens, token_seq_hash
+      |  FROM dstats JOIN documents USING (doc_id)),
+      |counts AS MATERIALIZED (
+      |  SELECT source, sum(n_tokens) AS t_src FROM d GROUP BY source),
+      |mx AS (SELECT max(t_src) AS t_max FROM counts),
+      |factors AS (SELECT source,
+      |    least(${Sampling.RepCapBp}, (10000 * t_max) // t_src) AS factor_bp
+      |  FROM counts, mx),
+      |rep AS (SELECT d.*, factor_bp // 10000 +
+      |    CASE WHEN ${hash60Sql("'rep' || CAST(doc_id AS VARCHAR)")} % 10000
+      |      < factor_bp % 10000 THEN 1 ELSE 0 END AS copies
+      |  FROM d JOIN factors USING (source)),
+      |cx AS (SELECT source, doc_id, n_tokens, token_seq_hash,
+      |    unnest(range(CAST(copies AS BIGINT))) AS rep_idx FROM rep),
+      |drawn AS (SELECT *,
+      |    ${hash60Sql("'lo' || CAST(doc_id AS VARCHAR) || '_' || CAST(rep_idx AS VARCHAR)")}
+      |      AS draw
+      |  FROM cx),
+      |r AS (SELECT source, doc_id, n_tokens, token_seq_hash, rep_idx,
+      |    row_number() OVER (PARTITION BY source ORDER BY draw, doc_id, rep_idx)
+      |      AS k
+      |  FROM drawn),
+      |wsum AS (SELECT *,
+      |    sum(n_tokens) OVER (PARTITION BY source ORDER BY k) AS cum_tokens
+      |  FROM r)
+      |SELECT source, CAST(k AS BIGINT) AS k, doc_id,
+      |  CAST(rep_idx AS BIGINT) AS rep_idx, n_tokens,
+      |  CAST(cum_tokens AS BIGINT) AS cum_tokens,
+      |  CAST((cum_tokens - n_tokens) // ${Sampling.PackBudget} AS BIGINT)
+      |    AS seq_no,
+      |  CAST((cum_tokens - n_tokens) % ${Sampling.PackBudget} AS BIGINT)
+      |    AS seq_offset,
+      |  token_seq_hash
+      |FROM wsum
+      |ORDER BY source, k""".stripMargin
+
   private val q257Sql = {
     // every CTE MATERIALIZED (the q236 rule): the p_k scalar subqueries
     // appear several times each and w_k chains on w_{k-1} — inlining
@@ -1433,5 +1732,6 @@ object TextAnalysis {
     Q("q257_bpe_merges", q257, Some(q257Sql)),
     Q("q258_bpe_fertility", q258, Some(q258Sql)),
     Q("q283_bpe_encode", q283, Some(q283Sql)),
+    Q("q285_tokenize_pack", q285, Some(q285Sql)),
   )
 }

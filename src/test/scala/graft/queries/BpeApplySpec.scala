@@ -36,7 +36,12 @@ class BpeApplySpec extends SparkSpec {
 
   private def applyOn(words: Seq[String],
       merges: Seq[(String, String)]): Map[String, String] =
-    TextAnalysis.bpeApply(words.toDF("w"), merges)
+    TextAnalysis.bpeApplyExpr(words.toDF("w"), merges)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+
+  private def applyTableOn(words: Seq[String],
+      merges: Seq[(String, String)]): Map[String, String] =
+    TextAnalysis.bpeApplyTable(words.toDF("w"), merges)
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
 
   test("fixtures: consecutive repeats and chained merges") {
@@ -78,6 +83,53 @@ class BpeApplySpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("property: data-driven table apply equals the sequential loop") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    // same generator as the expression-path property — duplicates in
+    // the merge list are likely at this density, pinning the
+    // fire-at-every-rank duplicate handling of encodeWordSyms
+    val sym = Gen.oneOf("a", "b", "aa", "ab", "ba", "bb", "</w>")
+    val gen = for {
+      nw <- Gen.choose(1, 12)
+      words <- Gen.listOfN(nw,
+        Gen.choose(1, 8).flatMap(n =>
+          Gen.listOfN(n, Gen.oneOf("a", "b")).map(_.mkString)))
+      nm <- Gen.choose(0, 8)
+      merges <- Gen.listOfN(nm, Gen.zip(sym, sym))
+    } yield (words.distinct, merges)
+    val prop = Prop.forAll(gen) { case (words, merges) =>
+      val got = applyTableOn(words, merges)
+      words.forall(w => got(w) == seqApply(w, merges).mkString(" "))
+    }
+    val res = check(Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("table apply: passthrough columns ride through, fixtures agree") {
+    val merges = Seq(("s", "s"), ("ss", "ss"), ("a", "b"), ("ab", "ab"))
+    val words = Seq(("ssss", 7L), ("sssss", 1L), ("abab", 2L), ("a", 3L))
+    val got = TextAnalysis.bpeApplyTable(
+        words.toDF("w", "cnt"), merges)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    for ((w, cnt) <- words)
+      assert(got(w) == ((cnt, seqApply(w, merges).mkString(" "))),
+        s"word '$w': got ${got(w)}")
+  }
+
+  test("bpeApply dispatches to the table path above ExprFoldMaxMerges") {
+    val small = Seq.fill(TextAnalysis.ExprFoldMaxMerges)(("a", "b"))
+    val large = small :+ (("b", "a"))
+    val planSmall = TextAnalysis.bpeApply(Seq("ab").toDF("w"), small)
+      .queryExecution.executedPlan.toString
+    val planLarge = TextAnalysis.bpeApply(Seq("ab").toDF("w"), large)
+      .queryExecution.executedPlan.toString
+    assert(!planSmall.contains("MapPartitions"), "small table must codegen")
+    assert(planLarge.contains("MapPartitions"),
+      "large table must take the data-driven path")
+  }
+
   test("q283 token totals reconcile with q258's fertility accounting") {
     val sf = "/root/testdata/sf0.001"
     import org.apache.spark.sql.functions.sum
@@ -89,6 +141,37 @@ class BpeApplySpec extends SparkSpec {
       s"emitted token total ${enc.getLong(0)} != fertility accounting ${fert.getLong(0)}")
     assert(enc.getLong(1) == fert.getLong(1),
       s"word totals diverge: ${enc.getLong(1)} vs ${fert.getLong(1)}")
+  }
+
+  test("q285 manifest reconciles with q283: per-copy counts, digests, " +
+      "and contiguous per-source packing") {
+    val sf = "/root/testdata/sf0.001"
+    val pack = graft.SparkEntry.queries("q285_tokenize_pack")(spark, sf)
+      .collect()
+    val q283rows = graft.SparkEntry.queries("q283_bpe_encode")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(4))).toMap
+    // every copy carries its doc's exact q283 token count and digest
+    pack.foreach { r =>
+      val (doc, n, h) = (r.getLong(2), r.getLong(4), r.getLong(8))
+      assert(q283rows(doc) == ((n, h)),
+        s"doc $doc: manifest ($n, $h) != q283 ${q283rows(doc)}")
+    }
+    // the rep_idx=0 slice is exactly the q283 corpus (each doc packed
+    // at least once), so first-copy token totals reconcile
+    val firstCopies = pack.filter(_.getLong(3) == 0L)
+    assert(firstCopies.length == q283rows.size)
+    assert(firstCopies.map(_.getLong(4)).sum == q283rows.values.map(_._1).sum)
+    // packing invariant per source: cum is the prefix sum over k, and
+    // (seq_no, seq_offset) is exactly the PackBudget chop of it
+    pack.groupBy(_.getString(0)).foreach { case (src, rows) =>
+      var cum = 0L
+      rows.sortBy(_.getLong(1)).foreach { r =>
+        assert(r.getLong(5) == cum + r.getLong(4), s"$src k=${r.getLong(1)} cum")
+        assert(r.getLong(6) == cum / 2048 && r.getLong(7) == cum % 2048,
+          s"$src k=${r.getLong(1)} chop")
+        cum += r.getLong(4)
+      }
+    }
   }
 
   test("apply under training's merges reproduces training's vocab state") {

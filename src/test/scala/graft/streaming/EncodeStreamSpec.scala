@@ -40,6 +40,30 @@ class EncodeStreamSpec extends SparkSpec {
         s"only-batch=${(batch -- streamed).take(3)}")
   }
 
+  test("scalable mapPartitions path is bit-equal to the expression path " +
+      "under the streaming planner") {
+    implicit val sql = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, sf)
+      .select($"doc_id", $"text")
+    val (merges, symIds) = TextAnalysis.tokenizerArtifact(docs)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    val viaExpr = TextAnalysis.encodeStream(docs, merges, symIds)
+      .collect().map(key).toSet
+    val in = MemoryStream[(Long, String)]
+    val out = TextAnalysis.encodeStreamScalable(
+      in.toDF().toDF("doc_id", "text"), merges, symIds)
+    val q = out.writeStream.format("memory").queryName("encscalable")
+      .outputMode("append").trigger(Trigger.AvailableNow())
+    in.addData(docs.as[(Long, String)].collect().toSeq)
+    val h = q.start(); h.awaitTermination()
+    val viaTable = spark.table("encscalable").collect().map(key).toSet
+    assert(viaTable == viaExpr,
+      s"scalable!=expr: only-scalable=${(viaTable -- viaExpr).take(3)}, " +
+        s"only-expr=${(viaExpr -- viaTable).take(3)}")
+  }
+
   test("unknown symbols map to UNK id 0, known arrivals are unaffected") {
     implicit val sql = spark.sqlContext
     // artifact frozen on a corpus that never saw the digit '7'

@@ -96,6 +96,84 @@ class SoakSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("soak + recovery: attribution stream killed at batch 25 on RocksDB " +
+      "resumes with state intact and exact final parity") {
+    // SoakSpec proves bounds at volume; CheckpointRecoverySpec proves
+    // restart at fixture scale. This case combines them: the heaviest
+    // twin is KILLED mid-soak on the at-scale state backend and must
+    // finish bit-identical to the uninterrupted batch derivation.
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val sql = spark.sqlContext
+    val ckpt = NoForkFileSystem.install(
+      spark, Files.createTempDirectory("graft_soak_recover").toString)
+    val RestartAt = 25
+    val fed = graft.Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts_ms"))
+      .orderBy(col("ts_ms"), col("event_id"))
+      .as[(Long, Long, String, Long)].collect().toSeq
+    val closeTs = fed.map(_._4).max + 10L * 1800000L
+    val closing = fed.map(_._2).distinct.sorted.zipWithIndex
+      .map { case (u, i) => (1000000L + i, u, "purchase", closeTs) }
+    val all = fed ++ closing
+    val chunks = fed.grouped((fed.size + Batches - 1) / Batches).toSeq :+ closing
+    val in = MemoryStream[(Long, Long, String, Long)]
+    val edges = StatefulStreams.streamingAttributionEdges(
+      in.toDF().toDF("event_id", "user_id", "event_type", "ts_ms"), None)
+    val received = new ConcurrentLinkedQueue[(String, String)]()
+    def start() = edges.writeStream
+      .foreachBatch { (b: Dataset[(String, String)], _: Long) =>
+        b.collect().foreach(received.add)
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val seen = scala.collection.mutable.Set[Long]()
+    val q1 = start()
+    try {
+      chunks.take(RestartAt).foreach { c =>
+        in.addData(c)
+        q1.processAllAvailable()
+        seen ++= c.map(_._2)
+        assert(stateRows(q1) == seen.size.toLong,
+          s"pre-kill state ${stateRows(q1)} != users seen ${seen.size}")
+      }
+    } finally q1.stop() // the kill: mid-soak, state only in the checkpoint
+    val usersAtKill = seen.size
+    val q2 = start()
+    try {
+      chunks.drop(RestartAt).foreach { c =>
+        in.addData(c)
+        q2.processAllAvailable()
+        seen ++= c.map(_._2)
+        // restored state + new arrivals — a reset-to-zero store would
+        // undercount immediately
+        assert(stateRows(q2) == seen.size.toLong,
+          s"post-restart state ${stateRows(q2)} != users seen ${seen.size}")
+      }
+      assert(seen.size == 1500)
+      def counts(rows: Iterable[(String, String)]) =
+        rows.groupBy(identity).map { case (k, v) => k -> v.size }
+      val got = counts(received.toArray(Array.empty[(String, String)]).toSeq)
+      val want = counts(EventWindows.attributionEdgesOf(
+        all.toDF("event_id", "user_id", "event_type", "ts_ms")
+          .selectExpr("user_id", "event_id", "event_type", "ts_ms"))
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq)
+      assert(got == want,
+        s"edge multiset diverged after restart: got ${got.size} keys, " +
+          s"want ${want.size}")
+      info(s"killed after batch $RestartAt ($usersAtKill users in state), " +
+        s"resumed to ${stateRows(q2)} state rows, edges = ${received.size}")
+    } finally {
+      q2.stop()
+      prevProvider match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("soak: near-dup pair state stays under the bucket bound over 50 batches") {
     implicit val sql = spark.sqlContext
     val ckpt = Files.createTempDirectory("graft_soak_near").toString
