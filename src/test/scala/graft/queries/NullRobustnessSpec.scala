@@ -82,21 +82,27 @@ class NullRobustnessSpec extends SparkSpec {
     assert(applied.count() == vocab.count())
   }
 
-  test("streaming encode: NULL text yields an empty, hash-zero row, no throw") {
+  test("streaming encode: NULL/token-free text emits NO row (batch parity), " +
+      "no throw") {
     val train = Seq((1L, "alpha beta alpha beta")).toDF("doc_id", "text")
     val (merges, symIds) = TextAnalysis.tokenizerArtifact(train, rounds = 2)
+    // r15-advice contract: batch q283 has no row for a token-free doc
+    // (the word join drops it), so the stream filters the same docs —
+    // stream/batch digest parity holds on ANY corpus, and degenerate
+    // arrivals still never throw
     val got = TextAnalysis.encodeStream(
       Seq((7L, null.asInstanceOf[String]), (8L, ""), (9L, "alpha"))
         .toDF("doc_id", "text"), merges, symIds)
-      .collect().map(r => r.getLong(0) ->
-        (r.isNullAt(1), if (r.isNullAt(2)) -1L else r.getLong(2),
-          if (r.isNullAt(4)) -1L else r.getLong(4))).toMap
-    // NULL text: regexp over NULL is NULL -> the row survives with NULL
-    // counts (the caller can filter), never an exception
-    assert(got.contains(7L) && got.contains(8L) && got.contains(9L))
-    val (_, t8, h8) = got(8L)
-    assert(t8 == 0L && h8 == 0L, s"empty doc: tokens=$t8 hash=$h8")
-    val (_, t9, h9) = got(9L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(4))).toMap
+    assert(got.keySet == Set(9L),
+      s"token-free arrivals must be absent, got ${got.keySet}")
+    val (t9, h9) = got(9L)
     assert(t9 > 0L && h9 > 0L)
+    // the scalable path shares the contract
+    val gotT = TextAnalysis.encodeStreamScalable(
+      Seq((7L, null.asInstanceOf[String]), (8L, ""), (9L, "alpha"))
+        .toDF("doc_id", "text"), merges, symIds)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(4))).toMap
+    assert(gotT == got, s"scalable path diverges: $gotT vs $got")
   }
 }
