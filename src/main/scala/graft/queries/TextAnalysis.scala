@@ -1598,10 +1598,21 @@ object TextAnalysis {
     val ranked = Sampling.rankDistributed(copies, Seq("source"),
         Seq(col("draw"), col("doc_id"), col("rep_idx")))
       .withColumnRenamed("rk", "k")
+    // q110's virtual-time interleave key: sources finish together at
+    // vt = 1 (small sources run >1 epoch). n_copies = max(k) over the
+    // SAME per-source partitioning the pack sum uses (one exchange
+    // serves both windows; no second evaluation of the copies chain);
+    // the one IEEE division is bit-identical in both engines (q110
+    // rule). The global loader sequence is ORDER BY (vt, source, k) —
+    // packing stays per source (the scalable shape), the trainer
+    // interleaves PACKED sequences by vt.
     val w = Window.partitionBy(col("source")).orderBy(col("k"))
-    ranked.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
-      .select(col("source"), col("k"), col("doc_id"), col("rep_idx"),
-        col("n_tokens"), col("cum_tokens"),
+    ranked
+      .withColumn("vt", col("k").cast("double") /
+        max(col("k")).over(Window.partitionBy(col("source"))))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .select(col("source"), col("k"), col("vt"), col("doc_id"),
+        col("rep_idx"), col("n_tokens"), col("cum_tokens"),
         expr(s"(cum_tokens - n_tokens) div ${Sampling.PackBudget}").as("seq_no"),
         expr(s"(cum_tokens - n_tokens) % ${Sampling.PackBudget}").as("seq_offset"),
         col("token_seq_hash"))
@@ -1660,10 +1671,12 @@ object TextAnalysis {
       |    row_number() OVER (PARTITION BY source ORDER BY draw, doc_id, rep_idx)
       |      AS k
       |  FROM drawn),
-      |wsum AS (SELECT *,
+      |wsum AS (SELECT r.*,
+      |    max(k) OVER (PARTITION BY source) AS n_copies,
       |    sum(n_tokens) OVER (PARTITION BY source ORDER BY k) AS cum_tokens
       |  FROM r)
-      |SELECT source, CAST(k AS BIGINT) AS k, doc_id,
+      |SELECT source, CAST(k AS BIGINT) AS k,
+      |  CAST(k AS DOUBLE) / n_copies AS vt, doc_id,
       |  CAST(rep_idx AS BIGINT) AS rep_idx, n_tokens,
       |  CAST(cum_tokens AS BIGINT) AS cum_tokens,
       |  CAST((cum_tokens - n_tokens) // ${Sampling.PackBudget} AS BIGINT)

@@ -152,25 +152,30 @@ class BpeApplySpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(4))).toMap
     // every copy carries its doc's exact q283 token count and digest
     pack.foreach { r =>
-      val (doc, n, h) = (r.getLong(2), r.getLong(4), r.getLong(8))
+      val (doc, n, h) = (r.getLong(3), r.getLong(5), r.getLong(9))
       assert(q283rows(doc) == ((n, h)),
         s"doc $doc: manifest ($n, $h) != q283 ${q283rows(doc)}")
     }
     // the rep_idx=0 slice is exactly the q283 corpus (each doc packed
     // at least once), so first-copy token totals reconcile
-    val firstCopies = pack.filter(_.getLong(3) == 0L)
+    val firstCopies = pack.filter(_.getLong(4) == 0L)
     assert(firstCopies.length == q283rows.size)
-    assert(firstCopies.map(_.getLong(4)).sum == q283rows.values.map(_._1).sum)
+    assert(firstCopies.map(_.getLong(5)).sum == q283rows.values.map(_._1).sum)
     // packing invariant per source: cum is the prefix sum over k, and
-    // (seq_no, seq_offset) is exactly the PackBudget chop of it
+    // (seq_no, seq_offset) is exactly the PackBudget chop of it; the
+    // vt interleave key is k/n_copies — ends exactly at 1.0 per source
     pack.groupBy(_.getString(0)).foreach { case (src, rows) =>
       var cum = 0L
-      rows.sortBy(_.getLong(1)).foreach { r =>
-        assert(r.getLong(5) == cum + r.getLong(4), s"$src k=${r.getLong(1)} cum")
-        assert(r.getLong(6) == cum / 2048 && r.getLong(7) == cum % 2048,
+      val ordered = rows.sortBy(_.getLong(1))
+      ordered.foreach { r =>
+        assert(r.getLong(6) == cum + r.getLong(5), s"$src k=${r.getLong(1)} cum")
+        assert(r.getLong(7) == cum / 2048 && r.getLong(8) == cum % 2048,
           s"$src k=${r.getLong(1)} chop")
-        cum += r.getLong(4)
+        assert(r.getDouble(2) == r.getLong(1).toDouble / ordered.length,
+          s"$src k=${r.getLong(1)} vt")
+        cum += r.getLong(5)
       }
+      assert(ordered.last.getDouble(2) == 1.0, s"$src vt must end at 1.0")
     }
   }
 
