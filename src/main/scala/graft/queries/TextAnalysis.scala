@@ -1212,8 +1212,12 @@ object TextAnalysis {
       val pairs = bc.value
       val ranks = bpeRankMap(pairs)
       it.map { row =>
-        org.apache.spark.sql.Row.fromSeq(row.toSeq :+
-          encodeWordSyms(row.getString(wIdx), ranks, pairs).mkString(" "))
+        // NULL word -> NULL syms, as the expression fold's
+        // regexp_replace(NULL) yields (parity pinned in BpeApplySpec)
+        val syms =
+          if (row.isNullAt(wIdx)) null
+          else encodeWordSyms(row.getString(wIdx), ranks, pairs).mkString(" ")
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ syms)
       }
     }(org.apache.spark.sql.Encoders.row(schema))
   }

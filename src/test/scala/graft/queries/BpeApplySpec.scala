@@ -118,6 +118,17 @@ class BpeApplySpec extends SparkSpec {
         s"word '$w': got ${got(w)}")
   }
 
+  test("table apply: NULL word yields NULL syms, as the expression fold does") {
+    val merges = Seq(("a", "b"))
+    val rows = Seq(Some("ab"), None, Some("ba"))
+    val viaExpr = TextAnalysis.bpeApplyExpr(rows.toDF("w"), merges)
+      .collect().map(r => Option(r.getString(0)) -> Option(r.getString(1))).toSet
+    val viaTable = TextAnalysis.bpeApplyTable(rows.toDF("w"), merges)
+      .collect().map(r => Option(r.getString(0)) -> Option(r.getString(1))).toSet
+    assert(viaTable == viaExpr, s"$viaTable != $viaExpr")
+    assert(viaTable.contains(None -> None))
+  }
+
   test("bpeApply dispatches to the table path above ExprFoldMaxMerges") {
     val small = Seq.fill(TextAnalysis.ExprFoldMaxMerges)(("a", "b"))
     val large = small :+ (("b", "a"))
