@@ -34,23 +34,31 @@ object BpeExprBlowupProbe {
     val filler = for (a <- 'a' to 'z'; b <- 'a' to 'z')
       yield (s"$a$b", s"$b$a")
     filler.foreach(seen += _)
+    // deep filler family for table-only probes past ~800 ranks
+    val filler3 = for (a <- 'a' to 'z'; b <- 'a' to 'z'; c <- 'a' to 'z')
+      yield (s"$a$b$c", s"$c$b$a")
+    filler3.foreach(seen += _)
     val all = seen.toSeq
-    for (n <- args.headOption.map(_.split(",").map(_.toInt).toSeq)
+    val tableOnly = args.contains("--table-only")
+    for (n <- args.filterNot(_.startsWith("--")).headOption
+        .map(_.split(",").map(_.toInt).toSeq)
         .getOrElse(Seq(8, 16, 32, 48, 64, 96))) {
       val merges = all.take(n)
-      val t0 = System.nanoTime()
-      val df = TextAnalysis.bpeApplyExpr(words, merges)
-      val plan = df.queryExecution.executedPlan.toString
-      val t1 = System.nanoTime()
-      df.write.format("noop").mode("overwrite").save()
-      val t2 = System.nanoTime()
+      val exprPart = if (tableOnly) "expr: skipped" else {
+        val t0 = System.nanoTime()
+        val df = TextAnalysis.bpeApplyExpr(words, merges)
+        val plan = df.queryExecution.executedPlan.toString
+        val t1 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        val t2 = System.nanoTime()
+        f"expr: plan ${(t1 - t0) / 1e9}%7.2f s exec ${(t2 - t1) / 1e9}%7.2f s " +
+          f"(plan ${plan.length}%8d chars)"
+      }
       val dfT = TextAnalysis.bpeApplyTable(words, merges)
       val t3 = System.nanoTime()
       dfT.write.format("noop").mode("overwrite").save()
       val t4 = System.nanoTime()
-      println(f"merges=$n%4d  expr: plan ${(t1 - t0) / 1e9}%7.2f s " +
-        f"exec ${(t2 - t1) / 1e9}%7.2f s (plan ${plan.length}%8d chars)   " +
-        f"table: exec ${(t4 - t3) / 1e9}%6.2f s")
+      println(f"merges=$n%5d  $exprPart   table: exec ${(t4 - t3) / 1e9}%6.2f s")
     }
     spark.stop()
   }
