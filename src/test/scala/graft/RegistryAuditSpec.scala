@@ -66,6 +66,19 @@ class RegistryAuditSpec extends SparkSpec {
       s"queries without a DuckDB oracle (driver falls back to rows-only): $noOracle")
   }
 
+  test("SHUFFLE_BASELINE.json covers every registered query") {
+    // the shuffle-drift gate (scripts/check_shuffle_drift.py) is only a
+    // gate while its baseline tracks the registry — same drift class as
+    // PLANS.md rows
+    val txt = scala.util.Using.resource(
+      scala.io.Source.fromFile("SHUFFLE_BASELINE.json", "UTF-8"))(_.mkString)
+    val names = "\"(q\\d+_\\w+)\"".r.findAllMatchIn(txt).map(_.group(1)).toSet
+    val missing = registered -- names
+    val stale = names -- registered
+    assert(missing.isEmpty, s"queries missing a shuffle baseline: $missing")
+    assert(stale.isEmpty, s"stale shuffle-baseline rows: $stale")
+  }
+
   test("Bench short-id keys are unique across the registry") {
     val shorts = registered.toSeq.map(_.takeWhile(_ != '_'))
     val dup = shorts.groupBy(identity).collect { case (k, xs) if xs.size > 1 => k }
