@@ -62,6 +62,7 @@ def run_oracle(sf_dir, sql, q):
 def main(sf_dir, out_dir, timeout_s):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    green = []
     for name, sql in sorted(oracle.items()):
         try:
             got = pq.read_table(f"{out_dir}/{name}").to_pandas()
@@ -128,6 +129,12 @@ def main(sf_dir, out_dir, timeout_s):
         else:
             print(f"PASS {name} ({len(got_rows)} rows)", flush=True)
             n_pass += 1
+            green.append(name)
+    # the machine-readable green list: check_plan_drift.py --update
+    # --verified points here, so a baseline promote can only assert
+    # queries THIS checker actually compared and passed
+    with open(f"{out_dir}/.oracle_green", "w") as f:
+        f.write("".join(n + "\n" for n in green))
     print(f"== {n_pass} pass / {n_fail} fail ==")
     return 1 if n_fail else 0
 

@@ -92,30 +92,34 @@ object Sampling {
   // into fixed token-budget chunks; every document gets the chunk index
   // and intra-chunk offset where it starts. This is the packing stage
   // that turns a filtered corpus into fixed-length training sequences.
-  // The running sum is windowed PER SHARD (a deterministic hash shard,
-  // not a global order), so the window is partitioned and the plan
-  // scales — a global running sum would serialize onto one task at
-  // 100 TB, and real packers shard exactly like this (each worker packs
-  // its own stream). Integer `div`/`%` throughout — exact at any
+  // The shard is SEMANTIC (it names which packed stream a document
+  // belongs to — the published output carries it), but the running sum
+  // is NOT computed with a per-shard sort window: 16 shards would mean
+  // 16 single-task running sums at 100 TB. It goes through
+  // ops.PrefixSum's range-exchange + carry, so each shard's sum is
+  // split across as many tasks as the cluster has partitions and the
+  // carry frame stays cluster-sized. doc_id is a total order within a
+  // shard, so the result is deterministic and value-identical to a
+  // sort window — shard count and physical parallelism are fully
+  // decoupled. Integer `div`/`%` throughout — exact at any
   // cumulative-sum magnitude, where double division would round past
   // 2^53 tokens.
   private[queries] val PackBudget = 2048
   private val PackShards = 16
 
-  private def q80(s: SparkSession, d: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("shard")).orderBy(col("doc_id"))
-    documents(s, d)
-      .select(col("doc_id"),
-        (hash60(concat(lit("pk"), col("doc_id").cast("string"))) % PackShards).as("shard"),
-        tokenCount(col("text")).as("n_tokens"))
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+  private def q80(s: SparkSession, d: String): DataFrame =
+    graft.ops.PrefixSum.prefixSum(
+        documents(s, d)
+          .select(col("doc_id"),
+            (hash60(concat(lit("pk"), col("doc_id").cast("string"))) % PackShards).as("shard"),
+            tokenCount(col("text")).as("n_tokens")),
+        Seq("shard"), Seq(col("doc_id")), col("n_tokens"))
+      .withColumnRenamed("cum", "cum_tokens")
       .withColumn("bin", expr(s"(cum_tokens - n_tokens) div $PackBudget"))
       .withColumn("bin_offset", expr(s"(cum_tokens - n_tokens) % $PackBudget"))
       .select(col("doc_id"), col("shard"), col("n_tokens"), col("cum_tokens"),
         col("bin"), col("bin_offset"))
       .orderBy(col("doc_id"))
-  }
 
   private val q80Sql =
     s"""SELECT doc_id, shard, n_tokens, cum_tokens,

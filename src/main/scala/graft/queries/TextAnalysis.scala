@@ -1283,14 +1283,20 @@ object TextAnalysis {
     * q236 rule: chained multiply-referenced CTEs re-evaluate
     * exponentially when inlined).
     */
+  /** The shared w0 CTE: corpus word frequencies with the initial
+    * char-split symbol state — the root of both the training chain and
+    * the q286 shipped-table oracle.
+    */
+  private val bpeW0Sql =
+    """w0 AS MATERIALIZED (
+      |  SELECT w, count(*) AS cnt,
+      |    regexp_replace(w, '(.)', '\1 ', 'g') || '</w>' AS syms
+      |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+      |        FROM documents)
+      |  GROUP BY w)""".stripMargin
+
   private lazy val bpeWordChainSql: String = {
-    val w0 =
-      """w0 AS MATERIALIZED (
-        |  SELECT w, count(*) AS cnt,
-        |    regexp_replace(w, '(.)', '\1 ', 'g') || '</w>' AS syms
-        |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
-        |        FROM documents)
-        |  GROUP BY w)""".stripMargin
+    val w0 = bpeW0Sql
     def round(k: Int): Seq[String] = Seq(
       s"""p$k AS MATERIALIZED (
         |  SELECT l, r FROM (
@@ -1371,7 +1377,16 @@ object TextAnalysis {
     // the decoupled Sennrich apply: vocab-sized, one projection; pinned
     // (two consumers: symbol inventory + the per-doc join)
     val enc = bpeApply(wc.select(col("w")), merges).localCheckpoint()
-    // ≤ |alphabet| + BpeRounds rows — the single-partition window is a
+    docDigest(docs, enc)
+  }
+
+  /** The per-doc token-id digest over an encoded (w, syms) vocab frame
+    * — q283's tail, shared with the q286 shipped-table encode. One
+    * corpus scan (per-doc word positions), a vocab-keyed join, a
+    * broadcast symbol table, one doc_id-keyed aggregate.
+    */
+  private def docDigest(docs: DataFrame, enc: DataFrame): DataFrame = {
+    // ≤ |alphabet| + |merges| rows — the single-partition window is a
     // bounded action, same class as the 1-row norm broadcasts
     val symtab = enc.select(explode(split(col("syms"), " ")).as("sym"))
       .distinct()
@@ -1469,7 +1484,11 @@ object TextAnalysis {
     val sess = stream.sparkSession
     import sess.implicits._
     val bc = sess.sparkContext.broadcast((merges.toArray, symbolIds))
-    stream.select(col("doc_id"), col("text")).as[(Long, String)]
+    // doc_id decodes BOXED: a NULL doc_id arrival rides through with
+    // its digest (batch q283 groups it into a NULL doc_id row and the
+    // expression path emits it too — the three paths must agree on
+    // degenerate input; NullRobustnessSpec pins all three)
+    stream.select(col("doc_id"), col("text")).as[(java.lang.Long, String)]
       .mapPartitions { it =>
         val (pairs, symIds) = bc.value
         val ranks = bpeRankMap(pairs)
@@ -1524,11 +1543,13 @@ object TextAnalysis {
       syms.zipWithIndex.map { case (s, i) => s -> (i + 1L) }.toMap)
   }
 
-  private lazy val q283Sql =
-    s"""WITH $bpeWordChainSql,
-      |enc AS MATERIALIZED (
-      |  SELECT w, string_split(syms, ' ') AS sa FROM w$BpeRounds),
-      |symtab AS MATERIALIZED (
+  /** The per-doc digest tail (symtab → per-doc positions → token ids →
+    * fold hash), assuming a CTE `enc(w, sa)` with the final per-word
+    * symbol LIST is in scope — [[docDigest]]'s oracle twin, shared by
+    * q283 and q286.
+    */
+  private val bpeDocDigestTailSql =
+    """symtab AS MATERIALIZED (
       |  SELECT sym, CAST(row_number() OVER (ORDER BY sym) AS BIGINT)
       |      AS token_id
       |  FROM (SELECT DISTINCT unnest(sa) AS sym FROM enc)),
@@ -1558,6 +1579,12 @@ object TextAnalysis {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  private lazy val q283Sql =
+    s"""WITH $bpeWordChainSql,
+      |enc AS MATERIALIZED (
+      |  SELECT w, string_split(syms, ' ') AS sa FROM w$BpeRounds),
+      |$bpeDocDigestTailSql""".stripMargin
+
   // q285 — tokenize-and-pack CAPSTONE: the final training-batch
   // manifest, composed end to end from REAL token ids — q283's per-doc
   // BPE sequences (counts + order digest), the q105/q110 repetition
@@ -1574,8 +1601,10 @@ object TextAnalysis {
   // consumers over an expensive upstream) feeds a |sources|-row
   // broadcast factor table; the copy explode is ≤ RepCap× doc rows;
   // the loader rank is rankDistributed (carry machinery, no global
-  // sort); the pack running sum is windowed PER SOURCE — every stage
-  // partitioned, nothing corpus-scale on one task, same as its parts.
+  // sort); the pack running sum is PrefixSum's range-exchange + carry
+  // (q98/q107 discipline) and the vt denominator a broadcast-joined
+  // per-source copy count — no data-sized per-source sort window
+  // anywhere; nothing corpus-scale lands on one task.
   private def q285(s: SparkSession, d: String): DataFrame = {
     val dd = bpeDocStats(s, d)
       .select(col("doc_id"), col("n_tokens"), col("token_seq_hash"))
@@ -1589,11 +1618,17 @@ object TextAnalysis {
       .withColumn("factor_bp",
         least(lit(Sampling.RepCapBp), expr("(10000 * t_max) div t_src")))
       .select(col("source"), col("factor_bp"))
-    val copies = dd.join(broadcast(factors), Seq("source"))
+    val withCopies = dd.join(broadcast(factors), Seq("source"))
       .withColumn("u",
         hash60(concat(lit("rep"), col("doc_id").cast("string"))) % 10000)
       .withColumn("copies", expr("factor_bp div 10000") +
         when(col("u") < col("factor_bp") % 10000, 1L).otherwise(0L))
+    // |sources|-row aggregate over the checkpointed dd chain — the
+    // q107 vt-denominator shape (broadcast join, NOT a per-source
+    // max-over window that would drag every copy row onto one task)
+    val nCopies = withCopies.groupBy(col("source"))
+      .agg(sum(col("copies")).as("n_copies"))
+    val copies = withCopies
       .select(col("source"), col("doc_id"), col("n_tokens"),
         col("token_seq_hash"),
         explode(sequence(lit(0L), col("copies") - 1)).as("rep_idx"))
@@ -1603,18 +1638,20 @@ object TextAnalysis {
         Seq(col("draw"), col("doc_id"), col("rep_idx")))
       .withColumnRenamed("rk", "k")
     // q110's virtual-time interleave key: sources finish together at
-    // vt = 1 (small sources run >1 epoch). n_copies = max(k) over the
-    // SAME per-source partitioning the pack sum uses (one exchange
-    // serves both windows; no second evaluation of the copies chain);
-    // the one IEEE division is bit-identical in both engines (q110
-    // rule). The global loader sequence is ORDER BY (vt, source, k) —
+    // vt = 1 (small sources run >1 epoch). n_copies = Σ copies per
+    // source (k is dense 1..n, so this equals max(k)); the one IEEE
+    // division is bit-identical in both engines (q110 rule). The pack
+    // running sum goes through PrefixSum's range-exchange + carry —
+    // k is a total order within source, so cum_tokens is
+    // deterministic and value-identical to the former sort window.
+    // The global loader sequence is ORDER BY (vt, source, k) —
     // packing stays per source (the scalable shape), the trainer
     // interleaves PACKED sequences by vt.
-    val w = Window.partitionBy(col("source")).orderBy(col("k"))
-    ranked
-      .withColumn("vt", col("k").cast("double") /
-        max(col("k")).over(Window.partitionBy(col("source"))))
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+    graft.ops.PrefixSum.prefixSum(
+        ranked.join(broadcast(nCopies), Seq("source"))
+          .withColumn("vt", col("k").cast("double") / col("n_copies")),
+        Seq("source"), Seq(col("k")), col("n_tokens"))
+      .withColumnRenamed("cum", "cum_tokens")
       .select(col("source"), col("k"), col("vt"), col("doc_id"),
         col("rep_idx"), col("n_tokens"), col("cum_tokens"),
         expr(s"(cum_tokens - n_tokens) div ${Sampling.PackBudget}").as("seq_no"),
@@ -1691,6 +1728,86 @@ object TextAnalysis {
       |FROM wsum
       |ORDER BY source, k""".stripMargin
 
+  /** q286's merge-table size — production scale relative to
+    * [[ExprFoldMaxMerges]] (16), so [[bpeApply]]'s dispatch is far on
+    * the [[bpeApplyTable]] side and the registered query provably
+    * exercises the broadcast-table mapPartitions encoder. Tiny corpora
+    * may yield fewer distinct pairs; both engines then carry the same
+    * shorter dense-rank table.
+    */
+  private[graft] val TableMerges = 256
+
+  // q286 — BPE encode under a SHIPPED production-sized merge table:
+  // the deployment scenario q283 cannot reach. q283 trains and applies
+  // BpeRounds(=6) merges, which [[bpeApply]] routes through the
+  // composed expression fold; a real tokenizer ships merges.txt with
+  // thousands of ranks, where only the data-driven [[bpeApplyTable]]
+  // (broadcast rank array + typed mapPartitions encoder,
+  // BpeApplySpec/BpeScaleSpec-pinned) can plan. This query puts THAT
+  // code path through the DuckDB gate: the shipped table is the top
+  // [[TableMerges]] adjacent-pair statistics of the char-split vocab
+  // (rank = weighted count desc, then (l, r) — a deterministic, dense
+  // merges.txt both engines derive identically), applied rank-ordered
+  // with one greedy leftmost pass per rank — the exact loop
+  // [[encodeWordSyms]] implements and the oracle replays as a nested
+  // list fold (outer fold over the rank-ordered merge list, inner fold
+  // = the proven w$k greedy rewrite with (l, r) from the outer
+  // element). Output: q283's per-doc digest contract.
+  //
+  // Scale shape: q283's exactly — one corpus scan for word
+  // frequencies, a 256-row bounded collect (the q41/q87/q236 class)
+  // for the table, ONE vocab-sized mapPartitions projection under the
+  // broadcast table (cost independent of |merges|), one corpus scan
+  // for per-doc positions, a vocab-keyed join, a ≤|alphabet|+256-row
+  // broadcast symbol table, one doc-keyed aggregate.
+  private def q286(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val wc = docs.select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // feeds the pair stats AND the table apply
+    val merges = wc
+      .select(col("cnt"),
+        concat(regexp_replace(col("w"), "(.)", "$1 "), lit("</w>")).as("syms"))
+      .select(col("cnt"), expr(
+        """explode(transform(sequence(0, size(split(syms, ' ')) - 2),
+          |  i -> struct(split(syms, ' ')[i] AS l,
+          |              split(syms, ' ')[i+1] AS r)))""".stripMargin).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("cnt")).as("c"))
+      .orderBy(col("c").desc, col("l"), col("r"))
+      .limit(TableMerges)
+      .collect().toSeq.map(r => (r.getString(0), r.getString(1)))
+    val enc = bpeApplyTable(wc.select(col("w")), merges).localCheckpoint()
+    docDigest(docs, enc).orderBy(col("doc_id"))
+  }
+
+  private lazy val q286Sql =
+    s"""WITH $bpeW0Sql,
+      |mrg AS MATERIALIZED (
+      |  SELECT l || ' ' || r AS lr, row_number() OVER (ORDER BY c DESC, l, r)
+      |    AS rnk
+      |  FROM (
+      |    SELECT a[i] AS l, a[i+1] AS r, sum(cnt) AS c FROM (
+      |      SELECT cnt, a, unnest(range(1, len(a))) AS i
+      |      FROM (SELECT cnt, string_split(syms, ' ') AS a FROM w0))
+      |    GROUP BY 1, 2
+      |    ORDER BY c DESC, l, r LIMIT $TableMerges)),
+      |ml AS MATERIALIZED (SELECT list(lr ORDER BY rnk) AS ms FROM mrg),
+      |enc AS MATERIALIZED (
+      |  SELECT w, string_split(list_reduce(
+      |    list_prepend(syms, ms),
+      |    (acc, x) -> list_reduce(string_split(acc, ' '), (a2, s) ->
+      |      CASE WHEN a2 = string_split(x, ' ')[1]
+      |               AND s = string_split(x, ' ')[2]
+      |             THEN a2 || s
+      |           WHEN ends_with(a2, ' ' || string_split(x, ' ')[1])
+      |               AND s = string_split(x, ' ')[2]
+      |             THEN left(a2, len(a2) - len(string_split(x, ' ')[1]))
+      |                  || string_split(x, ' ')[1] || s
+      |           ELSE a2 || ' ' || s END)), ' ') AS sa
+      |  FROM w0, ml),
+      |$bpeDocDigestTailSql""".stripMargin
+
   private val q257Sql = {
     // every CTE MATERIALIZED (the q236 rule): the p_k scalar subqueries
     // appear several times each and w_k chains on w_{k-1} — inlining
@@ -1750,5 +1867,6 @@ object TextAnalysis {
     Q("q258_bpe_fertility", q258, Some(q258Sql)),
     Q("q283_bpe_encode", q283, Some(q283Sql)),
     Q("q285_tokenize_pack", q285, Some(q285Sql)),
+    Q("q286_bpe_table_encode", q286, Some(q286Sql)),
   )
 }

@@ -180,7 +180,8 @@ class BpeApplySpec extends SparkSpec {
       val ordered = rows.sortBy(_.getLong(1))
       ordered.foreach { r =>
         assert(r.getLong(6) == cum + r.getLong(5), s"$src k=${r.getLong(1)} cum")
-        assert(r.getLong(7) == cum / 2048 && r.getLong(8) == cum % 2048,
+        assert(r.getLong(7) == cum / Sampling.PackBudget &&
+            r.getLong(8) == cum % Sampling.PackBudget,
           s"$src k=${r.getLong(1)} chop")
         assert(r.getDouble(2) == r.getLong(1).toDouble / ordered.length,
           s"$src k=${r.getLong(1)} vt")

@@ -105,4 +105,28 @@ class NullRobustnessSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(4))).toMap
     assert(gotT == got, s"scalable path diverges: $gotT vs $got")
   }
+
+  test("streaming encode: NULL doc_id rides through with its digest on " +
+      "BOTH dispatch paths (r16-advice contract)") {
+    val train = Seq((1L, "alpha beta alpha beta")).toDF("doc_id", "text")
+    val (merges, symIds) = TextAnalysis.tokenizerArtifact(train, rounds = 2)
+    // batch q283 groups a NULL doc_id into a NULL-keyed row; the two
+    // stream dispatch branches of the same public API must agree —
+    // before the boxed decode the scalable path THREW on this input
+    // while the expression path passed it through
+    val in = Seq((java.lang.Long.valueOf(3L), "alpha beta"),
+        (null.asInstanceOf[java.lang.Long], "beta alpha"))
+      .toDF("doc_id", "text")
+    def digest(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (if (r.isNullAt(0)) None else Some(r.getLong(0))) ->
+          (r.getLong(2), r.getLong(4))).toMap
+    val expr = digest(TextAnalysis.encodeStream(in, merges, symIds))
+    val scal = digest(TextAnalysis.encodeStreamScalable(in, merges, symIds))
+    assert(expr.keySet == Set(Some(3L), None),
+      s"NULL doc_id must emit a row, got ${expr.keySet}")
+    assert(scal == expr, s"scalable path diverges on NULL doc_id: $scal vs $expr")
+    assert(expr(None)._1 > 0L && expr(None)._2 > 0L,
+      s"NULL-doc_id digest empty: ${expr(None)}")
+  }
 }
