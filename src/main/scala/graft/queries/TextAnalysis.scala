@@ -1634,24 +1634,23 @@ object TextAnalysis {
         explode(sequence(lit(0L), col("copies") - 1)).as("rep_idx"))
       .withColumn("draw", hash60(concat(lit("lo"), col("doc_id").cast("string"),
         lit("_"), col("rep_idx").cast("string"))))
-    val ranked = Sampling.rankDistributed(copies, Seq("source"),
-        Seq(col("draw"), col("doc_id"), col("rep_idx")))
-      .withColumnRenamed("rk", "k")
     // q110's virtual-time interleave key: sources finish together at
     // vt = 1 (small sources run >1 epoch). n_copies = Σ copies per
-    // source (k is dense 1..n, so this equals max(k)); the one IEEE
-    // division is bit-identical in both engines (q110 rule). The pack
-    // running sum goes through PrefixSum's range-exchange + carry —
-    // k is a total order within source, so cum_tokens is
-    // deterministic and value-identical to the former sort window.
-    // The global loader sequence is ORDER BY (vt, source, k) —
-    // packing stays per source (the scalable shape), the trainer
-    // interleaves PACKED sequences by vt.
-    graft.ops.PrefixSum.prefixSum(
-        ranked.join(broadcast(nCopies), Seq("source"))
-          .withColumn("vt", col("k").cast("double") / col("n_copies")),
-        Seq("source"), Seq(col("k")), col("n_tokens"))
+    // source (the rank k is dense 1..n, so this equals max(k)); the
+    // one IEEE division is bit-identical in both engines (q110 rule).
+    // Loader rank AND pack running sum come from ONE rankAndSum pass
+    // (a rank is the running sum of 1 over the same (draw, doc_id,
+    // rep_idx) total order, so cum_tokens-ordered-by-k ≡ the running
+    // sum in that order — one range exchange + carry serves both,
+    // where rank-then-sum paid it twice). The global loader sequence
+    // is ORDER BY (vt, source, k) — packing stays per source (the
+    // scalable shape), the trainer interleaves PACKED sequences by vt.
+    graft.ops.PrefixSum.rankAndSum(copies, Seq("source"),
+        Seq(col("draw"), col("doc_id"), col("rep_idx")), col("n_tokens"))
+      .withColumnRenamed("rk", "k")
       .withColumnRenamed("cum", "cum_tokens")
+      .join(broadcast(nCopies), Seq("source"))
+      .withColumn("vt", col("k").cast("double") / col("n_copies"))
       .select(col("source"), col("k"), col("vt"), col("doc_id"),
         col("rep_idx"), col("n_tokens"), col("cum_tokens"),
         expr(s"(cum_tokens - n_tokens) div ${Sampling.PackBudget}").as("seq_no"),
@@ -1760,13 +1759,15 @@ object TextAnalysis {
   // broadcast table (cost independent of |merges|), one corpus scan
   // for per-doc positions, a vocab-keyed join, a ≤|alphabet|+256-row
   // broadcast symbol table, one doc-keyed aggregate.
-  private def q286(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d)
-    val wc = docs.select(explode(tokens(col("text"))).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-      .localCheckpoint() // feeds the pair stats AND the table apply
-    val merges = wc
-      .select(col("cnt"),
+  /** q286's shipped merges.txt: the top-[[TableMerges]] adjacent-pair
+    * statistics of the char-split (w, cnt) vocab, rank-ordered by
+    * (weighted count desc, l, r) — a 256-row bounded collect (the
+    * q41/q87/q236 class). Factored out so BpeApplySpec can pin the
+    * table's size (beyond the dispatch ceiling at every SF) and replay
+    * it sequentially.
+    */
+  private[graft] def shippedMergeTable(wc: DataFrame): Seq[(String, String)] =
+    wc.select(col("cnt"),
         concat(regexp_replace(col("w"), "(.)", "$1 "), lit("</w>")).as("syms"))
       .select(col("cnt"), expr(
         """explode(transform(sequence(0, size(split(syms, ' ')) - 2),
@@ -1777,7 +1778,14 @@ object TextAnalysis {
       .orderBy(col("c").desc, col("l"), col("r"))
       .limit(TableMerges)
       .collect().toSeq.map(r => (r.getString(0), r.getString(1)))
-    val enc = bpeApplyTable(wc.select(col("w")), merges).localCheckpoint()
+
+  private def q286(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val wc = docs.select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // feeds the pair stats AND the table apply
+    val enc = bpeApplyTable(wc.select(col("w")), shippedMergeTable(wc))
+      .localCheckpoint()
     docDigest(docs, enc).orderBy(col("doc_id"))
   }
 

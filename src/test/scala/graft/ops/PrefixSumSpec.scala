@@ -45,4 +45,32 @@ class PrefixSumSpec extends SparkSpec {
     val out = PrefixSum.prefixSum(df, Seq("part"), Seq(col("ord")), col("v"))
     assert(out.collect().map(_.getAs[Long]("cum")).sorted.toSeq == (1L to 100L))
   }
+
+  test("rankAndSum ≡ chained rank + prefix sum, in one pass") {
+    // the fused form must be value-identical to ranking first and then
+    // running the sum in rank order (q285's pre-fusion shape) — rk is
+    // the running sum of 1 over the same total order, so both columns
+    // share one exchange + carry
+    val rows = (1 to 400).map(i =>
+      (if (i % 4 == 0) "a" else "b", (i * 37 % 101).toLong, i.toLong,
+        (if (i % 5 < 2) -i else i).toLong))
+    val df = rows.toDF("part", "ord1", "ord2", "v")
+    val order = Seq(col("ord1"), col("ord2"))
+    val got = PrefixSum.rankAndSum(df, Seq("part"), order, col("v"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(2)) ->
+        (r.getAs[Long]("rk"), r.getAs[Long]("cum"))).toMap
+    val ranked = PrefixSum.prefixSum(df, Seq("part"), order, lit(1L))
+      .withColumnRenamed("cum", "rk0")
+    val want = PrefixSum.prefixSum(ranked, Seq("part"), Seq(col("rk0")), col("v"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(2)) ->
+        (r.getAs[Long]("rk0"), r.getAs[Long]("cum"))).toMap
+    assert(got == want)
+    // rk is a dense 1..n permutation per part
+    val perPart = got.toSeq.groupBy(_._1._1)
+    perPart.foreach { case (p, g) =>
+      assert(g.map(_._2._1).sorted == (1L to g.size), s"part $p ranks")
+    }
+  }
 }

@@ -201,4 +201,41 @@ class BpeApplySpec extends SparkSpec {
       learned.map { case (_, l, r, _) => (l, r) })
     assert(applied == trained, s"applied $applied != trained $trained")
   }
+
+  test("q286's shipped table is production-sized and the table-path encode " +
+      "of it agrees with the sequential replay") {
+    val sf = "/root/testdata/sf0.001"
+    // the r16 coverage gap: every registered query crossed bpeApply's
+    // dispatch at BpeRounds = 6, so the production bpeApplyTable path
+    // never passed the oracle gate. q286 closes it; this spec pins the
+    // two facts the oracle row rests on. (The registered plan itself
+    // cannot be string-asserted: enc is localCheckpoint'd — two
+    // consumers — so the mapPartitions encoder runs eagerly and the
+    // final plan reads the checkpoint.)
+    val wc = graft.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.explode(
+        graft.functions.TextFns.tokens(col("text"))).as("w"))
+      .groupBy(col("w"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("cnt"))
+      .localCheckpoint()
+    // fact 1: the corpus-derived table is beyond the dispatch ceiling
+    // at EVERY test SF (even the smallest corpus), so whether q286
+    // calls bpeApplyTable directly (today) or through bpeApply's
+    // dispatcher (a refactor), the table path is what runs
+    val merges = TextAnalysis.shippedMergeTable(wc)
+    assert(merges.size > TextAnalysis.ExprFoldMaxMerges,
+      s"sf0.001 shipped table has ${merges.size} ranks — dispatch not exercised")
+    // fact 2: the table-path encode of the REAL corpus-derived table
+    // (single-char ranks, rank-order adjacency destruction) equals the
+    // sequential Sennrich replay, word for word, on a corpus sample —
+    // the property BpeApplySpec pins elsewhere only on random tables
+    val sample = wc.select(col("w")).limit(64)
+    val got = TextAnalysis.bpeApplyTable(sample, merges)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    got.foreach { case (w, syms) =>
+      assert(syms == seqApply(w, merges).mkString(" "), s"word '$w'")
+    }
+    assert(got.size == 64 || got.size == wc.count().toInt)
+  }
 }
