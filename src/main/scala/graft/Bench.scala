@@ -13,6 +13,16 @@ import org.apache.spark.sql.SparkSession
   * is sized to executor memory instead).
   */
 object Bench {
+  /** The quiet-box calibration anchor (words/s of the wordcount anchor
+    * probe on an IDLE container). Measured once — BASELINE.md round-14
+    * "quiet calibration" records the procedure — and fixed by
+    * convention; re-baseline ONLY with a new quiet measurement, by
+    * changing this one constant (the emitted
+    * `quiet_anchor_words_per_s` / `host_factor_vs_quiet` fields derive
+    * from it).
+    */
+  val QuietAnchorWordsPerS = 2491654L
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -55,6 +65,13 @@ object Bench {
     val stageGroup = new ConcurrentHashMap[Int, String]()
     val shuffleBytes = new ConcurrentHashMap[String, AtomicLong]()
     val spillBytes = new ConcurrentHashMap[String, AtomicLong]()
+    // Executor CPU nanoseconds per query: the compute-side twin of the
+    // shuffle-bytes gate. Wall clock on this shared box moves 2-8x
+    // with host load, but CPU time consumed by the query's own tasks
+    // is near-immune to contention (the work is the work, whenever it
+    // gets scheduled), so a CPU-time drift flags a real compute
+    // regression without a cold-session re-measure.
+    val cpuNs = new ConcurrentHashMap[String, AtomicLong]()
     def acc(m: ConcurrentHashMap[String, AtomicLong], g: String, v: Long): Unit =
       m.computeIfAbsent(g, _ => new AtomicLong).addAndGet(v)
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
@@ -68,6 +85,7 @@ object Bench {
         if (g != null && m != null) {
           acc(shuffleBytes, g, m.shuffleWriteMetrics.bytesWritten)
           acc(spillBytes, g, m.diskBytesSpilled)
+          acc(cpuNs, g, m.executorCpuTime)
         }
       }
     })
@@ -185,10 +203,6 @@ object Bench {
     val hostFactor = priorAnchor.map(a => wordsPerS / a.toDouble)
     val hostFactorJson = hostFactor.map(v => f"$v%.3f").getOrElse("null")
     val priorAnchorJson = priorAnchor.map(_.toString).getOrElse("null")
-    // The quiet-box calibration anchor: 2,491,654 words/s, measured on
-    // an idle container (BASELINE.md round-14 quiet calibration). Fixed
-    // by convention; re-baseline only with a new quiet measurement.
-    val QuietAnchorWordsPerS = 2491654L
     val vsQuiet = wordsPerS / QuietAnchorWordsPerS.toDouble
 
     // Dispersion diagnostics go to stderr: the stdout metric line must
@@ -212,6 +226,7 @@ object Bench {
       var t = 0L
       shuffleBytes.values.forEach(v => t += v.get)
       spillBytes.values.forEach(v => t += v.get)
+      cpuNs.values.forEach(v => t += v.get)
       t
     }
     var stablePrev = -1L
@@ -234,6 +249,11 @@ object Bench {
       val mb = Option(spillBytes.get(k)).map(_.get).getOrElse(0L) / runs / 1048576.0
       if (mb >= 0.05) Some("\"" + k + "\":" + f"$mb%.1f") else None
     }.mkString("{", ",", "}")
+    val cpuS = results.map(_._1).sorted.map { k =>
+      val runs = math.max(Option(runCount.get(k)).map(_.get).getOrElse(1L), 1L)
+      val s = Option(cpuNs.get(k)).map(_.get).getOrElse(0L) / runs / 1e9
+      "\"" + k + "\":" + f"$s%.2f"
+    }.mkString("{", ",", "}")
 
     // stdout carries isolated_s under SHORT query ids (the qNNN prefix,
     // unique across the registry): the full names at isolatedN=15 push
@@ -250,7 +270,7 @@ object Bench {
     val isoShortJson = isoShort.map { case (k, v) =>
       "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"wordcount_words_per_s":$wordsPerS%.0f,"host_factor":$hostFactorJson,"host_anchor_words_per_s":$priorAnchorJson,"quiet_anchor_words_per_s":$QuietAnchorWordsPerS,"host_factor_vs_quiet":$vsQuiet%.3f,"isolated_s":$isoShortJson,"sf":"$sfDir"}"""
-    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"wordcount_words_per_s":$wordsPerS%.0f,"host_factor":$hostFactorJson,"host_anchor_words_per_s":$priorAnchorJson,"quiet_anchor_words_per_s":$QuietAnchorWordsPerS,"host_factor_vs_quiet":$vsQuiet%.3f,"isolated_s":$isoJson,"queries":$qsFull,"spreads":$sp,"shuffle_mb":$shuffleMb,"spill_mb":$spillMb,"sf":"$sfDir"}"""
+    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"wordcount_words_per_s":$wordsPerS%.0f,"host_factor":$hostFactorJson,"host_anchor_words_per_s":$priorAnchorJson,"quiet_anchor_words_per_s":$QuietAnchorWordsPerS,"host_factor_vs_quiet":$vsQuiet%.3f,"isolated_s":$isoJson,"queries":$qsFull,"spreads":$sp,"shuffle_mb":$shuffleMb,"spill_mb":$spillMb,"cpu_s":$cpuS,"sf":"$sfDir"}"""
     // Subset sweeps (SPARK_GRAFT_ONLY) must not clobber the committed
     // full-registry artifact — they write a sibling file instead.
     val artifact = if (only.isEmpty) "bench_last.json" else "bench_subset_last.json"
