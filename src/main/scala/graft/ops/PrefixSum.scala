@@ -31,22 +31,41 @@ object PrefixSum {
     */
   private val Reserved = Seq("cum", "__pid", "__v", "__lcum", "__carry")
 
-  def prefixSum(
-      df: DataFrame, part: Seq[String], order: Seq[Column],
+  /** Builds the range-partitioned, pid-stamped, checkpointed working
+    * frame both the carry and the main branch read, with the (true)
+    * `RangePartitioning(__pid ASC)` of the checkpointed RDD re-asserted
+    * via [[graft.plans.AssumePidRangePartitionedNode]] — localCheckpoint
+    * erases partitioning metadata (`UnknownPartitioning`), which used to
+    * cost a second FULL-data exchange to re-cluster by (`__pid`, part)
+    * for the window, plus an exchanged partial/final aggregate pair for
+    * the carry. With the assertion, the window needs only its
+    * per-partition sort and the carry aggregate runs exchange-free.
+    */
+  private def partedCheckpoint(
+      df: DataFrame, partCols: Seq[Column], order: Seq[Column],
       value: Column): DataFrame = {
-    val clash = Reserved.filter(df.columns.contains)
-    require(clash.isEmpty,
-      s"prefixSum reserves column names ${Reserved.mkString(", ")}; " +
-        s"input frame already has ${clash.mkString(", ")} — rename before calling")
     val s = df.sparkSession
     val nParts = s.conf.get("spark.sql.shuffle.partitions").toIntOption
       .getOrElse(s.sparkContext.defaultParallelism)
-    val partCols = part.map(col)
     // one __pid assignment shared by both branches (see rankDistributed)
-    val parted = df.repartitionByRange(nParts, (partCols ++ order): _*)
+    val ck = df.repartitionByRange(nParts, (partCols ++ order): _*)
       .withColumn("__pid", spark_partition_id())
       .withColumn("__v", value)
       .localCheckpoint(false)
+    val plan = org.apache.spark.sql.graft.PlanOps.analyzed(ck)
+    val pid = plan.output.find(_.name == "__pid").getOrElse(
+      sys.error("prefixSum: checkpointed frame lost its __pid column"))
+    org.apache.spark.sql.graft.PlanOps.ofRows(s,
+      graft.plans.AssumePidRangePartitionedNode(
+        pid, org.apache.spark.sql.graft.PlanOps.numPartitions(ck), plan))
+  }
+
+  /** The carry body shared by [[prefixSum]] and [[prefixSumWithTotals]]
+    * over an already-built [[partedCheckpoint]] frame.
+    */
+  private def carryJoin(
+      parted: DataFrame, part: Seq[String], partCols: Seq[Column],
+      order: Seq[Column]): DataFrame = {
     // explicit ROWS frame: the default frame for an ordered window is
     // RANGE, under which ORDER ties collapse to one cumulative value —
     // a running sum must advance per ROW (ties then break by physical
@@ -66,6 +85,42 @@ object PrefixSum {
       .join(broadcast(carry), "__pid" +: part)
       .withColumn("cum", col("__lcum") + coalesce(col("__carry"), lit(0L)))
       .drop("__pid", "__v", "__lcum", "__carry")
+  }
+
+  def prefixSum(
+      df: DataFrame, part: Seq[String], order: Seq[Column],
+      value: Column): DataFrame = {
+    val clash = Reserved.filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"prefixSum reserves column names ${Reserved.mkString(", ")}; " +
+        s"input frame already has ${clash.mkString(", ")} — rename before calling")
+    val partCols = part.map(col)
+    carryJoin(partedCheckpoint(df, partCols, order, value), part, partCols, order)
+  }
+
+  /** [[prefixSum]] plus the per-part TOTAL of `value`, both computed
+    * from the SAME checkpointed frame: (main, totals) where totals has
+    * columns `part :+ totalName` (one row per part value; one row total
+    * when `part` is empty). Consumers that need per-part cardinalities
+    * next to ranks (the q103/q170/q188 shape) previously re-aggregated
+    * either the full ranked output (re-running the window + carry join)
+    * or the pre-rank subtree (re-running e.g. tokenization); this
+    * derives the same numbers with one window-free, join-free aggregate
+    * over the already-materialized checkpoint. For a rank
+    * (`value = 1`), the total IS the per-part row count.
+    */
+  def prefixSumWithTotals(
+      df: DataFrame, part: Seq[String], order: Seq[Column],
+      value: Column, totalName: String): (DataFrame, DataFrame) = {
+    val clash = Reserved.filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"prefixSumWithTotals reserves column names ${Reserved.mkString(", ")}; " +
+        s"input frame already has ${clash.mkString(", ")} — rename before calling")
+    val partCols = part.map(col)
+    val parted = partedCheckpoint(df, partCols, order, value)
+    val totals = parted.groupBy(partCols: _*)
+      .agg(sum(col("__v")).as(totalName))
+    (carryJoin(parted, part, partCols, order), totals)
   }
 
   /** Names [[rankAndSum]] claims on top of the prefixSum set. */
@@ -88,14 +143,8 @@ object PrefixSum {
     require(clash.isEmpty,
       s"rankAndSum reserves column names ${ReservedRank.mkString(", ")}; " +
         s"input frame already has ${clash.mkString(", ")} — rename before calling")
-    val s = df.sparkSession
-    val nParts = s.conf.get("spark.sql.shuffle.partitions").toIntOption
-      .getOrElse(s.sparkContext.defaultParallelism)
     val partCols = part.map(col)
-    val parted = df.repartitionByRange(nParts, (partCols ++ order): _*)
-      .withColumn("__pid", spark_partition_id())
-      .withColumn("__v", value)
-      .localCheckpoint(false)
+    val parted = partedCheckpoint(df, partCols, order, value)
     // same ROWS-frame rationale as prefixSum above
     val wLocal = Window.partitionBy((col("__pid") +: partCols): _*)
       .orderBy(order: _*)

@@ -147,31 +147,54 @@ object Classifier {
     // (degenerate) weights in both engines instead of drifting by one S
     val sumY = if (head.isNullAt(1)) 0L else head.getLong(1)
     val bal = (nRaw - sumY) * S / math.max(sumY, 1L)
-    var w = feats.sparkSession.range(1).select(
-      (0 to 4).map(j => lit(0L).as(s"w$j")): _*)
+    // The weight state lives on the DRIVER as five BigInts
+    // (optimization round 17): the previous 1-row-DataFrame state cost
+    // three jobs per round (broadcast-build of the weight frame, the
+    // gradient aggregate, and an eager 1-row localCheckpoint) — 84
+    // stages for 24 rounds, pure barrier latency. Now each round is
+    // ONE job: the weight frame ships as a LocalRelation (its
+    // broadcast collects driver-side with no job), the aggregate's
+    // generated code is round-invariant (weights are broadcast-join
+    // columns, not literals, so the codegen cache hits), and the
+    // update arithmetic runs on the driver in BigInt — truncating
+    // division toward zero, exactly the DECIMAL(38,0) DIV the 1-row
+    // plan computed (pinned by the spec's sequential-fold replay).
+    // Driver state is five numbers per round — the same bounded 1-row
+    // action discipline as the `head` above.
+    val spark = feats.sparkSession
+    import spark.implicits._
+    def wFrame(w: IndexedSeq[BigInt]): DataFrame =
+      Seq((w(0).toLong, w(1).toLong, w(2).toLong, w(3).toLong, w(4).toLong))
+        .toDF("w0", "w1", "w2", "w3", "w4")
+    val p = pExpr("DIV", "DECIMAL(38,0)")
+    // residual r = p - y*S (scale S, in [-S, S]), then class-balanced:
+    // positive-class residuals scaled by BAL (r*S DIV S is exact for
+    // the y=0 branch, so one unified expression serves both)
+    // re-stage after the DIV: Spark's IntegralDivide returns BIGINT,
+    // so without the outer CAST the * x_j product and its sum()
+    // accumulate in LongType — wrapping (or throwing under ANSI) past
+    // ~4M rows while the HUGEINT oracle stays exact
+    val gCols = (0 to 4).map(j => sum(expr(
+      s"""CAST(CAST((($p) - y * $S) AS DECIMAL(38,0))
+         | * (y * $bal + (1 - y) * $S) DIV $S AS DECIMAL(38,0)) * x$j"""
+        .stripMargin.replace("\n", " "))).as(s"g$j"))
+    val nBig = BigInt(n)
+    val lrNum = BigInt(QcLrFp)
+    val lrDen = BigInt(S) * S
+    var w: IndexedSeq[BigInt] = IndexedSeq.fill(5)(BigInt(0))
     for (_ <- 1 to rounds) {
-      val p = pExpr("DIV", "DECIMAL(38,0)")
-      // residual r = p - y*S (scale S, in [-S, S]), then class-balanced:
-      // positive-class residuals scaled by BAL (r*S DIV S is exact for
-      // the y=0 branch, so one unified expression serves both)
-      // re-stage after the DIV: Spark's IntegralDivide returns BIGINT,
-      // so without the outer CAST the * x_j product and its sum()
-      // accumulate in LongType — wrapping (or throwing under ANSI) past
-      // ~4M rows while the HUGEINT oracle stays exact
-      val gCols = (0 to 4).map(j => sum(expr(
-        s"""CAST(CAST((($p) - y * $S) AS DECIMAL(38,0))
-           | * (y * $bal + (1 - y) * $S) DIV $S AS DECIMAL(38,0)) * x$j"""
-          .stripMargin.replace("\n", " "))).as(s"g$j"))
-      val grads = feats.crossJoin(broadcast(w)).agg(gCols.head, gCols.tail: _*)
-      w = grads.crossJoin(broadcast(w)).select((0 to 4).map(j => expr(
-        s"""CAST(w$j - CAST(CAST(g$j AS DECIMAL(38,0)) DIV $n AS DECIMAL(38,0))
-           | * $QcLrFp DIV (CAST($S AS DECIMAL(38,0)) * $S) AS BIGINT)"""
-          .stripMargin.replace("\n", " ")).as(s"w$j")): _*)
-        // materialize the 1-row weights each round: without this the
-        // lineage (and the re-aggregated feature passes) double per round
-        .localCheckpoint()
+      val g = feats.crossJoin(broadcast(wFrame(w)))
+        .agg(gCols.head, gCols.tail: _*).head
+      w = (0 to 4).map { j =>
+        // w_j - ((g_j DIV n) * lr DIV (S*S)) — BigInt `/` truncates
+        // toward zero, matching Spark DIV / DuckDB // on the negative
+        // gradients this fit produces
+        val gj = if (g.isNullAt(j)) BigInt(0)
+          else BigInt(g.getDecimal(j).toBigInteger)
+        w(j) - (gj / nBig) * lrNum / lrDen
+      }
     }
-    w
+    wFrame(w)
   }
 
   /** Per-document label + feature row over any (doc_id, text) frame —

@@ -275,10 +275,11 @@ object Filtering {
           col("stop_ok") === 1 &&
           ((col("n_words") - col("n_distinct")) * 10 <=
             col("n_words") * MaxDupFracTenths)).cast("long").as("keep"))
-    val ranked = Sampling.rankDistributed(
+    // counts come from the carry machinery's own checkpoint (one tiny
+    // aggregate) instead of re-running the ranked window + join
+    val (ranked, n) = Sampling.rankDistributedWithCounts(
       base.select(col("doc_id"), col("quality"), col("keep")),
-      Seq.empty, Seq(col("quality"), col("doc_id")))
-    val n = ranked.agg(count(lit(1)).as("n_docs"))
+      Seq.empty, Seq(col("quality"), col("doc_id")), "n_docs")
     ranked.crossJoin(broadcast(n))
       .withColumn("decile", expr("(rk - 1) * 10 DIV n_docs"))
       .groupBy(col("decile"))
@@ -349,9 +350,8 @@ object Filtering {
 
   private def q176(s: SparkSession, d: String): DataFrame = {
     val base = qualityScored(documents(s, d))
-    val ranked = Sampling.rankDistributed(base, Seq.empty,
-      Seq(col("quality"), col("doc_id")))
-    val n = ranked.agg(count(lit(1)).as("n_docs"))
+    val (ranked, n) = Sampling.rankDistributedWithCounts(base, Seq.empty,
+      Seq(col("quality"), col("doc_id")), "n_docs")
     val cells = ranked.crossJoin(broadcast(n))
       .withColumn("decile", expr("(rk - 1) * 10 DIV n_docs"))
       .groupBy(col("decile"))
@@ -427,9 +427,10 @@ object Filtering {
     val scored = qualityScored(documents(s, d))
     val cal = scored.filter(pmod(col("doc_id"), lit(2)) === 0)
     val test = scored.filter(pmod(col("doc_id"), lit(2)) === 1)
-    val ranked = Sampling.rankDistributed(cal, Seq.empty,
-      Seq(col("quality"), col("doc_id")))
-    val nCal = cal.agg(count(lit(1)).as("n_cal"))
+    // n_cal from the rank pass's own checkpoint — the separate
+    // cal.agg(count) used to re-run the scoring subtree for one number
+    val (ranked, nCal) = Sampling.rankDistributedWithCounts(cal, Seq.empty,
+      Seq(col("quality"), col("doc_id")), "n_cal")
     val tau = ranked.crossJoin(broadcast(nCal))
       .filter(col("rk") === expr("(n_cal + 10) DIV 10"))
       .select(col("n_cal"), col("rk").as("k"), col("quality").as("tau"))
@@ -507,9 +508,8 @@ object Filtering {
     // conformal τ (q215 arithmetic, calibrated on even doc_ids)
     val scored = qualityScored(documents(s, d))
     val cal = scored.filter(pmod(col("doc_id"), lit(2)) === 0)
-    val ranked = Sampling.rankDistributed(cal, Seq.empty,
-      Seq(col("quality"), col("doc_id")))
-    val nCal = cal.agg(count(lit(1)).as("n_cal"))
+    val (ranked, nCal) = Sampling.rankDistributedWithCounts(cal, Seq.empty,
+      Seq(col("quality"), col("doc_id")), "n_cal")
     val tau = ranked.crossJoin(broadcast(nCal))
       .filter(col("rk") === expr("(n_cal + 10) DIV 10"))
       .select(col("quality").as("tau"))

@@ -192,17 +192,37 @@ object Frontier {
   // one window partition; the per-group counts are a group-cardinality
   // broadcast.
   private def q158(s: SparkSession, d: String): DataFrame = {
-    val li = lineitem(s, d).select(col("l_returnflag"), col("l_quantity"),
-      col("l_orderkey"), col("l_linenumber"))
-    val ranked = Sampling.rankDistributed(li, Seq("l_returnflag"),
-      Seq(col("l_quantity"), col("l_orderkey"), col("l_linenumber")))
-    val counts = ranked.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
-    ranked.join(broadcast(counts), Seq("l_returnflag"))
-      .filter(col("rk") > expr("n DIV 10") && col("rk") <= col("n") - expr("n DIV 10"))
+    // Domain-collapsed form (optimization round 17): the summed column
+    // IS the ordered column, so rows with equal l_quantity are
+    // interchangeable under the (quantity, orderkey, linenumber) total
+    // order — the kept multiset of quantity values, and therefore the
+    // trimmed sum, depends only on the per-(flag, quantity) COUNTS.
+    // l_quantity is integral 1..50 by the TPC-H spec at every scale
+    // factor, so the collapsed frame is ≤ |flags|·50 rows at 100 TB —
+    // the per-flag window below is domain-bounded, not data-sized
+    // (verified: 50 distinct values at sf0.1). This replaces a full
+    // rank pass (range exchange + carry over every row) with one
+    // map-side-combined aggregate; per-value kept counts come from the
+    // overlap of each value's rank interval with the two trim windows.
+    val cw = lineitem(s, d).select(col("l_returnflag"), col("l_quantity"))
+      .groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(col("l_returnflag"))
+    cw.withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(wTot))
+      // rows of this value occupy ranks (cum-c, cum]; drop the overlap
+      // with the bottom lo = n DIV 10 ranks and the top lo ranks —
+      // the two trim intervals are disjoint (2·lo ≤ n), so kept ≥ 0
+      .withColumn("kept",
+        col("c") -
+          greatest(lit(0L), least(expr("n DIV 10") - (col("cum") - col("c")), col("c"))) -
+          greatest(lit(0L), least(expr("n DIV 10") - (col("n") - col("cum")), col("c"))))
       .groupBy(col("l_returnflag"))
-      .agg(count(lit(1)).as("n_kept"),
-        (sum(col("l_quantity").cast(DecimalType(14, 2))).cast("double") /
-          count(lit(1))).as("trimmed_mean"))
+      .agg(sum(col("kept")).as("n_kept"),
+        (sum(col("l_quantity").cast(DecimalType(14, 2)) * col("kept")).cast("double") /
+          sum(col("kept"))).as("trimmed_mean"))
       .orderBy(col("l_returnflag"))
   }
 
@@ -285,10 +305,11 @@ object Frontier {
   private def q170(s: SparkSession, d: String): DataFrame = {
     val o = orders(s, d).select(col("o_orderpriority"), col("o_totalprice"),
       col("o_orderkey"))
-    val ranked = Sampling.rankDistributed(o, Seq("o_orderpriority"),
-      Seq(col("o_totalprice"), col("o_orderkey")))
-    val counts = ranked.groupBy(col("o_orderpriority"))
-      .agg(count(lit(1)).as("n"))
+    // per-group counts from the rank pass's checkpoint — the separate
+    // ranked.groupBy(...).count() re-ran the window + carry join
+    val (ranked, counts) = Sampling.rankDistributedWithCounts(o,
+      Seq("o_orderpriority"),
+      Seq(col("o_totalprice"), col("o_orderkey")), "n")
     ranked.join(broadcast(counts), Seq("o_orderpriority"))
       .filter(col("rk") === expr("(n + 1) DIV 2") ||
         col("rk") === expr("(9 * n + 9) DIV 10"))
@@ -332,9 +353,8 @@ object Frontier {
   // per-type aggregates; the only broadcasts are |event types|-sized.
   private def q188(s: SparkSession, d: String): DataFrame = {
     val e = events(s, d).select(col("event_type"), col("event_id"), col("value"))
-    val r1 = Sampling.rankDistributed(e, Seq("event_type"),
-      Seq(col("value"), col("event_id")))
-    val n1 = r1.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val (r1, n1) = Sampling.rankDistributedWithCounts(e, Seq("event_type"),
+      Seq(col("value"), col("event_id")), "n")
     val med = r1.join(broadcast(n1), Seq("event_type"))
       .filter(col("rk") === expr("(n + 1) DIV 2"))
       .select(col("event_type"), col("value").as("median"), col("n"))
@@ -407,24 +427,14 @@ object Frontier {
         expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"),
         expr("CAST(round(l_quantity) AS BIGINT)").as("qty"))
       .groupBy(col("flag"), col("cents")).agg(sum(col("qty")).as("w"))
-    val nParts = s.conf.get("spark.sql.shuffle.partitions").toIntOption
-      .getOrElse(s.sparkContext.defaultParallelism)
-    val parted = cw.repartitionByRange(nParts, col("flag"), col("cents"))
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(false)
-    val wLocal = Window.partitionBy(col("__pid"), col("flag")).orderBy(col("cents"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wCarry = Window.partitionBy(col("flag")).orderBy(col("__pid"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val carry = parted.groupBy(col("__pid"), col("flag"))
-      .agg(sum(col("w")).as("pw"))
-      .withColumn("carry", sum(col("pw")).over(wCarry))
-      .select(col("__pid"), col("flag"), col("carry"))
-    val tot = cw.groupBy(col("flag")).agg(sum(col("w")).as("wtot"))
-    parted
-      .withColumn("cum", sum(col("w")).over(wLocal))
-      .join(broadcast(carry), Seq("__pid", "flag"))
-      .withColumn("cum", col("cum") + coalesce(col("carry"), lit(0L)))
+    // the generic carry machinery (optimization round 17): identical
+    // running sum to the inline copy this replaces, but through
+    // ops.PrefixSum — one range exchange, no second full-data exchange
+    // (the pid-partitioning re-assertion), and wtot derived from the
+    // SAME checkpointed pass instead of re-running the cw aggregate
+    val (cum, tot) = graft.ops.PrefixSum.prefixSumWithTotals(
+      cw, Seq("flag"), Seq(col("cents")), col("w"), "wtot")
+    cum
       .join(broadcast(tot), Seq("flag"))
       .filter(col("cum") * 2 >= col("wtot"))
       .groupBy(col("flag"))

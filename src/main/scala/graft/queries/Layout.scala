@@ -93,8 +93,10 @@ object Layout {
 
   /** Core: equi-depth histogram of an integer column. */
   private[graft] def equiDepthOf(vals: DataFrame, valCol: String): DataFrame = {
-    val ranked = Sampling.rankDistributed(vals, Seq.empty, Seq(col(valCol)))
-    val n = vals.agg(count(lit(1)).as("n"))
+    // n from the rank pass's checkpoint — the separate vals.agg(count)
+    // re-ran the value-derivation subtree for one number
+    val (ranked, n) = Sampling.rankDistributedWithCounts(
+      vals, Seq.empty, Seq(col(valCol)), "n")
     val bounds = n
       .select(explode(expr(s"sequence(1L, ${HistBuckets}L)")).as("bucket"), col("n"))
       .select(col("bucket"),

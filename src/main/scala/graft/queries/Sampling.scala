@@ -283,6 +283,22 @@ object Sampling {
     graft.ops.PrefixSum.prefixSum(df, part, order, lit(1L))
       .withColumnRenamed("cum", "rk")
 
+  /** [[rankDistributed]] plus the per-part row counts as a second
+    * (tiny) frame, derived from the same checkpointed pass — for the
+    * consumers that broadcast-join per-part cardinalities next to the
+    * rank (q103/q170/q188 and friends), which previously paid a second
+    * full pass over the ranked output (or the pre-rank subtree) for a
+    * number the carry machinery already has.
+    */
+  private[queries] def rankDistributedWithCounts(
+      df: DataFrame, part: Seq[String],
+      order: Seq[org.apache.spark.sql.Column],
+      countName: String): (DataFrame, DataFrame) = {
+    val (r, n) = graft.ops.PrefixSum.prefixSumWithTotals(
+      df, part, order, lit(1L), countName)
+    (r.withColumnRenamed("cum", "rk"), n)
+  }
+
   // q103 — per-source quality calibration: quality scores are only
   // comparable WITHIN a source (different boilerplate, different
   // length profiles — the well-known classifier-miscalibration
@@ -293,9 +309,11 @@ object Sampling {
   // than a per-source sort window.
   private def q103(s: SparkSession, d: String): DataFrame = {
     val scored = scoredDocs(s, d)
-    val n = scored.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
-    rankDistributed(scored, Seq("source"), Seq(col("quality").desc, col("doc_id")))
-      .join(broadcast(n), Seq("source"))
+    // per-source counts from the rank pass's checkpoint — the separate
+    // scored.groupBy(source).count() re-ran the tokenization subtree
+    val (ranked, n) = rankDistributedWithCounts(scored, Seq("source"),
+      Seq(col("quality").desc, col("doc_id")), "n_src")
+    ranked.join(broadcast(n), Seq("source"))
       .filter(col("rk") * 10 <= col("n_src") * 3)
       .select(col("source"), col("doc_id"), col("rk"), col("n_src"))
       .orderBy(col("source"), col("rk"))

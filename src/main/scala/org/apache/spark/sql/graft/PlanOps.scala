@@ -55,6 +55,13 @@ object PlanOps {
   def analyzed(df: DataFrame): LogicalPlan =
     df.queryExecution.analyzed
 
+  /** Actual partition count of the frame's execution RDD (metadata
+    * only — no job). For a checkpointed frame this is the true physical
+    * partition count the `__pid` column was stamped against.
+    */
+  def numPartitions(df: DataFrame): Int =
+    df.queryExecution.toRdd.getNumPartitions
+
   /** Canonicalize float/double (-0.0 → 0.0, NaN payloads → one NaN)
     * inside `e`, recursively through structs and arrays; identity for
     * types that need no normalization. The same canonicalization Spark
