@@ -880,7 +880,22 @@ object EventWindows {
     val base = attributionEdgesOf(ev).groupBy(col("from_state"), col("to_state"))
       .agg(count(lit(1)).as("n"))
     val vnames = "none" +: MkChannels
-    val edges = vnames.map { v =>
+    // One Spark job collects the variant-expanded transition-count
+    // matrix; the MkRounds value-iteration then runs on the DRIVER
+    // (optimization round 17). The collected state is DOMAIN-bounded,
+    // not data-sized — ≤ |states|²·|variants| rows (states are the
+    // event-type enum + START/CONV/NULL; ~245 rows at any corpus
+    // size), the same bounded-action discipline as q271's five
+    // weights. The previous in-plan loop paid MkRounds=16 sequential
+    // tiny-frame joins, each with an eager localCheckpoint barrier —
+    // 16+ scheduler round-trips to move ~35 numbers per round; pure
+    // constant latency at every scale factor. Arithmetic is replicated
+    // exactly: per-round p'(v,from) = Σ n·p(to) DIV row_n in BigInt
+    // (DECIMAL(38,0) semantics; both divisions truncate toward zero),
+    // edges whose to_state has no p entry drop (the inner join), and
+    // the absorbing rows (CONV = S, NULL = 0) re-enter each round —
+    // pinned by MarkovAttributionSpec's hand-built-path fixtures.
+    val edgeRows: Array[(String, String, String, Long)] = vnames.map { v =>
       base.filter(lit(v) === "none" || col("from_state") =!= v)
         .select(lit(v).as("variant"), col("from_state"),
           when(lit(v) =!= "none" && col("to_state") === v, "NULL")
@@ -889,40 +904,35 @@ object EventWindows {
     }.reduce(_ unionAll _)
       .groupBy(col("variant"), col("from_state"), col("to_state"))
       .agg(sum(col("n")).as("n"))
-      .localCheckpoint()
-    val rowtot = edges.groupBy(col("variant"), col("from_state"))
-      .agg(sum(col("n")).as("row_n"))
-      .localCheckpoint()
-    val absorb = vnames.flatMap(v => Seq((v, "CONV", S), (v, "NULL", 0L)))
-      .toDF("variant", "state", "p")
-    var p = absorb
+      .as[(String, String, String, Long)]
+      .collect()
+    val rowN: Map[(String, String), Long] = edgeRows
+      .groupBy(e => (e._1, e._2)).map { case (k, es) => k -> es.map(_._4).sum }
+    val absorb: Map[(String, String), BigInt] =
+      vnames.flatMap(v => Seq((v, "CONV") -> BigInt(S), (v, "NULL") -> BigInt(0)))
+        .toMap
+    var p: Map[(String, String), BigInt] = absorb
     for (_ <- 1 to MkRounds) {
-      val nxt = edges
-        .join(p.select(col("variant"), col("state").as("to_state"), col("p")),
-          Seq("variant", "to_state"))
-        .groupBy(col("variant"), col("from_state"))
-        .agg(sum(expr("CAST(n AS DECIMAL(38,0)) * p")).as("num"))
-        .join(rowtot, Seq("variant", "from_state"))
-        .select(col("variant"), col("from_state").as("state"),
-          expr("CAST(num DIV row_n AS BIGINT)").as("p"))
-      p = nxt.unionAll(absorb).localCheckpoint()
+      val nxt = edgeRows
+        .filter(e => p.contains((e._1, e._3)))
+        .groupBy(e => (e._1, e._2))
+        .map { case (k, es) =>
+          val num = es.map(e => BigInt(e._4) * p((e._1, e._3))).sum
+          k -> num / BigInt(rowN(k))
+        }
+      p = nxt ++ absorb
     }
-    val sel = p.filter(col("state") === "START")
-      .select(col("variant"), col("p"))
-    val baseP = sel.filter(col("variant") === "none")
-      .select(col("p").as("base_fp"))
-    val eff = sel.filter(col("variant") =!= "none")
-      .crossJoin(broadcast(baseP))
-      .select(col("variant").as("channel"), col("base_fp"),
-        col("p").as("removed_fp"),
-        expr("CAST((base_fp - p) * 1048576 DIV greatest(base_fp, 1) AS BIGINT)")
-          .as("removal_effect_fp"))
-    val tot = eff.agg(sum(col("removal_effect_fp")).as("tot_eff"))
-    eff.crossJoin(broadcast(tot))
-      .select(col("channel"), col("base_fp"), col("removed_fp"),
-        col("removal_effect_fp"),
-        expr("CAST(removal_effect_fp * 1048576 DIV greatest(tot_eff, 1) AS BIGINT)")
-          .as("share_fp"))
+    val effRows = for {
+      basePv <- p.get(("none", "START")).toSeq
+      v <- MkChannels
+      pv <- p.get((v, "START")).toSeq
+    } yield (v, basePv, pv,
+      (basePv - pv) * S / basePv.max(BigInt(1)))
+    val totEff = effRows.map(_._4).sum
+    effRows.map { case (v, b, pv, e) =>
+      (v, b.toLong, pv.toLong, e.toLong,
+        (e * S / totEff.max(BigInt(1))).toLong)
+    }.toDF("channel", "base_fp", "removed_fp", "removal_effect_fp", "share_fp")
       .orderBy(col("channel"))
   }
 

@@ -128,36 +128,46 @@ object Expectations {
   // dependencies on this data: o_orderkey → o_custkey holds (orderkey
   // is a key); every lineitem candidate fails.
   //
-  // Scale shape: ONE pass per table — all candidate cardinalities are
-  // count-distinct aggregates of the same scan (Catalyst plans the
-  // multi-distinct via one expand), then a constant-width stack pivots
-  // the 1-row frame into the report. No joins, no windows; the only
-  // shuffle is the distinct-aggregate shuffle the semantics require.
+  // Scale shape: one aggregate PER CANDIDATE, all six subtrees in one
+  // union plan (optimization round 17 — the q180 split, measured 2×
+  // there): grouping by the FD's lhs and counting distinct rhs WITHIN
+  // each group yields |distinct lhs| (= the group count) and
+  // |distinct (lhs, rhs)| (= Σ per-group distinct-rhs) from ONE
+  // column-pruned scan and ONE exchange of the candidate's distinct
+  // pairs. The previous single 8-distinct aggregate planned through
+  // Expand — every lineitem row REPLICATED 8× (once per distinct
+  // group) into one fat (gid, 4-col-key) hash aggregate — 8× the
+  // pre-shuffle rows and one monolithic exchange instead of six
+  // independent ones that overlap in-flight. The Σ identity needs
+  // lhs non-null (count(DISTINCT lhs…) drops null-key rows, a group-by
+  // keeps the null group); TPC-H keys are NOT NULL by spec, matching
+  // the oracle's countDistinct semantics exactly. No joins, no
+  // windows; the only shuffles are the per-candidate distinct-pair
+  // exchanges the semantics require.
   private def q234(s: SparkSession, d: String): DataFrame = {
-    val li = lineitem(s, d).agg(
-      countDistinct(col("l_orderkey")).as("l1"),
-      countDistinct(col("l_orderkey"), col("l_returnflag")).as("r1"),
-      countDistinct(col("l_partkey")).as("l2"),
-      countDistinct(col("l_partkey"), col("l_suppkey")).as("r2"),
-      countDistinct(col("l_suppkey")).as("l3"),
-      countDistinct(col("l_suppkey"), col("l_linestatus")).as("r3"),
-      countDistinct(col("l_orderkey"), col("l_linenumber")).as("l4"),
-      countDistinct(col("l_orderkey"), col("l_linenumber"), col("l_partkey")).as("r4"))
-    val ord = orders(s, d).agg(
-      countDistinct(col("o_orderkey")).as("l5"),
-      countDistinct(col("o_orderkey"), col("o_custkey")).as("r5"),
-      countDistinct(col("o_custkey")).as("l6"),
-      countDistinct(col("o_custkey"), col("o_orderpriority")).as("r6"))
-    li.crossJoin(ord)
-      .select(expr(
-        """stack(6,
-          |  'lineitem: l_orderkey -> l_returnflag', l1, r1,
-          |  'lineitem: l_partkey -> l_suppkey', l2, r2,
-          |  'lineitem: l_suppkey -> l_linestatus', l3, r3,
-          |  'lineitem: l_orderkey,l_linenumber -> l_partkey', l4, r4,
-          |  'orders: o_orderkey -> o_custkey', l5, r5,
-          |  'orders: o_custkey -> o_orderpriority', l6, r6
-          |) AS (fd, n_lhs, n_pairs)""".stripMargin))
+    def fd(df: DataFrame, name: String, lhs: Seq[String],
+        rhs: String): DataFrame =
+      df.select((lhs :+ rhs).map(col): _*)
+        .groupBy(lhs.map(col): _*)
+        .agg(countDistinct(col(rhs)).as("k"))
+        .agg(count(lit(1)).as("n_lhs"), sum(col("k")).as("n_pairs"))
+        .select(lit(name).as("fd"), col("n_lhs"), col("n_pairs"))
+    val li = lineitem(s, d)
+    val ord = orders(s, d)
+    Seq(
+      fd(li, "lineitem: l_orderkey -> l_returnflag",
+        Seq("l_orderkey"), "l_returnflag"),
+      fd(li, "lineitem: l_partkey -> l_suppkey",
+        Seq("l_partkey"), "l_suppkey"),
+      fd(li, "lineitem: l_suppkey -> l_linestatus",
+        Seq("l_suppkey"), "l_linestatus"),
+      fd(li, "lineitem: l_orderkey,l_linenumber -> l_partkey",
+        Seq("l_orderkey", "l_linenumber"), "l_partkey"),
+      fd(ord, "orders: o_orderkey -> o_custkey",
+        Seq("o_orderkey"), "o_custkey"),
+      fd(ord, "orders: o_custkey -> o_orderpriority",
+        Seq("o_custkey"), "o_orderpriority"),
+    ).reduce(_ unionAll _)
       .select(col("fd"), col("n_lhs"), col("n_pairs"),
         (col("n_pairs") - col("n_lhs")).as("n_violations"),
         when(col("n_pairs") === col("n_lhs"), 1L).otherwise(0L).as("holds_fd"),

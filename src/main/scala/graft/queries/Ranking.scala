@@ -60,42 +60,57 @@ object Ranking {
     * fixed-point recurrence on a fixture schedule.
     */
   private[graft] def bradleyTerryOf(cmp0: DataFrame, rounds: Int): DataFrame = {
-    val cmp = cmp0.localCheckpoint()
-    val games = cmp.select(col("wsrc").as("i"), col("lsrc").as("j"))
+    val s = cmp0.sparkSession
+    import s.implicits._
+    val cmp = cmp0.localCheckpoint() // consumed twice: games + win counts
+    // One Spark job collects the per-pair game counts, a second the
+    // per-player win counts; the MM rounds then run on the DRIVER
+    // (optimization round 17). Both frames are DOMAIN-bounded, not
+    // data-sized — |players|² and |players| rows where players are the
+    // 20 sources — the q271 bounded-action discipline. The previous
+    // in-plan loop paid rounds×(two joins + a 1-row broadcast total +
+    // an eager localCheckpoint barrier) to move a ≤20-row strength
+    // vector 8 times: pure scheduler latency at every scale factor.
+    // The corpus-sized work (the two pair joins behind cmp) is
+    // unchanged and stays in Spark. Arithmetic is replicated exactly
+    // in BigInt (DECIMAL(38,0) semantics, every DIV truncating toward
+    // zero, the same greatest() floors) — pinned by RankingSpec's
+    // sequential-fold fixture replay.
+    val gameRows: Array[(String, String, Long)] = cmp
+      .select(col("wsrc").as("i"), col("lsrc").as("j"))
       .unionAll(cmp.select(col("lsrc").as("i"), col("wsrc").as("j")))
       .groupBy(col("i"), col("j")).agg(count(lit(1)).as("n"))
-      .localCheckpoint()
-    val players = games.select(col("i")).distinct()
-    val wins = players.join(
-        cmp.groupBy(col("wsrc").as("i")).agg(count(lit(1)).as("wn")),
-        Seq("i"), "left")
-      .select(col("i"), coalesce(col("wn"), lit(0L)).as("wn"))
-      .localCheckpoint()
-    var w = players.select(col("i"), lit(BtScale).as("w"))
+      .as[(String, String, Long)]
+      .collect()
+    val winRows: Map[String, Long] = cmp
+      .groupBy(col("wsrc").as("i")).agg(count(lit(1)).as("wn"))
+      .as[(String, Long)].collect().toMap
+    val players: Seq[String] = gameRows.map(_._1).distinct.toSeq
+    val wins: Map[String, Long] =
+      players.map(i => i -> winRows.getOrElse(i, 0L)).toMap
+    val scale = BigInt(BtScale)
+    var w: Map[String, BigInt] = players.map(_ -> scale).toMap
     for (_ <- 1 to rounds) {
       // denominator: Σ_j n_ij / (w_i + w_j), per-term truncating DIV
-      val denom = games
-        .join(w.select(col("i"), col("w").as("wi")), Seq("i"))
-        .join(w.select(col("i").as("j"), col("w").as("wj")), Seq("j"))
-        .groupBy(col("i"))
-        .agg(sum(expr(
-          s"CAST(CAST(n AS DECIMAL(38,0)) * $BtScale * $BtScale DIV (wi + wj) AS BIGINT)"))
-          .as("d"))
-      val upd = wins.join(denom, Seq("i"), "left")
-        .select(col("i"), greatest(expr(
-          s"CAST(CAST(wn + 1 AS DECIMAL(38,0)) * $BtScale * $BtScale DIV greatest(coalesce(d, 1), 1) AS BIGINT)"),
-          lit(1L)).as("wr"))
-      val tot = upd.agg(sum(col("wr")).as("tw"), count(lit(1)).as("ns"))
-      w = upd.crossJoin(broadcast(tot))
-        .select(col("i"), greatest(expr(
-          s"CAST(CAST(wr AS DECIMAL(38,0)) * ns * $BtScale DIV tw AS BIGINT)"),
-          lit(1L)).as("w"))
-        .localCheckpoint()
+      val denom: Map[String, BigInt] = gameRows
+        .groupBy(_._1)
+        .map { case (i, gs) =>
+          i -> gs.map { case (_, j, n) =>
+            BigInt(n) * scale * scale / (w(i) + w(j))
+          }.sum
+        }
+      val upd: Map[String, BigInt] = wins.map { case (i, wn) =>
+        i -> (BigInt(wn + 1) * scale * scale /
+          denom.getOrElse(i, BigInt(1)).max(BigInt(1))).max(BigInt(1))
+      }
+      val tw = upd.values.sum
+      val ns = BigInt(upd.size)
+      w = upd.map { case (i, wr) => i -> (wr * ns * scale / tw).max(BigInt(1)) }
     }
-    val played = games.groupBy(col("i")).agg(sum(col("n")).as("n_games"))
-    w.join(played, Seq("i")).join(wins, Seq("i"))
-      .select(col("i"), col("n_games"), col("wn").as("n_wins"),
-        col("w").as("bt_fp"))
+    val played: Map[String, Long] =
+      gameRows.groupBy(_._1).map { case (i, gs) => i -> gs.map(_._3).sum }
+    players.map(i => (i, played(i), wins(i), w(i).toLong))
+      .toDF("i", "n_games", "n_wins", "bt_fp")
   }
 
   /** The deterministic comparison schedule over `documents`: offsets
