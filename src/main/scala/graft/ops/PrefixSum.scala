@@ -45,10 +45,19 @@ object PrefixSum {
       df: DataFrame, partCols: Seq[Column], order: Seq[Column],
       value: Column): DataFrame = {
     val s = df.sparkSession
-    val nParts = s.conf.get("spark.sql.shuffle.partitions").toIntOption
-      .getOrElse(s.sparkContext.defaultParallelism)
-    // one __pid assignment shared by both branches (see rankDistributed)
-    val ck = df.repartitionByRange(nParts, (partCols ++ order): _*)
+    // NO explicit partition count: repartitionByRange(cols) shuffles as
+    // REPARTITION_BY_COL, which AQE coalesces by advisory size (an
+    // explicit N is BY_NUM and pinned). With the downstream exchange
+    // gone (the pid-partitioning assertion below), the checkpoint's
+    // partition count propagates to EVERY post-checkpoint stage — a
+    // pinned 32 meant 32 tasks × per-task constants on kilobyte frames
+    // at bench SF (measured on q265: 2.7 → 16.4 executor-CPU-s, the
+    // post-checkpoint stages 1 task before, 32 after), while at 100 TB
+    // AQE derives the count from the data size. Coalescing merges only
+    // ADJACENT range partitions, so the pid-ascending range property
+    // the assertion claims still holds. One __pid assignment shared by
+    // both branches (see rankDistributed).
+    val ck = df.repartitionByRange((partCols ++ order): _*)
       .withColumn("__pid", spark_partition_id())
       .withColumn("__v", value)
       .localCheckpoint(false)
