@@ -269,14 +269,51 @@ object Bench {
       s"duplicate short query ids in isolated_s: ${isoShort.map(_._1).mkString(",")}")
     val isoShortJson = isoShort.map { case (k, v) =>
       "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"wordcount_words_per_s":$wordsPerS%.0f,"host_factor":$hostFactorJson,"host_anchor_words_per_s":$priorAnchorJson,"quiet_anchor_words_per_s":$QuietAnchorWordsPerS,"host_factor_vs_quiet":$vsQuiet%.3f,"isolated_s":$isoShortJson,"sf":"$sfDir"}"""
+    // Per-query visibility for the driver (r17 verdict item 2): the
+    // driver's per-query speedup/scaling blocks were empty for two
+    // rounds because the stdout line carried no "queries" map. The tail
+    // window the driver parses from is 2000 chars (BENCH_r17.json's
+    // "tail" field is exactly 2000 chars; full-name and ~174-short-id
+    // maps both overflowed it in r7/r9 and parsed null), so the FULL
+    // 279-entry map can never ride on stdout. Compromise: a BUDGETED
+    // map — the slowest queries first (the only rows where a wall-clock
+    // delta is distinguishable from noise), full registry names (the
+    // driver matches across rounds by name), as many as fit a hard
+    // line budget, with queries_omitted announcing the truncation. The
+    // full map still lands in the bench_last*.json artifacts.
+    val lineBudget = 1800
+    def mkLine(qs: String, omitted: Int): String =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"wordcount_words_per_s":$wordsPerS%.0f,"host_factor":$hostFactorJson,"host_anchor_words_per_s":$priorAnchorJson,"quiet_anchor_words_per_s":$QuietAnchorWordsPerS,"host_factor_vs_quiet":$vsQuiet%.3f,"isolated_s":$isoShortJson,"queries":$qs,"queries_omitted":$omitted,"sf":"$sfDir"}"""
+    val byTimeDesc = results.sortBy(-_._2)
+    val headerLen = mkLine("{}", results.size).length
+    val picked = {
+      var used = headerLen
+      byTimeDesc.takeWhile { case (k, v) =>
+        val entryLen = k.length + f"$v%.3f".length + 4 // quotes, colon, comma
+        if (used + entryLen <= lineBudget) { used += entryLen; true } else false
+      }
+    }
+    val qsStdout = picked.sortBy(_._1).map { case (k, v) =>
+      "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val line = mkLine(qsStdout, results.size - picked.size)
+    require(line.length <= lineBudget + 64,
+      s"bench stdout line overflowed the tail-capture budget: ${line.length}")
     val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"wordcount_words_per_s":$wordsPerS%.0f,"host_factor":$hostFactorJson,"host_anchor_words_per_s":$priorAnchorJson,"quiet_anchor_words_per_s":$QuietAnchorWordsPerS,"host_factor_vs_quiet":$vsQuiet%.3f,"isolated_s":$isoJson,"queries":$qsFull,"spreads":$sp,"shuffle_mb":$shuffleMb,"spill_mb":$spillMb,"cpu_s":$cpuS,"sf":"$sfDir"}"""
     // Subset sweeps (SPARK_GRAFT_ONLY) must not clobber the committed
-    // full-registry artifact — they write a sibling file instead.
-    val artifact = if (only.isEmpty) "bench_last.json" else "bench_subset_last.json"
-    try java.nio.file.Files.write(java.nio.file.Paths.get(artifact),
-      (full + "\n").getBytes("UTF-8"))
-    catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
+    // full-registry artifact — they write a sibling file instead. Full
+    // sweeps ALSO write a per-core-count sibling (bench_last_c8.json /
+    // bench_last_c32.json): the driver benches at two core counts and
+    // the second run used to overwrite the first's full per-query map
+    // (r17 verdict item 2), losing the c32 data the scaling comparison
+    // needed.
+    val artifacts =
+      if (only.isEmpty) Seq("bench_last.json", s"bench_last_c$cpus.json")
+      else Seq("bench_subset_last.json")
+    artifacts.foreach { artifact =>
+      try java.nio.file.Files.write(java.nio.file.Paths.get(artifact),
+        (full + "\n").getBytes("UTF-8"))
+      catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
+    }
     println(line)
     spark.stop()
   }
