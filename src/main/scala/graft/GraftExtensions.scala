@@ -34,10 +34,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // whole-operator extension: plans graft.plans.TopKPerKeyNode as
     // partial/final bounded-heap execs (no sort, map-side combine)
     e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
-    // pass-through exec that re-asserts the (true) pid-range
-    // partitioning of PrefixSum's checkpointed frames, so the carry
-    // machinery's window/aggregate run without a second full exchange
-    e.injectPlannerStrategy(_ => graft.plans.AssumePartitionedStrategy)
+    // single-pass distributed prefix sum (ops.PrefixSum's kernel):
+    // one range exchange, tiny totals pass, sorted streaming carry
+    e.injectPlannerStrategy(_ => graft.plans.PrefixSumStrategy)
     // optimizer extension: window top-n written the plain DataFrame way
     // rewrites to the operator above automatically
     e.injectOptimizerRule(_ => graft.plans.RankFilterToTopK)

@@ -196,6 +196,8 @@ object GraftFunctions {
     "hash60" -> (exprs => Cast(
       Conv(Substring(Md5(exprs.head), Literal(1), Literal(15)),
         Literal(16), Literal(10)), LongType)),
+    // lane-wise byte max aggregate (q255's packed-register merge)
+    "bytemax" -> (exprs => ByteMaxAgg(exprs.head)),
   )
 
   def register(spark: SparkSession): Unit = {

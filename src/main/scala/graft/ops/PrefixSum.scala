@@ -1,8 +1,10 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.catalyst.expressions.AttributeReference
+import org.apache.spark.sql.catalyst.plans.logical.Sort
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 /** Distributed running sum — the generic form of the cluster-carry
   * pattern `Sampling.tokenBudgetOver` / `Sampling.rankDistributed`
@@ -10,169 +12,130 @@ import org.apache.spark.sql.functions._
   * in `order` WITHOUT a per-partition-value sort window (one giant
   * part value would serialize onto a single task at 100 TB).
   *
-  * Range-partition on (part, order), sum locally per physical
-  * partition, and add back a broadcast carry of preceding-partition
-  * totals. The carry frame is one row per (physical partition, part)
-  * — cluster-sized, not data-sized.
+  * Since round 18 the kernel is the single-pass physical operator
+  * [[graft.plans.PrefixSumExec]]: ONE range exchange on (part ++
+  * order), a tiny per-partition-totals job over the same shuffle
+  * files, and a sorted streaming pass that adds the broadcast carry.
+  * The carry frame is one row per (physical partition, part) —
+  * cluster-sized, not data-sized, because range partitioning keeps
+  * each partition to a contiguous key range. The round-14..17 shape
+  * (repartitionByRange → localCheckpoint → window + carry aggregate +
+  * broadcast join) paid a full second materialization of the working
+  * frame to executor local storage and truncated lineage; the operator
+  * materializes nothing beyond the exchange itself.
   */
 object PrefixSum {
+
+  /** Working/output column names claimed on the input frame.
+    * withColumn silently REPLACES an existing column of the same name —
+    * an input already carrying e.g. `cum` or `__v` would get silently
+    * wrong results — so their absence is asserted, not assumed. NOTE:
+    * `rk` is deliberately only reserved by [[rankAndSum]]: ranked
+    * frames legitimately flow back through prefixSum (q265's shape).
+    */
+  private val Reserved = Seq("cum", "__v")
+
+  /** The shared node builder: resolves `value` and `order` through the
+    * analyzer (so coercion behaves exactly as the DataFrame API), then
+    * plans the fused operator. `value` must resolve to an integral
+    * type — every consumer sums counts, token counts or fixed-point
+    * longs, and integer addition is the reason the operator's unsorted
+    * pass-1 totals are exact (float reassociation would not be).
+    */
+  private def fused(
+      df: DataFrame, part: Seq[String], order: Seq[Column], value: Column,
+      rank: Boolean, totalName: Option[String],
+      isMax: Boolean = false, inclusive: Boolean = true): DataFrame = {
+    val reserved = Reserved ++ (if (rank) Seq("rk") else Nil) ++ totalName
+    val clash = reserved.filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"prefixSum reserves column names ${reserved.mkString(", ")}; " +
+        s"input frame already has ${clash.mkString(", ")} — rename before calling")
+    val s = df.sparkSession
+    // sessions built without GraftExtensions still plan the node (the
+    // TopKPerKey.perKey pattern)
+    if (!s.experimental.extraStrategies.contains(graft.plans.PrefixSumStrategy)) {
+      s.experimental.extraStrategies =
+        s.experimental.extraStrategies :+ graft.plans.PrefixSumStrategy
+    }
+    val vType = df.select(value.as("__v")).schema.head.dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(vType),
+      s"prefixSum value must be integral (got $vType): the single-pass " +
+        "kernel's per-partition totals are computed unsorted, which is " +
+        "exact for integer addition only")
+    val base = df.withColumn("__v", value.cast("long"))
+    // analyzer-resolved (part ++ order) sort order, extracted from a
+    // throwaway sortWithinPartitions plan — names, nested fields and
+    // type coercion resolve exactly as any DataFrame sort would
+    val sortPlan = org.apache.spark.sql.graft.PlanOps.analyzed(
+      base.sortWithinPartitions((part.map(col) ++ order): _*))
+    val (orderAll, child) = sortPlan match {
+      case so: Sort => (so.order, so.child)
+      case other => sys.error(s"prefixSum: unexpected analyzed shape $other")
+    }
+    val partAttrs = orderAll.take(part.length).map {
+      _.child match {
+        case a: AttributeReference => a
+        case e => sys.error(s"prefixSum: part must be plain columns, got $e")
+      }
+    }
+    val orderExprs = orderAll.drop(part.length)
+    val vAttr = child.output.find(_.name == "__v").getOrElse(
+      sys.error("prefixSum: __v column lost during analysis"))
+    val node = graft.plans.PrefixSumNode(
+      partAttrs, orderExprs, vAttr,
+      AttributeReference("cum", LongType, nullable = true)(),
+      if (rank) Some(AttributeReference("rk", LongType, nullable = true)()) else None,
+      totalName.map(n => AttributeReference(n, LongType, nullable = true)()),
+      isMax, inclusive,
+      child)
+    org.apache.spark.sql.graft.PlanOps.ofRows(s, node).drop("__v")
+  }
 
   /** Appends `cum`: the inclusive running sum of `value` over `order`
     * within `part`. `order` must be a total order within each part for
     * the result to be deterministic.
     */
-  /** Working/output column names this helper claims on the input frame.
-    * withColumn silently REPLACES an existing column of the same name —
-    * an input already carrying e.g. `cum` or `__v` would get silently
-    * wrong results — so their absence is asserted, not assumed. NOTE:
-    * `rk` is deliberately NOT reserved here (only [[rankAndSum]] emits
-    * it): ranked frames legitimately flow back through prefixSum
-    * (q265's shape).
-    */
-  private val Reserved = Seq("cum", "__pid", "__v", "__lcum", "__carry")
-
-  /** Builds the range-partitioned, pid-stamped, checkpointed working
-    * frame both the carry and the main branch read, with the (true)
-    * `RangePartitioning(__pid ASC)` of the checkpointed RDD re-asserted
-    * via [[graft.plans.AssumePidRangePartitionedNode]] — localCheckpoint
-    * erases partitioning metadata (`UnknownPartitioning`), which used to
-    * cost a second FULL-data exchange to re-cluster by (`__pid`, part)
-    * for the window, plus an exchanged partial/final aggregate pair for
-    * the carry. With the assertion, the window needs only its
-    * per-partition sort and the carry aggregate runs exchange-free.
-    */
-  private def partedCheckpoint(
-      df: DataFrame, partCols: Seq[Column], order: Seq[Column],
-      value: Column): DataFrame = {
-    val s = df.sparkSession
-    // NO explicit partition count: repartitionByRange(cols) shuffles as
-    // REPARTITION_BY_COL, which AQE coalesces by advisory size (an
-    // explicit N is BY_NUM and pinned). With the downstream exchange
-    // gone (the pid-partitioning assertion below), the checkpoint's
-    // partition count propagates to EVERY post-checkpoint stage — a
-    // pinned 32 meant 32 tasks × per-task constants on kilobyte frames
-    // at bench SF (measured on q265: 2.7 → 16.4 executor-CPU-s, the
-    // post-checkpoint stages 1 task before, 32 after), while at 100 TB
-    // AQE derives the count from the data size. Coalescing merges only
-    // ADJACENT range partitions, so the pid-ascending range property
-    // the assertion claims still holds. One __pid assignment shared by
-    // both branches (see rankDistributed).
-    val ck = df.repartitionByRange((partCols ++ order): _*)
-      .withColumn("__pid", spark_partition_id())
-      .withColumn("__v", value)
-      .localCheckpoint(false)
-    val plan = org.apache.spark.sql.graft.PlanOps.analyzed(ck)
-    val pid = plan.output.find(_.name == "__pid").getOrElse(
-      sys.error("prefixSum: checkpointed frame lost its __pid column"))
-    org.apache.spark.sql.graft.PlanOps.ofRows(s,
-      graft.plans.AssumePidRangePartitionedNode(
-        pid, org.apache.spark.sql.graft.PlanOps.numPartitions(ck), plan))
-  }
-
-  /** The carry body shared by [[prefixSum]] and [[prefixSumWithTotals]]
-    * over an already-built [[partedCheckpoint]] frame.
-    */
-  private def carryJoin(
-      parted: DataFrame, part: Seq[String], partCols: Seq[Column],
-      order: Seq[Column]): DataFrame = {
-    // explicit ROWS frame: the default frame for an ordered window is
-    // RANGE, under which ORDER ties collapse to one cumulative value —
-    // a running sum must advance per ROW (ties then break by physical
-    // position, arbitrary-but-deterministic for a fixed layout, the
-    // same contract row_number gave the pre-extraction copies)
-    val wLocal = Window.partitionBy((col("__pid") +: partCols): _*)
-      .orderBy(order: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wCarry = Window.partitionBy(partCols: _*).orderBy(col("__pid"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val carry = parted.groupBy((col("__pid") +: partCols): _*)
-      .agg(sum(col("__v")).as("__pt"))
-      .withColumn("__carry", sum(col("__pt")).over(wCarry))
-      .select((col("__pid") +: partCols :+ col("__carry")): _*)
-    parted
-      .withColumn("__lcum", sum(col("__v")).over(wLocal))
-      .join(broadcast(carry), "__pid" +: part)
-      .withColumn("cum", col("__lcum") + coalesce(col("__carry"), lit(0L)))
-      .drop("__pid", "__v", "__lcum", "__carry")
-  }
-
   def prefixSum(
       df: DataFrame, part: Seq[String], order: Seq[Column],
-      value: Column): DataFrame = {
-    val clash = Reserved.filter(df.columns.contains)
-    require(clash.isEmpty,
-      s"prefixSum reserves column names ${Reserved.mkString(", ")}; " +
-        s"input frame already has ${clash.mkString(", ")} — rename before calling")
-    val partCols = part.map(col)
-    carryJoin(partedCheckpoint(df, partCols, order, value), part, partCols, order)
-  }
+      value: Column): DataFrame =
+    fused(df, part, order, value, rank = false, totalName = None)
 
-  /** [[prefixSum]] plus the per-part TOTAL of `value`, both computed
-    * from the SAME checkpointed frame: (main, totals) where totals has
-    * columns `part :+ totalName` (one row per part value; one row total
-    * when `part` is empty). Consumers that need per-part cardinalities
-    * next to ranks (the q103/q170/q188 shape) previously re-aggregated
-    * either the full ranked output (re-running the window + carry join)
-    * or the pre-rank subtree (re-running e.g. tokenization); this
-    * derives the same numbers with one window-free, join-free aggregate
-    * over the already-materialized checkpoint. For a rank
-    * (`value = 1`), the total IS the per-part row count.
+  /** [[prefixSum]] plus the per-part TOTAL of `value` as an extra
+    * column `totalName` on every row (NULL only if the whole part group
+    * has no non-null value — SUM semantics; for a rank the total IS the
+    * per-part row count). The pre-r18 API returned the totals as a
+    * second tiny frame that every consumer immediately broadcast-joined
+    * back; the fused operator knows the per-part totals from its carry
+    * pass, so the column form removes that join from every consumer
+    * plan.
     */
-  def prefixSumWithTotals(
+  def prefixSumWithTotal(
       df: DataFrame, part: Seq[String], order: Seq[Column],
-      value: Column, totalName: String): (DataFrame, DataFrame) = {
-    val clash = Reserved.filter(df.columns.contains)
-    require(clash.isEmpty,
-      s"prefixSumWithTotals reserves column names ${Reserved.mkString(", ")}; " +
-        s"input frame already has ${clash.mkString(", ")} — rename before calling")
-    val partCols = part.map(col)
-    val parted = partedCheckpoint(df, partCols, order, value)
-    val totals = parted.groupBy(partCols: _*)
-      .agg(sum(col("__v")).as(totalName))
-    (carryJoin(parted, part, partCols, order), totals)
-  }
-
-  /** Names [[rankAndSum]] claims on top of the prefixSum set. */
-  private val ReservedRank =
-    Seq("cum", "rk", "__pid", "__v", "__lcum", "__carry", "__pt",
-      "__lrk", "__crk", "__ptn")
+      value: Column, totalName: String): DataFrame =
+    fused(df, part, order, value, rank = false, totalName = Some(totalName))
 
   /** Appends BOTH `rk` (1-based row number) and `cum` (inclusive
-    * running sum of `value`) over the SAME `order` within `part`, in
-    * ONE range exchange + checkpoint — a rank is the running sum of 1
-    * in the same total order, so computing it alongside the value sum
-    * is free, where chaining rankDistributed → prefixSum pays the
-    * exchange, the checkpoint, and the carry twice (q285 did before
-    * r17's fusion).
+    * running sum of `value`) over the SAME `order` within `part` — a
+    * rank is the running sum of 1 in the same total order, so the
+    * operator computes it alongside the value sum for free, where
+    * chaining rankDistributed → prefixSum pays the exchange and the
+    * carry twice (q285 did before r17's fusion).
     */
   def rankAndSum(
       df: DataFrame, part: Seq[String], order: Seq[Column],
-      value: Column): DataFrame = {
-    val clash = ReservedRank.filter(df.columns.contains)
-    require(clash.isEmpty,
-      s"rankAndSum reserves column names ${ReservedRank.mkString(", ")}; " +
-        s"input frame already has ${clash.mkString(", ")} — rename before calling")
-    val partCols = part.map(col)
-    val parted = partedCheckpoint(df, partCols, order, value)
-    // same ROWS-frame rationale as prefixSum above
-    val wLocal = Window.partitionBy((col("__pid") +: partCols): _*)
-      .orderBy(order: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wCarry = Window.partitionBy(partCols: _*).orderBy(col("__pid"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val carry = parted.groupBy((col("__pid") +: partCols): _*)
-      .agg(sum(col("__v")).as("__pt"), count(lit(1)).as("__ptn"))
-      .withColumn("__carry", sum(col("__pt")).over(wCarry))
-      .withColumn("__crk", sum(col("__ptn")).over(wCarry))
-      .select((col("__pid") +: partCols) ++
-        Seq(col("__carry"), col("__crk")): _*)
-    parted
-      .withColumn("__lcum", sum(col("__v")).over(wLocal))
-      .withColumn("__lrk",
-        sum(lit(1L)).over(wLocal))
-      .join(broadcast(carry), "__pid" +: part)
-      .withColumn("cum", col("__lcum") + coalesce(col("__carry"), lit(0L)))
-      .withColumn("rk", col("__lrk") + coalesce(col("__crk"), lit(0L)))
-      .drop("__pid", "__v", "__lcum", "__carry", "__lrk", "__crk")
-  }
+      value: Column): DataFrame =
+    fused(df, part, order, value, rank = true, totalName = None)
+
+  /** Appends `cum`: the running MAX of `value` over the STRICTLY
+    * PRECEDING rows (ROWS UNBOUNDED PRECEDING .. -1) of `order` within
+    * `part` — NULL for a group's first row. greatest() null semantics
+    * across the partition boundary (the q153 skyline / q147 watermark /
+    * q245 gap-scan shape: "best value seen before me" in a sweep).
+    */
+  def prefixMaxExclusive(
+      df: DataFrame, part: Seq[String], order: Seq[Column],
+      value: Column): DataFrame =
+    fused(df, part, order, value, rank = false, totalName = None,
+      isMax = true, inclusive = false)
 }

@@ -188,11 +188,24 @@ object Classifier {
       w = (0 to 4).map { j =>
         // w_j - ((g_j DIV n) * lr DIV (S*S)) — BigInt `/` truncates
         // toward zero, matching Spark DIV / DuckDB // on the negative
-        // gradients this fit produces
+        // gradients this fit produces.
+        // A NULL gradient sum over a non-empty corpus means the
+        // DECIMAL(38,0) accumulator overflowed (non-ANSI sum returns
+        // null) — fail fast instead of silently fitting with a dropped
+        // gradient (the old 1-row plan propagated the null into the
+        // weights, making the corruption visible; substituting 0 here
+        // would hide it)
+        if (g.isNullAt(j) && nRaw > 0) sys.error(
+          s"fitOf: gradient g$j overflowed DECIMAL(38,0) (null sum over $nRaw rows)")
         val gj = if (g.isNullAt(j)) BigInt(0)
           else BigInt(g.getDecimal(j).toBigInteger)
         w(j) - (gj / nBig) * lrNum / lrDen
       }
+    }
+    // weights ship back into the plan as Longs — a silent wrap past
+    // Long range would corrupt the scores downstream
+    w.zipWithIndex.foreach { case (wj, j) =>
+      require(wj.isValidLong, s"fitOf: weight w$j=$wj exceeds Long range")
     }
     wFrame(w)
   }

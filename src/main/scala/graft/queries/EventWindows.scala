@@ -424,25 +424,14 @@ object EventWindows {
     * rows, arrival order = event_id. Fixture-testable.
     */
   private[graft] def latenessAuditOf(ev: DataFrame): DataFrame = {
-    val s = ev.sparkSession
-    val nParts = s.conf.get("spark.sql.shuffle.partitions").toIntOption
-      .getOrElse(s.sparkContext.defaultParallelism)
-    val parted = ev.select(col("event_id"), col("event_type"), col("ts_ms"))
-      .repartitionByRange(nParts, col("event_id"))
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(false) // one __pid assignment for both branches
-    val wLocal = Window.partitionBy(col("__pid")).orderBy(col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val wCarry = Window.orderBy(col("__pid"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val carry = parted.groupBy(col("__pid"))
-      .agg(max(col("ts_ms")).as("__pmax"))
-      .withColumn("__carry", max(col("__pmax")).over(wCarry))
-      .select(col("__pid"), col("__carry"))
-    parted
-      .withColumn("__lmax", max(col("ts_ms")).over(wLocal))
-      .join(broadcast(carry), Seq("__pid"))
-      .withColumn("wm", greatest(col("__lmax"), col("__carry")) - LateDelayMs)
+    // the generic single-pass carry operator (r18), max/exclusive mode:
+    // cum = max ts over strictly-earlier arrivals (greatest() null
+    // semantics — null for the first arrival, so wm is null and
+    // nothing counts late, as before)
+    graft.ops.PrefixSum.prefixMaxExclusive(
+        ev.select(col("event_id"), col("event_type"), col("ts_ms")),
+        Seq.empty, Seq(col("event_id")), col("ts_ms"))
+      .withColumn("wm", col("cum") - LateDelayMs)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         sum(when(col("ts_ms") < col("wm"), 1L).otherwise(0L)).as("n_late"),

@@ -147,7 +147,13 @@ object Expectations {
   private def q234(s: SparkSession, d: String): DataFrame = {
     def fd(df: DataFrame, name: String, lhs: Seq[String],
         rhs: String): DataFrame =
+      // lhs non-null GUARD (no-op on TPC-H, where keys are NOT NULL by
+      // spec): the Σ identity counts a null-lhs group that the oracle's
+      // countDistinct(lhs…) drops — the filter makes the asymmetry
+      // impossible to import if this helper is ever reused on nullable
+      // keys (r17 advice)
       df.select((lhs :+ rhs).map(col): _*)
+        .filter(lhs.map(col(_).isNotNull).reduce(_ && _))
         .groupBy(lhs.map(col): _*)
         .agg(countDistinct(col(rhs)).as("k"))
         .agg(count(lit(1)).as("n_lhs"), sum(col("k")).as("n_pairs"))

@@ -275,12 +275,12 @@ object Filtering {
           col("stop_ok") === 1 &&
           ((col("n_words") - col("n_distinct")) * 10 <=
             col("n_words") * MaxDupFracTenths)).cast("long").as("keep"))
-    // counts come from the carry machinery's own checkpoint (one tiny
-    // aggregate) instead of re-running the ranked window + join
-    val (ranked, n) = Sampling.rankDistributedWithCounts(
+    // the corpus count rides on the ranked rows as a column (r18 fused
+    // operator) — no totals cross-join
+    val ranked = Sampling.rankDistributedWithCounts(
       base.select(col("doc_id"), col("quality"), col("keep")),
       Seq.empty, Seq(col("quality"), col("doc_id")), "n_docs")
-    ranked.crossJoin(broadcast(n))
+    ranked
       .withColumn("decile", expr("(rk - 1) * 10 DIV n_docs"))
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n_docs"), sum(col("keep")).as("n_keep"))
@@ -350,9 +350,9 @@ object Filtering {
 
   private def q176(s: SparkSession, d: String): DataFrame = {
     val base = qualityScored(documents(s, d))
-    val (ranked, n) = Sampling.rankDistributedWithCounts(base, Seq.empty,
+    val ranked = Sampling.rankDistributedWithCounts(base, Seq.empty,
       Seq(col("quality"), col("doc_id")), "n_docs")
-    val cells = ranked.crossJoin(broadcast(n))
+    val cells = ranked
       .withColumn("decile", expr("(rk - 1) * 10 DIV n_docs"))
       .groupBy(col("decile"))
       .agg(sum(when(pmod(col("doc_id"), lit(2)) === 0, 1L).otherwise(0L)).as("n_a"),
@@ -427,11 +427,12 @@ object Filtering {
     val scored = qualityScored(documents(s, d))
     val cal = scored.filter(pmod(col("doc_id"), lit(2)) === 0)
     val test = scored.filter(pmod(col("doc_id"), lit(2)) === 1)
-    // n_cal from the rank pass's own checkpoint — the separate
-    // cal.agg(count) used to re-run the scoring subtree for one number
-    val (ranked, nCal) = Sampling.rankDistributedWithCounts(cal, Seq.empty,
+    // n_cal rides on the ranked rows as a column (r18 fused operator) —
+    // no totals cross-join, and no second pass over the scoring
+    // subtree for one number
+    val ranked = Sampling.rankDistributedWithCounts(cal, Seq.empty,
       Seq(col("quality"), col("doc_id")), "n_cal")
-    val tau = ranked.crossJoin(broadcast(nCal))
+    val tau = ranked
       .filter(col("rk") === expr("(n_cal + 10) DIV 10"))
       .select(col("n_cal"), col("rk").as("k"), col("quality").as("tau"))
     test.crossJoin(broadcast(tau))
@@ -508,9 +509,9 @@ object Filtering {
     // conformal τ (q215 arithmetic, calibrated on even doc_ids)
     val scored = qualityScored(documents(s, d))
     val cal = scored.filter(pmod(col("doc_id"), lit(2)) === 0)
-    val (ranked, nCal) = Sampling.rankDistributedWithCounts(cal, Seq.empty,
+    val ranked = Sampling.rankDistributedWithCounts(cal, Seq.empty,
       Seq(col("quality"), col("doc_id")), "n_cal")
-    val tau = ranked.crossJoin(broadcast(nCal))
+    val tau = ranked
       .filter(col("rk") === expr("(n_cal + 10) DIV 10"))
       .select(col("quality").as("tau"))
     base

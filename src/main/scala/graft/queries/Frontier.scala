@@ -41,28 +41,14 @@ object Frontier {
   /** Core: skyline of distinct (x, y) points — minimize x, maximize y,
     * strict domination. Fixture-testable.
     */
-  private[graft] def skylineOf(pts0: DataFrame): DataFrame = {
-    val s = pts0.sparkSession
-    val parted = pts0.repartitionByRange(nPartsOf(s), col("x").asc, col("y").desc)
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(false) // one __pid assignment for both branches
-    val wLocal = Window.partitionBy(col("__pid"))
-      .orderBy(col("x").asc, col("y").desc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val wCarry = Window.orderBy(col("__pid"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val carry = parted.groupBy(col("__pid"))
-      .agg(max(col("y")).as("__pmax"))
-      .withColumn("__carry", max(col("__pmax")).over(wCarry))
-      .select(col("__pid"), col("__carry"))
-    parted
-      .withColumn("__lmax", max(col("y")).over(wLocal))
-      .join(broadcast(carry), Seq("__pid"))
-      // greatest() ignores nulls; null prefix = first point overall
-      .withColumn("__pref", greatest(col("__lmax"), col("__carry")))
-      .filter(col("__pref").isNull || col("y") > col("__pref"))
+  private[graft] def skylineOf(pts0: DataFrame): DataFrame =
+    // the generic single-pass carry operator (r18), max/exclusive mode:
+    // cum = max y over strictly-preceding sweep rows (null for the
+    // first point overall — greatest() null semantics preserved)
+    graft.ops.PrefixSum.prefixMaxExclusive(pts0, Seq.empty,
+        Seq(col("x").asc, col("y").desc), col("y"))
+      .filter(col("cum").isNull || col("y") > col("cum"))
       .select(col("x"), col("y"))
-  }
 
   // Cheapest-per-size frontier of the part catalog: minimize
   // p_retailprice, maximize p_size. All part rows sitting on a
@@ -103,29 +89,17 @@ object Frontier {
     * Fixture-testable.
     */
   private[graft] def peakConcurrencyOf(ev: DataFrame): DataFrame = {
-    val s = ev.sparkSession
     val e = ev.select(col("event_type"), col("ts_ms"))
     val ends = e.select(col("event_type"), (col("ts_ms") + HoldMs).as("t"),
       lit(-1L).as("d"))
     val pts = e.select(col("event_type"), col("ts_ms").as("t"), lit(1L).as("d"))
       .unionAll(ends)
-    val parted = pts.repartitionByRange(nPartsOf(s),
-        col("event_type"), col("t"), col("d"))
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(false)
-    val wLocal = Window.partitionBy(col("__pid"), col("event_type"))
-      .orderBy(col("t"), col("d"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wCarry = Window.partitionBy(col("event_type")).orderBy(col("__pid"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val carry = parted.groupBy(col("__pid"), col("event_type"))
-      .agg(sum(col("d")).as("__psum"))
-      .withColumn("__carry", sum(col("__psum")).over(wCarry))
-      .select(col("__pid"), col("event_type"), col("__carry"))
-    parted
-      .withColumn("__lsum", sum(col("d")).over(wLocal))
-      .join(broadcast(carry), Seq("__pid", "event_type"))
-      .withColumn("conc", col("__lsum") + coalesce(col("__carry"), lit(0L)))
+    // the generic single-pass carry operator (r18) — the inline
+    // range-exchange + localCheckpoint + window + carry-join copy this
+    // replaces materialized the full sweep frame a second time
+    graft.ops.PrefixSum.prefixSum(pts, Seq("event_type"),
+        Seq(col("t"), col("d")), col("d"))
+      .withColumnRenamed("cum", "conc")
       .groupBy(col("event_type"))
       .agg(max(col("conc")).as("peak"),
         // DIV, not `/`: Spark's `/` on longs is IEEE double division,
@@ -305,12 +279,12 @@ object Frontier {
   private def q170(s: SparkSession, d: String): DataFrame = {
     val o = orders(s, d).select(col("o_orderpriority"), col("o_totalprice"),
       col("o_orderkey"))
-    // per-group counts from the rank pass's checkpoint — the separate
-    // ranked.groupBy(...).count() re-ran the window + carry join
-    val (ranked, counts) = Sampling.rankDistributedWithCounts(o,
+    // per-group counts ride on the ranked rows as a column (r18 fused
+    // operator) — no broadcast join
+    val ranked = Sampling.rankDistributedWithCounts(o,
       Seq("o_orderpriority"),
       Seq(col("o_totalprice"), col("o_orderkey")), "n")
-    ranked.join(broadcast(counts), Seq("o_orderpriority"))
+    ranked
       .filter(col("rk") === expr("(n + 1) DIV 2") ||
         col("rk") === expr("(9 * n + 9) DIV 10"))
       .groupBy(col("o_orderpriority"))
@@ -353,9 +327,12 @@ object Frontier {
   // per-type aggregates; the only broadcasts are |event types|-sized.
   private def q188(s: SparkSession, d: String): DataFrame = {
     val e = events(s, d).select(col("event_type"), col("event_id"), col("value"))
-    val (r1, n1) = Sampling.rankDistributedWithCounts(e, Seq("event_type"),
+    // per-type counts ride on the ranked rows as a column (r18 fused
+    // operator); med (|event types| rows) carries n forward for the
+    // second rank pass
+    val r1 = Sampling.rankDistributedWithCounts(e, Seq("event_type"),
       Seq(col("value"), col("event_id")), "n")
-    val med = r1.join(broadcast(n1), Seq("event_type"))
+    val med = r1
       .filter(col("rk") === expr("(n + 1) DIV 2"))
       .select(col("event_type"), col("value").as("median"), col("n"))
     val dev = e.join(broadcast(med.select(col("event_type"), col("median"))),
@@ -364,7 +341,8 @@ object Frontier {
         abs(col("value") - col("median")).as("dev"))
     val r2 = Sampling.rankDistributed(dev, Seq("event_type"),
       Seq(col("dev"), col("event_id")))
-    val mad = r2.join(broadcast(n1), Seq("event_type"))
+    val mad = r2.join(broadcast(med.select(col("event_type"), col("n"))),
+        Seq("event_type"))
       .filter(col("rk") === expr("(n + 1) DIV 2"))
       .select(col("event_type"), col("dev").as("mad"))
     val outl = dev.join(broadcast(mad), Seq("event_type"))
@@ -427,15 +405,12 @@ object Frontier {
         expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"),
         expr("CAST(round(l_quantity) AS BIGINT)").as("qty"))
       .groupBy(col("flag"), col("cents")).agg(sum(col("qty")).as("w"))
-    // the generic carry machinery (optimization round 17): identical
-    // running sum to the inline copy this replaces, but through
-    // ops.PrefixSum — one range exchange, no second full-data exchange
-    // (the pid-partitioning re-assertion), and wtot derived from the
-    // SAME checkpointed pass instead of re-running the cw aggregate
-    val (cum, tot) = graft.ops.PrefixSum.prefixSumWithTotals(
+    // the generic carry machinery (single-pass fused operator since
+    // r18): one range exchange, and wtot rides on every row as a
+    // column — no totals broadcast join, no re-run of the cw aggregate
+    val cum = graft.ops.PrefixSum.prefixSumWithTotal(
       cw, Seq("flag"), Seq(col("cents")), col("w"), "wtot")
     cum
-      .join(broadcast(tot), Seq("flag"))
       .filter(col("cum") * 2 >= col("wtot"))
       .groupBy(col("flag"))
       .agg(max(col("wtot")).as("total_units"), min(col("cents")).as("median_cents"))
@@ -473,25 +448,12 @@ object Frontier {
     val rev = lineitem(s, d)
       .groupBy(col("l_partkey").as("part"))
       .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("cents"))
-    val nParts = s.conf.get("spark.sql.shuffle.partitions").toIntOption
-      .getOrElse(s.sparkContext.defaultParallelism)
-    val parted = rev.repartitionByRange(nParts, col("cents").desc, col("part"))
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(false)
-    val wLocal = Window.partitionBy(col("__pid"))
-      .orderBy(col("cents").desc, col("part"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wCarry = Window.partitionBy(lit(1)).orderBy(col("__pid"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val carry = parted.groupBy(col("__pid")).agg(sum(col("cents")).as("pc"))
-      .withColumn("carry", sum(col("pc")).over(wCarry))
-      .select(col("__pid"), col("carry"))
-    val tot = rev.agg(sum(col("cents")).as("tot"))
-    parted
-      .withColumn("cum", sum(col("cents")).over(wLocal))
-      .join(broadcast(carry), Seq("__pid"))
-      .withColumn("cum", col("cum") + coalesce(col("carry"), lit(0L)))
-      .crossJoin(broadcast(tot))
+    // the generic single-pass carry operator (r18): one range exchange
+    // replaces the inline checkpoint + window + carry join, and tot
+    // rides on every row as the totals column instead of re-running
+    // the rev aggregate for a 1-row cross join
+    graft.ops.PrefixSum.prefixSumWithTotal(rev, Seq.empty,
+        Seq(col("cents").desc, col("part")), col("cents"), "tot")
       .withColumn("cls",
         when(col("cum") * 5 <= col("tot") * 4, "A")
           .when(col("cum") * 20 <= col("tot") * 19, "B")

@@ -911,20 +911,26 @@ object Graph {
   // are bit-equal across engines — no float summation order anywhere.
   //
   // Scale shape: register state is packed WIDE — one row per node with
-  // all 64 registers as columns (the published HyperBall counter-per-
-  // node layout), so each round is one shuffled equi-join of |V| state
-  // rows with the edge list emitting |E| rows (NOT 64·|E| as a
-  // row-per-register layout would), then one groupBy(v) whose 64
-  // per-register `max` aggregates are map-side combinable and fully
-  // whole-stage-codegen'd — the defining HLL merge as 64 long buffers.
-  // An absent bucket is register 0, which contributes 2^(56-0) = 2^56
-  // to the harmonic numerator — bit-identical to the row-layout's
-  // explicit (m - present) * 2^56 empty-bucket term, so estimates (and
-  // the row-based DuckDB oracle) are unchanged bit-for-bit. Per-round
-  // output is a 1-row reduction. Nothing is ever node² — that is the
-  // whole point of the algorithm.
+  // all 64 registers (the published HyperBall counter-per-node
+  // layout), so each round is one shuffled equi-join of |V| state rows
+  // with the edge list emitting |E| rows (NOT 64·|E| as a
+  // row-per-register layout would), then one groupBy(v) merge whose
+  // aggregates are map-side combinable and fully whole-stage-codegen'd.
+  // Since r18 the 64 registers pack 8-per-long into EIGHT long columns
+  // (each rho ≤ HllW+1 = 55 < 2^7, one unsigned byte lane each), and
+  // the merge is 8 `bytemax` lane-max aggregates
+  // (functions.ByteMaxAgg) instead of 64 per-register `max`es: the
+  // state row shrinks 512 → 64 bytes — 8x off every round's shuffle
+  // and join — and the generated aggregate class shrinks with it
+  // (q255's 64-column codegen classes were the round-14 cache-thrash
+  // case). An absent bucket is register 0, which contributes
+  // 2^(56-0) = 2^56 to the harmonic numerator — bit-identical to the
+  // row-layout's explicit (m - present) * 2^56 empty-bucket term, so
+  // estimates (and the row-based DuckDB oracle) are unchanged
+  // bit-for-bit. Per-round output is a 1-row reduction. Nothing is
+  // ever node² — that is the whole point of the algorithm.
   private[graft] val hbRegNames: Seq[String] =
-    (0 until Sketches.HllM).map(i => s"r$i")
+    (0 until Sketches.HllM / 8).map(i => s"p$i")
 
   /** q255 stage 1: undirected edge list, hash-partitioned on src ONCE —
     * every round's state comes out of groupBy(v) hash-partitioned on v,
@@ -954,37 +960,51 @@ object Graph {
     edges.select(col("src").as("v")).distinct()
       .select(col("v"), shiftright(h, HllW).as("bucket"),
         when(rho === 0, lit(HllW + 1)).otherwise(rho).cast("long").as("regv"))
-      .select(col("v") +: hbRegNames.zipWithIndex.map { case (n, i) =>
-        when(col("bucket") === i, col("regv")).otherwise(lit(0L)).as(n)
+      // packed: register `bucket` lives in long (bucket DIV 8), byte
+      // lane (bucket % 8) — one shiftleft per populated word, zeros
+      // elsewhere
+      .select(col("v") +: hbRegNames.zipWithIndex.map { case (n, j) =>
+        when(shiftright(col("bucket"), 3) === j,
+          expr("shiftleft(regv, CAST((bucket % 8) * 8 AS INT))"))
+          .otherwise(lit(0L)).as(n)
       }: _*)
       .repartition(col("v"))
       .localCheckpoint()
   }
 
-  /** q255 round: neighbor max-merge of all 64 registers. shuffle_hash
-    * keeps the 1-row-per-node state side from being sort-merged against
-    * the edge list every round.
+  /** q255 round: neighbor max-merge of all 64 registers — 8 lane-max
+    * (`bytemax`) aggregates over the packed words. shuffle_hash keeps
+    * the 1-row-per-node state side from being sort-merged against the
+    * edge list every round.
     */
   private[graft] def hbMerge(r: DataFrame, edges: DataFrame,
       last: Boolean): DataFrame = {
+    graft.functions.GraftFunctions.register(r.sparkSession)
     val regCols = hbRegNames.map(col)
     val m = r.join(edges.hint("shuffle_hash"), col("v") === col("src"))
       .select(col("dst").as("v") +: regCols: _*)
       .unionAll(r.select(col("v") +: regCols: _*))
       .groupBy(col("v"))
-      .agg(max(regCols.head).as(hbRegNames.head),
-        hbRegNames.tail.map(n => max(col(n)).as(n)): _*)
+      .agg(expr(s"bytemax(${hbRegNames.head})").as(hbRegNames.head),
+        hbRegNames.tail.map(n => expr(s"bytemax($n)").as(n)): _*)
     // the final round's state feeds exactly one summary — checkpoint
     // (an eager extra job) only when the state is consumed twice
     if (last) m else m.localCheckpoint()
   }
 
-  /** q255 per-round 1-row reduction (neighborhood-function estimate). */
+  /** q255 per-round 1-row reduction (neighborhood-function estimate).
+    * Registers unpack from the 8 words with shift/mask arithmetic —
+    * per-node expression work identical in shape to the 64-column
+    * form, only the storage layout changed.
+    */
   private[graft] def hbSummary(r: DataFrame, t: Int): DataFrame = {
     import Sketches.HllM
-    val rr = hbRegNames.map(n => when(col(n) > 0, 1L).otherwise(lit(0L)))
+    val regs = (0 until HllM).map { i =>
+      s"(shiftright(${hbRegNames(i / 8)}, ${8 * (i % 8)}) & 255)"
+    }
+    val rr = regs.map(g => expr(s"CASE WHEN $g > 0 THEN 1L ELSE 0L END"))
       .reduce(_ + _)
-    val pn = hbRegNames.map(n => expr(s"shiftleft(1L, cast(56 - $n as int))"))
+    val pn = regs.map(g => expr(s"shiftleft(1L, cast(56 - $g as int))"))
       .reduce(_ + _)
     r.select(rr.as("rr"), pn.as("pn"))
       .select(col("rr"),

@@ -93,18 +93,26 @@ object Layout {
 
   /** Core: equi-depth histogram of an integer column. */
   private[graft] def equiDepthOf(vals: DataFrame, valCol: String): DataFrame = {
-    // n from the rank pass's checkpoint — the separate vals.agg(count)
-    // re-ran the value-derivation subtree for one number
-    val (ranked, n) = Sampling.rankDistributedWithCounts(
+    // n rides on the ranked rows as a column (r18 fused operator), so
+    // boundary membership is decided per row instead of joining an
+    // exploded bucket frame: rank r is bucket b's upper boundary iff
+    // (b·n) DIV k == r, i.e. b ∈ [⌈k·r/n⌉, ⌊(k·r + k−1)/n⌋] — the
+    // same rows and the same (possibly repeated, when n < k) buckets
+    // the old bounds join produced, with no second branch over the
+    // ranked subtree
+    val ranked = Sampling.rankDistributedWithCounts(
       vals, Seq.empty, Seq(col(valCol)), "n")
-    val bounds = n
-      .select(explode(expr(s"sequence(1L, ${HistBuckets}L)")).as("bucket"), col("n"))
-      .select(col("bucket"),
-        expr(s"(bucket * n) DIV $HistBuckets").as("rk"),
-        expr(s"((bucket - 1) * n) DIV $HistBuckets").as("prev"))
-    ranked.join(broadcast(bounds), Seq("rk"))
+    ranked
+      .withColumn("bmin",
+        greatest(lit(1L), expr(s"($HistBuckets * rk + n - 1) DIV n")))
+      .withColumn("bmax",
+        least(lit(HistBuckets.toLong), expr(s"($HistBuckets * rk + ${HistBuckets - 1}) DIV n")))
+      .filter(col("bmax") >= col("bmin"))
+      .select(explode(expr("sequence(bmin, bmax)")).as("bucket"),
+        col("rk"), col("n"), col(valCol))
       .select(col("bucket"), col("rk").as("upper_rank"),
-        col(valCol).as("upper_value"), (col("rk") - col("prev")).as("n_rows"))
+        col(valCol).as("upper_value"),
+        (col("rk") - expr(s"((bucket - 1) * n) DIV $HistBuckets")).as("n_rows"))
       .orderBy(col("bucket"))
   }
 

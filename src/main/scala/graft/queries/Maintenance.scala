@@ -347,29 +347,18 @@ object Maintenance {
   // range partitions because the carry is the running max over ALL
   // earlier partitions, not just the adjacent one.
   /** Core: missing-range report over an (id) frame. Fixture-testable. */
-  private[graft] def sequenceGapsOf(ids: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val s = ids.sparkSession
-    val nParts = s.conf.get("spark.sql.shuffle.partitions").toIntOption
-      .getOrElse(s.sparkContext.defaultParallelism)
-    val parted = ids.repartitionByRange(nParts, col("id"))
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(false) // one __pid assignment for rows + carry
-    val wLocal = Window.partitionBy(col("__pid")).orderBy(col("id"))
-    val wCarry = Window.orderBy(col("__pid"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val carry = parted.groupBy(col("__pid")).agg(max(col("id")).as("__pmax"))
-      .withColumn("__carry", max(col("__pmax")).over(wCarry))
-      .select(col("__pid"), col("__carry"))
-    parted
-      .withColumn("__prev", lag(col("id"), 1).over(wLocal))
-      .join(broadcast(carry), Seq("__pid"))
-      .withColumn("p", coalesce(col("__prev"), col("__carry")))
+  private[graft] def sequenceGapsOf(ids: DataFrame): DataFrame =
+    // the generic single-pass carry operator (r18), max/exclusive mode:
+    // in ascending-id order, max(id) over strictly-preceding rows IS
+    // the previous id (what the inline copy built from a local lag plus
+    // a preceding-partition running-max carry), null for the first row
+    graft.ops.PrefixSum.prefixMaxExclusive(
+        ids, Seq.empty, Seq(col("id")), col("id"))
+      .withColumnRenamed("cum", "p")
       .filter(col("p").isNotNull && col("id") - col("p") > 1)
       .select((col("p") + 1L).as("gap_start"), (col("id") - 1L).as("gap_end"),
         (col("id") - col("p") - 1L).as("n_missing"))
       .orderBy(col("gap_start"))
-  }
 
   private def q245(s: SparkSession, d: String): DataFrame =
     sequenceGapsOf(events(s, d).select(col("event_id").as("id"))

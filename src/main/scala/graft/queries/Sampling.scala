@@ -283,21 +283,21 @@ object Sampling {
     graft.ops.PrefixSum.prefixSum(df, part, order, lit(1L))
       .withColumnRenamed("cum", "rk")
 
-  /** [[rankDistributed]] plus the per-part row counts as a second
-    * (tiny) frame, derived from the same checkpointed pass — for the
-    * consumers that broadcast-join per-part cardinalities next to the
-    * rank (q103/q170/q188 and friends), which previously paid a second
-    * full pass over the ranked output (or the pre-rank subtree) for a
-    * number the carry machinery already has.
+  /** [[rankDistributed]] plus the per-part row count as an extra
+    * COLUMN `countName` on every ranked row — for the consumers that
+    * need per-part cardinalities next to the rank (q103/q170/q188 and
+    * friends). The pre-r18 API returned the counts as a second tiny
+    * frame that every consumer broadcast-joined back; the fused
+    * operator knows the per-part totals from its carry pass, so the
+    * column form removes that join from every consumer plan.
     */
   private[queries] def rankDistributedWithCounts(
       df: DataFrame, part: Seq[String],
       order: Seq[org.apache.spark.sql.Column],
-      countName: String): (DataFrame, DataFrame) = {
-    val (r, n) = graft.ops.PrefixSum.prefixSumWithTotals(
+      countName: String): DataFrame =
+    graft.ops.PrefixSum.prefixSumWithTotal(
       df, part, order, lit(1L), countName)
-    (r.withColumnRenamed("cum", "rk"), n)
-  }
+      .withColumnRenamed("cum", "rk")
 
   // q103 — per-source quality calibration: quality scores are only
   // comparable WITHIN a source (different boilerplate, different
@@ -309,11 +309,12 @@ object Sampling {
   // than a per-source sort window.
   private def q103(s: SparkSession, d: String): DataFrame = {
     val scored = scoredDocs(s, d)
-    // per-source counts from the rank pass's checkpoint — the separate
-    // scored.groupBy(source).count() re-ran the tokenization subtree
-    val (ranked, n) = rankDistributedWithCounts(scored, Seq("source"),
+    // per-source counts ride on the ranked rows as a column (r18 fused
+    // operator) — no broadcast join, and no second pass over the
+    // tokenization subtree for one number
+    val ranked = rankDistributedWithCounts(scored, Seq("source"),
       Seq(col("quality").desc, col("doc_id")), "n_src")
-    ranked.join(broadcast(n), Seq("source"))
+    ranked
       .filter(col("rk") * 10 <= col("n_src") * 3)
       .select(col("source"), col("doc_id"), col("rk"), col("n_src"))
       .orderBy(col("source"), col("rk"))

@@ -207,37 +207,47 @@ object Signals {
     val o = orders(s, d).select(col("o_orderpriority").as("pri"),
       col("o_orderkey").as("k"),
       expr("CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)").as("yc"))
-    val pt = o.groupBy(col("pri")).agg(count(lit(1)).as("n_orders"),
+    // replicate b's two multiplicity bits: pair b of hA for b < 30,
+    // pair (b - 30) of hB above. r18: the ×B explode is gone — each
+    // replicate's (count, weighted sum) is one CONDITIONAL aggregate
+    // pair over the single scan (64 map-side-combined sums; b is a
+    // literal per aggregate, so the bit arithmetic is constant-folded
+    // codegen), and the point-estimate scan folds into the same
+    // aggregate instead of a second pass + join. The |pri|-row result
+    // unpivots via stack() into the identical (pri, b, n_b, s_b) cells.
+    def multExpr(b: Int): String =
+      if (b < 30)
+        s"(shiftright(hA, ${2 * b}) % 2) + (shiftright(hA, ${2 * b + 1}) % 2)"
+      else
+        s"(shiftright(hB, ${2 * (b - 30)}) % 2) + (shiftright(hB, ${2 * (b - 30) + 1}) % 2)"
+    val aggCols = (0 until BootReps).flatMap { b =>
+      Seq(expr(s"sum(${multExpr(b)})").as(s"n_$b"),
+        expr(s"sum(CAST(${multExpr(b)} AS DECIMAL(38,0)) * yc)").as(s"s_$b"))
+    } ++ Seq(count(lit(1)).as("n_orders"),
       (sum(col("yc").cast(DecimalType(38, 0))).cast("double") /
         count(lit(1))).as("mean_cents"))
-    // replicate b's two multiplicity bits: pair b of hA for b < 30,
-    // pair (b - 30) of hB above
-    val mult = "CASE WHEN b < 30" +
-      " THEN (shiftright(hA, CAST(2 * b AS INT)) % 2)" +
-      "    + (shiftright(hA, CAST(2 * b + 1 AS INT)) % 2)" +
-      " ELSE (shiftright(hB, CAST(2 * (b - 30) AS INT)) % 2)" +
-      "    + (shiftright(hB, CAST(2 * (b - 30) + 1 AS INT)) % 2) END"
-    val reps = o
+    val cells = o
       .withColumn("hA", hash60(concat(lit("bootA:"), col("k").cast("string"))))
       .withColumn("hB", hash60(concat(lit("bootB:"), col("k").cast("string"))))
-      .select(col("pri"), col("yc"), col("hA"), col("hB"),
-        explode(sequence(lit(0), lit(BootReps - 1))).as("b"))
-      .withColumn("m", expr(mult))
-      .groupBy(col("pri"), col("b"))
-      .agg(sum(col("m")).as("n_b"),
-        sum(col("m").cast(DecimalType(38, 0)) * col("yc")).as("s_b"))
+      .groupBy(col("pri"))
+      .agg(aggCols.head, aggCols.tail: _*)
+    val stackArgs = (0 until BootReps).map(b => s"$b, n_$b, s_$b").mkString(", ")
+    val reps = cells
+      .selectExpr("pri", "n_orders", "mean_cents",
+        s"stack($BootReps, $stackArgs) AS (b, n_b, s_b)")
       .filter(col("n_b") > 0)
       .withColumn("mean_b", col("s_b").cast("double") / col("n_b").cast("double"))
     val w = Window.partitionBy(col("pri")) // B = 32 rows per group
     val wr = w.orderBy(col("mean_b"), col("b"))
-    val ci = reps
+    reps
       .withColumn("rk", row_number().over(wr))
       .withColumn("cnt", count(lit(1)).over(w))
       .groupBy(col("pri"))
-      .agg(max(when(col("rk") === 2, col("mean_b"))).as("ci_lo_cents"),
+      .agg(max(col("n_orders")).as("n_orders"),
+        max(col("mean_cents")).as("mean_cents"),
+        max(when(col("rk") === 2, col("mean_b"))).as("ci_lo_cents"),
         max(when(col("rk") === col("cnt") - 1, col("mean_b"))).as("ci_hi_cents"),
         count(lit(1)).as("n_reps"))
-    pt.join(ci, Seq("pri"))
       .select(col("pri").as("o_orderpriority"), col("n_orders"),
         col("mean_cents"), col("ci_lo_cents"), col("ci_hi_cents"),
         col("n_reps"))

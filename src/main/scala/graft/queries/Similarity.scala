@@ -1202,16 +1202,17 @@ object Similarity {
     */
   private[graft] def knnShapleyOf(scored: DataFrame, k: Int): DataFrame = {
     val S = 1048576L
-    val ranked = Sampling.rankDistributed(scored,
-        Seq("test_id"), Seq(col("cos").desc, col("vec_id")))
+    // per-test cardinality n rides on the ranked rows as a column (r18
+    // fused operator; for a dense 1..n rank, count ≡ max(rk)) — no
+    // separate aggregate + broadcast join
+    val ranked = Sampling.rankDistributedWithCounts(scored,
+        Seq("test_id"), Seq(col("cos").desc, col("vec_id")), "n")
       .select(col("test_id"), col("vec_id"), col("label"), col("rk"),
-        col("ind"))
+        col("ind"), col("n"))
       .localCheckpoint()
-    val n1 = ranked.groupBy(col("test_id")).agg(max(col("rk")).as("n"))
     val nxt = ranked.select(col("test_id"), (col("rk") - 1).as("rk"),
       col("ind").as("ind1"))
     val contrib = ranked.join(nxt, Seq("test_id", "rk"), "left")
-      .join(broadcast(n1), Seq("test_id"))
       .withColumn("c", when(col("rk") === col("n"),
           expr(s"ind * $S DIV n"))
         .otherwise(expr(
