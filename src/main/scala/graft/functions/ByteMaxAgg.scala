@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{
   AttributeReference, BitwiseAnd, BitwiseNot, BitwiseOr, Coalesce,
-  Expression, Literal, ShiftRightUnsigned, Subtract}
+  EvalMode, Expression, Literal, ShiftRightUnsigned, Subtract}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
@@ -52,8 +52,15 @@ case class ByteMaxAgg(child: Expression)
 
   private def laneMax(a: Expression, b: Expression): Expression = {
     val h = Literal(0x8080808080808080L)
-    val m = BitwiseAnd(Subtract(BitwiseOr(a, h), b), h)
-    val mask = BitwiseOr(Subtract(m, ShiftRightUnsigned(m, Literal(7))), m)
+    // LEGACY (wrapping) subtraction, NOT the session default: SWAR is
+    // defined over arithmetic mod 2^64 — (a|H) - b routinely crosses
+    // Long.MIN as a signed 64-bit op (the borrow into bit 63 IS lane
+    // 7's flag), and under the ANSI default Subtract raises
+    // ARITHMETIC_OVERFLOW on exactly the inputs the trick needs.
+    val m = BitwiseAnd(
+      Subtract(BitwiseOr(a, h), b, EvalMode.LEGACY), h)
+    val mask = BitwiseOr(
+      Subtract(m, ShiftRightUnsigned(m, Literal(7)), EvalMode.LEGACY), m)
     BitwiseOr(BitwiseAnd(a, mask), BitwiseAnd(b, BitwiseNot(mask)))
   }
 
